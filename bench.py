@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_iceberg_schema_evolution_spark.queries import REGISTRY  # noqa: E402
+from spark_iceberg_schema_evolution_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_scan_counts",
+    "q04_filter_case",
+    "q05_join_inner_agg",
+    "q12_tpch_q1",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark()
+
+    # warm the JVM/session so per-query numbers measure the queries
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    from pyspark.sql import functions as F
+
+    def consume(df) -> None:
+        # checksum every output column: forces full evaluation without the
+        # v2 noop-write path (measured slow in this build) and without
+        # shipping rows to Python.
+        df.select(F.sum(F.hash(*df.columns))).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        # two runs, report the warm one: run-to-run variance on this shared
+        # VM is large and the first run folds in plan+codegen setup.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            consume(q.spark_fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+The reference builds a bare session (`src/utils/spark/spark_utils.py:20-30`)
+and then mutates catalog conf after start (`spark_utils.py:42-56`) — confs
+that are only honored at builder time on a real cluster. Here every conf is
+set on the builder:
+
+- AQE on (runtime shuffle coalescing + skew-join splitting) — the engine's
+  answer to skew at the 100 TB target.
+- Arrow on (fast pandas interchange for the Pandas-UDF operators).
+- Session timezone pinned to UTC so timestamp semantics match the duckdb
+  oracle and are cluster-location-independent.
+- shuffle.partitions sized to cores for local runs (200 default is wrong in
+  both directions; at cluster scale this is tuned per job or left to AQE).
+- Optional Iceberg catalog wiring, preserving the conf names of the
+  reference (`spark_utils.py:48-55`) but parameterized: local dev uses a
+  hadoop catalog with a file:// warehouse; the Glue+S3 binding is pure
+  config. Gated behind ``use_iceberg`` because the runtime jar is absent in
+  this image.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from spark_iceberg_schema_evolution_spark.config import EngineConfig
+
+
+def get_spark(config: EngineConfig | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    cfg = config or EngineConfig()
+    builder = (
+        SparkSession.builder.master(cfg.master)
+        .appName(cfg.app_name)
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", cfg.timezone)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", cfg.driver_memory)
+        .config("spark.ui.enabled", str(cfg.ui_enabled).lower())
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.warehouse.dir", cfg.warehouse)
+        # testdata events.ts is TIMESTAMP(NANOS) parquet, which the
+        # vectorized reader rejects; read as nanos-since-epoch long and
+        # convert with queries.load_events (ns -> us).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        # ANSI stays on (Spark 4 default): engine code uses try_* variants
+        # where null-on-error cast semantics are required (evolve.py).
+    )
+    if cfg.use_iceberg:
+        # Same mechanism as the reference's Glue wiring
+        # (spark_utils.py:48-55), local hadoop catalog flavor.
+        builder = (
+            builder.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config(
+                f"spark.sql.catalog.{cfg.catalog_name}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config(f"spark.sql.catalog.{cfg.catalog_name}.type", "hadoop")
+            .config(
+                f"spark.sql.catalog.{cfg.catalog_name}.warehouse",
+                cfg.warehouse,
+            )
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
