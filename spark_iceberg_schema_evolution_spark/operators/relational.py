@@ -1,0 +1,124 @@
+"""Relational operator extensions Spark lacks natively.
+
+The reference implements none of these (it is a schema-evolution ETL demo;
+see SURVEY.md §2.A) — they are the north-star relational surface, built as
+compositions of DataFrame ops so Catalyst optimizes them.
+
+Scale notes (100 TB discipline):
+- ``asof_join`` uses the union+window formulation: ONE shuffle on the
+  partition key, no candidate-pair blowup (a naive range join is
+  O(|left_per_key| * |right_per_key|) pairs before dedup; this is
+  O(n log n) per key). Skewed keys are AQE's problem, not a new shuffle.
+- ``range_join`` keeps an equi-key conjunct so Catalyst plans a hash/SMJ
+  join with a post-filter instead of a broadcast nested loop.
+- ``top_k_per_group`` is window row_number + filter: map-side partial sort,
+  single shuffle; Spark pushes the k-limit into the sort (TakeOrdered per
+  partition within WindowGroupLimit since 3.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "inner",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (ASOF JOIN).
+
+    Union-and-window: tag both sides, sort each key by (ts, tag) so right
+    rows precede left rows at equal timestamps (inclusive <= semantics; a
+    tie between right rows resolves to the one latest in (ts, order of
+    right_cols struct) — callers needing a pinned tie add a tiebreak column
+    to ``right_ts`` ordering by including it in the struct).
+
+    ``tolerance``: optional max age (a Column interval or duration in
+    seconds as lit) — matches older than ``left.ts - tolerance`` are
+    dropped (match set to NULL / row dropped for how='inner').
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be inner|left, got {how}")
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        payload.alias("__match"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(  # noqa: E741
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__match"].dataType).alias("__match"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
+    )
+    r = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType))
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = (
+        l.unionByName(r)
+        .withColumn("__m", F.last("__match", ignorenulls=True).over(w))
+        .where(F.col("__tag") == 1)
+    )
+    if tolerance is not None:
+        joined = joined.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__rts") >= F.col("__ts").cast("timestamp") - tolerance,
+                F.col("__m"),
+            ),
+        )
+    out = joined.select(
+        *[F.col(f"__left.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+    )
+    if how == "inner":
+        first_rc = right_cols[0]
+        out = out.where(F.col(first_rc).isNotNull())
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    condition: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key join with an additional range predicate. The equi conjunct
+    keeps the plan a shuffled hash/sort-merge join (the range alone would
+    force a nested-loop); the range predicate is applied as a join filter."""
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    return left.join(right, cond & condition, how)
+
+
+def top_k_per_group(
+    df: DataFrame, group: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group: window row_number over (group, order), filter
+    <= k. ``order`` must pin total order (include a unique tiebreak)."""
+    w = W.partitionBy(*group).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "rn")
+    )

@@ -286,6 +286,868 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Joins (broadcast / outer / semi-anti / cross / range / as-of)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q06_join_broadcast",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           {ORACLE_DSUM.format(c='c_acctbal')} AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "q07_join_left_outer",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_no_1995_orders
+    FROM customer LEFT JOIN (
+      SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+    ) o ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1996-01-01")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .where(F.col("o_orderkey").isNull())
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_1995_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "q08_join_semi_anti",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM part WHERE EXISTS
+        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)) AS n_ordered,
+      (SELECT COUNT(*) FROM part WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)) AS n_never_ordered
+    """,
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem").select("l_partkey")
+    semi = p.join(li, p.p_partkey == li.l_partkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_ordered")
+    )
+    anti = p.join(li, p.p_partkey == li.l_partkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_never_ordered")
+    )
+    return semi.crossJoin(anti)
+
+
+@q(
+    "q09_cross_join",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(r_regionkey * n_nationkey) AS BIGINT) AS checksum
+    FROM region CROSS JOIN nation
+    """,
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    return r.crossJoin(n).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("r_regionkey").cast("long") * F.col("n_nationkey")).alias(
+            "checksum"
+        ),
+    )
+
+
+@q(
+    "q10_range_join",
+    oracle="""
+    SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id ORDER BY user_id
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_iceberg_schema_evolution_spark.operators.relational import range_join
+
+    ev = load_events(spark, sf)
+    e1 = ev.select("user_id", F.col("ts").alias("ts1"))
+    e2 = ev.select(F.col("user_id").alias("user_id2"), F.col("ts").alias("ts2"))
+    e2 = e2.withColumnRenamed("user_id2", "user_id")
+    pairs = range_join(
+        e1,
+        e2,
+        on=["user_id"],
+        condition=(F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        pairs.groupBy(e1["user_id"].alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "q11_asof_join",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         j AS (
+           SELECT p.event_id, v.event_id AS view_event_id,
+                  ROUND(p.value - v.value, 4) AS value_delta,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY v.ts DESC, v.event_id DESC) AS rn
+           FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+    SELECT event_id, view_event_id, value_delta
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view of the same user at or
+    before it. Union+window formulation (operators/relational.asof_join):
+    one shuffle, no pair blowup — the 100 TB-safe ASOF plan."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import asof_join
+
+    ev = load_events(spark, sf)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        p,
+        v,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id", "view_value"],
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "view_event_id",
+        F.round(F.col("value") - F.col("view_value"), 4).alias("value_delta"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (distinct / rollup / having / collect)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q13_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q14_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q15_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, '(all)') AS region_name,
+           COALESCE(n_name, '(all)') AS nation_name,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "g_region",
+            "g_nation",
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@q(
+    "q16_having",
+    oracle=f"""
+    SELECT l_suppkey,
+           {ORACLE_DSUM.format(c='l_quantity')} AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+    HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 1500000
+    ORDER BY l_suppkey
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_quantity")).alias("total_qty"),
+            F.sum(cents(F.col("l_quantity"))).alias("__qc"),
+        )
+        .where(F.col("__qc") > 1500000)
+        .drop("__qc")
+        .orderBy("l_suppkey")
+    )
+
+
+@q(
+    "q17_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities
+    FROM orders WHERE o_custkey < 100
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.where(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q18_window_topk",
+    oracle="""
+    SELECT o_custkey, rnk, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3 ORDER BY o_custkey, rnk
+    """,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_iceberg_schema_evolution_spark.operators.relational import top_k_per_group
+
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = top_k_per_group(
+        o,
+        group=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select(
+        "o_custkey", F.col("rn").alias("rnk"), "o_orderkey", "o_totalprice"
+    ).orderBy("o_custkey", "rnk")
+
+
+@q(
+    "q19_window_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf).where(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@q(
+    "q20_window_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / (100 * COUNT(*) OVER w) AS moving_avg
+    FROM orders WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Moving average over a 3-row frame. Exact integer frame-sum, one
+    double division, NO terminal round: windowed AVG(double) accumulates
+    in engine-specific order, and rounding the quotient hits cross-engine
+    half-way ties (x.845 rounds differently from its shortest decimal
+    repr vs its binary value)."""
+    o = load(spark, sf, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.sum(cents(F.col("o_totalprice"))).over(w).cast("double")
+                / (100 * F.count(F.lit(1)).over(w))
+            ).alias("moving_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q21_sort_nulls",
+    oracle="""
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    ORDER BY seg NULLS LAST, c_custkey
+    LIMIT 200
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        )
+        .orderBy(F.col("seg").asc_nulls_last(), F.col("c_custkey"))
+        .limit(200)
+    )
+
+
+@q(
+    "q22_topk_revenue",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey LIMIT 10
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    rev_c = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.groupBy("l_partkey")
+        .agg((F.sum(rev_c).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q23_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1996
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    ORDER BY o_custkey
+    """,
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    a = o.where(F.year(F.col("o_orderdate").cast("date")) == 1996).select(
+        "o_custkey"
+    )
+    b = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.union(b).distinct().orderBy("o_custkey")
+
+
+@q(
+    "q24_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1997
+    ORDER BY o_custkey
+    """,
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    y = F.year(F.col("o_orderdate").cast("date"))
+    a = o.where(y == 1996).select("o_custkey")
+    b = o.where(y == 1997).select("o_custkey")
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
+    # per-occurrence multiplicity and overcount.
+    return a.subtract(b).orderBy("o_custkey")
+
+
+@q(
+    "q25_union_byname",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey < 50
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal
+    FROM customer WHERE c_custkey >= 1450
+    ORDER BY c_custkey
+    """,
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    a = c.where(F.col("c_custkey") < 50).select("c_custkey", "c_name")
+    b = c.where(F.col("c_custkey") >= 1450).select("c_custkey", "c_acctbal")
+    return a.unionByName(b, allowMissingColumns=True).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q26_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(REPLACE(c_name, '#', '_')) AS norm_name,
+           SUBSTR(c_name, 1, 8) AS prefix,
+           LENGTH(c_name) AS name_len,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+           UPPER(c_mktsegment) AS seg_upper,
+           TRIM(CONCAT('  ', c_mktsegment, '  ')) AS trimmed
+    FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+    """,
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """String family — mirrors the reference's name normalization
+    (job.py:65-72: lower + strip chars)."""
+    c = load(spark, sf, "customer").where(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))).alias(
+            "norm_name"
+        ),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "q27_date_funcs",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('month', CAST(l_shipdate AS DATE)), '%Y-%m-%d')
+             AS ship_month,
+           EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS ship_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY ship_month
+    """,
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-month revenue — the query-side analogue of the reference's
+    month(created_at) hidden partitioning (job.py:125, spark_utils.py:163)."""
+    li = load(spark, sf, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    rev_c = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.groupBy(
+            F.date_format(F.date_trunc("month", ship), "yyyy-MM-dd").alias(
+                "ship_month"
+            ),
+            F.year(ship).cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_c).cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@q(
+    "q28_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(SQRT(p_retailprice), 4) AS sqrt_price,
+           CAST(p_size AS BIGINT) * p_size AS size_sq,
+           ABS(p_size - 25) AS abs_dev,
+           MOD(p_partkey, 7) AS key_mod,
+           GREATEST(p_size, 25) AS g25,
+           LEAST(p_size, 25) AS l25,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+           ROUND(LN(p_retailprice), 4) AS ln_price,
+           CAST(SIGN(p_size - 25) AS INT) AS size_sign
+    FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+    """,
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        (F.col("p_size").cast("long") * F.col("p_size")).alias("size_sq"),
+        F.abs(F.col("p_size") - 25).alias("abs_dev"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.greatest("p_size", F.lit(25)).alias("g25"),
+        F.least("p_size", F.lit(25)).alias("l25"),
+        F.floor("p_retailprice").alias("floor_price"),
+        F.ceil("p_retailprice").alias("ceil_price"),
+        F.round(F.log("p_retailprice"), 4).alias("ln_price"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("size_sign"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "q29_null_cond",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'Unknown') AS seg_filled,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+             AS bal_nonneg,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Null/conditional family — re-enacts the reference's commented-out
+    default-fill op (job.py:88-101, 'Unknown' defaults)."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("Unknown")
+        ).alias("seg_filled"),
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")),
+            F.lit(0.0),
+        ).alias("bal_nonneg"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "q30_array_explode",
+    oracle="""
+    SELECT vec_id,
+           COUNT(*) AS n_elems,
+           ROUND(MIN(CAST(e AS DOUBLE)), 4) AS min_e,
+           ROUND(MAX(CAST(e AS DOUBLE)), 4) AS max_e
+    FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings
+          WHERE vec_id < 200)
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """Array explode + regroup. Only order-independent aggregates (count/
+    min/max) — an exploded double SUM would accumulate in shuffle order."""
+    e = load(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    return (
+        e.select("vec_id", F.explode("embedding").alias("e"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.round(F.min(F.col("e").cast("double")), 4).alias("min_e"),
+            F.round(F.max(F.col("e").cast("double")), 4).alias("max_e"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@q(
+    "q31_map_funcs",
+    oracle="""
+    SELECT 'k' AS map_key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS total
+    FROM events
+    """,
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON props parsed as a typed map, exploded to key/value. The data's
+    props has the single key 'k', so the oracle is expressible without
+    duckdb map types."""
+    ev = load(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(F.explode(m).alias("map_key", "v"))
+        .groupBy("map_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+        )
+    )
+
+
+@q(
+    "q32_hash_md5",
+    oracle="""
+    SELECT c_custkey, MD5(c_name) AS name_md5,
+           SUBSTR(MD5(CONCAT(c_name, c_mktsegment)), 1, 8) AS combo_prefix
+    FROM customer WHERE c_custkey < 400 ORDER BY c_custkey
+    """,
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").where(F.col("c_custkey") < 400)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.substring(
+            F.md5(F.concat(F.col("c_name"), F.col("c_mktsegment"))), 1, 8
+        ).alias("combo_prefix"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "q33_cast_matrix",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS INT) AS key_int,
+           CAST(c_custkey AS VARCHAR) AS key_str,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal_decimal_str,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor_int,
+           CAST(c_nationkey AS BIGINT) AS nation_big,
+           CAST(c_acctbal > 0 AS INT) AS is_positive,
+           CAST(CAST('1996-03-07' AS DATE) AS VARCHAR) AS fixed_date,
+           CAST(LENGTH(c_name) AS DOUBLE) AS len_dbl
+    FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+    """,
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """Cast matrix over the §1.2 type lattice. double->int goes through
+    FLOOR explicitly: bare CAST(double AS INT) truncates in Spark but
+    rounds in duckdb."""
+    c = load(spark, sf, "customer").where(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.col("c_custkey").cast("int").alias("key_int"),
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias(
+            "bal_decimal_str"
+        ),
+        F.floor("c_acctbal").alias("bal_floor_int"),
+        F.col("c_nationkey").cast("bigint").alias("nation_big"),
+        (F.col("c_acctbal") > 0).cast("int").alias("is_positive"),
+        F.lit("1996-03-07").cast("date").cast("string").alias("fixed_date"),
+        F.length("c_name").cast("double").alias("len_dbl"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Time bucketing / sessionization (batch equivalents of streaming windows)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q34_tumbling_hour",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00')
+             AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+    """,
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window counts in batch form — the oracle for the streaming
+    tumbling window (streaming/windows.py drives the same aggregation
+    through readStream; see t2_stream_tumbling)."""
+    ev = load_events(spark, sf)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+            .alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@q(
+    "q35_sessionize",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE user_id < 30),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id)
+                       > 1800000000
+                  OR LAG(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM t),
+    sessions AS (
+      SELECT user_id, event_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(us) AS start_us,
+           MAX(us) AS end_us
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap), the batch oracle for
+    streaming session windows. Timestamps as epoch micros end-to-end so
+    both engines compare integers."""
+    ev = load_events(spark, sf).where(F.col("user_id") < 30)
+    t = ev.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
+    flagged = t.withColumn(
+        "is_new",
+        F.when((F.col("us") - lag_us > 1800000000) | lag_us.isNull(), 1).otherwise(
+            0
+        ),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
