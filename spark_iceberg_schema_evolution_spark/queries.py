@@ -24,6 +24,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1144,6 +1146,398 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
             F.max("us").alias("end_us"),
         )
         .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+# duckdb replica of operators.dedup.shingles(normalized_words(text), 5)
+_DUCK_WORDS = "string_split(lower(trim(text)), ' ')"
+_DUCK_SHINGLES = f"""list_distinct(CASE WHEN len({_DUCK_WORDS}) >= 5
+    THEN [array_to_string(({_DUCK_WORDS})[i:i+4], ' ')
+          for i in generate_series(1, len({_DUCK_WORDS})-4)]
+    ELSE [array_to_string({_DUCK_WORDS}, ' ')] END)"""
+
+
+@q(
+    "q36_dedup_exact",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT MD5(text)) AS n_distinct_text,
+           COUNT(DISTINCT SUBSTR(text, 1, 30)) AS n_distinct_prefix
+    FROM documents
+    """,
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        F.countDistinct(F.substring("text", 1, 30)).alias("n_distinct_prefix"),
+    )
+
+
+@q(
+    "q37_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 5-gram-shingle Jaccard over co-shingled doc pairs (the verify
+    stage of the near-dedup pipeline; candidate generation is
+    t2_minhash_lsh). Unrounded double division: same exact integer inputs
+    -> identical quotient bits on both engines."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import jaccard_pairs
+
+    d = load(spark, sf, "documents")
+    return jaccard_pairs(d).orderBy("id_a", "id_b")
+
+
+_PROBE_SQL = "[CAST((i*37 % 19) - 9 AS DOUBLE)/10.0 for i in generate_series(0,63)]"
+_DUCK_FOLD_SUM = "list_reduce(list_prepend(0.0, {xs}), (a, b) -> a + b)"
+
+
+def _probe_vector() -> list[float]:
+    return [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+@q(
+    "q38_cosine_topk",
+    oracle=f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    scored AS (
+      SELECT label, vec_id,
+             {_DUCK_FOLD_SUM.format(xs='[e[i] * pv[i] for i in generate_series(1, 64)]')}
+             / (SQRT({_DUCK_FOLD_SUM.format(xs='[x*x for x in e]')})
+                * SQRT({_DUCK_FOLD_SUM.format(xs='[x*x for x in pv]')})) AS score
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings) CROSS JOIN p),
+    ranked AS (
+      SELECT label, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored)
+    SELECT label, rank, vec_id, ROUND(score, 6) AS score_r
+    FROM ranked WHERE rank <= 10 ORDER BY label, rank
+    """,
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 per label against a fixed probe vector —
+    the exact-baseline similarity search. Scoring runs in aggregate/zip_with
+    HOFs (JVM, sequential fold order matching duckdb's list_reduce)."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    e = load(spark, sf, "embeddings")
+    probe = F.array(*[F.lit(v) for v in _probe_vector()])
+    scored = e.select(
+        "label",
+        "vec_id",
+        cosine(as_double(F.col("embedding")), probe).alias("score"),
+    )
+    w = W.partitionBy("label").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("label", "rank", "vec_id", F.round("score", 6).alias("score_r"))
+        .orderBy("label", "rank")
+    )
+
+
+@q(
+    "q39_text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           quantile_cont(n_chars, 0.5) AS median_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_iceberg_schema_evolution_spark.operators.text import token_count
+
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count().cast("long")).alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "q40_embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(SQRT({_DUCK_FOLD_SUM.format(xs='[x*x for x in CAST(embedding AS DOUBLE[])]')}), 6) AS l2,
+           ROUND({_DUCK_FOLD_SUM.format(xs='CAST(embedding AS DOUBLE[])')} / 64, 6) AS mean_elem
+    FROM embeddings WHERE vec_id < 300 ORDER BY vec_id
+    """,
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        as_double,
+        fold_sum,
+        l2_norm,
+    )
+
+    e = load(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+    v = as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(v), 6).alias("l2"),
+        F.round(fold_sum(v) / 64, 6).alias("mean_elem"),
+    ).orderBy("vec_id")
+
+
+_DUCK_DWORDS = f"list_distinct({_DUCK_WORDS})"
+_LANG_SETS = {
+    "en": "['the','and','of','to','is']",
+    "es": "['el','la','de','que','y']",
+    "de": "['der','die','und','das','ist']",
+    "fr": "['le','la','et','les','des']",
+    "zh": "['de','shi','le','zai','you']",
+}
+_LANG_HITS = {
+    lang: f"len(list_intersect({_DUCK_DWORDS}, {s}))" for lang, s in _LANG_SETS.items()
+}
+def _duck_lang_case() -> str:
+    """Replicates operators.text.lang_id's argmax (sorted lang order,
+    strictly-greater wins, 'und' when all zero) as nested CASEs."""
+    expr_best = "'und'"
+    expr_best_n = "0"
+    for lang in sorted(_LANG_HITS):
+        h = _LANG_HITS[lang]
+        expr_best = f"CASE WHEN {h} > {expr_best_n} THEN '{lang}' ELSE {expr_best} END"
+        expr_best_n = f"CASE WHEN {h} > {expr_best_n} THEN {h} ELSE {expr_best_n} END"
+    return expr_best
+
+
+@q(
+    "q41_lang_id",
+    oracle=f"""
+    SELECT lang, {_duck_lang_case()} AS predicted, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2 ORDER BY lang, predicted
+    """,
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language-ID (marker-word argmax) vs the labeled lang
+    column — the text-analysis operator with its SQL-replicated oracle."""
+    from spark_iceberg_schema_evolution_spark.operators.text import lang_id
+
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy("lang", lang_id().alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@q(
+    "q42_quality_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_DUCK_WORDS} AS words,
+             {_DUCK_DWORDS} AS dwords
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           MD5(array_to_string(list_sort(dwords), ' ')) AS fp,
+           (CASE WHEN len(words) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+           + LEAST(CAST(len(list_filter(words,
+               w -> list_contains(['the','and','of','to','is'], w))) AS DOUBLE)
+               / GREATEST(len(words), 1) * 4, 1.0) * 0.2
+           + CAST(len(dwords) AS DOUBLE) / GREATEST(len(words), 1) * 0.4
+             AS quality
+    FROM t ORDER BY doc_id
+    """,
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality score + order-insensitive fingerprint per doc. The score is
+    left UNROUNDED: both engines execute the identical IEEE expression
+    tree, so the doubles match bit-for-bit (rounding would re-introduce
+    half-way-tie divergence)."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import normalized_words
+    from spark_iceberg_schema_evolution_spark.operators.text import fingerprint, stopword_ratio
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 200)
+    words = normalized_words()
+    n = F.size(words)
+    ttr = F.size(F.array_distinct(words)) / F.greatest(n, F.lit(1))
+    len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.5)
+    quality = (
+        len_ok * 0.4
+        + F.least(stopword_ratio() * 4, F.lit(1.0)) * 0.2
+        + ttr * 0.4
+    )
+    return d.select(
+        "doc_id",
+        fingerprint().alias("fp"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q43_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           MD5(text) AS content_md5,
+           'text/plain' AS mime
+    FROM documents ORDER BY media_id
+    """,
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal binary-payload plumbing: opaque bytes + typed metadata
+    (operators/multimodal.documents_as_media); content hash proves the
+    byte round trip."""
+    from spark_iceberg_schema_evolution_spark.operators.multimodal import documents_as_media
+
+    d = load(spark, sf, "documents")
+    m = documents_as_media(d)
+    md5_text = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.md5("text").alias("content_md5")
+    )
+    return (
+        m.join(md5_text, "media_id")
+        .select(
+            "media_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            "content_md5",
+            F.col("meta.mime").alias("mime"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@q(
+    "q44_pandas_udf_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_WORDS}) AS n_tokens,
+           {_DUCK_FOLD_SUM.format(xs=f'[CAST(CEIL(len(w) / 4.0) AS DOUBLE) for w in {_DUCK_WORDS}]')}
+             AS bpe_ish
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-vectorized Pandas UDF in the token-counting hot path —
+    equivalence-checked against the SQL formula (UDF tier of SURVEY §2.B)."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def n_tokens_udf(text: pd.Series) -> pd.Series:
+        return text.str.strip().str.lower().str.split().map(len).astype("int32")
+
+    @F.pandas_udf(DoubleType())
+    def bpe_ish_udf(text: pd.Series) -> pd.Series:
+        import math
+
+        return text.map(
+            lambda t: float(
+                sum(math.ceil(len(w) / 4.0) for w in t.strip().lower().split())
+            )
+        )
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        n_tokens_udf(F.col("text")).alias("n_tokens"),
+        bpe_ish_udf(F.col("text")).alias("bpe_ish"),
+    ).orderBy("doc_id")
+
+
+# --- Tier-2 (rows-only check): approximate / Python-backed / LSH paths -----
+
+
+@q("t2_minhash_lsh_pairs", oracle=None, tier=2)
+def t2_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs joined with exact Jaccard verification —
+    the full near-dedup pipeline (deterministic seed)."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = load(spark, sf, "documents")
+    sigs = minhash_signature(d, num_hashes=16)
+    cands = lsh_candidate_pairs(sigs, num_bands=4, sig_len=16)
+    verified = jaccard_pairs(d, pairs=cands)
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@q("t2_simhash", oracle=None, tier=2)
+def t2_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_iceberg_schema_evolution_spark.operators.dedup import simhash
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return simhash(d).orderBy("doc_id")
+
+
+@q("t2_lsh_cosine_topk", oracle=None, tier=2)
+def t2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN — the scale path of q38 (recall is
+    probabilistic, so rows-only here; recall itself is asserted in
+    tests/test_llm_ops.py against the exact baseline)."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf, "embeddings")
+    qdf = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, qdf, dim=64, k=10, num_planes=8).select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
+@q("t2_multimodal_features", oracle=None, tier=2)
+def t2_mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    from spark_iceberg_schema_evolution_spark.operators.multimodal import (
+        documents_as_media,
+        fake_features,
+    )
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return fake_features(documents_as_media(d)).orderBy("media_id")
+
+
+@q("t2_approx_distinct", oracle=None, tier=2)
+def t2_approx(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
 
 
