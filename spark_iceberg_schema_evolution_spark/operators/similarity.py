@@ -119,24 +119,52 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     num_planes: int = 12,
+    num_tables: int = 4,
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the query's hyperplane
-    signature bucket; exact cosine re-ranks within buckets. Recall trades
-    off against ``num_planes`` (more planes -> smaller buckets)."""
-    c = corpus.select(
-        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__sig", hyperplane_signature(F.col("__cv"), dim, num_planes, seed))
-    q = queries.select(
-        F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__sig", hyperplane_signature(F.col("__qv"), dim, num_planes, seed))
-    scored = c.join(F.broadcast(q), "__sig").select(
-        query_id,
-        corpus_id,
-        cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+    signature bucket in ANY of ``num_tables`` independent tables (standard
+    multi-table LSH — recall compounds across tables while each bucket
+    stays small); exact cosine re-ranks the candidate union. Recall trades
+    off against ``num_planes`` (bucket size) and ``num_tables``."""
+
+    def with_sigs(df: DataFrame, vcol: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("__table"),
+                            hyperplane_signature(
+                                F.col(vcol), dim, num_planes, seed + 1000 * t
+                            ).alias("__sig"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("__ts"),
+        ).select("*", "__ts.__table", "__ts.__sig").drop("__ts")
+
+    c = with_sigs(
+        corpus.select(F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")),
+        "__cv",
+    )
+    q = with_sigs(
+        queries.select(F.col(query_id), as_double(F.col(vec_col)).alias("__qv")),
+        "__qv",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["__table", "__sig"])
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+        )
+        .dropDuplicates([query_id, corpus_id])
     )
     w = Wnd.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()

@@ -1542,6 +1542,297 @@ def t2_approx(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lakehouse lifecycle (tables.py) surfaced as oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+def _tmp_catalog(spark: SparkSession):
+    import tempfile
+
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    return LakehouseCatalog(spark, tempfile.mkdtemp(prefix="lakehouse-q-"))
+
+
+@q(
+    "q45_evolving_ingest",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer) AS n_rows,
+           (SELECT COUNT(*) FROM customer
+             WHERE c_custkey < 500 OR c_custkey >= 1000) AS n_name,
+           (SELECT COUNT(*) FROM customer
+             WHERE c_custkey >= 500 AND c_custkey < 1000) AS n_acctbal,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey >= 1000) AS n_seg,
+           'c_custkey,c_name,c_acctbal,c_mktsegment' AS schema_cols
+    """,
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolving ingest through the lakehouse: three ragged batches
+    (name-only, acctbal-only, seg+name) append into one table; the final
+    schema is the extras-last union and old rows are NULL-padded — the
+    reference's R4/R5/R13/R15 flow, distributed."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    b1 = c.where("c_custkey < 500").select("c_custkey", "c_name")
+    b2 = c.where("c_custkey >= 500 AND c_custkey < 1000").select(
+        "c_custkey", "c_acctbal"
+    )
+    b3 = c.where("c_custkey >= 1000").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    for b in (b1, b2, b3):
+        cat.write_evolving(b, "db", "cust")
+    t = cat.table("db", "cust").read()
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_name").alias("n_name"),
+        F.count("c_acctbal").alias("n_acctbal"),
+        F.count("c_mktsegment").alias("n_seg"),
+        F.lit(",".join(t.columns)).alias("schema_cols"),
+    )
+
+
+@q(
+    "q46_merge_upsert",
+    oracle="""
+    WITH merged AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey >= 500 THEN c_acctbal + 1000
+                  ELSE c_acctbal END AS bal
+      FROM customer)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_bal
+    FROM merged
+    """,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO (upsert): target = custkey<1000, source = custkey>=500
+    with +1000 balances -> updates 500-999, inserts the rest. Post-state
+    checked against the equivalent CASE expression over the base table."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    target = c.where("c_custkey < 1000").select("c_custkey", "c_acctbal")
+    cat.write_evolving(target, "db", "m")
+    t = cat.table("db", "m")
+    source = c.where("c_custkey >= 500").select(
+        "c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal")
+    )
+    t.merge_into(source, on=["c_custkey"])
+    out = t.read()
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+@q(
+    "q47_time_travel",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer) AS v1_rows,
+           2 * (SELECT COUNT(*) FROM customer) AS v2_rows
+    """,
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot isolation: append twice, read VERSION AS OF v1 and v2."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(c, "db", "tt")
+    cat.write_evolving(c, "db", "tt")
+    t = cat.table("db", "tt")
+    v1 = t.read(version=1).agg(F.count(F.lit(1)).alias("v1_rows"))
+    v2 = t.read(version=2).agg(F.count(F.lit(1)).alias("v2_rows"))
+    return v1.crossJoin(v2)
+
+
+@q(
+    "q48_overwrite_partitions",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)), '%Y-%m')
+               AS m,
+             CASE WHEN STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                                '%Y-%m') = '1996-03'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1996)
+    SELECT m AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM t GROUP BY m ORDER BY m
+    """,
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition overwrite on the hidden months() transform
+    (reference R18/R19): double the prices of 1996-03 and overwrite just
+    that month; all other months' files are untouched."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where(
+        F.year(F.col("o_orderdate").cast("date")) == 1996
+    )
+    cat.write_evolving(o, "db", "ord", partition_month_of="o_orderdate")
+    t = cat.table("db", "ord")
+    march = o.where(
+        F.date_format("o_orderdate", "yyyy-MM") == "1996-03"
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    t.overwrite_partitions(march)
+    return (
+        t.read()
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (driven to completion over the events file; each
+# checked against a batch-SQL oracle where the semantics are deterministic)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q49_stream_tumbling",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming tumbling-window aggregation, executed incrementally
+    (maxFilesPerTrigger) into a memory sink; result must equal the batch
+    date_trunc aggregation — the streaming/batch unification check."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+    ev = SW.read_events_stream(spark, sf)
+    out = SW.run_to_memory(
+        SW.tumbling_counts(ev), "q49_sink", output_mode="complete"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@q(
+    "q50_stream_sliding",
+    oracle="""
+    WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS s FROM events),
+    expanded AS (
+      SELECT (CAST(FLOOR(s / 900) AS BIGINT) - k) * 900 AS start_s
+      FROM e CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
+      WHERE (CAST(FLOOR(s / 900) AS BIGINT) - k) * 900 + 3600 > s)
+    SELECT start_s, start_s + 3600 AS end_s, COUNT(*) AS n_events
+    FROM expanded GROUP BY start_s ORDER BY start_s
+    """,
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming sliding windows (1h size, 15min slide): every event lands
+    in 4 windows; the oracle expands each event into its covering windows
+    explicitly."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+    ev = SW.read_events_stream(spark, sf)
+    out = SW.run_to_memory(
+        SW.sliding_counts(ev), "q50_sink", output_mode="complete"
+    )
+    return out.orderBy("start_s")
+
+
+@q(
+    "q51_stream_session",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       >= 1800000000
+                  OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM t),
+    sessions AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(us) AS start_us, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming session windows (30-min gap) vs the gaps-and-islands
+    oracle. Spark merges events while the gap is strictly < 30min, so the
+    oracle starts a new session at gap >= 30min."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+    ev = SW.read_events_stream(spark, sf)
+    out = SW.run_to_memory(
+        SW.session_counts(ev), "q51_sink", output_mode="complete"
+    )
+    return out.select("user_id", "start_us", "n_events").orderBy(
+        "user_id", "start_us"
+    )
+
+
+@q(
+    "q52_stream_to_lakehouse",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids
+    FROM events
+    """,
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream -> lakehouse sink via foreachBatch: every micro-batch commits
+    a snapshot; the landed table must contain exactly the input."""
+    import tempfile
+
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+    cat = _tmp_catalog(spark)
+    ev = SW.read_events_stream(spark, sf)
+    SW.stream_to_lakehouse(
+        ev,
+        cat,
+        "db",
+        "events_landed",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt-"),
+    )
+    t = cat.table("db", "events_landed").read()
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@q("t2_stream_dedup", oracle=None, tier=2)
+def t2_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a stream with injected duplicate
+    events (exact dup rows appended) — duplicates inside the watermark
+    horizon are dropped. Tier-2: the horizon cutoff depends on batch
+    boundaries; the invariant (output <= input, >= distinct) is asserted in
+    tests/test_streaming.py."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+    ev = SW.read_events_stream(spark, sf, max_files_per_trigger=2)
+    deduped = SW.dedup_within_watermark(ev, ["event_id"], delay="10 minutes")
+    out = SW.run_to_memory(deduped, "t2_dedup_sink", output_mode="append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

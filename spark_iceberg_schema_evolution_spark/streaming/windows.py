@@ -1,0 +1,168 @@
+"""Streaming window operators over event streams.
+
+North-star extension (the reference has no streaming): tumbling / sliding /
+session windows, watermark-based late-data handling, stateful dedup, and a
+foreachBatch lakehouse sink. Each transformation is defined once against a
+(possibly streaming) DataFrame; batch equivalents of the same aggregations
+live in queries.py (q34/q35) so streaming semantics are oracle-checked.
+
+Local test harness: the parquet file source (`readStream.format("parquet")`)
+plus a memory sink driven to completion with ``processAllAvailable`` turns a
+static file into a finite stream; ``max_files_per_trigger`` forces
+multi-batch incremental execution. On a cluster the same builders run
+against Kafka/files with real triggers — nothing here is test-only.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see queries.load_events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table, ts normalized to a
+    microsecond timestamp exactly like the batch reader.
+
+    The file source wants a directory; the (read-only) testdata keeps one
+    file per table, so the events file is symlinked into a scratch dir —
+    the streaming-source landing-zone pattern.
+    """
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events-stream-")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + exact value sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("start_s"),
+            F.unix_timestamp("w.end").alias("end_s"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps are
+    strictly smaller than ``gap`` (Spark semantics; the batch oracle q35
+    flags a new session when gap > threshold — identical unless a gap is
+    exactly the threshold)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.unix_micros("first_ts").alias("start_us"),
+            "n_events",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    return events.withWatermark("ts", delay)
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], delay: str = "10 minutes"
+) -> DataFrame:
+    """Stateful streaming dedup: duplicates arriving within the watermark
+    horizon are dropped; state for expired keys is evicted (bounded state —
+    the property that makes this viable on an unbounded stream)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (finite) streaming query to completion into a memory sink and
+    return the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_to_lakehouse(
+    stream_df: DataFrame,
+    catalog,
+    namespace: str,
+    table: str,
+    checkpoint_dir: str,
+    partition_month_of: str | None = None,
+) -> None:
+    """foreachBatch sink into the lakehouse: each micro-batch commits one
+    snapshot (exactly-once per epoch via the checkpoint + idempotent-ish
+    append; Iceberg's streaming sink plays this role with the jar present)."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        catalog.write_evolving(
+            df, namespace, table, partition_month_of=partition_month_of
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,121 @@
+"""LLM-operator property tests: LSH recall vs exact baselines, dedup
+invariants, multimodal round trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iceberg_schema_evolution_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_idempotent(spark):
+    d = _docs(spark)
+    doubled = d.unionByName(d)
+    out = dedup.exact_dedup(doubled)
+    assert out.count() == d.select("text").distinct().count()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Plant a near-duplicate (one word changed) and require LSH to
+    surface the pair."""
+    d = _docs(spark).where("doc_id < 50")
+    planted = d.where("doc_id = 0").select(
+        F.lit(99999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = d.unionByName(planted)
+    sigs = dedup.minhash_signature(corpus, num_hashes=32)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_bands=8, sig_len=32)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 99999) in got
+    verified = dedup.jaccard_pairs(corpus, pairs)
+    j = {
+        (r.id_a, r.id_b): r.jaccard for r in verified.collect()
+    }
+    assert j[(0, 99999)] > 0.7
+
+
+def test_simhash_near_dup_close_hamming(spark):
+    d = _docs(spark).where("doc_id < 20")
+    planted = d.where("doc_id = 0").select(
+        F.lit(77777).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = dedup.simhash(d.unionByName(planted))
+    sigs = {r.doc_id: r.simhash for r in out.collect()}
+    ham = bin((sigs[0] ^ sigs[77777]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8  # near-dup -> close signatures
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    e = _emb(spark)
+    qdf = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, qdf, k=5)
+    # synthetic embeddings are near-uniform random, so true neighbors sit
+    # at cosine ~0.35 (barely above random) — the hardest case for
+    # hyperplane LSH; few planes + many tables is the operating point.
+    approx = similarity.lsh_topk(
+        e, qdf, dim=64, k=5, num_planes=4, num_tables=8
+    )
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # self-match always survives (same signature bucket in every table)
+    assert all((q, q) in ap for q in range(10))
+    assert len(ex & ap) / len(ex) > 0.4
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    e = _emb(spark)
+    qdf = e.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.cosine_topk(e, qdf, k=1)
+    for r in top.collect():
+        assert r.query_id == r.vec_id and r.rank == 1
+
+
+def test_multimodal_roundtrip_bytes(spark):
+    d = _docs(spark).where("doc_id < 20")
+    media = multimodal.documents_as_media(d)
+    back = media.select(
+        "media_id", F.decode("payload", "UTF-8").alias("text2")
+    )
+    joined = back.join(
+        d.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    )
+    assert joined.where(F.col("text") != F.col("text2")).count() == 0
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x00")
+
+
+def test_fake_features_shape(spark):
+    d = _docs(spark).where("doc_id < 10")
+    feats = multimodal.fake_features(multimodal.documents_as_media(d))
+    rows = feats.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.histogram16) == 16
+        assert abs(sum(r.histogram16) - 1.0) < 1e-9
+        assert r.byte_entropy >= 0

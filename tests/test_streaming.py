@@ -1,0 +1,117 @@
+"""Streaming semantics tests: watermark late-data drop, stateful dedup
+bounds, incremental equivalence (multi-batch == single-batch)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_string, user_id). Written as a SINGLE parquet
+    file (pyarrow): the streaming file source lists plain files and does
+    not descend into Spark's directory-style outputs."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, tss, uids = zip(*rows)
+    to_ns = lambda s: int(  # noqa: E731
+        datetime.datetime.fromisoformat(s)
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    ) * 1000
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([to_ns(t) for t in tss], pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: a row arriving
+    (in a later file) far behind the advanced watermark must not resurrect
+    its window."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0: two on-time events, 2h apart -> watermark will advance to
+    # 11:50 (watermark updates take effect at the NEXT batch)
+    _write_events(
+        spark,
+        os.path.join(src, "f1.parquet"),
+        [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 12:00:00", 1)],
+    )
+    time.sleep(1.1)  # file-source ordering is mtime-based
+    # batch 1: on-time event; runs with watermark 11:50 -> closes + emits
+    # the 10:00 window
+    _write_events(
+        spark, os.path.join(src, "f2.parquet"), [(4, "2024-01-01 13:00:00", 1)]
+    )
+    time.sleep(1.1)
+    # batch 2: a very late event for the already-closed 10:00 window
+    _write_events(
+        spark, os.path.join(src, "f3.parquet"), [(3, "2024-01-01 10:05:00", 1)]
+    )
+
+    stream = (
+        spark.readStream.schema(SW.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("start"), "n")
+    )
+    out = SW.run_to_memory(agg, "wm_sink", output_mode="append")
+    rows = {r.start: r.n for r in out.collect()}
+    # the 10:00 window emitted once with ONLY the on-time event; the late
+    # row (event 3) was dropped, not re-emitted
+    assert rows.get("10:00") == 1
+
+
+def test_stream_dedup_bounds(spark):
+    sf = "/root/testdata/sf0.001"
+    ev = SW.read_events_stream(spark, sf, max_files_per_trigger=1)
+    deduped = SW.dedup_within_watermark(ev, ["event_id"])
+    out = SW.run_to_memory(deduped, "dd_sink", output_mode="append")
+    n_in = spark.read.parquet(f"{sf}/events.parquet").count()
+    n_out = out.count()
+    n_distinct = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert n_distinct <= n_out <= n_in
+
+
+def test_incremental_equals_batch(spark):
+    """Tumbling counts computed incrementally must equal the one-shot batch
+    aggregation (exactly-once accumulation across micro-batches)."""
+    sf = "/root/testdata/sf0.001"
+    ev = SW.read_events_stream(spark, sf, max_files_per_trigger=1)
+    streamed = SW.run_to_memory(
+        SW.tumbling_counts(ev), "inc_sink", output_mode="complete"
+    )
+    from spark_iceberg_schema_evolution_spark.queries import load_events
+
+    batch = SW.tumbling_counts(load_events(spark, sf))
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

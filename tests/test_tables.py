@@ -1,0 +1,157 @@
+"""Lakehouse lifecycle tests: evolution, time travel, MERGE, partition
+overwrite, compaction, snapshot expiry, and the end-to-end evolving-CSV
+ingest (the test the reference meant to have — test_job_flow.py aligned a
+DF to its own schema by accident, SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iceberg_schema_evolution_spark.sources.csv_evolving import ingest_evolving_csvs
+from spark_iceberg_schema_evolution_spark.sources.fixtures import generate_csv_files
+from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_append_evolves_schema_and_null_pads(spark, catalog):
+    t1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "x"])
+    t2 = spark.createDataFrame([(3, 1.5), (4, 2.5)], ["id", "y"])
+    catalog.write_evolving(t1, "db", "t")
+    catalog.write_evolving(t2, "db", "t")
+    t = catalog.table("db", "t")
+    out = t.read()
+    assert out.columns == ["id", "x", "y"]  # extras-last evolution order
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].x == "a" and rows[1].y is None
+    assert rows[3].x is None and rows[3].y == 1.5
+
+
+def test_append_coerces_to_table_types(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10)], ["id", "v"]), "db", "c"
+    )
+    # second batch: v arrives as string -> catalog-wins cast to long
+    catalog.write_evolving(
+        spark.createDataFrame([(2, "30")], ["id", "v"]), "db", "c"
+    )
+    out = catalog.table("db", "c").read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {r.v for r in out.collect()} == {10, 30}
+
+
+def test_time_travel_and_snapshots(spark, catalog):
+    df = spark.createDataFrame([(1,), (2,)], ["id"])
+    catalog.write_evolving(df, "db", "tt")
+    catalog.write_evolving(df, "db", "tt")
+    t = catalog.table("db", "tt")
+    assert t.read(version=1).count() == 2
+    assert t.read(version=2).count() == 4
+    assert [s["version"] for s in t.snapshots()] == [0, 1, 2]
+
+
+def test_merge_into_updates_and_inserts(spark, catalog):
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "old")], ["id", "val"]
+    )
+    catalog.write_evolving(target, "db", "m")
+    source = spark.createDataFrame(
+        [(2, "new"), (3, "new")], ["id", "val"]
+    )
+    t = catalog.table("db", "m")
+    t.merge_into(source, on=["id"])
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert rows == {1: "old", 2: "new", 3: "new"}
+
+
+def test_partitioned_overwrite_touches_only_named_months(spark, catalog):
+    def mk(rows):
+        return spark.createDataFrame(rows, ["id", "ts", "v"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    base = mk(
+        [
+            (1, "2024-01-05", 10),
+            (2, "2024-01-20", 20),
+            (3, "2024-02-05", 30),
+        ]
+    )
+    catalog.write_evolving(base, "db", "p", partition_month_of="ts")
+    t = catalog.table("db", "p")
+    t.overwrite_partitions(mk([(9, "2024-01-01", 99)]))
+    rows = sorted((r.id, r.v) for r in t.read().collect())
+    assert rows == [(3, 30), (9, 99)]  # feb kept, jan replaced
+    assert t.read(months=["2024-02"]).count() == 1  # manifest pruning
+
+
+def test_merge_partition_scoped(spark, catalog):
+    def mk(rows):
+        return spark.createDataFrame(rows, ["id", "ts", "v"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    catalog.write_evolving(
+        mk([(1, "2024-01-05", 10), (2, "2024-02-05", 20)]),
+        "db",
+        "mp",
+        partition_month_of="ts",
+    )
+    t = catalog.table("db", "mp")
+    t.merge_into(mk([(1, "2024-01-06", 11)]), on=["id"])
+    rows = sorted((r.id, r.v) for r in t.read().collect())
+    assert rows == [(1, 11), (2, 20)]
+
+
+def test_compact_and_expire(spark, catalog):
+    df = spark.createDataFrame([(1,)], ["id"])
+    for _ in range(4):
+        catalog.write_evolving(df, "db", "cx")
+    t = catalog.table("db", "cx")
+    assert t.read().count() == 4
+    t.compact()
+    assert t.snapshots()[-1]["n_batches"] == 1
+    assert t.read().count() == 4
+    dropped = t.expire_snapshots(keep_last=1)
+    assert dropped and t.read().count() == 4
+    # expired batch dirs physically removed
+    live = {os.path.basename(b["path"]) for b in t._load().batches}
+    on_disk = set(os.listdir(t.data_dir))
+    assert on_disk == live
+
+
+def test_evolve_false_rejects_new_columns(spark, catalog):
+    catalog.write_evolving(spark.createDataFrame([(1,)], ["id"]), "db", "s")
+    t = catalog.table("db", "s")
+    with pytest.raises(ValueError, match="evolution disabled"):
+        t.append(spark.createDataFrame([(1, "x")], ["id", "extra"]), evolve=False)
+
+
+def test_ingest_evolving_csvs_end_to_end(spark, catalog, tmp_path):
+    csv_dir = str(tmp_path / "raw")
+    generate_csv_files(csv_dir, n_files=3, rows_per_file=5, seed=42)
+    v = ingest_evolving_csvs(
+        spark,
+        csv_dir,
+        catalog,
+        "db",
+        "customers",
+        ingest_ts=datetime.datetime(2024, 6, 1, 12, 0, 0),
+        partition_month_of="created_at",
+    )
+    assert v == 1
+    out = catalog.table("db", "customers").read()
+    # created_at first (reference job.py:75-81), normalized names, 15 rows
+    assert out.columns[0] == "created_at"
+    assert out.count() == 15
+    assert "index" in out.columns and "customerid" in out.columns
+    # ragged columns exist and are null-padded where files lacked them
+    mandatory_nulls = out.where(F.col("index").isNull()).count()
+    assert mandatory_nulls == 0
