@@ -21,7 +21,17 @@ HEADLINE = [
     "q01_scan_counts",
     "q04_filter_case",
     "q05_join_inner_agg",
+    "q06_join_broadcast",
+    "q11_asof_join",
     "q12_tpch_q1",
+    "q13_count_distinct",
+    "q18_window_topk",
+    "q22_topk_revenue",
+    "q27_date_funcs",
+    "q34_tumbling_hour",
+    "q36_dedup_exact",
+    "q38_cosine_topk",
+    "q40_embedding_norms",
 ]
 
 

@@ -1833,6 +1833,187 @@ def t2_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Remaining §2.B surface: pivot / cube / intersect / date arithmetic / UDTF
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q53_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100
+             AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100
+             AS qty_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg((F.sum(cents(F.col("l_quantity"))).cast("double") / 100))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q54_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority, g_s, g_p
+    """,
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_s"),
+            F.grouping("o_orderpriority").cast("int").alias("g_p"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_s",
+            "g_p",
+            "n",
+        )
+        .orderBy("status", "priority", "g_s", "g_p")
+    )
+
+
+@q(
+    "q55_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1997
+    ORDER BY o_custkey
+    """,
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    y = F.year(F.col("o_orderdate").cast("date"))
+    a = o.where(y == 1996).select("o_custkey")
+    b = o.where(y == 1997).select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+@q(
+    "q56_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) + 90 AS VARCHAR) AS due_date,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS days_since_epoch_start,
+           epoch(CAST(o_orderdate AS TIMESTAMP)) AS unix_s,
+           EXTRACT(QUARTER FROM CAST(o_orderdate AS DATE)) AS qtr,
+           EXTRACT(DOW FROM CAST(o_orderdate AS DATE)) AS dow
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic family. DOW pinned to duckdb's numbering (Sunday=0;
+    Spark dayofweek is Sunday=1, so subtract 1)."""
+    o = load(spark, sf, "orders").where(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("order_date"),
+        F.date_add(d, 90).cast("string").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+        F.unix_timestamp(F.col("o_orderdate")).cast("double").alias("unix_s"),
+        F.quarter(d).cast("long").alias("qtr"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "q57_udtf_tokens",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words
+               FROM documents WHERE doc_id < 20)
+    SELECT * FROM (
+      SELECT doc_id,
+             UNNEST([{{'pos': i - 1, 'token': words[i]}}
+                     for i in generate_series(1, len(words))],
+                    recursive := true)
+      FROM w)
+    ORDER BY doc_id, pos
+    """,
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4 table function): tokenize into
+    (pos, token) rows — the table-function tier of SURVEY §2.B."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: A002
+            if text is None:
+                return
+            for i, tok in enumerate(text.strip().lower().split()):
+                yield (i, tok)
+
+    spark.udtf.register("tokenize", Tokenize)
+    load(spark, sf, "documents").createOrReplaceTempView("__docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos AS pos, t.token AS token
+        FROM __docs, LATERAL tokenize(text) t
+        WHERE doc_id < 20
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@q("t2_spark_hashes", oracle=None, tier=2)
+def t2_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark-specific hash/id functions (no duckdb equivalent):
+    xxhash64, murmur3 hash, monotonically_increasing_id, crc32."""
+    c = load(spark, sf, "customer").where("c_custkey < 100")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("xx64"),
+        F.hash("c_name").alias("murmur3"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+        F.monotonically_increasing_id().alias("mono_id"),
+    ).orderBy("c_custkey")
+
+
+@q("t2_percentile_approx", oracle=None, tier=2)
+def t2_pctl(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile sanity: approximate quantiles bracketed by exact
+    ones (asserted in tests; rows-only here)."""
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_med"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -48,6 +48,7 @@ from spark_iceberg_schema_evolution_spark.operators.evolve import (
     compare_schemas,
     union_evolving,
 )
+from spark_iceberg_schema_evolution_spark.types_map import datatype_to_str, str_to_datatype
 
 _PART_COL = "__p_month"
 
@@ -92,9 +93,11 @@ class LakehouseTable:
             raise ValueError(f"no snapshot v{v}; have {vs}")
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             m = json.load(f)
+        schema = str_to_datatype(f"struct<{m['schema_ddl']}>")
+        assert isinstance(schema, T.StructType)
         return Snapshot(
             version=v,
-            schema=T._parse_datatype_string(m["schema_ddl"]),
+            schema=schema,
             batches=m["batches"],
             partition_month_of=m.get("partition_month_of"),
         )
@@ -103,7 +106,8 @@ class LakehouseTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         payload = {
             "schema_ddl": ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in snap.schema.fields
+                f"{f.name}: {datatype_to_str(f.dataType)}"
+                for f in snap.schema.fields
             ),
             "batches": snap.batches,
             "partition_month_of": snap.partition_month_of,

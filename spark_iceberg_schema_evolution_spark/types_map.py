@@ -49,13 +49,62 @@ def datatype_to_str(dt: T.DataType) -> str:
     raise ValueError(f"Unsupported Spark data type: {dt}")
 
 
-def str_to_datatype(type_str: str) -> T.DataType:
-    """SQL type string -> Spark DataType (inverse direction the reference lacked).
+_BY_NAME: dict[str, T.DataType] = {
+    **{name: cls() for cls, name in _SIMPLE.items()},
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "short": T.ShortType(),
+    "byte": T.ByteType(),
+    "bool": T.BooleanType(),
+    "varchar": T.StringType(),
+}
 
-    Delegates to Spark's own DDL parser, which understands every string
-    ``datatype_to_str`` emits plus common aliases (``integer``, ``long``...).
-    """
-    return T._parse_datatype_string(type_str)
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def str_to_datatype(type_str: str) -> T.DataType:
+    """SQL type string -> Spark DataType (inverse direction the reference
+    lacked). Pure Python — no SparkContext needed, so manifest/catalog
+    schema strings parse on the driver before any session exists."""
+    s = type_str.strip()
+    low = s.lower()
+    if low in _BY_NAME:
+        return _BY_NAME[low]
+    if low.startswith("decimal"):
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        p, sc = (int(x) for x in inner.split(","))
+        return T.DecimalType(p, sc)
+    if low.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(str_to_datatype(s[6:-1]))
+    if low.startswith("map<") and s.endswith(">"):
+        k, v = _split_top(s[4:-1])
+        return T.MapType(str_to_datatype(k), str_to_datatype(v))
+    if low.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            if not part.strip():
+                continue
+            name, _, ftype = part.partition(":")
+            fields.append(
+                T.StructField(name.strip(), str_to_datatype(ftype.strip()))
+            )
+        return T.StructType(fields)
+    raise ValueError(f"cannot parse type string: {type_str!r}")
 
 
 def schema_to_dict(schema: T.StructType) -> dict[str, str]:

@@ -1,0 +1,76 @@
+"""Plan-quality gates: the properties that make queries survive 100x
+scale-up. These are assertions, not aspirations — a regression that drops
+filter pushdown or flips a broadcast join to shuffle fails CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iceberg_schema_evolution_spark.operators.relational import asof_join
+from spark_iceberg_schema_evolution_spark.plans import explain
+from spark_iceberg_schema_evolution_spark.queries import REGISTRY, load
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = REGISTRY["q04_filter_case"].spark_fn(spark, SF_SMOKE)
+    pushed = " ".join(explain.pushed_filters(df))
+    assert "l_returnflag" in pushed  # IN-list pushed to the scan
+
+
+def test_column_pruning(spark):
+    df = REGISTRY["q04_filter_case"].spark_fn(spark, SF_SMOKE)
+    schemas = explain.read_schemas(df)
+    assert schemas, "no parquet ReadSchema found"
+    # 11-column lineitem scan must read only the 7 referenced columns
+    assert all(len(s.split(",")) <= 7 for s in schemas)
+    assert "l_partkey" not in schemas[0]
+
+
+def test_broadcast_join_for_small_dim(spark):
+    df = REGISTRY["q06_join_broadcast"].spark_fn(spark, SF_SMOKE)
+    assert explain.has_broadcast_join(df)
+
+
+def test_partial_aggregation(spark):
+    df = REGISTRY["q12_tpch_q1"].spark_fn(spark, SF_SMOKE)
+    assert explain.has_partial_aggregation(df)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must cost exactly ONE hash exchange
+    (the window shuffle) — no join shuffles, no pair blowup."""
+    ev = load(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    p = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    v = ev.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["view_event_id"],
+    )
+    assert explain.count_exchanges(out) == 1
+
+
+def test_exact_topk_uses_window_group_limit(spark):
+    """Top-k per group must not fully sort each partition's rows: Spark
+    3.5+ plans WindowGroupLimit (rank-limit pushdown)."""
+    df = REGISTRY["q18_window_topk"].spark_fn(spark, SF_SMOKE)
+    assert "WindowGroupLimit" in explain.physical_plan(df)
+
+
+def test_global_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global
+    sort."""
+    df = REGISTRY["q22_topk_revenue"].spark_fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain.physical_plan(df)
+
+
+def test_agg_join_shuffle_budget(spark):
+    """q05 (join + agg): at most 3 hash exchanges (two join sides + final
+    agg on the small grouped set) in the static plan."""
+    df = REGISTRY["q05_join_inner_agg"].spark_fn(spark, SF_SMOKE)
+    assert explain.count_exchanges(df) <= 3
