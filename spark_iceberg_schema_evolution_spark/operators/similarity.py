@@ -91,6 +91,60 @@ def cosine_topk(
     )
 
 
+def cosine_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from shared
+    hyperplane-LSH buckets (any of ``num_tables`` tables), verified with
+    exact cosine >= ``threshold``. The dedup-by-embedding variant of the
+    MinHash text pipeline: candidate generation is subquadratic; only
+    bucket-mates pay the exact-cosine cost."""
+    base = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    )
+    with_sig = base.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("__table"),
+                        hyperplane_signature(
+                            F.col("__v"), dim, num_planes, seed + 1000 * t
+                        ).alias("__sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("__ts"),
+    ).select(id_col, "__v", "__ts.__table", "__ts.__sig")
+    a = with_sig.alias("a")
+    b = with_sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__table") == F.col("b.__table"))
+            & (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cos") >= threshold)
+    )
+    return pairs
+
+
 def hyperplane_signature(
     vec: Column, dim: int, num_planes: int = 16, seed: int = 42
 ) -> Column:

@@ -1988,6 +1988,61 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q58_array_hofs",
+    oracle="""
+    WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 100)
+    SELECT vec_id,
+           len(e) AS n,
+           len(list_filter(e, x -> x > 0)) AS n_pos,
+           ROUND(list_reduce(list_prepend(0.0,
+                 list_transform(e[1:8], x -> x * 2)), (a, b) -> a + b), 6)
+             AS doubled_head_sum,
+           ROUND(e[1] + e[64], 6) AS ends_sum,
+           len(flatten([e[1:4], e[61:64]])) AS flat_len
+    FROM t ORDER BY vec_id
+    """,
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order-function family: transform/filter/slice/flatten/
+    element_at — all whole-stage-codegen JVM loops."""
+    e = load(spark, sf, "embeddings").where(F.col("vec_id") < 100)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(v).alias("n"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(F.slice(v, 1, 8), lambda x: x * 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("doubled_head_sum"),
+        F.round(F.element_at(v, 1) + F.element_at(v, 64), 6).alias("ends_sum"),
+        F.size(F.flatten(F.array(F.slice(v, 1, 4), F.slice(v, 61, 4)))).alias(
+            "flat_len"
+        ),
+    ).orderBy("vec_id")
+
+
+@q("t2_cosine_near_dups", oracle=None, tier=2)
+def t2_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidates + exact verify) —
+    the embedding-space dedup variant; with planted duplicates asserted in
+    tests/test_llm_ops.py."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import cosine_near_dups
+
+    e = load(spark, sf, "embeddings")
+    # 0.4 ~= 3.2 sigma for random 64-dim unit vectors: rare but non-empty,
+    # so the candidate->verify path is exercised end-to-end.
+    return cosine_near_dups(e, dim=64, threshold=0.4).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r")
+    ).orderBy("id_a", "id_b")
+
+
 @q("t2_spark_hashes", oracle=None, tier=2)
 def t2_hashes(spark: SparkSession, sf: str) -> DataFrame:
     """Spark-specific hash/id functions (no duckdb equivalent):

@@ -83,6 +83,24 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert len(ex & ap) / len(ex) > 0.4
 
 
+def test_cosine_near_dups_finds_planted(spark):
+    e = _emb(spark).where("vec_id < 100")
+    # plant an exact duplicate vector under a new id
+    dup = e.where("vec_id = 0").select(
+        F.lit(88888).cast("long").alias("vec_id"), "embedding",
+        F.lit(0).cast("int").alias("label"),
+    )
+    pairs = similarity.cosine_near_dups(
+        e.select("vec_id", "embedding").unionByName(
+            dup.select("vec_id", "embedding")
+        ),
+        dim=64,
+        threshold=0.99,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 88888) in got  # identical vectors share every bucket
+
+
 def test_cosine_topk_self_is_rank1(spark):
     e = _emb(spark)
     qdf = e.where("vec_id < 5").select(
