@@ -159,11 +159,25 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs (or all co-shingled
     pairs when ``pairs`` is None): explode distinct shingles, self-join on
     shingle, count intersections, divide by union sizes. Returns
-    (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    (id_a, id_b, n_common, n_a, n_b, jaccard).
+
+    The self-join keys on ``xxhash64(shingle)``, not the shingle string —
+    fixed-width shuffle keys (multi-word shingles are long); a 64-bit
+    collision would need ~2^32 distinct shingles to matter. The hashed
+    shingle relation feeds three consumers (both join sides + the size
+    agg), so it is persisted rather than recomputed — the reference's own
+    multi-consumer persist pattern (job.py:51,62), memory+disk here."""
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col),
-        F.explode(shingles(normalized_words(text_col), shingle_size)).alias("s"),
-    )
+        F.explode(
+            F.transform(
+                shingles(normalized_words(text_col), shingle_size),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -2028,6 +2028,37 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@q(
+    "q59_evolution_type_conflict",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_bal,
+           'double' AS bal_type
+    FROM customer
+    """,
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Evolution under a type conflict: batch 2 delivers c_acctbal as
+    STRING; the live table schema says double, so catalog-wins coercion
+    (reference job.py:108-119 / spark_utils.py:195-210) casts it back on
+    append. The landed table must be numerically identical to the source."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    b1 = c.where("c_custkey < 500").select("c_custkey", "c_acctbal")
+    b2 = c.where("c_custkey >= 500").select(
+        "c_custkey", F.col("c_acctbal").cast("string").alias("c_acctbal")
+    )
+    cat.write_evolving(b1, "db", "tc")
+    cat.write_evolving(b2, "db", "tc")
+    t = cat.table("db", "tc").read()
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+        F.lit(dict(t.dtypes)["c_acctbal"]).alias("bal_type"),
+    )
+
+
 @q("t2_cosine_near_dups", oracle=None, tier=2)
 def t2_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH candidates + exact verify) —
