@@ -1,0 +1,103 @@
+"""Iceberg-native lifecycle — the production binding of tables.py.
+
+The image this engine develops in has no Iceberg runtime jar, so the
+default table format is the parquet-snapshot implementation in tables.py.
+This module is the SAME lifecycle surface expressed through Iceberg SQL /
+DataFrameWriterV2 for deployments where the jar is present
+(`EngineConfig(use_iceberg=True)` wires the SparkCatalog exactly as the
+reference did for Glue, spark_utils.py:48-55, with a hadoop catalog for
+local use). Every method maps 1:1 to a tables.py method so callers swap
+implementations without code changes.
+
+Untestable in this image (guarded by ``iceberg_available``); kept
+deliberately thin — each call is one Iceberg-documented statement, no
+bespoke logic to rot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_iceberg_schema_evolution_spark.operators.evolve import align_schema
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+class IcebergTable:
+    """One Iceberg table through the session catalog (e.g. ``lake.db.t``)."""
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.identifier)
+
+    def create_from(
+        self, df: DataFrame, partition_month_of: str | None = None
+    ) -> None:
+        """CREATE TABLE ... USING iceberg PARTITIONED BY (months(ts))
+        with parquet+zstd (reference R17/R18, spark_utils.py:154-173)."""
+        writer = df.writeTo(self.identifier).tableProperty(
+            "write.format.default", "parquet"
+        ).tableProperty("write.parquet.compression-codec", "zstd")
+        if partition_month_of:
+            from pyspark.sql.functions import months
+
+            writer = writer.partitionedBy(months(partition_month_of))
+        writer.create()
+
+    def append(self, df: DataFrame, evolve: bool = True) -> None:
+        """Distributed evolving append: Iceberg's mergeSchema write option
+        replaces the reference's collect+Athena path (R15)."""
+        current = self.spark.table(self.identifier).schema
+        aligned = align_schema(df, current, keep_extras=evolve)
+        w = aligned.writeTo(self.identifier)
+        if evolve:
+            w = w.option("mergeSchema", "true")
+        w.append()
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is None:
+            return self.spark.table(self.identifier)
+        return (
+            self.spark.read.option("snapshot-id", version)
+            .table(self.identifier)
+        )
+
+    def snapshots(self) -> DataFrame:
+        return self.spark.sql(f"SELECT * FROM {self.identifier}.snapshots")
+
+    def merge_into(self, source: DataFrame, on: list[str]) -> None:
+        source.createOrReplaceTempView("__merge_source")
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t
+            USING __merge_source s ON {cond}
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        df.writeTo(self.identifier).overwritePartitions()
+
+    def compact(self, catalog: str = "lake") -> None:
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => '{self.identifier}')"
+        )
+
+    def expire_snapshots(self, catalog: str = "lake", keep_last: int = 5) -> None:
+        self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{self.identifier}', retain_last => {keep_last})"
+        )

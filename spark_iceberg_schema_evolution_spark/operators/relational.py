@@ -111,6 +111,30 @@ def range_join(
     return left.join(right, cond & condition, how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-busting equi-join: the (large, skewed) left side gets a
+    deterministic per-row salt, the (smaller) right side is replicated
+    ``salt`` ways, and the join runs on (keys + salt) — a hot key's rows
+    spread over ``salt`` reducers instead of one. AQE's skew-join split
+    handles moderate skew automatically; this is the explicit fallback for
+    extreme single-key skew (e.g. a null-ish default key holding 30% of
+    100 TB). Deterministic: the salt derives from a hash of all left
+    columns, not RNG."""
+    salt_col = F.abs(F.hash(*[F.col(c) for c in left.columns]) % salt)
+    l = left.withColumn("__salt", salt_col)  # noqa: E741
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l.join(r, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def top_k_per_group(
     df: DataFrame, group: list[str], order: list[Column], k: int
 ) -> DataFrame:

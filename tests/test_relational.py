@@ -1,0 +1,112 @@
+"""Relational-extension operator tests: as-of semantics, salted join
+equivalence, range join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iceberg_schema_evolution_spark.operators.relational import (
+    asof_join,
+    range_join,
+    salted_join,
+    top_k_per_group,
+)
+
+
+def _ts(spark, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    trades = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:30", "A"), (2, "2024-01-01 10:02:00", "A")],
+        ["trade_id", "ts", "sym"],
+    )
+    quotes = _ts(
+        spark,
+        [
+            (10, "2024-01-01 10:00:00", "A", 1.0),
+            (11, "2024-01-01 10:00:30", "A", 2.0),  # equal ts -> inclusive
+            (12, "2024-01-01 10:01:00", "A", 3.0),
+        ],
+        ["quote_id", "ts", "sym", "px"],
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["quote_id", "px"],
+    )
+    got = {r.trade_id: (r.quote_id, r.px) for r in out.collect()}
+    assert got == {1: (11, 2.0), 2: (12, 3.0)}
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    trades = _ts(spark, [(1, "2024-01-01 09:00:00", "A")], ["trade_id", "ts", "sym"])
+    quotes = _ts(
+        spark, [(10, "2024-01-01 10:00:00", "A", 1.0)],
+        ["quote_id", "ts", "sym", "px"],
+    )
+    inner = asof_join(trades, quotes, ["sym"], "ts", "ts", ["quote_id"])
+    left = asof_join(trades, quotes, ["sym"], "ts", "ts", ["quote_id"], how="left")
+    assert inner.count() == 0
+    rows = left.collect()
+    assert len(rows) == 1 and rows[0].quote_id is None
+
+
+def test_asof_join_tolerance(spark):
+    trades = _ts(spark, [(1, "2024-01-01 10:00:00", "A")], ["trade_id", "ts", "sym"])
+    quotes = _ts(
+        spark, [(10, "2024-01-01 08:00:00", "A", 1.0)],
+        ["quote_id", "ts", "sym", "px"],
+    )
+    out = asof_join(
+        trades, quotes, ["sym"], "ts", "ts", ["quote_id"],
+        how="left", tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    assert out.collect()[0].quote_id is None  # 2h-old quote beyond tolerance
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed left: one hot key with most rows
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(20)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], ["k", "name"])
+    plain = left.join(right, ["k"]).select("k", "v", "name")
+    salted = salted_join(left, right, ["k"]).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (9, "b")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x")], ["k", "w"])
+    out = salted_join(left, right, ["k"], how="left")
+    got = {r.k: r.w for r in out.collect()}
+    assert got == {1: "x", 9: None}
+
+
+def test_range_join_bounds(spark):
+    left = _ts(spark, [(1, "2024-01-01 10:00:00", 5)], ["id", "ts", "k"])
+    right = spark.createDataFrame([(5, 3), (5, 6), (5, 11)], ["k", "x"])
+    out = range_join(
+        left, right, on=["k"], condition=(F.col("x") > 4) & (F.col("x") < 10)
+    )
+    assert [r.x for r in out.collect()] == [6]
+
+
+def test_top_k_per_group_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 4, 3)], ["grp", "score", "id"]
+    )
+    out = top_k_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id").asc()], k=2
+    )
+    assert [(r.id, r.rn) for r in out.orderBy("rn").collect()] == [(1, 1), (2, 2)]
