@@ -111,6 +111,24 @@ def test_cosine_topk_self_is_rank1(spark):
         assert r.query_id == r.vec_id and r.rank == 1
 
 
+def test_python_udf_matches_builtin(spark):
+    """Row-at-a-time Python UDF equivalence vs the built-in expression
+    (SURVEY §2.B UDF tier) — the correctness check for the slow path."""
+    from pyspark.sql.types import IntegerType
+
+    @F.udf(IntegerType())
+    def pylen(s):
+        return len(s) if s is not None else None
+
+    d = _docs(spark).where("doc_id < 50")
+    out = d.select(
+        "doc_id",
+        pylen(F.col("text")).alias("u"),
+        F.length("text").alias("b"),
+    )
+    assert out.where(F.col("u") != F.col("b")).count() == 0
+
+
 def test_multimodal_roundtrip_bytes(spark):
     d = _docs(spark).where("doc_id < 20")
     media = multimodal.documents_as_media(d)
