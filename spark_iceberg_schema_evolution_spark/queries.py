@@ -2059,6 +2059,69 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q60_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS rf,
+           COALESCE(l_linestatus, '(all)') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY rf, ls
+    """,
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point (the engine's
+    primary declared interface, SURVEY §3.3)."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '(all)') AS rf,
+               COALESCE(l_linestatus, '(all)') AS ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS qty
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls
+        """
+    )
+
+
+@q(
+    "q61_ranking_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LEAD(o_orderkey) OVER w AS next_ok
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").where(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+    ).orderBy("o_custkey", "rnk", "o_orderkey")
+
+
 @q("t2_cosine_near_dups", oracle=None, tier=2)
 def t2_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH candidates + exact verify) —
