@@ -2122,6 +2122,76 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_custkey", "rnk", "o_orderkey")
 
 
+@q(
+    "q62_range_frame",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_custkey < 100)
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(price_c) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+             AS trailing_90d_spend
+    FROM t ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based window): trailing-90-day spend per
+    customer. Exact integer sums; the range key is days-since-epoch so
+    both engines frame identically."""
+    o = load(spark, sf, "orders").where(F.col("o_custkey") < 100)
+    t = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum("price_c").over(w).cast("double") / 100).alias(
+            "trailing_90d_spend"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@q(
+    "q63_subqueries",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
+                        (SELECT AVG(o_totalprice) * 1.5 FROM orders))
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F' AND o_custkey < 100)
+    ORDER BY c_custkey
+    """,
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery + NOT IN, through spark.sql —
+    Catalyst decorrelates these into semi/anti joins (SURVEY §4.2)."""
+    register_views(spark, sf, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
+                            (SELECT AVG(o_totalprice) * 1.5 FROM orders))
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F' AND o_custkey < 100)
+        ORDER BY c_custkey
+        """
+    )
+
+
 @q("t2_cosine_near_dups", oracle=None, tier=2)
 def t2_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH candidates + exact verify) —
