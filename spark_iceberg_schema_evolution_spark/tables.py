@@ -24,6 +24,10 @@ Layout per table (warehouse/namespace/table/):
 Concurrency note: commits are manifest-file renames; a real multi-writer
 deployment needs an atomic catalog (Iceberg's role). Single-writer here.
 
+Driver-side work is METADATA-only: manifest JSON and distinct partition
+values (bounded by partition count, like Iceberg's own planning) — never
+data rows. The no-collect rule applies to data paths.
+
 Scale notes:
 - Partition pruning: ``read(months=...)`` and MERGE/overwrite touch only
   the batch dirs whose recorded partition values intersect — copy-on-write
