@@ -2192,6 +2192,42 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q64_grouped_agg_udf",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (Arrow series -> scalar per group) —
+    numerically identical to the SQL mean because int sums are exact in
+    float64 below 2^53."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    @F.pandas_udf(DoubleType())
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.sum()) / len(v)
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg:
+    # the count is a second pandas aggregate.
+    @F.pandas_udf(LongType())
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            mean_udaf(F.col("n_chars")).alias("mean_chars"),
+            count_udaf(F.col("n_chars")).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 @q("t2_cosine_near_dups", oracle=None, tier=2)
 def t2_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH candidates + exact verify) —
