@@ -30,8 +30,11 @@ HEADLINE = [
     "q27_date_funcs",
     "q34_tumbling_hour",
     "q36_dedup_exact",
+    "q37_ngram_jaccard",
     "q38_cosine_topk",
     "q40_embedding_norms",
+    "q45_evolving_ingest",
+    "q49_stream_tumbling",
 ]
 
 

@@ -2228,6 +2228,49 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q65_str_to_map",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS seg_from_map,
+           CAST(c_custkey AS BIGINT) AS key_from_map
+    FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+    """,
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """str_to_map + element_at: encode fields into a 'k:v,k:v' string,
+    parse back, extract — the map-construction scalar family."""
+    c = load(spark, sf, "customer").where(F.col("c_custkey") < 200)
+    packed = F.concat(
+        F.lit("seg:"), F.col("c_mktsegment"), F.lit(",key:"), F.col("c_custkey")
+    )
+    m = F.str_to_map(packed, F.lit(","), F.lit(":"))
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_from_map"),
+        F.element_at(m, "key").cast("bigint").alias("key_from_map"),
+    ).orderBy("c_custkey")
+
+
+@q("t2_json_write", oracle=None, tier=2)
+def t2_json_write(spark: SparkSession, sf: str) -> DataFrame:
+    """to_json / schema_of_json round trip (JSON output formatting is
+    engine-specific -> rows-only): struct -> json string -> re-parsed
+    values must equal the originals (asserted as a filter)."""
+    ev = load(spark, sf, "events").limit(500)
+    j = F.to_json(F.struct("event_id", "event_type"))
+    back = F.from_json(j, "struct<event_id: bigint, event_type: string>")
+    out = ev.select(
+        "event_id",
+        j.alias("as_json"),
+        back["event_id"].alias("rt_id"),
+        F.schema_of_json(F.lit('{"event_id": 1, "event_type": "x"}')).alias(
+            "inferred_schema"
+        ),
+    )
+    return out.where(F.col("event_id") == F.col("rt_id")).orderBy("event_id")
+
+
 @q("t2_cosine_near_dups", oracle=None, tier=2)
 def t2_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH candidates + exact verify) —
