@@ -1814,6 +1814,38 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q66_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    running per-user accumulator's final state must equal the batch
+    aggregate. Exact cents state -> deterministic across batch slicing."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from spark_iceberg_schema_evolution_spark.streaming.stateful import running_user_totals
+
+    ev = SW.read_events_stream(spark, sf)
+    out = SW.run_to_memory(
+        running_user_totals(ev), "q66_sink", output_mode="update"
+    )
+    # update-mode sink keeps one row per user per batch; the final state
+    # is the row with the max n_events per user
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
 @q("t2_stream_dedup", oracle=None, tier=2)
 def t2_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a stream with injected duplicate

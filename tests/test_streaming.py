@@ -101,6 +101,47 @@ def test_stream_dedup_bounds(spark):
     assert n_distinct <= n_out <= n_in
 
 
+def test_stateful_accumulator_survives_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state must carry across
+    micro-batches — two files, maxFilesPerTrigger=1, final update per user
+    equals the all-data aggregate."""
+    from spark_iceberg_schema_evolution_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events(
+        spark,
+        os.path.join(src, "f1.parquet"),
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:01:00", 7)],
+    )
+    time.sleep(1.1)
+    _write_events(
+        spark,
+        os.path.join(src, "f2.parquet"),
+        [(3, "2024-01-01 10:02:00", 7), (4, "2024-01-01 10:03:00", 8)],
+    )
+    stream = (
+        spark.readStream.schema(SW.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = SW.run_to_memory(
+        running_user_totals(stream), "state_sink", output_mode="update"
+    )
+    # memory sink in update mode appends every update row; the LAST row
+    # per user is the final state
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[7] == (3, 3.0)  # 2 events batch 1 + 1 event batch 2
+    assert final[8] == (1, 1.0)
+    # state progressed across batches: user 7 must have an intermediate
+    # update with n_events == 2
+    assert any(r.user_id == 7 and r.n_events == 2 for r in rows)
+
+
 def test_incremental_equals_batch(spark):
     """Tumbling counts computed incrementally must equal the one-shot batch
     aggregation (exactly-once accumulation across micro-batches)."""
