@@ -69,6 +69,43 @@ def test_global_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in explain.physical_plan(df)
 
 
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketing: two tables bucketed by the join key on the same bucket
+    count join WITHOUT any exchange — the co-located-join technique for
+    repeated joins at 100 TB (write once, join shuffle-free forever)."""
+    c = load(spark, SF_SMOKE, "customer")
+    o = load(spark, SF_SMOKE, "orders")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bt")
+    spark.sql("DROP TABLE IF EXISTS bt.cust_b")
+    spark.sql("DROP TABLE IF EXISTS bt.ord_b")
+    (
+        c.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("bt.cust_b")
+    )
+    (
+        o.withColumnRenamed("o_custkey", "c_custkey")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("bt.ord_b")
+    )
+    joined = spark.table("bt.cust_b").join(spark.table("bt.ord_b"), "c_custkey")
+    # disable broadcast so the bucketed path (not a broadcast) is exercised
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined2 = spark.table("bt.cust_b").join(
+            spark.table("bt.ord_b"), "c_custkey"
+        )
+        assert explain.count_exchanges(joined2) == 0
+        assert joined2.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    _ = joined
+
+
 def test_agg_join_shuffle_budget(spark):
     """q05 (join + agg): at most 3 hash exchanges (two join sides + final
     agg on the small grouped set) in the static plan."""
