@@ -125,8 +125,6 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("__bucket_size")
     )

@@ -91,6 +91,88 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans centroids partition
+    the corpus; each query searches only its ``n_probe`` nearest cells,
+    then exact cosine re-ranks. The coarse-quantizer scale path: at 100 TB
+    the corpus is written clustered by cell (partition pruning does the
+    candidate selection), and the centroid model is a tiny broadcast.
+
+    KMeans runs on a sample via pyspark.ml (fixed seed, deterministic
+    init); assignment + probing are pure DataFrame ops.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__feat", array_to_vector("__cv"))
+    km = (
+        KMeans(k=num_centroids, seed=seed, featuresCol="__feat")
+        .fit(c.select("__feat"))
+    )
+    centroids = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(km.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, ["__cell", "__cent"]
+    )
+
+    def nearest_cells(vec_frame: DataFrame, n: int) -> DataFrame:
+        """Attach the n nearest cell ids per row (broadcast centroid list,
+        distance in a HOF — no ML model on the hot path)."""
+        scored = vec_frame.crossJoin(F.broadcast(cent_df)).withColumn(
+            "__dist",
+            fold_sum(
+                F.zip_with(
+                    F.col("__cv"), F.col("__cent"), lambda a, b: (a - b) * (a - b)
+                )
+            ),
+        )
+        w = Wnd.partitionBy(*vec_frame.columns[:1]).orderBy(
+            F.col("__dist").asc(), F.col("__cell").asc()
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") <= n)
+            .drop("__cent", "__dist", "__cr")
+        )
+
+    c_cells = nearest_cells(c.drop("__feat"), 1)
+    q = queries.select(
+        F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
+    ).withColumnRenamed("__qv", "__cv")
+    q_cells = nearest_cells(q, n_probe).withColumnRenamed("__cv", "__qv")
+
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "__cell")
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+        )
+        .dropDuplicates([query_id, corpus_id])
+    )
+    w = Wnd.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     dim: int,

@@ -1521,6 +1521,22 @@ def t2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@q("t2_ivf_cosine_topk", oracle=None, tier=2)
+def t2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (KMeans coarse-quantizer) ANN — the clustered-partition scale
+    path beside hyperplane LSH; recall vs the exact baseline is asserted
+    in tests/test_llm_ops.py."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf, "embeddings")
+    qdf = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, qdf, k=10, num_centroids=16, n_probe=3).select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
 @q("t2_multimodal_features", oracle=None, tier=2)
 def t2_mm_features(spark: SparkSession, sf: str) -> DataFrame:
     from spark_iceberg_schema_evolution_spark.operators.multimodal import (

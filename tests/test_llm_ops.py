@@ -83,6 +83,19 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert len(ex & ap) / len(ex) > 0.4
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    e = _emb(spark)
+    qdf = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, qdf, k=5)
+    approx = similarity.ivf_topk(e, qdf, k=5, num_centroids=8, n_probe=3)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert all((q, q) in ap for q in range(10))  # own cell always probed
+    assert len(ex & ap) / len(ex) > 0.6  # 3-of-8 probes on random vectors
+
+
 def test_cosine_near_dups_finds_planted(spark):
     e = _emb(spark).where("vec_id < 100")
     # plant an exact duplicate vector under a new id
