@@ -73,11 +73,18 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """Bucketing: two tables bucketed by the join key on the same bucket
     count join WITHOUT any exchange — the co-located-join technique for
     repeated joins at 100 TB (write once, join shuffle-free forever)."""
+    import shutil
+
     c = load(spark, SF_SMOKE, "customer")
     o = load(spark, SF_SMOKE, "orders")
     spark.sql("CREATE DATABASE IF NOT EXISTS bt")
     spark.sql("DROP TABLE IF EXISTS bt.cust_b")
     spark.sql("DROP TABLE IF EXISTS bt.ord_b")
+    # the warehouse outlives the in-memory catalog: drop stale locations
+    # from prior sessions or saveAsTable refuses the path
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cust_b", "ord_b"):
+        shutil.rmtree(f"{warehouse}/bt.db/{t}", ignore_errors=True)
     (
         c.write.bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
