@@ -2300,6 +2300,37 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+@q(
+    "q67_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer WHERE c_custkey < 300),
+         b AS (SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+                      COUNT(*) AS seg_total
+               FROM customer GROUP BY 1)
+    SELECT a.c_custkey, COALESCE(a.seg, '(null)') AS seg_shown, b.seg_total
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    ORDER BY a.c_custkey
+    """,
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys match NULL keys — the
+    semantics plain equi-joins silently drop."""
+    c = load(spark, sf, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    a = c.where(F.col("c_custkey") < 300).select("c_custkey", seg)
+    b = c.select(seg).groupBy("seg").agg(F.count(F.lit(1)).alias("seg_total"))
+    return (
+        a.join(b, a["seg"].eqNullSafe(b["seg"]))
+        .select(
+            "c_custkey",
+            F.coalesce(a["seg"], F.lit("(null)")).alias("seg_shown"),
+            "seg_total",
+        )
+        .orderBy("c_custkey")
+    )
+
+
 @q("t2_json_write", oracle=None, tier=2)
 def t2_json_write(spark: SparkSession, sf: str) -> DataFrame:
     """to_json / schema_of_json round trip (JSON output formatting is
