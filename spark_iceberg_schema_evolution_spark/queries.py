@@ -1107,8 +1107,9 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
       FROM t),
     sessions AS (
       SELECT user_id, event_id, us,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
@@ -1545,7 +1546,13 @@ def t2_mm_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = load(spark, sf, "documents").where(F.col("doc_id") < 100)
-    return fake_features(documents_as_media(d)).orderBy("media_id")
+    feats = fake_features(documents_as_media(d))
+    # Serialize the array column: the driver's pandas canonicalizer hashes
+    # every output value, and Python lists are unhashable.
+    return feats.withColumn(
+        "histogram16",
+        F.to_json(F.transform(F.col("histogram16"), lambda x: F.round(x, 6))),
+    ).orderBy("media_id")
 
 
 @q("t2_approx_distinct", oracle=None, tier=2)
