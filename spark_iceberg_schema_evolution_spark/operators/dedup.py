@@ -51,14 +51,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     groupBy on a 64-bit + md5 double hash rather than the raw text so the
     shuffle keys are fixed-width (100 TB discipline: never shuffle
-    multi-KB strings as keys).
+    multi-KB strings as keys). The keep-one tiebreak orders by a single
+    fixed-width ``xxhash64`` over all columns — deterministic for a given
+    row multiset — instead of sorting multi-KB text payloads through the
+    window (wide sort keys were a round-1 scale flag).
     """
     h = F.md5(F.col(text_col))
+    tiebreak = F.xxhash64(*df.columns)
     return (
         df.withColumn("__h", h)
         .withColumn(
             "__rn",
-            F.row_number().over(W.partitionBy("__h").orderBy(*df.columns)),
+            F.row_number().over(W.partitionBy("__h").orderBy(tiebreak)),
         )
         .where(F.col("__rn") == 1)
         .drop("__h", "__rn")
@@ -159,13 +163,63 @@ def jaccard_pairs(
     shingle, count intersections, divide by union sizes. Returns
     (id_a, id_b, n_common, n_a, n_b, jaccard).
 
-    The self-join keys on ``xxhash64(shingle)``, not the shingle string —
+    Shingles are keyed on ``xxhash64(shingle)``, not the shingle string —
     fixed-width shuffle keys (multi-word shingles are long); a 64-bit
-    collision would need ~2^32 distinct shingles to matter. The hashed
-    shingle relation feeds three consumers (both join sides + the size
-    agg), so it is persisted rather than recomputed — the reference's own
-    multi-consumer persist pattern (job.py:51,62), memory+disk here."""
+    collision would need ~2^32 distinct shingles to matter.
+
+    Two physically distinct plans (100 TB discipline):
+
+    - ``pairs`` given (the LSH pipeline): the candidate list is joined to
+      per-document shingle-hash SETS — two narrow equi-joins on the id —
+      and the intersection is computed per pair with ``array_intersect``.
+      The quadratic all-co-shingled-pairs relation is NEVER built, so a
+      hot shingle shared by 10k docs costs nothing beyond its candidates.
+    - ``pairs`` None (exhaustive mode, small corpora): the classic
+      explode + self-join on shingle hash. The hashed shingle relation
+      feeds three consumers (both join sides + the size agg), so it is
+      persisted — the reference's multi-consumer persist pattern
+      (job.py:51,62), memory+disk here.
+    """
     from pyspark import StorageLevel
+
+    if pairs is not None:
+        sh_sets = df.select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(
+                    shingles(normalized_words(text_col), shingle_size),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("__sh"),
+        )
+        p = pairs.select("id_a", "id_b")
+        joined = p.join(
+            sh_sets.select(
+                F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+            ),
+            "id_a",
+        ).join(
+            sh_sets.select(
+                F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+            ),
+            "id_b",
+        )
+        return (
+            joined.select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_common"),
+                F.size("__sh_a").alias("n_a"),
+                F.size("__sh_b").alias("n_b"),
+            )
+            # the self-join formulation only ever surfaces co-shingled pairs
+            .where(F.col("n_common") >= 1)
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            )
+        )
 
     sh = df.select(
         F.col(id_col),
@@ -190,8 +244,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    if pairs is not None:
-        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
     )

@@ -101,6 +101,8 @@ def ivf_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_fraction: float | None = None,
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans centroids partition
     the corpus; each query searches only its ``n_probe`` nearest cells,
@@ -108,53 +110,79 @@ def ivf_topk(
     the corpus is written clustered by cell (partition pruning does the
     candidate selection), and the centroid model is a tiny broadcast.
 
-    KMeans runs on a sample via pyspark.ml (fixed seed, deterministic
-    init); assignment + probing are pure DataFrame ops.
+    Scale shape (round-2 rework of both round-1 flags):
+
+    - ``KMeans.fit`` trains on a BOUNDED sample — ``fit_fraction`` (uniform
+      seeded sample) and/or ``max_fit_rows`` (hard cap; plain ``limit``, so
+      rows come from the first partitions — pass ``fit_fraction`` too when
+      the corpus is sorted in a way that biases those). The fit never scans
+      the full corpus.
+    - Cell assignment is a zero-shuffle map: centroids become a plan-time
+      literal ``array<struct<dist_expr, cell_id>>`` and ``array_min`` picks
+      the argmin inside codegen (struct comparison = (dist, cell) — the
+      cell id is the deterministic tie-break). No crossJoin, no explode, no
+      window over an inflated corpus.
+    - Only the (small) query side expands: ``array_sort`` + ``slice`` +
+      ``explode`` yields the ``n_probe`` nearest cells per query.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__feat", array_to_vector("__cv"))
+    )
+    fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
+    fit_df = fit_df.limit(max_fit_rows).withColumn(
+        "__feat", array_to_vector("__cv")
+    )
     km = (
         KMeans(k=num_centroids, seed=seed, featuresCol="__feat")
-        .fit(c.select("__feat"))
+        .fit(fit_df.select("__feat"))
     )
     centroids = [
         (i, [float(x) for x in center])
         for i, center in enumerate(km.clusterCenters())
     ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        centroids, ["__cell", "__cent"]
+
+    # plan-time literal: array<struct<v: array<double>, c: int>>
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(x) for x in vec]).alias("v"),
+                F.lit(i).alias("c"),
+            )
+            for i, vec in centroids
+        ]
     )
 
-    def nearest_cells(vec_frame: DataFrame, n: int) -> DataFrame:
-        """Attach the n nearest cell ids per row (broadcast centroid list,
-        distance in a HOF — no ML model on the hot path)."""
-        scored = vec_frame.crossJoin(F.broadcast(cent_df)).withColumn(
-            "__dist",
-            fold_sum(
-                F.zip_with(
-                    F.col("__cv"), F.col("__cent"), lambda a, b: (a - b) * (a - b)
-                )
+    def cell_dists(vcol: Column) -> Column:
+        """array<struct<d: double, c: int>> — squared distance to every
+        centroid; struct order makes min/sort = (nearest, lowest cell)."""
+        return F.transform(
+            cent_lit,
+            lambda s: F.struct(
+                fold_sum(
+                    F.zip_with(vcol, s["v"], lambda a, b: (a - b) * (a - b))
+                ).alias("d"),
+                s["c"].alias("c"),
             ),
         )
-        w = Wnd.partitionBy(*vec_frame.columns[:1]).orderBy(
-            F.col("__dist").asc(), F.col("__cell").asc()
-        )
-        return (
-            scored.withColumn("__cr", F.row_number().over(w))
-            .where(F.col("__cr") <= n)
-            .drop("__cent", "__dist", "__cr")
-        )
 
-    c_cells = nearest_cells(c.drop("__feat"), 1)
+    c_cells = c.withColumn(
+        "__cell", F.array_min(cell_dists(F.col("__cv")))["c"]
+    )
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
-    ).withColumnRenamed("__qv", "__cv")
-    q_cells = nearest_cells(q, n_probe).withColumnRenamed("__cv", "__qv")
+    )
+    q_cells = q.withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_dists(F.col("__qv"))), 1, n_probe),
+                lambda s: s["c"],
+            )
+        ),
+    )
 
     scored = (
         c_cells.join(F.broadcast(q_cells), "__cell")

@@ -118,3 +118,47 @@ def test_agg_join_shuffle_budget(spark):
     agg on the small grouped set) in the static plan."""
     df = REGISTRY["q05_join_inner_agg"].spark_fn(spark, SF_SMOKE)
     assert explain.count_exchanges(df) <= 3
+
+
+def test_jaccard_candidate_path_no_shingle_self_join(spark):
+    """With LSH candidates supplied, exact-Jaccard verification must join
+    the (small) pair list to per-doc shingle SETS — never build the
+    quadratic all-co-shingled-pairs relation. Gate: no join keyed on the
+    exploded shingle hash, and no Generate (explode) node at all in the
+    candidate path; the only joins are the two id-equi joins."""
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+
+    d = load(spark, SF_SMOKE, "documents").where("doc_id < 50")
+    pairs = d.alias("a").crossJoin(d.alias("b")).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    ).where("id_a < id_b").limit(20)
+    out = dedup.jaccard_pairs(d, pairs=pairs)
+    plan = explain.physical_plan(out)
+    assert "Generate explode" not in plan  # no shingle explode at all
+    # joins key on the doc ids, not on a shingle hash column
+    import re
+    join_keys = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w* \[([^\]]*)\]", plan)
+    assert join_keys, "expected equi-joins in the candidate path"
+    assert all("id_a" in k or "id_b" in k or "doc_id" in k for k in join_keys), join_keys
+
+
+def test_ivf_assignment_zero_shuffle(spark):
+    """IVF cell assignment must be a pure map: corpus -> __cell via a
+    literal-centroid argmin, with no exchange, no window, no crossJoin in
+    the assignment stage."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        as_double, ivf_topk,  # noqa: F401
+    )
+    from pyspark.sql import functions as FF
+
+    e = load(spark, SF_SMOKE, "embeddings").limit(200)
+    qdf = e.where("vec_id < 3").select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(e, qdf, k=5, num_centroids=4, n_probe=2)
+    plan = explain.physical_plan(out)
+    # the corpus-side assignment stage: everything below the candidate join
+    # must be map-only -> the whole plan carries exactly ONE hash exchange
+    # (the final per-query top-k window); the join itself broadcasts.
+    assert explain.count_exchanges(out) <= 1, plan
+    assert "Window" in plan  # the one legitimate shuffle consumer
