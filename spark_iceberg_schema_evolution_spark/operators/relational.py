@@ -34,11 +34,13 @@ def asof_join(
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same ``on`` key (ASOF JOIN).
 
-    Union-and-window: tag both sides, sort each key by (ts, tag) so right
-    rows precede left rows at equal timestamps (inclusive <= semantics; a
-    tie between right rows resolves to the one latest in (ts, order of
-    right_cols struct) — callers needing a pinned tie add a tiebreak column
-    to ``right_ts`` ordering by including it in the struct).
+    Union-and-window: tag both sides, sort each key by (ts, tag, match
+    struct) so right rows precede left rows at equal timestamps (inclusive
+    <= semantics). A tie between right rows at the same (key, ts) resolves
+    DETERMINISTICALLY to the greatest ``(right_ts, *right_cols)`` struct —
+    the window order includes the match payload itself, so the result does
+    not depend on physical row order or partitioning (q11's oracle pins the
+    same tie with ORDER BY ts DESC, event_id DESC).
 
     ``tolerance``: optional max age (a Column interval or duration in
     seconds as lit) — matches older than ``left.ts - tolerance`` are
@@ -68,7 +70,11 @@ def asof_join(
 
     w = (
         W.partitionBy(*on)
-        .orderBy("__ts", "__tag")
+        # __match last: equal-(ts,tag) right rows order by their payload
+        # struct, so last() picks the greatest — a deterministic tie-break
+        # independent of physical row order (NULL __match only occurs on
+        # left rows, which __tag already separates).
+        .orderBy("__ts", "__tag", "__match")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     joined = (

@@ -238,18 +238,34 @@ class LakehouseTable:
 
     def merge_into(self, source: DataFrame, on: list[str]) -> int:
         """MERGE INTO: WHEN MATCHED update all columns, WHEN NOT MATCHED
-        insert — copy-on-write scoped to the partitions containing source
-        keys (untouched months keep their existing files, like Iceberg's
-        COW MERGE)."""
+        insert — copy-on-write, matching keys GLOBALLY like Iceberg's COW
+        MERGE, but rewriting only the partitions that can change: the
+        source rows' months plus any month holding a matched target row
+        (a merge may move a row's partition timestamp — the old-partition
+        copy must be dropped, not survive as a stale duplicate).
+
+        The matched-month discovery is a key+month column-pruned scan of
+        the target semi-joined to the distinct source keys; only the
+        distinct month strings come back to the driver (metadata-bounded,
+        like Iceberg's planning phase)."""
         snap = self._load()
         mo = snap.partition_month_of
         if mo:
+            month_expr = F.date_format(F.col(mo), "yyyy-MM")
             src_months = [
                 r[0]
-                for r in source.select(
-                    F.date_format(F.col(mo), "yyyy-MM")
-                ).distinct().collect()
+                for r in source.select(month_expr).distinct().collect()
             ]
+            matched_months = [
+                r[0]
+                for r in self.read()
+                .select(*on, month_expr.alias("__m"))
+                .join(source.select(*on).distinct(), on, "left_semi")
+                .select("__m")
+                .distinct()
+                .collect()
+            ]
+            src_months = sorted(set(src_months) | set(matched_months))
             target_scope = self.read(months=src_months)
             keep_batches = []
             for b in snap.batches:

@@ -110,6 +110,35 @@ def test_merge_partition_scoped(spark, catalog):
     assert rows == [(1, 11), (2, 20)]
 
 
+def test_merge_moves_key_across_partitions(spark, catalog):
+    """A matched key whose updated row lands in a DIFFERENT month must not
+    leave a stale copy in its old partition (global key matching, like
+    Iceberg COW MERGE — round-2 fix of the partition-scoped blind spot)."""
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["id", "ts", "v"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    catalog.write_evolving(
+        mk([(1, "2024-01-05", 10), (2, "2024-02-05", 20), (3, "2024-03-05", 30)]),
+        "db",
+        "mmv",
+        partition_month_of="ts",
+    )
+    t = catalog.table("db", "mmv")
+    # id=1 moves from 2024-01 to 2024-04; id=4 is a plain insert
+    t.merge_into(
+        mk([(1, "2024-04-09", 111), (4, "2024-04-01", 40)]), on=["id"]
+    )
+    rows = sorted((r.id, r.v) for r in t.read().collect())
+    assert rows == [(1, 111), (2, 20), (3, 30), (4, 40)]
+    # the old partition no longer serves the moved key
+    assert t.read(months=["2024-01"]).count() == 0
+    # untouched months keep their manifests intact
+    assert t.read(months=["2024-02", "2024-03"]).count() == 2
+
+
 def test_compact_and_expire(spark, catalog):
     df = spark.createDataFrame([(1,)], ["id"])
     for _ in range(4):
