@@ -116,15 +116,17 @@ def order_and_pad(df: DataFrame, catalog: T.StructType) -> DataFrame:
     return align_schema(df, catalog, keep_extras=True)
 
 
-_NAME_STRIP = {" ": "", "-": "", "(": "", ")": ""}
+# exact reference mapping (job.py:65-72): spaces and dashes become
+# underscores, parens are stripped
+_NAME_STRIP = {" ": "_", "-": "_", "(": "", ")": ""}
 
 
 def normalize_names(df: DataFrame) -> DataFrame:
-    """Lowercase and strip ``' '``, ``-``, ``(``, ``)`` from column names for
-    catalog compatibility (reference job.py:65-72), plus the collision check
-    the reference lacked: two source names normalizing to one is an error
-    (the reference silently produced duplicate columns the table would then
-    reject)."""
+    """Lowercase, underscore ``' '``/``-``, and strip ``(``/``)`` from
+    column names for catalog compatibility (reference job.py:65-72), plus
+    the collision check the reference lacked: two source names normalizing
+    to one is an error (the reference silently produced duplicate columns
+    the table would then reject)."""
     new_names = []
     for c in df.columns:
         n = c.lower()

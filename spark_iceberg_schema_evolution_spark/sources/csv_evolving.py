@@ -48,6 +48,24 @@ def read_csv_batches(
     ]
 
 
+def cache_inputs(
+    dfs: list[DataFrame], storage_level: str = "DISK_ONLY"
+) -> list[DataFrame]:
+    """Persist pass-through for multi-consumer inputs (reference R3,
+    job.py:51,62 — persisted DISK_ONLY there, dev-only by its own comment).
+    Returns the same DataFrames, persisted; call ``unpersist_inputs`` (or
+    let the job end) to release."""
+    from pyspark import StorageLevel
+
+    level = getattr(StorageLevel, storage_level)
+    return [df.persist(level) for df in dfs]
+
+
+def unpersist_inputs(dfs: list[DataFrame]) -> None:
+    for df in dfs:
+        df.unpersist()
+
+
 def ingest_evolving_csvs(
     spark: SparkSession,
     input_dir: str,
@@ -56,10 +74,13 @@ def ingest_evolving_csvs(
     table: str,
     ingest_ts: _dt.datetime,
     partition_month_of: str | None = "created_at",
+    persist_inputs: bool = False,
 ) -> int:
     """The full reference job (§3.1) as one composable function:
     returns the committed snapshot version."""
     dfs = read_csv_batches(spark, discover_csvs(input_dir))
+    if persist_inputs:  # reference job.py:51 (dev-only persist)
+        cache_inputs(dfs)
     unioned = union_evolving(dfs)  # first-file-wins target (job.py:54-59)
     named = normalize_names(unioned)  # job.py:65-72 + collision check
     stamped = with_ingest_ts(named, ingest_ts)  # job.py:75-81, injected ts

@@ -69,9 +69,9 @@ def test_compare_schemas():
 def test_normalize_names_and_collision(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["Customer Id", "First-Name", "Zip (Code)"])
     out = evolve.normalize_names(df)
-    assert out.columns == ["customerid", "firstname", "zipcode"]
+    assert out.columns == ["customer_id", "first_name", "zip_code"]
 
-    df2 = spark.createDataFrame([(1, 2)], ["A B", "ab"])
+    df2 = spark.createDataFrame([(1, 2)], ["A B", "a_b"])
     with pytest.raises(ValueError, match="collision"):
         evolve.normalize_names(df2)
 

@@ -180,7 +180,7 @@ def test_ingest_evolving_csvs_end_to_end(spark, catalog, tmp_path):
     # created_at first (reference job.py:75-81), normalized names, 15 rows
     assert out.columns[0] == "created_at"
     assert out.count() == 15
-    assert "index" in out.columns and "customerid" in out.columns
+    assert "index" in out.columns and "customer_id" in out.columns
     # ragged columns exist and are null-padded where files lacked them
     mandatory_nulls = out.where(F.col("index").isNull()).count()
     assert mandatory_nulls == 0
