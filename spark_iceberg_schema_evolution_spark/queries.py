@@ -2470,6 +2470,81 @@ def t2_pctl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q68_scd2_dimension",
+    oracle="""
+    WITH hist_open AS (
+      SELECT c_custkey AS id, c_mktsegment AS seg, '1990-01-01' AS valid_from
+      FROM customer WHERE c_custkey < 400),
+    hist_closed AS (
+      SELECT c_custkey AS id, 'OLD' AS seg, '1980-01-01' AS valid_from,
+             '1990-01-01' AS valid_to
+      FROM customer WHERE c_custkey < 100),
+    changes AS (
+      SELECT o_custkey AS id, MIN(o_orderpriority) AS seg,
+             STRFTIME(o_orderdate, '%Y-%m-%d') AS ts
+      FROM orders WHERE o_custkey < 400
+      GROUP BY o_custkey, STRFTIME(o_orderdate, '%Y-%m-%d')),
+    all_open AS (
+      SELECT id, seg, valid_from FROM hist_open
+      UNION ALL
+      SELECT id, seg, ts AS valid_from FROM changes),
+    rebuilt AS (
+      SELECT id, seg, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from)
+               AS valid_to
+      FROM all_open)
+    SELECT id, seg, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM rebuilt
+    UNION ALL
+    SELECT id, seg, valid_from, valid_to, 0 AS is_current FROM hist_closed
+    ORDER BY id, valid_from, seg
+    """,
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance: an open+closed customer-segment
+    history takes one batch of keyed changes (one per order date); closed
+    rows pass through, the per-key validity chain rebuilds, untouched keys
+    stay current. The oracle replays the same Kimball semantics in SQL."""
+    from spark_iceberg_schema_evolution_spark.operators.scd import scd2_apply
+
+    c = load(spark, sf, "customer").where("c_custkey < 400")
+    hist_open = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist_closed = c.where("c_custkey < 100").select(
+        F.col("c_custkey").alias("id"),
+        F.lit("OLD").alias("seg"),
+        F.lit("1980-01-01").alias("valid_from"),
+        F.lit("1990-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    hist = hist_closed.unionByName(hist_open)
+    changes = (
+        load(spark, sf, "orders")
+        .where("o_custkey < 400")
+        .groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("ts"),
+        )
+        .agg(F.min("o_orderpriority").alias("seg"))
+        .select(F.col("o_custkey").alias("id"), "seg", "ts")
+    )
+    out = scd2_apply(hist, changes, keys=["id"], change_ts="ts")
+    return out.select(
+        "id",
+        "seg",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("id", "valid_from", "seg")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -2519,6 +2594,9 @@ _DRIVER_WINDOW = [
     "t2_multimodal_features",
     "t2_minhash_lsh_pairs",
     "t2_ivf_cosine_topk",
+    # (b2) new capabilities this round (array/date families they displace
+    # from the core remain covered in-window by q58/q56)
+    "q68_scd2_dimension",
     # (c) representative regression core (green in round 1)
     "q01_scan_counts",
     "q05_join_inner_agg",
@@ -2528,7 +2606,6 @@ _DRIVER_WINDOW = [
     "q18_window_topk",
     "q22_topk_revenue",
     "q27_date_funcs",
-    "q30_array_explode",
     "q33_cast_matrix",
     "q34_tumbling_hour",
     "q38_cosine_topk",
