@@ -2471,6 +2471,73 @@ def t2_pctl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q70_profile_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass exact column profiler on orders (bigint + varchar
+    columns only: double min/max string reprs differ across engines). The
+    oracle spells the same stats as four scans; the engine does ONE."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import profile_stats
+
+    o = load(spark, sf, "orders")
+    return profile_stats(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).orderBy("col_name")
+
+
+@q(
+    "q69_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND epoch_us(CAST(v.ts AS TIMESTAMP))
+         BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 3600000000
+             AND epoch_us(CAST(p.ts AS TIMESTAMP))
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      AND p.user_id < 50
+    ORDER BY p_id, v_id
+    """,
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream self-join (purchases x same-user views in the prior
+    hour) driven to completion on the file source; the oracle is the exact
+    batch range join. Watermarks on both sides bound the join state."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+    ev = SW.read_events_stream(spark, sf).where(F.col("user_id") < 50)
+    out = SW.run_to_memory(
+        SW.stream_stream_join(ev), "q69_sink", output_mode="append"
+    )
+    return out.orderBy("p_id", "v_id")
+
+
+@q(
     "q68_scd2_dimension",
     oracle="""
     WITH hist_open AS (
@@ -2594,9 +2661,11 @@ _DRIVER_WINDOW = [
     "t2_multimodal_features",
     "t2_minhash_lsh_pairs",
     "t2_ivf_cosine_topk",
-    # (b2) new capabilities this round (array/date families they displace
-    # from the core remain covered in-window by q58/q56)
+    # (b2) new capabilities this round (the array/date/tumbling families
+    # they displace from the core remain covered in-window by q58/q56/q49)
     "q68_scd2_dimension",
+    "q69_stream_stream_join",
+    "q70_profile_stats",
     # (c) representative regression core (green in round 1)
     "q01_scan_counts",
     "q05_join_inner_agg",
@@ -2605,9 +2674,7 @@ _DRIVER_WINDOW = [
     "q15_rollup",
     "q18_window_topk",
     "q22_topk_revenue",
-    "q27_date_funcs",
     "q33_cast_matrix",
-    "q34_tumbling_hour",
     "q38_cosine_topk",
     "q40_embedding_norms",
     "q44_pandas_udf_tokens",

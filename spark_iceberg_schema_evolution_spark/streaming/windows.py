@@ -166,3 +166,45 @@ def stream_to_lakehouse(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_stream_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream self-join: each purchase joins the same user's views
+    from the preceding ``lookback`` (inclusive bounds). Both sides carry
+    watermarks and the join condition carries the time range — the two
+    requirements that let Spark bound join state and evict expired rows
+    (state is O(events within lookback+delay), not O(stream)).
+
+    Inner joins emit eagerly (no watermark hold on output); the watermark
+    only drives state cleanup — so a finite file-source drive returns the
+    exact batch-equivalent result (oracle: q69's range-join SQL).
+    """
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark_delay)
+    )
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark_delay)
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_id", "v_id", "user_id")
