@@ -7,7 +7,7 @@ compositions (JVM-side); nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from spark_iceberg_schema_evolution_spark.operators.dedup import normalized_words
 
@@ -112,3 +112,72 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(normalized_words(text_col))), " ")
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    chunks (the RAG/pretraining windowing step): chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens), stride = chunk_tokens - overlap.
+    Per-row ``sequence``+``transform``+``posexplode`` — JVM-side, no
+    shuffle, parallel in the scan. Returns (id, chunk_idx, chunk_text,
+    n_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = normalized_words(text_col)
+    n = F.size(words)
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * stride + 1, chunk_tokens), " "),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).withColumn(
+        "n_tokens",
+        F.size(F.split(F.col("chunk_text"), r"\s+")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-capacity token bins (training-batch
+    sequence packing), deterministically: docs order by ``id_col`` within
+    a shard, a running token total accumulates, and a doc lands in bin
+    ``floor(previous_total / capacity)`` — the streaming-fill packing that
+    one window pass expresses exactly (first-fit bin packing is inherently
+    sequential; this is its scalable, shardable form).
+
+    ``shard_col`` bounds the window partition (100 TB discipline: a global
+    ORDER BY window is a single reducer — always shard in production;
+    None is for small/test corpora)."""
+    part = [shard_col] if shard_col else []
+    w = (
+        W.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(token_count_col).over(w)
+    prev_total = running - F.col(token_count_col)
+    out_cols = ([shard_col] if shard_col else []) + [id_col, token_count_col]
+    return df.select(
+        *out_cols,
+        F.floor(prev_total / capacity).cast("long").alias("bin_id"),
+        (running - prev_total).alias("__sz"),
+    ).drop("__sz")

@@ -2471,6 +2471,76 @@ def t2_pctl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q71_text_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_WORDS} AS w FROM documents WHERE doc_id < 100),
+    c AS (
+      SELECT doc_id, w,
+             GREATEST(CAST(CEIL(CAST(len(w) - 8 AS DOUBLE) / 24) AS INT), 1)
+               AS n_chunks
+      FROM t),
+    e AS (
+      SELECT doc_id, w,
+             UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(w[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+             AS chunk_text,
+           len(w[chunk_idx*24+1 : chunk_idx*24+32]) AS n_tokens
+    FROM e ORDER BY doc_id, chunk_idx
+    """,
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size overlapping token chunking (32-token chunks, 8 overlap)
+    — the RAG/pretraining windowing step, per-row JVM HOFs, no shuffle."""
+    from spark_iceberg_schema_evolution_spark.operators.text import chunk_text
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return chunk_text(d, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@q(
+    "q72_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens
+      FROM documents WHERE doc_id < 500),
+    r AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running
+      FROM t)
+    SELECT lang, doc_id, n_tokens,
+           CAST(FLOOR(CAST(running - n_tokens AS DOUBLE) / 512) AS BIGINT)
+             AS bin_id
+    FROM r ORDER BY lang, doc_id
+    """,
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sequence packing into 512-token bins, sharded by
+    language (the window partition bound that keeps packing parallel at
+    100 TB)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        pack_sequences,
+        token_count,
+    )
+
+    d = (
+        load(spark, sf, "documents")
+        .where(F.col("doc_id") < 500)
+        .select("doc_id", "lang", token_count().alias("n_tokens"))
+    )
+    return pack_sequences(
+        d, capacity=512, shard_col="lang"
+    ).orderBy("lang", "doc_id")
+
+
+@q(
     "q70_profile_stats",
     oracle="""
     SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
@@ -2666,13 +2736,14 @@ _DRIVER_WINDOW = [
     "q68_scd2_dimension",
     "q69_stream_stream_join",
     "q70_profile_stats",
-    # (c) representative regression core (green in round 1)
+    "q71_text_chunking",
+    "q72_sequence_packing",
+    # (c) representative regression core (green in round 1; rollup and
+    # ranking/window families stay covered in-window via q54/q60/q61/q62)
     "q01_scan_counts",
     "q05_join_inner_agg",
     "q06_join_broadcast",
     "q12_tpch_q1",
-    "q15_rollup",
-    "q18_window_topk",
     "q22_topk_revenue",
     "q33_cast_matrix",
     "q38_cosine_topk",
