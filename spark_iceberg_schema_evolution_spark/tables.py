@@ -291,6 +291,99 @@ class LakehouseTable:
         )
         return version
 
+    def _affected_months(self, cond) -> list[str]:
+        """Distinct months holding rows matching ``cond`` — a column-pruned
+        scan returning only month strings (metadata-bounded, like Iceberg's
+        planning phase)."""
+        mo = self._load().partition_month_of
+        return [
+            r[0]
+            for r in self.read()
+            .where(cond)
+            .select(F.date_format(F.col(mo), "yyyy-MM").alias("__m"))
+            .distinct()
+            .collect()
+        ]
+
+    def delete_where(self, condition) -> int:
+        """DELETE FROM ... WHERE — copy-on-write at partition granularity
+        (Iceberg's COW DELETE): only partitions holding matching rows are
+        rewritten. Rows where the predicate is NULL are KEPT (SQL DELETE
+        removes only where the condition is TRUE)."""
+        snap = self._load()
+        mo = snap.partition_month_of
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cond_true = F.coalesce(cond, F.lit(False))
+        if mo:
+            hit = self._affected_months(cond_true)
+            if not hit:
+                return snap.version  # nothing matches: no new snapshot
+            keep_batches = []
+            for b in snap.batches:
+                remaining_m = [m for m in (b["months"] or []) if m not in hit]
+                if remaining_m:
+                    keep_batches.append(
+                        {"path": b["path"], "months": remaining_m}
+                    )
+            remaining = self.read(months=hit).where(~cond_true)
+        else:
+            keep_batches = []
+            remaining = self.read().where(~cond_true)
+        version = snap.version + 1
+        batch = self._write_batch(remaining, snap.schema, mo, version)
+        self._commit(
+            Snapshot(version, snap.schema, keep_batches + [batch], mo)
+        )
+        return version
+
+    def update_where(self, condition, assignments: dict) -> int:
+        """UPDATE ... SET ... WHERE — copy-on-write at partition
+        granularity. ``assignments`` maps column name -> Column (or SQL
+        string). An update that changes the partition timestamp moves the
+        row to its new partition (the rewrite re-derives the hidden month
+        from the new value)."""
+        snap = self._load()
+        mo = snap.partition_month_of
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cond_true = F.coalesce(cond, F.lit(False))
+        exprs = {
+            k: (F.expr(v) if isinstance(v, str) else v)
+            for k, v in assignments.items()
+        }
+        unknown = [k for k in exprs if k not in [f.name for f in snap.schema]]
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {unknown}")
+
+        def apply(df: DataFrame) -> DataFrame:
+            return df.withColumns(
+                {
+                    k: F.when(cond_true, e).otherwise(F.col(k))
+                    for k, e in exprs.items()
+                }
+            )
+
+        if mo:
+            hit = self._affected_months(cond_true)
+            if not hit:
+                return snap.version
+            keep_batches = []
+            for b in snap.batches:
+                remaining_m = [m for m in (b["months"] or []) if m not in hit]
+                if remaining_m:
+                    keep_batches.append(
+                        {"path": b["path"], "months": remaining_m}
+                    )
+            rewritten = apply(self.read(months=hit))
+        else:
+            keep_batches = []
+            rewritten = apply(self.read())
+        version = snap.version + 1
+        batch = self._write_batch(rewritten, snap.schema, mo, version)
+        self._commit(
+            Snapshot(version, snap.schema, keep_batches + [batch], mo)
+        )
+        return version
+
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Dynamic partition overwrite (reference R19,
         spark_utils.py:56): replace exactly the months present in ``df``,

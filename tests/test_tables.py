@@ -184,3 +184,65 @@ def test_ingest_evolving_csvs_end_to_end(spark, catalog, tmp_path):
     # ragged columns exist and are null-padded where files lacked them
     mandatory_nulls = out.where(F.col("index").isNull()).count()
     assert mandatory_nulls == 0
+
+
+def test_delete_where_partition_scoped(spark, catalog):
+    def mk(rows):
+        return spark.createDataFrame(rows, ["id", "ts", "v"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    catalog.write_evolving(
+        mk(
+            [
+                (1, "2024-01-05", 10),
+                (2, "2024-02-05", 20),
+                (3, "2024-02-06", 30),
+            ]
+        ),
+        "db",
+        "delp",
+        partition_month_of="ts",
+    )
+    t = catalog.table("db", "delp")
+    t.delete_where("v = 20")
+    rows = sorted((r.id, r.v) for r in t.read().collect())
+    assert rows == [(1, 10), (3, 30)]
+    # the untouched month's batch is not rewritten
+    assert t.read(months=["2024-01"]).count() == 1
+    # no-match delete is a no-op (no new snapshot)
+    v_before = t._load().version
+    assert t.delete_where("v = 999") == v_before
+
+
+def test_delete_where_null_predicate_keeps_row(spark, catalog):
+    df = spark.createDataFrame([(1, None), (2, 5)], "id BIGINT, v BIGINT")
+    catalog.write_evolving(df, "db", "deln")
+    t = catalog.table("db", "deln")
+    t.delete_where("v < 10")  # NULL < 10 is NULL -> row kept
+    assert sorted(r.id for r in t.read().collect()) == [1]
+
+
+def test_update_where_moves_partition(spark, catalog):
+    def mk(rows):
+        return spark.createDataFrame(rows, ["id", "ts", "v"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    catalog.write_evolving(
+        mk([(1, "2024-01-05", 10), (2, "2024-02-05", 20)]),
+        "db",
+        "updp",
+        partition_month_of="ts",
+    )
+    t = catalog.table("db", "updp")
+    t.update_where(
+        "id = 1",
+        {"ts": "CAST('2024-05-01' AS TIMESTAMP)", "v": "v + 1"},
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {1: 11, 2: 20}
+    assert t.read(months=["2024-01"]).count() == 0
+    assert t.read(months=["2024-05"]).count() == 1
+    with pytest.raises(ValueError, match="unknown"):
+        t.update_where("id = 1", {"nope": "1"})
