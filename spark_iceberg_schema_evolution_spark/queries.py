@@ -2471,6 +2471,49 @@ def t2_pctl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q73_delete_update",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_custkey < 2000),
+    after_del AS (
+      SELECT * FROM base WHERE NOT (o_orderstatus = 'F')),
+    after_upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 150000 THEN '0-URGENT'
+                  ELSE o_orderpriority END AS pri,
+             o_totalprice
+      FROM after_del)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN pri = '0-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_urgent,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_price
+    FROM after_upd
+    """,
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """DELETE then UPDATE on a month-partitioned lakehouse table
+    (copy-on-write, only affected partitions rewritten); post-state checked
+    against the equivalent filter+CASE over the base table."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where("o_custkey < 2000")
+    cat.write_evolving(o, "db", "dml", partition_month_of="o_orderdate")
+    t = cat.table("db", "dml")
+    t.delete_where("o_orderstatus = 'F'")
+    t.update_where(
+        "o_totalprice > 150000", {"o_orderpriority": F.lit("0-URGENT")}
+    )
+    out = t.read()
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "0-URGENT", 1).otherwise(0)
+        ).alias("n_urgent"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@q(
     "q71_text_chunking",
     oracle=f"""
     WITH t AS (

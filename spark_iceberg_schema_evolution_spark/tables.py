@@ -191,7 +191,7 @@ class LakehouseTable:
         hidden partitions using manifest metadata — no file listing of
         irrelevant batches."""
         snap = self._load(version)
-        dirs = []
+        parts = []
         for b in snap.batches:
             if b["months"] is not None:
                 # the manifest's month list is authoritative: after a
@@ -202,21 +202,31 @@ class LakehouseTable:
                     if months is None
                     else [m for m in b["months"] if m in months]
                 )
-                dirs += [
-                    os.path.join(b["path"], f"{_PART_COL}={m}") for m in hit
-                ]
+                if not hit:
+                    continue
+                # ONE scan per batch: hive-style partition discovery plus an
+                # isin filter on the partition column — Spark prunes the
+                # non-hit month directories at planning time (84 months is
+                # 1 scan + pruning, not 84 scans).
+                df = (
+                    self.spark.read.parquet(b["path"])
+                    .where(F.col(_PART_COL).isin(hit))
+                    .drop(_PART_COL)
+                )
+                parts.append(
+                    align_schema(df, snap.schema, keep_extras=False)
+                )
             else:
                 if months is None:
-                    dirs.append(b["path"])
-        if not dirs:
+                    parts.append(
+                        align_schema(
+                            self.spark.read.parquet(b["path"]),
+                            snap.schema,
+                            keep_extras=False,
+                        )
+                    )
+        if not parts:
             return self.spark.createDataFrame([], snap.schema)
-        parts = [
-            align_schema(
-                self.spark.read.parquet(d).drop(_PART_COL), snap.schema,
-                keep_extras=False,
-            )
-            for d in dirs
-        ]
         return union_evolving(parts, target=snap.schema)
 
     def snapshots(self) -> list[dict]:

@@ -246,3 +246,27 @@ def test_update_where_moves_partition(spark, catalog):
     assert t.read(months=["2024-05"]).count() == 1
     with pytest.raises(ValueError, match="unknown"):
         t.update_where("id = 1", {"nope": "1"})
+
+
+def test_read_months_prunes_partitions_in_plan(spark, catalog):
+    """The month filter must become a partition filter on ONE scan per
+    batch (planning-time directory pruning), not a scan per month dir."""
+    def mk(rows):
+        return spark.createDataFrame(rows, ["id", "ts", "v"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    catalog.write_evolving(
+        mk([(i, f"2024-{1 + i % 6:02d}-05", i) for i in range(12)]),
+        "db",
+        "prune",
+        partition_month_of="ts",
+    )
+    t = catalog.table("db", "prune")
+    df = t.read(months=["2024-02"])
+    from spark_iceberg_schema_evolution_spark.plans import explain
+
+    plan = explain.physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "PartitionFilters" in plan
+    assert df.count() == 2
