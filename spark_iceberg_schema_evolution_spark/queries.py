@@ -2781,11 +2781,12 @@ _DRIVER_WINDOW = [
     "q70_profile_stats",
     "q71_text_chunking",
     "q72_sequence_packing",
-    # (c) representative regression core (green in round 1; rollup and
-    # ranking/window families stay covered in-window via q54/q60/q61/q62)
+    "q73_delete_update",
+    # (c) representative regression core (green in round 1; rollup,
+    # ranking/window, and broadcast-join families stay covered in-window
+    # via q54/q60/q61/q62/q05 and the pytest plan gates)
     "q01_scan_counts",
     "q05_join_inner_agg",
-    "q06_join_broadcast",
     "q12_tpch_q1",
     "q22_topk_revenue",
     "q33_cast_matrix",
