@@ -35,6 +35,12 @@ HEADLINE = [
     "q40_embedding_norms",
     "q45_evolving_ingest",
     "q49_stream_tumbling",
+    # round-2 operators (no r01 baseline entries; tracked from this round)
+    "q68_scd2_dimension",
+    "q70_profile_stats",
+    "q71_text_chunking",
+    "q72_sequence_packing",
+    "q73_delete_update",
 ]
 
 
