@@ -88,6 +88,21 @@ class IcebergTable:
             """
         )
 
+    def delete_where(self, condition: str) -> None:
+        """DELETE FROM ... WHERE (Iceberg COW/MOR per table property) —
+        twin of tables.LakehouseTable.delete_where."""
+        self.spark.sql(
+            f"DELETE FROM {self.identifier} WHERE {condition}"
+        )
+
+    def update_where(self, condition: str, assignments: dict[str, str]) -> None:
+        """UPDATE ... SET ... WHERE — twin of
+        tables.LakehouseTable.update_where."""
+        sets = ", ".join(f"{k} = {v}" for k, v in assignments.items())
+        self.spark.sql(
+            f"UPDATE {self.identifier} SET {sets} WHERE {condition}"
+        )
+
     def overwrite_partitions(self, df: DataFrame) -> None:
         df.writeTo(self.identifier).overwritePartitions()
 

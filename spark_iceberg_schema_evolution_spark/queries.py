@@ -2470,6 +2470,18 @@ def t2_pctl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_profile_approx", oracle=None, tier=2)
+def t2_profile_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL profiler path (no Expand; the 100 TB default): approximate
+    distinct counts bracketed against the exact profiler in pytest."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import profile_stats
+
+    o = load(spark, sf, "orders")
+    return profile_stats(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus"], approximate=True
+    ).orderBy("col_name")
+
+
 @q(
     "q73_delete_update",
     oracle="""

