@@ -301,3 +301,67 @@ def simhash(
         normalized_words(text_col), lambda w: F.xxhash64(w)
     )
     return df.select(F.col(id_col), fold(token_hashes).alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: returns (id, cluster_id)
+    where cluster_id is the component's minimum member id — the canonical
+    representative a dedup pipeline keeps.
+
+    Iterative min-label propagation (the standard Spark formulation of
+    connected components): each round every vertex takes the min label in
+    its closed neighborhood; rounds double the label-propagation distance,
+    so convergence needs O(log(diameter)) rounds — near-dup components are
+    shallow (dozens of hops at most), and ``max_iter`` bounds pathology.
+    Each round is one shuffle; intermediate results are persisted and the
+    loop stops when a round changes nothing (a driver-side scalar count,
+    metadata-bounded)."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -2470,6 +2470,49 @@ def t2_pctl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q74_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    walk AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT w.id, e.dst AS label FROM walk w JOIN edges e ON w.label = e.src)
+    SELECT id, MIN(label) AS cluster_id
+    FROM walk GROUP BY id ORDER BY id
+    """,
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster formation: verified Jaccard pairs (>= 0.2) grouped
+    into connected components; cluster_id = the component's min doc_id (the
+    canonical survivor). Oracle: DuckDB recursive-CTE transitive closure —
+    the min reachable node equals iterative min-label propagation."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    d = load(spark, sf, "documents")
+    pairs = jaccard_pairs(d).where(F.col("jaccard") >= 0.2)
+    return connected_components(pairs).orderBy("id")
+
+
 @q("t2_profile_approx", oracle=None, tier=2)
 def t2_profile_approx(spark: SparkSession, sf: str) -> DataFrame:
     """HLL profiler path (no Expand; the 100 TB default): approximate
@@ -2794,16 +2837,16 @@ _DRIVER_WINDOW = [
     "q71_text_chunking",
     "q72_sequence_packing",
     "q73_delete_update",
+    "q74_dedup_clusters",
     # (c) representative regression core (green in round 1; rollup,
-    # ranking/window, and broadcast-join families stay covered in-window
-    # via q54/q60/q61/q62/q05 and the pytest plan gates)
+    # ranking/window, broadcast-join, and embedding-fold families stay
+    # covered in-window via q54/q60/q61/q62/q05/q38 + pytest plan gates)
     "q01_scan_counts",
     "q05_join_inner_agg",
     "q12_tpch_q1",
     "q22_topk_revenue",
     "q33_cast_matrix",
     "q38_cosine_topk",
-    "q40_embedding_norms",
     "q44_pandas_udf_tokens",
     "q45_evolving_ingest",
 ]

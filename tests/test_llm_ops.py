@@ -168,3 +168,19 @@ def test_fake_features_shape(spark):
         assert len(r.histogram16) == 16
         assert abs(sum(r.histogram16) - 1.0) < 1e-9
         assert r.byte_entropy >= 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+
+    # a 6-node chain (tests multi-round label propagation) + an island pair
+    pairs = spark.createDataFrame(
+        [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2), (10, 11)],
+        ["id_a", "id_b"],
+    )
+    out = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert all(out[i] == 1 for i in range(1, 7))
+    assert out[10] == out[11] == 10
