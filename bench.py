@@ -41,6 +41,7 @@ HEADLINE = [
     "q71_text_chunking",
     "q72_sequence_packing",
     "q73_delete_update",
+    "q74_dedup_clusters",
 ]
 
 
