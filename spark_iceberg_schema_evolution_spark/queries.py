@@ -2513,6 +2513,39 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(pairs).orderBy("id")
 
 
+@q(
+    "q75_incremental_changes",
+    oracle="""
+    SELECT COUNT(*) AS n_changed,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer WHERE c_custkey >= 500
+    """,
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental snapshot read (append-level CDC): three keyed batches
+    commit, and changes(v1) returns exactly the rows batches 2+3 added."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 500").select("c_custkey", "c_name"), "db", "inc"
+    )
+    t = cat.table("db", "inc")
+    v1 = t._load().version
+    t.append(
+        c.where("c_custkey >= 500 AND c_custkey < 1000").select(
+            "c_custkey", "c_name"
+        )
+    )
+    t.append(c.where("c_custkey >= 1000").select("c_custkey", "c_name"))
+    delta = t.changes(v1)
+    return delta.agg(
+        F.count(F.lit(1)).alias("n_changed"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
 @q("t2_profile_approx", oracle=None, tier=2)
 def t2_profile_approx(spark: SparkSession, sf: str) -> DataFrame:
     """HLL profiler path (no Expand; the 100 TB default): approximate

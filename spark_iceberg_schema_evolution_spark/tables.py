@@ -420,6 +420,49 @@ class LakehouseTable:
         )
         return version
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental read (Iceberg's incremental append scan /
+        ``table_changes``): the rows ADDED by commits after ``from_version``
+        up to ``to_version`` (default: latest) — i.e. the batch dirs present
+        in the later snapshot but not the earlier one. Rewritten batches
+        (MERGE/DELETE/UPDATE/compact rewrite partitions) surface as their
+        new batch's rows; this is append-level CDC, matching Iceberg's
+        incremental scan on append-mostly tables."""
+        to_snap = self._load(to_version)
+        from_paths = {b["path"] for b in self._load(from_version).batches}
+        new_batches = [
+            b for b in to_snap.batches if b["path"] not in from_paths
+        ]
+        if not new_batches:
+            return self.spark.createDataFrame([], to_snap.schema)
+        parts = []
+        for b in new_batches:
+            df = self.spark.read.parquet(b["path"])
+            if b["months"] is not None:
+                df = df.where(
+                    F.col(_PART_COL).isin(b["months"])
+                ).drop(_PART_COL)
+            parts.append(align_schema(df, to_snap.schema, keep_extras=False))
+        return union_evolving(parts, target=to_snap.schema)
+
+    def rollback_to(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``): commits a NEW version whose content is
+        the old snapshot's — history is preserved, nothing is deleted
+        (expire_snapshots reclaims space later)."""
+        target = self._load(version)  # validates the version exists
+        head = self._load()
+        new_version = head.version + 1
+        self._commit(
+            Snapshot(
+                new_version,
+                target.schema,
+                target.batches,
+                target.partition_month_of,
+            )
+        )
+        return new_version
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self) -> int:

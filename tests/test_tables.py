@@ -270,3 +270,34 @@ def test_read_months_prunes_partitions_in_plan(spark, catalog):
     assert plan.count("Scan parquet") == 1
     assert "PartitionFilters" in plan
     assert df.count() == 2
+
+
+def test_changes_incremental_read(spark, catalog):
+    df1 = spark.createDataFrame([(1,), (2,)], ["id"])
+    df2 = spark.createDataFrame([(3,)], ["id"])
+    df3 = spark.createDataFrame([(4,), (5,)], ["id"])
+    catalog.write_evolving(df1, "db", "inc")
+    t = catalog.table("db", "inc")
+    v1 = t._load().version
+    t.append(df2)
+    t.append(df3)
+    got = sorted(r.id for r in t.changes(v1).collect())
+    assert got == [3, 4, 5]
+    v2 = t._load().version
+    assert t.changes(v2).count() == 0  # nothing after head
+    got12 = sorted(r.id for r in t.changes(v1, v1 + 1).collect())
+    assert got12 == [3]
+
+
+def test_rollback_preserves_history(spark, catalog):
+    df1 = spark.createDataFrame([(1,)], ["id"])
+    df2 = spark.createDataFrame([(2,)], ["id"])
+    catalog.write_evolving(df1, "db", "rb")
+    t = catalog.table("db", "rb")
+    v1 = t._load().version
+    t.append(df2)
+    assert t.read().count() == 2
+    new_v = t.rollback_to(v1)
+    assert t.read().count() == 1  # content is v1's
+    assert new_v > v1 + 1 - 1  # a NEW version, history intact
+    assert t.read(version=v1 + 1).count() == 2  # old head still readable
