@@ -106,6 +106,20 @@ class IcebergTable:
     def overwrite_partitions(self, df: DataFrame) -> None:
         df.writeTo(self.identifier).overwritePartitions()
 
+    def changes(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
+        """Incremental append scan — twin of tables.LakehouseTable.changes."""
+        r = self.spark.read.option("start-snapshot-id", from_snapshot_id)
+        if to_snapshot_id is not None:
+            r = r.option("end-snapshot-id", to_snapshot_id)
+        return r.table(self.identifier)
+
+    def rollback_to(self, snapshot_id: int, catalog: str = "lake") -> None:
+        """Twin of tables.LakehouseTable.rollback_to."""
+        self.spark.sql(
+            f"CALL {catalog}.system.rollback_to_snapshot("
+            f"table => '{self.identifier}', snapshot_id => {snapshot_id})"
+        )
+
     def compact(self, catalog: str = "lake") -> None:
         self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => '{self.identifier}')"
