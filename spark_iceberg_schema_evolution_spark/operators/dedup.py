@@ -343,6 +343,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint (not just persist): each round's plan would
+        # otherwise nest the previous round's, growing the lineage —
+        # and with it planning time — linearly in iterations.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -351,7 +354,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -359,7 +362,8 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        if hasattr(labels, "unpersist"):
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
