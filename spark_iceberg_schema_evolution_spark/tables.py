@@ -144,6 +144,13 @@ class LakehouseTable:
             out = out.withColumn(
                 _PART_COL, F.date_format(F.col(month_of), "yyyy-MM")
             )
+            # cluster rows by partition value before the partitioned write:
+            # without this every upstream task writes a file into every
+            # month dir (tasks x months tiny files — the classic lakehouse
+            # small-files sin); with it each month gets O(1) files and AQE
+            # coalesces the shuffle. Skew (one hot month) stays bounded by
+            # AQE skew-split on the same exchange.
+            out = out.repartition(F.col(_PART_COL))
             out.write.partitionBy(_PART_COL).mode("error").parquet(batch_dir)
             months = sorted(
                 d.split("=", 1)[1]
