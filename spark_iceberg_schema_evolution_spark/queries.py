@@ -2514,6 +2514,62 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q76_group_by_all_qualify",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, n, total FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
+      FROM orders
+      GROUP BY ALL)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                               ORDER BY total DESC, o_orderpriority) <= 2
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ infers grouping keys) + top-2-per-group;
+    the oracle spells the filter with DuckDB's QUALIFY, Spark with the
+    equivalent ranked subquery (QUALIFY is not Spark SQL)."""
+    register_views(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, n, total FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY total DESC, o_orderpriority)
+                      AS rn
+          FROM (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100 AS total
+            FROM orders
+            GROUP BY ALL
+          )
+        ) WHERE rn <= 2
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@q(
+    "q77_except_all",
+    oracle="""
+    SELECT c_mktsegment FROM customer WHERE c_custkey < 2000
+    EXCEPT ALL
+    SELECT c_mktsegment FROM customer WHERE c_custkey >= 1500
+    ORDER BY c_mktsegment
+    """,
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics — occurrence counts subtract,
+    unlike q24's EXCEPT DISTINCT)."""
+    c = load(spark, sf, "customer")
+    a = c.where("c_custkey < 2000").select("c_mktsegment")
+    b = c.where("c_custkey >= 1500").select("c_mktsegment")
+    return a.exceptAll(b).orderBy("c_mktsegment")
+
+
+@q(
     "q75_incremental_changes",
     oracle="""
     SELECT COUNT(*) AS n_changed,
