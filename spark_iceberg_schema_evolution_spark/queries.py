@@ -2570,6 +2570,124 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q78_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer WHERE c_custkey < 200)
+    UNPIVOT (value FOR metric IN (acctbal, nationkey))
+    ORDER BY c_custkey, metric
+    """,
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long UNPIVOT/melt (Spark 3.4 DataFrame.unpivot == DuckDB
+    UNPIVOT)."""
+    c = load(spark, sf, "customer").where("c_custkey < 200")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "metric", "value"
+    ).orderBy("c_custkey", "metric")
+
+
+@q(
+    "q79_percentile_cont",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+             AS p50,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+             AS p90
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles per group (ANSI PERCENTILE_CONT;
+    Spark 3.4+ aggregate). Interpolated medians on 2-decimal inputs round
+    identically at 2dp in both engines."""
+    register_views(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+                 AS p50,
+               ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+                 AS p90
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+@q(
+    "q80_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS name_num,
+           regexp_replace(c_name, '[0-9]+', '#') AS digits_masked,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT)
+             AS n_digit_runs,
+           left(c_mktsegment, 3) AS seg3,
+           right(c_mktsegment, 2) AS seg_tail,
+           repeat('ab', 3) AS rep,
+           reverse(c_mktsegment) AS seg_rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+    FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+    """,
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """Second string family: split_part, regexp_extract_all,
+    regexp_replace, left/right, repeat, reverse, translate."""
+    c = load(spark, sf, "customer").where("c_custkey < 200")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("digits_masked"),
+        F.size(F.expr("regexp_extract_all(c_name, '[0-9]', 0)"))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.expr("left(c_mktsegment, 3)").alias("seg3"),
+        F.expr("right(c_mktsegment, 2)").alias("seg_tail"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "q81_try_cast",
+    oracle="""
+    SELECT s,
+           CASE WHEN regexp_matches(s, '^-?[0-9]+$')
+                THEN CAST(s AS BIGINT) END AS as_int,
+           TRY_CAST(s AS DOUBLE) AS as_double,
+           CAST(TRY_CAST(s AS DATE) AS VARCHAR) AS as_date
+    FROM (VALUES ('42'), ('3.5'), ('2024-01-31'), ('nope'), (''))
+         AS t(s)
+    ORDER BY s
+    """,
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe casts: TRY_CAST returns NULL on malformed input (the
+    ingest-hardening idiom for dirty CSV columns). Spark's string->bigint
+    try_cast is strict ('3.5' -> NULL) where DuckDB's rounds ('3.5' -> 4),
+    so the oracle spells Spark's strictness with a regexp guard."""
+    rows = [("42",), ("3.5",), ("2024-01-31",), ("nope",), ("",)]
+    df = spark.createDataFrame(rows, ["s"])
+    return df.select(
+        "s",
+        F.col("s").try_cast("bigint").alias("as_int"),
+        F.col("s").try_cast("double").alias("as_double"),
+        F.col("s").try_cast("date").cast("string").alias("as_date"),
+    ).orderBy("s")
+
+
+@q(
     "q75_incremental_changes",
     oracle="""
     SELECT COUNT(*) AS n_changed,
