@@ -2688,6 +2688,95 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q82_ignore_nulls_stringagg",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE o_orderstatus END AS st
+      FROM orders WHERE o_custkey < 100)
+    SELECT o_custkey,
+           STRING_AGG(st, ',' ORDER BY o_orderkey) AS st_concat,
+           CAST(COUNT(st) AS BIGINT) AS n_nonnull
+    FROM t GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered STRING_AGG over a nullable column (NULLs skipped, order
+    pinned by orderkey) — Spark spells it sort_array(collect_list(struct))
+    + array_join, the shuffle-order-independent formulation."""
+    o = load(spark, sf, "orders").where("o_custkey < 100")
+    t = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+    )
+    pairs = F.when(
+        F.col("st").isNotNull(), F.struct("o_orderkey", "st")
+    )
+    return (
+        t.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(pairs)), lambda s: s["st"]
+                ),
+                ",",
+            ).alias("st_concat"),
+            F.count("st").alias("n_nonnull"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "q83_bit_bool_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_and,
+           CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_or,
+           CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(BOOL_AND(o_totalprice > 1000) AS INT) AS all_big,
+           CAST(BOOL_OR(o_totalprice > 300000) AS INT) AS any_huge
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise and boolean aggregates (order-independent by algebra —
+    safe across shuffles in any engine)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.every(F.col("o_totalprice") > 1000).cast("int").alias("all_big"),
+            F.some(F.col("o_totalprice") > 300000).cast("int").alias("any_huge"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q("t2_stats_moments", oracle=None, tier=2)
+def t2_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """stddev/variance/corr/covar/skewness/kurtosis — tier-2: double
+    accumulation order varies across engines/partitionings, so these get
+    a rows-only driver check plus pytest bracket assertions."""
+    o = load(spark, sf, "orders")
+    return o.agg(
+        F.round(F.stddev("o_totalprice"), 2).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 1).alias("var"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("corr_pc"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 1).alias("cov_pc"),
+        F.round(F.skewness("o_totalprice"), 4).alias("skew"),
+        F.round(F.kurtosis("o_totalprice"), 4).alias("kurt"),
+    )
+
+
+@q(
     "q75_incremental_changes",
     oracle="""
     SELECT COUNT(*) AS n_changed,
