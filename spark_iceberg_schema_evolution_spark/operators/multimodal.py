@@ -99,3 +99,57 @@ def fake_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         extract, schema=FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_size: int = 256, stride: int = 1024
+) -> DataFrame:
+    """Frame sampling plumbing: cut each payload into fixed-size byte
+    windows every ``stride`` bytes — the exact mapInPandas shape (Arrow
+    batches in, one row per sampled frame out) a real video frame sampler
+    plugs into, with deterministic byte windows standing in for decoded
+    frames (codecs absent from this container)."""
+    import pandas as pd
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i, off in enumerate(range(0, len(payload), stride)):
+                    frame = bytes(payload[off : off + frame_size])
+                    out.append((mid, i, frame, len(frame)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame", "n_bytes"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )
+
+
+def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: rewrites the typed metadata (target dimensions)
+    and passes the payload through — the pixel transform itself is
+    ``decode_stub`` territory (raises; codecs absent). Keeps the schema
+    contract a real resizer would satisfy."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        ),
+    )

@@ -2760,6 +2760,22 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_multimodal_frames", oracle=None, tier=2)
+def t2_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads; frames surfaced as
+    md5 hex (scalar) so the driver canonicalizer sees no raw bytes."""
+    from spark_iceberg_schema_evolution_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 50)
+    frames = frame_sample(documents_as_media(d), frame_size=64, stride=256)
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame").alias("frame_md5"), "n_bytes"
+    ).orderBy("media_id", "frame_idx")
+
+
 @q("t2_stats_moments", oracle=None, tier=2)
 def t2_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
     """stddev/variance/corr/covar/skewness/kurtosis — tier-2: double

@@ -184,3 +184,32 @@ def test_connected_components_chain_and_islands(spark):
     }
     assert all(out[i] == 1 for i in range(1, 7))
     assert out[10] == out[11] == 10
+
+
+def test_frame_sample_shapes(spark):
+    from spark_iceberg_schema_evolution_spark.operators import multimodal as MM
+
+    d = spark.createDataFrame(
+        [(1, "x" * 2500), (2, "y" * 100)], ["doc_id", "text"]
+    )
+    media = MM.documents_as_media(d)
+    frames = MM.frame_sample(media, frame_size=256, stride=1024).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 3  # offsets 0, 1024, 2048
+    assert [r.n_bytes for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [
+        256,
+        256,
+        256,
+    ]
+    assert len(by_id[2]) == 1 and by_id[2][0].n_bytes == 100
+
+
+def test_resize_meta_contract(spark):
+    from spark_iceberg_schema_evolution_spark.operators import multimodal as MM
+
+    d = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    out = MM.resize_meta(MM.documents_as_media(d), 64, 48).collect()[0]
+    assert out.meta.width == 64 and out.meta.height == 48
+    assert out.meta.mime == "text/plain" and out.payload == b"abc"
