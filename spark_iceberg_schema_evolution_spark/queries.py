@@ -2760,6 +2760,82 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q84_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         j AS (
+           SELECT p.event_id, v.event_id AS view_event_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY v.ts DESC, v.event_id DESC) AS rn
+           FROM p JOIN v ON p.user_id = v.user_id
+            AND v.ts <= p.ts
+            AND epoch_us(CAST(v.ts AS TIMESTAMP))
+                >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000)
+    SELECT event_id, view_event_id
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a 30-minute tolerance: matches older than the
+    horizon drop (inner semantics). Same single-shuffle union+window plan
+    as q11; the tolerance is a post-window filter, not a join blowup."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import asof_join
+
+    ev = load_events(spark, sf)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        p,
+        v,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id"],
+        how="inner",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return out.select("event_id", "view_event_id").orderBy("event_id")
+
+
+@q(
+    "q85_salted_join_equivalence",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-busting salted join must be RESULT-identical to the plain
+    equi-join (the oracle is the plain join) — proving the salt+replicate
+    rewrite changes the plan, never the answer."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import salted_join
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on=["l_orderkey"], salt=8,
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @q("t2_multimodal_frames", oracle=None, tier=2)
 def t2_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing over binary payloads; frames surfaced as
