@@ -162,3 +162,27 @@ def test_ivf_assignment_zero_shuffle(spark):
     # (the final per-query top-k window); the join itself broadcasts.
     assert explain.count_exchanges(out) <= 1, plan
     assert "Window" in plan  # the one legitimate shuffle consumer
+
+
+def test_chunking_is_map_only(spark):
+    """Chunking must be explode-in-scan: zero exchanges."""
+    from spark_iceberg_schema_evolution_spark.operators.text import chunk_text
+
+    d = load(spark, SF_SMOKE, "documents")
+    out = chunk_text(d, chunk_tokens=32, overlap=8)
+    assert explain.count_exchanges(out) == 0
+
+
+def test_packing_single_shuffle_per_shard(spark):
+    """Sharded sequence packing costs exactly ONE hash exchange (the
+    per-shard window)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        pack_sequences,
+        token_count,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", token_count().alias("n_tokens")
+    )
+    out = pack_sequences(d, capacity=512, shard_col="lang")
+    assert explain.count_exchanges(out) == 1
