@@ -253,7 +253,12 @@ class LakehouseTable:
 
     # -- DML ----------------------------------------------------------------
 
-    def merge_into(self, source: DataFrame, on: list[str]) -> int:
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        partition_keys_immutable: bool = False,
+    ) -> int:
         """MERGE INTO: WHEN MATCHED update all columns, WHEN NOT MATCHED
         insert — copy-on-write, matching keys GLOBALLY like Iceberg's COW
         MERGE, but rewriting only the partitions that can change: the
@@ -264,7 +269,11 @@ class LakehouseTable:
         The matched-month discovery is a key+month column-pruned scan of
         the target semi-joined to the distinct source keys; only the
         distinct month strings come back to the driver (metadata-bounded,
-        like Iceberg's planning phase)."""
+        like Iceberg's planning phase). Callers whose merge keys NEVER
+        change partition (e.g. the partition ts is part of the key, or is
+        immutable by contract) pass ``partition_keys_immutable=True`` to
+        skip that scan — the Iceberg-style fast path that plans from
+        source months alone."""
         snap = self._load()
         mo = snap.partition_month_of
         if mo:
@@ -273,16 +282,17 @@ class LakehouseTable:
                 r[0]
                 for r in source.select(month_expr).distinct().collect()
             ]
-            matched_months = [
-                r[0]
-                for r in self.read()
-                .select(*on, month_expr.alias("__m"))
-                .join(source.select(*on).distinct(), on, "left_semi")
-                .select("__m")
-                .distinct()
-                .collect()
-            ]
-            src_months = sorted(set(src_months) | set(matched_months))
+            if not partition_keys_immutable:
+                matched_months = [
+                    r[0]
+                    for r in self.read()
+                    .select(*on, month_expr.alias("__m"))
+                    .join(source.select(*on).distinct(), on, "left_semi")
+                    .select("__m")
+                    .distinct()
+                    .collect()
+                ]
+                src_months = sorted(set(src_months) | set(matched_months))
             target_scope = self.read(months=src_months)
             keep_batches = []
             for b in snap.batches:
