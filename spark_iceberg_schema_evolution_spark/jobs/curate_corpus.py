@@ -1,0 +1,141 @@
+"""Training-corpus curation job — the LLM-data pipeline end to end.
+
+Composes the engine's data-pipeline operators into the flow a 100 TB
+pretraining corpus actually runs:
+
+    documents parquet
+      -> exact dedup            (md5 keep-one, fixed-width shuffle keys)
+      -> near-dedup             (MinHash -> LSH bands -> exact-Jaccard
+                                 verify on candidates -> connected
+                                 components -> keep cluster minimum)
+      -> quality filter         (heuristic score >= threshold, lang-id)
+      -> chunking               (fixed-size overlapping token windows)
+      -> sequence packing       (fixed-capacity bins, sharded by lang)
+      -> curated parquet (one dir per stage for auditability)
+
+Every stage is a declarative DataFrame transform from operators/ — no
+driver-side data paths; the job only orchestrates and prints stage
+counts (aggregates, metadata-bounded).
+
+Usage:
+    python -m spark_iceberg_schema_evolution_spark.jobs.curate_corpus \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/curated [--jaccard 0.8] [--min-quality 0.5] \
+        [--chunk-tokens 512] [--overlap 64] [--pack-capacity 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="curate_corpus")
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--chunk-tokens", type=int, default=512)
+    p.add_argument("--overlap", type=int, default=64)
+    p.add_argument("--pack-capacity", type=int, default=4096)
+    p.add_argument(
+        "--minhash-bands", type=int, default=8,
+        help="LSH bands over a 32-hash signature",
+    )
+    return p
+
+
+def curate(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        chunk_text,
+        lang_id,
+        pack_sequences,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(args.input)
+    counts = {"input": docs.count()}
+
+    # 1. exact dedup
+    exact = dedup.exact_dedup(docs)
+    exact.write.mode("overwrite").parquet(f"{args.output}/01_exact_dedup")
+    exact = spark.read.parquet(f"{args.output}/01_exact_dedup")
+    counts["after_exact_dedup"] = exact.count()
+
+    # 2. near dedup: candidates -> verify -> cluster -> keep cluster min
+    sigs = dedup.minhash_signature(exact, num_hashes=32)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, num_bands=args.minhash_bands, sig_len=32
+    )
+    verified = dedup.jaccard_pairs(exact, pairs=cands).where(
+        F.col("jaccard") >= args.jaccard
+    )
+    clusters = dedup.connected_components(verified)
+    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    near = exact.join(drop, "doc_id", "left_anti")
+    near.write.mode("overwrite").parquet(f"{args.output}/02_near_dedup")
+    near = spark.read.parquet(f"{args.output}/02_near_dedup")
+    counts["after_near_dedup"] = near.count()
+
+    # 3. quality + language
+    scored = near.withColumn("quality", quality_score()).withColumn(
+        "lang_detected", lang_id()
+    )
+    kept = scored.where(F.col("quality") >= args.min_quality)
+    kept.write.mode("overwrite").parquet(f"{args.output}/03_quality")
+    kept = spark.read.parquet(f"{args.output}/03_quality")
+    counts["after_quality"] = kept.count()
+
+    # 4. chunking
+    chunks = chunk_text(
+        kept, chunk_tokens=args.chunk_tokens, overlap=args.overlap
+    )
+    chunks.write.mode("overwrite").parquet(f"{args.output}/04_chunks")
+    chunks = spark.read.parquet(f"{args.output}/04_chunks")
+    counts["chunks"] = chunks.count()
+
+    # 5. packing (shard by detected language of the parent doc)
+    chunk_meta = chunks.join(
+        kept.select("doc_id", "lang_detected"), "doc_id"
+    ).select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("chunk_id"),
+        F.col("lang_detected").alias("shard"),
+        F.col("n_tokens"),
+    )
+    packed = pack_sequences(
+        chunk_meta,
+        capacity=args.pack_capacity,
+        id_col="chunk_id",
+        shard_col="shard",
+    )
+    packed.write.mode("overwrite").parquet(f"{args.output}/05_packed")
+    counts["bins"] = (
+        spark.read.parquet(f"{args.output}/05_packed")
+        .select("shard", "bin_id")
+        .distinct()
+        .count()
+    )
+    return counts
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from spark_iceberg_schema_evolution_spark.session import get_spark
+
+    spark = get_spark()
+    counts = curate(spark, args)
+    for stage, n in counts.items():
+        print(f"{stage}: {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

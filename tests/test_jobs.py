@@ -27,3 +27,34 @@ def test_ingest_csv_cli_end_to_end(spark, tmp_path, capsys):
     assert "30 rows" in out
     # reference-exact normalization: "Customer Id" -> customer_id
     assert "customer_id" in out
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path, capsys):
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import main
+
+    rc = main(
+        [
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            str(tmp_path / "curated"),
+            "--chunk-tokens",
+            "32",
+            "--overlap",
+            "4",
+            "--pack-capacity",
+            "256",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = dict(
+        ln.split(": ") for ln in out.strip().splitlines() if ": " in ln
+    )
+    assert int(lines["after_near_dedup"]) <= int(lines["after_exact_dedup"])
+    assert int(lines["chunks"]) >= int(lines["after_quality"])
+    assert int(lines["bins"]) >= 1
+    # every stage parquet is readable
+    for stage in ["01_exact_dedup", "02_near_dedup", "03_quality",
+                  "04_chunks", "05_packed"]:
+        assert spark.read.parquet(str(tmp_path / "curated" / stage)).count() > 0
