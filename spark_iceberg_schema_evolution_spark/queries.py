@@ -2836,6 +2836,44 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q86_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join (the dimension-enrichment pattern): a streaming
+    purchase feed joins a STATIC customer dim — Spark broadcasts the dim
+    into every micro-batch, no stream state needed. Oracle: the same join
+    in batch."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+
+    ev = SW.read_events_stream(spark, sf).where(
+        F.col("event_type") == "purchase"
+    )
+    dim = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(dim, "user_id").groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("total_value"),
+    )
+    out = SW.run_to_memory(enriched, "q86_sink", output_mode="complete")
+    return out.orderBy("segment")
+
+
 @q("t2_multimodal_frames", oracle=None, tier=2)
 def t2_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing over binary payloads; frames surfaced as
