@@ -210,12 +210,19 @@ def cosine_near_dups(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from shared
     hyperplane-LSH buckets (any of ``num_tables`` tables), verified with
     exact cosine >= ``threshold``. The dedup-by-embedding variant of the
     MinHash text pipeline: candidate generation is subquadratic; only
-    bucket-mates pay the exact-cosine cost."""
+    bucket-mates pay the exact-cosine cost.
+
+    ``max_bucket_size`` mirrors the text-LSH skew guard: a bucket holding
+    b vectors costs b^2/2 pairs, so one degenerate bucket (e.g. the
+    all-zeros signature a constant embedding region collapses into) would
+    otherwise go quadratic; oversize buckets are dropped, observably, not
+    silently paid for."""
     base = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     )
@@ -235,6 +242,12 @@ def cosine_near_dups(
             )
         ).alias("__ts"),
     ).select(id_col, "__v", "__ts.__table", "__ts.__sig")
+    small = (
+        with_sig.groupBy("__table", "__sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_bucket_size)
+    )
+    with_sig = with_sig.join(small, ["__table", "__sig"], "left_semi")
     a = with_sig.alias("a")
     b = with_sig.alias("b")
     pairs = (
