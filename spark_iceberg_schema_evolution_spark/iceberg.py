@@ -88,6 +88,16 @@ class IcebergTable:
             """
         )
 
+    def rename_column(self, old: str, new: str) -> None:
+        """Twin of tables.LakehouseTable.rename_column (field-id based)."""
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} RENAME COLUMN {old} TO {new}"
+        )
+
+    def drop_column(self, name: str) -> None:
+        """Twin of tables.LakehouseTable.drop_column."""
+        self.spark.sql(f"ALTER TABLE {self.identifier} DROP COLUMN {name}")
+
     def delete_where(self, condition: str) -> None:
         """DELETE FROM ... WHERE (Iceberg COW/MOR per table property) —
         twin of tables.LakehouseTable.delete_where."""

@@ -2837,6 +2837,53 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q87_rename_drop_evolution",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(balance) AS n_balance,
+           CAST(COUNT(CASE WHEN segment IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_segment,
+           'c_custkey,balance,segment' AS schema_cols
+    FROM (
+      SELECT c_custkey, c_acctbal AS balance,
+             CASE WHEN c_custkey >= 1000 THEN c_mktsegment END AS segment
+      FROM customer)
+    """,
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """Full schema-evolution lifecycle: append -> RENAME COLUMN
+    (metadata-only; historic files replay the mapping) -> DROP COLUMN ->
+    re-ADD the dropped name (historic values must NOT resurface) ->
+    append under the new schema. Oracle recomputes the surviving state."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 1000").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ),
+        "db",
+        "evo",
+    )
+    t = cat.table("db", "evo")
+    t.rename_column("c_acctbal", "balance")
+    t.drop_column("c_mktsegment")
+    t.append(
+        c.where("c_custkey >= 1000").select(
+            "c_custkey",
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    out = t.read()
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("balance").alias("n_balance"),
+        F.count("segment").alias("n_segment"),
+        F.lit(",".join(out.columns)).alias("schema_cols"),
+    )
+
+
+@q(
     "q86_stream_static_join",
     oracle="""
     SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,

@@ -42,7 +42,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -61,8 +61,14 @@ _PART_COL = "__p_month"
 class Snapshot:
     version: int
     schema: T.StructType
-    batches: list[dict]  # {"path": str, "months": [str] | None}
+    batches: list[dict]  # {"path": str, "months": [str] | None,
+    #                        "renames_at": int (rename-epoch at write)}
     partition_month_of: str | None
+    # ordered [old, new] column renames across the table's history; a batch
+    # only replays the renames committed AFTER it was written (its
+    # "renames_at" epoch) — the name-mapping equivalent of Iceberg's
+    # field-ids, which makes rename + later re-add of the old name safe.
+    renames: list = field(default_factory=list)
 
 
 class LakehouseTable:
@@ -104,6 +110,7 @@ class LakehouseTable:
             schema=schema,
             batches=m["batches"],
             partition_month_of=m.get("partition_month_of"),
+            renames=m.get("renames", []),
         )
 
     def _commit(self, snap: Snapshot) -> None:
@@ -115,6 +122,7 @@ class LakehouseTable:
             ),
             "batches": snap.batches,
             "partition_month_of": snap.partition_month_of,
+            "renames": snap.renames,
         }
         tmp = os.path.join(self.meta_dir, f".v{snap.version}.json.tmp")
         with open(tmp, "w") as f:
@@ -136,7 +144,12 @@ class LakehouseTable:
         self._commit(Snapshot(0, schema, [], partition_month_of))
 
     def _write_batch(
-        self, df: DataFrame, schema: T.StructType, month_of: str | None, n: int
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        month_of: str | None,
+        n: int,
+        renames_at: int = 0,
     ) -> dict:
         batch_dir = os.path.join(self.data_dir, f"batch-{n}")
         out = align_schema(df, schema, keep_extras=False)
@@ -157,9 +170,11 @@ class LakehouseTable:
                 for d in os.listdir(batch_dir)
                 if d.startswith(f"{_PART_COL}=")
             )
-            return {"path": batch_dir, "months": months}
+            return {
+                "path": batch_dir, "months": months, "renames_at": renames_at
+            }
         out.write.mode("error").parquet(batch_dir)
-        return {"path": batch_dir, "months": None}
+        return {"path": batch_dir, "months": None, "renames_at": renames_at}
 
     def append(self, df: DataFrame, evolve: bool = True) -> int:
         """Distributed append with schema evolution (replaces reference
@@ -180,10 +195,14 @@ class LakehouseTable:
             )
         evolved = T.StructType(list(snap.schema.fields) + list(new_fields))
         version = snap.version + 1
-        batch = self._write_batch(df, evolved, snap.partition_month_of, version)
+        batch = self._write_batch(
+            df, evolved, snap.partition_month_of, version,
+            renames_at=len(snap.renames),
+        )
         self._commit(
             Snapshot(
-                version, evolved, snap.batches + [batch], snap.partition_month_of
+                version, evolved, snap.batches + [batch],
+                snap.partition_month_of, snap.renames,
             )
         )
         return version
@@ -220,17 +239,17 @@ class LakehouseTable:
                     .where(F.col(_PART_COL).isin(hit))
                     .drop(_PART_COL)
                 )
+                df = self._replay_renames(df, b, snap)
                 parts.append(
                     align_schema(df, snap.schema, keep_extras=False)
                 )
             else:
                 if months is None:
+                    df = self._replay_renames(
+                        self.spark.read.parquet(b["path"]), b, snap
+                    )
                     parts.append(
-                        align_schema(
-                            self.spark.read.parquet(b["path"]),
-                            snap.schema,
-                            keep_extras=False,
-                        )
+                        align_schema(df, snap.schema, keep_extras=False)
                     )
         if not parts:
             return self.spark.createDataFrame([], snap.schema)
@@ -250,6 +269,74 @@ class LakehouseTable:
                 }
             )
         return out
+
+    @staticmethod
+    def _replay_renames(df: DataFrame, batch: dict, snap: Snapshot) -> DataFrame:
+        """Apply the column renames committed AFTER this batch was written
+        (its rename epoch) so historic files surface under current names —
+        metadata-only, like Iceberg's field-id mapping."""
+        for old, new in snap.renames[batch.get("renames_at", 0):]:
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        return df
+
+    # -- schema DDL (metadata-only, like Iceberg ALTER TABLE) ----------------
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN — metadata-only commit; no file is
+        rewritten. Historic batches replay the mapping on read; batches
+        written afterwards use the new name physically, so re-adding a
+        column named ``old`` later is safe (its data cannot leak into
+        ``new``)."""
+        snap = self._load()
+        names = [f.name for f in snap.schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column exists: {new}")
+        if old == snap.partition_month_of:
+            raise ValueError("cannot rename the partition source column")
+        new_fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in snap.schema.fields
+        ]
+        version = snap.version + 1
+        self._commit(
+            Snapshot(
+                version,
+                T.StructType(new_fields),
+                snap.batches,
+                snap.partition_month_of,
+                snap.renames + [[old, new]],
+            )
+        )
+        return version
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata-only. Implemented as a
+        rename to a unique tombstone plus schema removal, so historic
+        files' values can never resurface if a same-named column is added
+        again later (Iceberg's field-id semantics, by name-mapping)."""
+        snap = self._load()
+        names = [f.name for f in snap.schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name}")
+        if name == snap.partition_month_of:
+            raise ValueError("cannot drop the partition source column")
+        version = snap.version + 1
+        tombstone = f"__dropped_v{version}_{name}"
+        self._commit(
+            Snapshot(
+                version,
+                T.StructType(
+                    [f for f in snap.schema.fields if f.name != name]
+                ),
+                snap.batches,
+                snap.partition_month_of,
+                snap.renames + [[name, tombstone]],
+            )
+        )
+        return version
 
     # -- DML ----------------------------------------------------------------
 
@@ -312,9 +399,13 @@ class LakehouseTable:
             allowMissingColumns=True,
         )
         version = snap.version + 1
-        batch = self._write_batch(merged, snap.schema, mo, version)
+        batch = self._write_batch(
+            merged, snap.schema, mo, version, renames_at=len(snap.renames)
+        )
         self._commit(
-            Snapshot(version, snap.schema, keep_batches + [batch], mo)
+            Snapshot(
+                version, snap.schema, keep_batches + [batch], mo, snap.renames
+            )
         )
         return version
 
@@ -357,9 +448,13 @@ class LakehouseTable:
             keep_batches = []
             remaining = self.read().where(~cond_true)
         version = snap.version + 1
-        batch = self._write_batch(remaining, snap.schema, mo, version)
+        batch = self._write_batch(
+            remaining, snap.schema, mo, version, renames_at=len(snap.renames)
+        )
         self._commit(
-            Snapshot(version, snap.schema, keep_batches + [batch], mo)
+            Snapshot(
+                version, snap.schema, keep_batches + [batch], mo, snap.renames
+            )
         )
         return version
 
@@ -405,9 +500,13 @@ class LakehouseTable:
             keep_batches = []
             rewritten = apply(self.read())
         version = snap.version + 1
-        batch = self._write_batch(rewritten, snap.schema, mo, version)
+        batch = self._write_batch(
+            rewritten, snap.schema, mo, version, renames_at=len(snap.renames)
+        )
         self._commit(
-            Snapshot(version, snap.schema, keep_batches + [batch], mo)
+            Snapshot(
+                version, snap.schema, keep_batches + [batch], mo, snap.renames
+            )
         )
         return version
 
@@ -431,9 +530,13 @@ class LakehouseTable:
             if remaining:
                 keep_batches.append({"path": b["path"], "months": remaining})
         version = snap.version + 1
-        batch = self._write_batch(df, snap.schema, mo, version)
+        batch = self._write_batch(
+            df, snap.schema, mo, version, renames_at=len(snap.renames)
+        )
         self._commit(
-            Snapshot(version, snap.schema, keep_batches + [batch], mo)
+            Snapshot(
+                version, snap.schema, keep_batches + [batch], mo, snap.renames
+            )
         )
         return version
 
@@ -459,6 +562,7 @@ class LakehouseTable:
                 df = df.where(
                     F.col(_PART_COL).isin(b["months"])
                 ).drop(_PART_COL)
+            df = self._replay_renames(df, b, to_snap)
             parts.append(align_schema(df, to_snap.schema, keep_extras=False))
         return union_evolving(parts, target=to_snap.schema)
 
@@ -476,6 +580,7 @@ class LakehouseTable:
                 target.schema,
                 target.batches,
                 target.partition_month_of,
+                target.renames,
             )
         )
         return new_version
@@ -490,10 +595,14 @@ class LakehouseTable:
         current = self.read()
         version = snap.version + 1
         batch = self._write_batch(
-            current, snap.schema, snap.partition_month_of, version
+            current, snap.schema, snap.partition_month_of, version,
+            renames_at=len(snap.renames),
         )
         self._commit(
-            Snapshot(version, snap.schema, [batch], snap.partition_month_of)
+            Snapshot(
+                version, snap.schema, [batch], snap.partition_month_of,
+                snap.renames,
+            )
         )
         return version
 

@@ -301,3 +301,53 @@ def test_rollback_preserves_history(spark, catalog):
     assert t.read().count() == 1  # content is v1's
     assert new_v > v1 + 1 - 1  # a NEW version, history intact
     assert t.read(version=v1 + 1).count() == 2  # old head still readable
+
+
+def test_rename_column_metadata_only(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"]),
+        "db",
+        "ren",
+    )
+    t = catalog.table("db", "ren")
+    t.rename_column("val", "value")
+    assert t.read().columns == ["id", "value"]
+    assert sorted((r.id, r.value) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # appends under the new name land in the same column
+    t.append(spark.createDataFrame([(3, "c")], ["id", "value"]))
+    assert sorted(r.value for r in t.read().collect()) == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="column exists"):
+        t.rename_column("id", "value")
+
+
+def test_drop_then_readd_does_not_resurrect(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "OLD")], ["id", "tag"]), "db", "dr"
+    )
+    t = catalog.table("db", "dr")
+    t.drop_column("tag")
+    assert t.read().columns == ["id"]
+    # re-add a column with the same name: historic 'OLD' must NOT leak in
+    t.append(spark.createDataFrame([(2, "NEW")], ["id", "tag"]))
+    rows = {r.id: r.tag for r in t.read().collect()}
+    assert rows == {1: None, 2: "NEW"}
+
+
+def test_rename_survives_time_travel_and_changes(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10)], ["id", "v"]), "db", "rtc"
+    )
+    t = catalog.table("db", "rtc")
+    v1 = t._load().version
+    t.rename_column("v", "metric")
+    t.append(spark.createDataFrame([(2, 20)], ["id", "metric"]))
+    # time travel to v1 shows the OLD schema
+    assert t.read(version=v1).columns == ["id", "v"]
+    # incremental changes since v1 arrive under the new name
+    got = {(r.id, r.metric) for r in t.changes(v1).collect()}
+    assert got == {(2, 20)}
