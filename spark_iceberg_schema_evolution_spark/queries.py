@@ -2883,6 +2883,98 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_Q88_JSONL_PATH = "/tmp/spark_graft_fixtures/q88_events.jsonl"
+
+
+def _ensure_q88_fixture(path: str = _Q88_JSONL_PATH) -> str:
+    import json as _json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lines = []
+    for i in range(300):
+        lines.append(
+            _json.dumps(
+                {
+                    "rec_id": i,
+                    "kind": ["click", "view", "buy"][i % 3],
+                    "amount": (i * 31 % 500) + (i % 100) / 100,
+                    "tags": f"t{i % 5},t{i % 7}",
+                },
+                sort_keys=True,
+            )
+        )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+_ensure_q88_fixture()
+
+
+@q(
+    "q88_jsonl_scan",
+    oracle=f"""
+    SELECT kind, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_amount,
+           CAST(MIN(rec_id) AS BIGINT) AS first_rec
+    FROM read_json('{_Q88_JSONL_PATH}',
+                   columns = {{'rec_id': 'BIGINT', 'kind': 'VARCHAR',
+                              'amount': 'DOUBLE', 'tags': 'VARCHAR'}},
+                   format = 'newline_delimited')
+    GROUP BY kind ORDER BY kind
+    """,
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines FILE source with an explicit schema (the third scan
+    format beside parquet and CSV), aggregated identically in both
+    engines."""
+    path = _ensure_q88_fixture()
+    df = spark.read.json(
+        path,
+        schema="rec_id BIGINT, kind STRING, amount DOUBLE, tags STRING",
+    )
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("amount"))).cast("double") / 100).alias(
+                "total_amount"
+            ),
+            F.min("rec_id").alias("first_rec"),
+        )
+        .orderBy("kind")
+    )
+
+
+@q("t2_orc_roundtrip", oracle=None, tier=2)
+def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):
+    write nation as ORC (zlib), read back, prove byte-identical content
+    via a checksum against the parquet original."""
+    import tempfile
+
+    n = load(spark, sf, "nation")
+    path = tempfile.mkdtemp(prefix="orc-") + "/nation_orc"
+    n.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    chk = F.bit_xor(F.xxhash64(*sorted(n.columns))).alias("checksum")
+    return (
+        n.agg(chk.alias("parquet_checksum"))
+        .crossJoin(back.agg(chk.alias("orc_checksum")))
+        .select(
+            "parquet_checksum",
+            "orc_checksum",
+            (F.col("parquet_checksum") == F.col("orc_checksum")).cast(
+                "int"
+            ).alias("match"),
+        )
+    )
+
+
 @q(
     "q86_stream_static_join",
     oracle="""
