@@ -1,0 +1,132 @@
+"""Property-based tests: SCD2 and connected components against
+independent pure-Python reference implementations."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from spark_iceberg_schema_evolution_spark.operators.dedup import connected_components
+from spark_iceberg_schema_evolution_spark.operators.scd import scd2_apply
+
+# -- reference implementations (pure python) --------------------------------
+
+
+def ref_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with min-label canonicalization."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def ref_scd2(history, changes):
+    """history: {key: [(seg, vf, vt, cur)]}; changes: [(key, seg, ts)]."""
+    out = []
+    by_key_changes: dict[int, list] = {}
+    for k, seg, ts in changes:
+        by_key_changes.setdefault(k, []).append((ts, seg))
+    changed = set(by_key_changes)
+    for k, rows in history.items():
+        for seg, vf, vt, cur in rows:
+            if not cur:
+                out.append((k, seg, vf, vt, False))
+            elif k not in changed:
+                out.append((k, seg, vf, None, True))
+    # rebuild per changed key: open row + sorted changes
+    for k in changed:
+        opens = [
+            (vf, seg)
+            for seg, vf, vt, cur in history.get(k, [])
+            if cur
+        ]
+        chain = sorted(opens + by_key_changes[k])
+        for i, (vf, seg) in enumerate(chain):
+            vt = chain[i + 1][0] if i + 1 < len(chain) else None
+            out.append((k, seg, vf, vt, vt is None))
+    return sorted(out)
+
+
+# -- properties --------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    norm = [(min(a, b), max(a, b)) for a, b in pairs]
+    df = spark.createDataFrame(norm, "id_a BIGINT, id_b BIGINT")
+    got = {
+        r.id: r.cluster_id for r in connected_components(df).collect()
+    }
+    assert got == ref_components(norm)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.sampled_from(["A", "B", "C"]),  # new seg
+            st.sampled_from(  # strictly post-history, unique-ish ts
+                ["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"]
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda c: (c[0], c[2]),  # one change per (key, ts)
+    )
+)
+def test_scd2_matches_reference(spark, changes):
+    history = {
+        k: [("OLD", "2019-01-01", "2020-01-01", False),
+            ("S0", "2020-01-01", None, True)]
+        for k in range(6)
+    }
+    hist_rows = [
+        (k, seg, vf, vt, cur)
+        for k, rows in history.items()
+        for seg, vf, vt, cur in rows
+    ]
+    hist_df = spark.createDataFrame(
+        hist_rows,
+        "id BIGINT, seg STRING, valid_from STRING, valid_to STRING, "
+        "is_current BOOLEAN",
+    )
+    # dedupe seg per (key, ts): ref chain sorts (ts, seg) — keep min seg
+    best: dict[tuple, str] = {}
+    for k, seg, ts in changes:
+        cur = best.get((k, ts))
+        best[(k, ts)] = seg if cur is None or seg < cur else cur
+    ch = [(k, seg, ts) for (k, ts), seg in best.items()]
+    ch_df = spark.createDataFrame(ch, "id BIGINT, seg STRING, ts STRING")
+    got = sorted(
+        (r.id, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(hist_df, ch_df, keys=["id"], change_ts="ts").collect()
+    )
+    assert got == ref_scd2(history, ch)
