@@ -313,14 +313,18 @@ def connected_components(
     where cluster_id is the component's minimum member id — the canonical
     representative a dedup pipeline keeps.
 
-    Iterative min-label propagation (the standard Spark formulation of
-    connected components): each round every vertex takes the min label in
-    its closed neighborhood; rounds double the label-propagation distance,
-    so convergence needs O(log(diameter)) rounds — near-dup components are
-    shallow (dozens of hops at most), and ``max_iter`` bounds pathology.
-    Each round is one shuffle; intermediate results are persisted and the
+    Min-label propagation WITH pointer doubling: each round every vertex
+    first takes the min label in its closed neighborhood (one hop), then
+    shortcuts to its label's label (``label(v) <- label(label(v))``). The
+    shortcut step is what actually doubles the propagation distance per
+    round, giving true O(log(diameter)) convergence — a 1M-hop chain
+    resolves in ~20 rounds, where plain one-hop propagation would need 1M
+    (and previously returned silently-split clusters past ``max_iter``).
+    Each round is two shuffles (neighborhood agg + label self-join);
+    intermediate results are localCheckpointed to keep lineage flat, the
     loop stops when a round changes nothing (a driver-side scalar count,
-    metadata-bounded)."""
+    metadata-bounded), and exhausting ``max_iter`` without convergence
+    RAISES rather than returning wrong clusters."""
     from pyspark import StorageLevel
 
     edges = (
@@ -337,21 +341,37 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        one_hop = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        # pointer doubling: label(v) <- label(label(v)). Labels only ever
+        # decrease and every label IS a vertex id present in `one_hop`, so
+        # the self-join always hits; the coalesce is belt-and-braces for a
+        # label that is already a root (label(root) == root).
+        lbl = one_hop.select(
+            F.col("id").alias("l_id"), F.col("label").alias("l_label")
+        )
         # localCheckpoint (not just persist): each round's plan would
         # otherwise nest the previous round's, growing the lineage —
         # and with it planning time — linearly in iterations.
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            one_hop.join(lbl, one_hop.label == lbl.l_id, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"), F.coalesce("l_label", "label")
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -368,4 +388,9 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

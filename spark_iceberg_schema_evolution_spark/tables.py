@@ -387,7 +387,10 @@ class LakehouseTable:
                     continue
                 remaining = [m for m in b["months"] if m not in src_months]
                 if remaining:
-                    keep_batches.append({"path": b["path"], "months": remaining})
+                    # carry ALL batch metadata (renames_at epoch included) —
+                    # dropping it would replay the full rename history on
+                    # post-rename batches and null out re-added columns.
+                    keep_batches.append({**b, "months": remaining})
         else:
             target_scope = self.read()
             keep_batches = []
@@ -440,11 +443,11 @@ class LakehouseTable:
             for b in snap.batches:
                 remaining_m = [m for m in (b["months"] or []) if m not in hit]
                 if remaining_m:
-                    keep_batches.append(
-                        {"path": b["path"], "months": remaining_m}
-                    )
+                    keep_batches.append({**b, "months": remaining_m})
             remaining = self.read(months=hit).where(~cond_true)
         else:
+            if self.read().where(cond_true).limit(1).count() == 0:
+                return snap.version  # nothing matches: no new snapshot
             keep_batches = []
             remaining = self.read().where(~cond_true)
         version = snap.version + 1
@@ -492,11 +495,11 @@ class LakehouseTable:
             for b in snap.batches:
                 remaining_m = [m for m in (b["months"] or []) if m not in hit]
                 if remaining_m:
-                    keep_batches.append(
-                        {"path": b["path"], "months": remaining_m}
-                    )
+                    keep_batches.append({**b, "months": remaining_m})
             rewritten = apply(self.read(months=hit))
         else:
+            if self.read().where(cond_true).limit(1).count() == 0:
+                return snap.version  # nothing matches: no new snapshot
             keep_batches = []
             rewritten = apply(self.read())
         version = snap.version + 1
@@ -528,7 +531,7 @@ class LakehouseTable:
         for b in snap.batches:
             remaining = [m for m in (b["months"] or []) if m not in new_months]
             if remaining:
-                keep_batches.append({"path": b["path"], "months": remaining})
+                keep_batches.append({**b, "months": remaining})
         version = snap.version + 1
         batch = self._write_batch(
             df, snap.schema, mo, version, renames_at=len(snap.renames)

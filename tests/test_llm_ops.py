@@ -213,3 +213,30 @@ def test_resize_meta_contract(spark):
     out = MM.resize_meta(MM.documents_as_media(d), 64, 48).collect()[0]
     assert out.meta.width == 64 and out.meta.height == 48
     assert out.meta.mime == "text/plain" and out.payload == b"abc"
+
+def test_connected_components_deep_chain(spark):
+    """Regression (round-2 verdict #2): a 60-edge path graph must resolve
+    to ONE component — pointer doubling gives O(log d) rounds, so the
+    default max_iter=20 covers ~2^20-hop chains."""
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    out = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert set(out.values()) == {0}, "deep chain silently split"
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)

@@ -351,3 +351,55 @@ def test_rename_survives_time_travel_and_changes(spark, catalog):
     # incremental changes since v1 arrive under the new name
     got = {(r.id, r.metric) for r in t.changes(v1).collect()}
     assert got == {(2, 20)}
+
+
+def _mk_part(spark, rows):
+    return spark.createDataFrame(rows, ["id", "ts", "v"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+@pytest.mark.parametrize("op", ["delete", "update", "merge", "overwrite"])
+def test_dml_preserves_rename_epochs(spark, catalog, op):
+    """Regression (round-2 verdict #1): DML rewrites must carry each kept
+    batch's renames_at epoch. drop 'v' -> re-add 'v' -> DML on an UNRELATED
+    partition: the re-added batch's values must survive (not null out via
+    tombstone replay)."""
+    catalog.write_evolving(
+        _mk_part(spark, [(1, "2024-01-05", 10)]), "db", f"ep_{op}",
+        partition_month_of="ts",
+    )
+    t = catalog.table("db", f"ep_{op}")
+    t.drop_column("v")
+    # re-add 'v' in a later batch, different month than the DML target
+    t.append(_mk_part(spark, [(2, "2024-02-05", 20)]))
+    t.append(_mk_part(spark, [(3, "2024-03-05", 30)]))
+    if op == "delete":
+        t.delete_where(F.col("id") == 3)
+        expect = {1: None, 2: 20}
+    elif op == "update":
+        t.update_where(F.col("id") == 3, {"v": F.lit(99)})
+        expect = {1: None, 2: 20, 3: 99}
+    elif op == "merge":
+        t.merge_into(
+            _mk_part(spark, [(4, "2024-03-09", 40)]), on=["id"]
+        )
+        expect = {1: None, 2: 20, 3: 30, 4: 40}
+    else:
+        t.overwrite_partitions(_mk_part(spark, [(5, "2024-03-01", 50)]))
+        expect = {1: None, 2: 20, 5: 50}
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == expect, f"{op}: re-added column lost its epoch"
+
+
+def test_unpartitioned_dml_noop_keeps_version(spark, catalog):
+    """A predicate matching nothing must not rewrite an unpartitioned
+    table (round-2 ADVICE low): no new snapshot."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "x"]), "db", "noop"
+    )
+    t = catalog.table("db", "noop")
+    v = t._load().version
+    assert t.delete_where(F.col("id") == 999) == v
+    assert t.update_where(F.col("id") == 999, {"x": F.lit("z")}) == v
+    assert t._load().version == v
