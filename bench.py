@@ -42,6 +42,17 @@ HEADLINE = [
     "q72_sequence_packing",
     "q73_delete_update",
     "q74_dedup_clusters",
+    # round-3 window families (extras + new lifecycle ops)
+    "q75_incremental_changes",
+    "q76_group_by_all_qualify",
+    "q78_unpivot",
+    "q79_percentile_cont",
+    "q82_ignore_nulls_stringagg",
+    "q85_salted_join_equivalence",
+    "q87_rename_drop_evolution",
+    "q88_jsonl_scan",
+    "q89_merge_clauses",
+    "q90_type_widening",
 ]
 
 

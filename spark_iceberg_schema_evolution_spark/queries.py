@@ -141,11 +141,21 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- q02: CSV scan with an EXPLICIT schema (SURVEY §2.B "Scan: CSV") -------
 #
-# Both engines read the same deterministic CSV fixture. The fixture is
-# regenerated at module import (atomic rename, fixed content) so it exists
-# regardless of whether the driver runs the Spark query or the oracle first.
+# Both engines read the same deterministic CSV fixture. The path is
+# per-user (a fixed /tmp dir owned by another user would make import
+# fail); creation is LAZY — the query callables and oracle_sql() ensure
+# it, so module import has no filesystem side effects.
 
-_Q02_CSV_PATH = "/tmp/spark_graft_fixtures/q02_customers.csv"
+
+def _fixtures_dir() -> str:
+    import os
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_fixtures_{uid}")
+
+
+_Q02_CSV_PATH = _fixtures_dir() + "/q02_customers.csv"
 
 
 def _ensure_q02_fixture(path: str = _Q02_CSV_PATH) -> str:
@@ -166,9 +176,6 @@ def _ensure_q02_fixture(path: str = _Q02_CSV_PATH) -> str:
         f.write(body)
     os.replace(tmp, path)
     return path
-
-
-_ensure_q02_fixture()
 
 
 @q(
@@ -2883,7 +2890,7 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_Q88_JSONL_PATH = "/tmp/spark_graft_fixtures/q88_events.jsonl"
+_Q88_JSONL_PATH = _fixtures_dir() + "/q88_events.jsonl"
 
 
 def _ensure_q88_fixture(path: str = _Q88_JSONL_PATH) -> str:
@@ -2909,9 +2916,6 @@ def _ensure_q88_fixture(path: str = _Q88_JSONL_PATH) -> str:
         f.write("\n".join(lines) + "\n")
     os.replace(tmp, path)
     return path
-
-
-_ensure_q88_fixture()
 
 
 @q(
@@ -2947,6 +2951,119 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
             F.min("rec_id").alias("first_rec"),
         )
         .orderBy("kind")
+    )
+
+
+@q(
+    "q89_merge_clauses",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey < 2000),
+    src AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 500 AS bal_c,
+             c_mktsegment AS seg,
+             CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM customer WHERE c_custkey >= 1000 AND c_custkey < 3000),
+    merged AS (
+      SELECT t.id, t.bal_c, t.seg FROM tgt t
+      WHERE t.id NOT IN (SELECT id FROM src)
+      UNION ALL
+      SELECT t.id, s.bal_c, t.seg FROM tgt t JOIN src s ON t.id = s.id
+      WHERE s.op = 'U'
+      UNION ALL
+      SELECT s.id, s.bal_c, s.seg FROM src s
+      WHERE s.id NOT IN (SELECT id FROM tgt))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bal_c) AS BIGINT) AS total_bal_c,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
+           MIN(seg) AS min_seg
+    FROM merged
+    """,
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg-parity MERGE clause variants in one statement: WHEN MATCHED
+    AND op='D' THEN DELETE, WHEN MATCHED AND op='U' THEN UPDATE SET
+    bal_c = s.bal_c (partial SET — seg keeps the target value), WHEN NOT
+    MATCHED THEN INSERT. The oracle recomputes the three arms as
+    anti-join / conditional-join / anti-join SQL."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    tgt = c.where("c_custkey < 2000").select(
+        F.col("c_custkey").alias("id"),
+        cents(F.col("c_acctbal")).alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    src = c.where("c_custkey >= 1000 AND c_custkey < 3000").select(
+        F.col("c_custkey").alias("id"),
+        (cents(F.col("c_acctbal")) + 500).alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    cat.write_evolving(tgt, "db", "mrg")
+    t = cat.table("db", "mrg")
+    t.merge_into(
+        src,
+        on=["id"],
+        matched_update={"bal_c": "s.bal_c"},
+        matched_condition="s.op = 'U'",
+        matched_delete_where="s.op = 'D'",
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal_c").alias("total_bal_c"),
+        F.countDistinct("id").alias("n_ids"),
+        F.min("seg").alias("min_seg"),
+    )
+
+
+@q(
+    "q90_type_widening",
+    oracle="""
+    SELECT CAST(SUM(v) AS BIGINT) AS total,
+           CAST(MAX(v) AS BIGINT) AS max_v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT CAST(o_orderkey % 1000 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey < 3000
+      UNION ALL
+      SELECT CAST(o_orderkey AS BIGINT) * 1099511627776 AS v
+      FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 3100)
+    """,
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """ALTER COLUMN TYPE widening lifecycle: write an INT batch -> widen
+    the column to BIGINT (metadata-only, no rewrite) -> append a batch
+    whose values only BIGINT can hold (orderkey * 2^40) -> aggregate
+    across both epochs. The oracle recomputes both batches in SQL."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders")
+    cat.write_evolving(
+        o.where("o_orderkey < 3000").select(
+            (F.col("o_orderkey") % 1000).cast("int").alias("v")
+        ),
+        "db",
+        "wide",
+    )
+    t = cat.table("db", "wide")
+    t.widen_column_type("v", "bigint")
+    t.append(
+        o.where("o_orderkey >= 3000 AND o_orderkey < 3100").select(
+            (
+                F.col("o_orderkey").cast("bigint")
+                * F.lit(1099511627776).cast("bigint")
+            ).alias("v")
+        )
+    )
+    return t.read().agg(
+        F.sum("v").alias("total"),
+        F.max("v").alias("max_v"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -3349,71 +3466,70 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # Registry ordering.
 #
 # The correctness driver oracle-checks the FIRST 50 registry entries in
-# insertion order (round-1 finding: q46+ had no hard-signal coverage). The
-# window below front-loads (a) every entry that had no green CORRECTNESS_r01
-# row, (b) every query whose engine code or oracle changed this round, and
-# (c) a representative regression core covering each operator family. The
-# remaining entries — all hash-green in round 1 and still covered by
+# insertion order (round-1 finding: q46+ had no hard-signal coverage).
+# Round-3 window: (a) every query whose engine code changed this round
+# (rename-epoch DML fix, MERGE clause variants, type widening, dedup
+# pointer-doubling, fixture paths), (b) the 16 entries that never had a
+# driver row, (c) as many round-1-stale entries as fit. Left for the
+# round-4 rotation: q31 q32 q34 q39-q43 t2_simhash t2_lsh_cosine_topk
+# t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
+# q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
 
 _DRIVER_WINDOW = [
-    # (a) previously outside the driver's 50-entry window
+    # (a) engine code changed this round
     "q46_merge_upsert",
     "q47_time_travel",
     "q48_overwrite_partitions",
-    "q49_stream_tumbling",
-    "q50_stream_sliding",
-    "q51_stream_session",
-    "q52_stream_to_lakehouse",
-    "q66_stream_stateful",
-    "t2_stream_dedup",
-    "q53_pivot",
-    "q54_cube",
-    "q55_intersect",
-    "q56_date_arith",
-    "q57_udtf_tokens",
-    "q58_array_hofs",
-    "q59_evolution_type_conflict",
-    "q60_grouping_sets",
-    "q61_ranking_family",
-    "q62_range_frame",
-    "q63_subqueries",
-    "q64_grouped_agg_udf",
-    "q65_str_to_map",
-    "q67_null_safe_join",
-    "t2_json_write",
-    "t2_cosine_near_dups",
-    "t2_spark_hashes",
-    "t2_percentile_approx",
-    # (b) new or changed this round
-    "q02_csv_scan_schema",
-    "q35_sessionize",
-    "q36_dedup_exact",
-    "q37_ngram_jaccard",
-    "q11_asof_join",
-    "t2_multimodal_features",
-    "t2_minhash_lsh_pairs",
-    "t2_ivf_cosine_topk",
-    # (b2) new capabilities this round (the array/date/tumbling families
-    # they displace from the core remain covered in-window by q58/q56/q49)
-    "q68_scd2_dimension",
-    "q69_stream_stream_join",
-    "q70_profile_stats",
-    "q71_text_chunking",
-    "q72_sequence_packing",
     "q73_delete_update",
     "q74_dedup_clusters",
-    # (c) representative regression core (green in round 1; rollup,
-    # ranking/window, broadcast-join, and embedding-fold families stay
-    # covered in-window via q54/q60/q61/q62/q05/q38 + pytest plan gates)
-    "q01_scan_counts",
-    "q05_join_inner_agg",
-    "q12_tpch_q1",
-    "q22_topk_revenue",
-    "q33_cast_matrix",
-    "q38_cosine_topk",
-    "q44_pandas_udf_tokens",
-    "q45_evolving_ingest",
+    "q87_rename_drop_evolution",
+    "q89_merge_clauses",
+    "q90_type_widening",
+    "q02_csv_scan_schema",
+    "q88_jsonl_scan",
+    # (b) never driver-checked
+    "q75_incremental_changes",
+    "q76_group_by_all_qualify",
+    "q77_except_all",
+    "q78_unpivot",
+    "q79_percentile_cont",
+    "q80_string_funcs2",
+    "q81_try_cast",
+    "q82_ignore_nulls_stringagg",
+    "q83_bit_bool_aggs",
+    "q84_asof_tolerance",
+    "q85_salted_join_equivalence",
+    "q86_stream_static_join",
+    "t2_orc_roundtrip",
+    "t2_multimodal_frames",
+    "t2_stats_moments",
+    "t2_profile_approx",
+    # (c) round-1-stale rotation (green in CORRECTNESS_r01 only)
+    "q03_json_extract",
+    "q04_filter_case",
+    "q06_join_broadcast",
+    "q07_join_left_outer",
+    "q08_join_semi_anti",
+    "q09_cross_join",
+    "q10_range_join",
+    "q13_count_distinct",
+    "q14_multi_distinct",
+    "q15_rollup",
+    "q16_having",
+    "q17_collect_sorted",
+    "q18_window_topk",
+    "q19_window_lag",
+    "q20_window_frame",
+    "q21_sort_nulls",
+    "q23_union_distinct",
+    "q24_except",
+    "q25_union_byname",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q28_math_funcs",
+    "q29_null_cond",
+    "q30_array_explode",
 ]
 
 
@@ -3436,6 +3552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the file-scan oracles (q02 CSV, q88 JSONL) read fixture files the
+    # Spark callables create lazily; ensure them here too so the oracle
+    # side works even if the driver runs DuckDB before the Spark query.
+    _ensure_q02_fixture()
+    _ensure_q88_fixture()
     return {
         name: query.oracle
         for name, query in REGISTRY.items()

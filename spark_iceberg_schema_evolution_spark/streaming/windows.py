@@ -218,6 +218,7 @@ def stream_upsert_to_lakehouse(
     on: list[str],
     checkpoint_dir: str,
     output_mode: str = "update",
+    change_ts: str | None = None,
 ) -> None:
     """CDC-style streaming upsert sink: each micro-batch MERGEs into the
     lakehouse table on ``on`` keys (update-matched / insert-new), so
@@ -225,10 +226,37 @@ def stream_upsert_to_lakehouse(
     idiom Iceberg documents for streaming MERGE. The first batch creates
     the table.
 
+    A real change feed carries MULTIPLE rows per key within one
+    micro-batch; MERGE semantics need exactly one source row per key
+    (Iceberg errors on multiple matches). Pass ``change_ts`` to keep only
+    the LATEST row per key in each batch (last-wins, row_number over the
+    keys ordered by that column; hash tie-break for determinism). Without
+    it, multi-row-per-key batches raise rather than silently duplicating.
+
     Exactly-once per epoch comes from the checkpoint; the MERGE itself is
     idempotent for a replayed batch (same keys -> same final state)."""
+    from pyspark.sql import Window
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        if change_ts is None:
+            dupes = df.groupBy(*on).count().where(F.col("count") > 1)
+            if dupes.limit(1).count() > 0:
+                raise ValueError(
+                    "micro-batch has multiple rows per merge key; pass "
+                    "change_ts= for last-wins dedup"
+                )
+            return df
+        w = Window.partitionBy(*on).orderBy(
+            F.col(change_ts).desc(), F.xxhash64(*df.columns).desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df = latest_per_key(df)
         t = catalog.table(namespace, table)
         if not t.exists():
             catalog.write_evolving(df, namespace, table)

@@ -56,6 +56,18 @@ from spark_iceberg_schema_evolution_spark.types_map import datatype_to_str, str_
 
 _PART_COL = "__p_month"
 
+# Iceberg-spec safe type promotions (metadata-only widening); decimal
+# precision-up-at-same-scale is checked structurally in widen_column_type.
+_SAFE_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
 
 @dataclass(frozen=True)
 class Snapshot:
@@ -338,6 +350,56 @@ class LakehouseTable:
         )
         return version
 
+    def widen_column_type(self, name: str, new_type) -> int:
+        """ALTER TABLE ... ALTER COLUMN TYPE — metadata-only for the safe
+        promotions Iceberg's evolution spec allows (int->bigint,
+        float->double, decimal precision increase at the same scale; the
+        §1.2 widening pairs the reference's catalog-wins cast implies,
+        spark_utils.py:195-210). No file is rewritten: the read path
+        already casts every historic batch to the snapshot schema
+        (align_schema), so old narrow files surface widened."""
+        snap = self._load()
+        field = next(
+            (f for f in snap.schema.fields if f.name == name), None
+        )
+        if field is None:
+            raise ValueError(f"no such column: {name}")
+        dt = str_to_datatype(new_type) if isinstance(new_type, str) else new_type
+        old_s, new_s = field.dataType.simpleString(), dt.simpleString()
+        ok = (old_s, new_s) in _SAFE_WIDENINGS
+        if (
+            not ok
+            and isinstance(field.dataType, T.DecimalType)
+            and isinstance(dt, T.DecimalType)
+        ):
+            ok = (
+                dt.scale == field.dataType.scale
+                and dt.precision >= field.dataType.precision
+            )
+        if not ok:
+            raise ValueError(
+                f"unsafe type change {old_s} -> {new_s}: only widening "
+                "promotions are metadata-only (use append coercion or a "
+                "rewrite for anything else)"
+            )
+        new_fields = [
+            T.StructField(
+                f.name, dt if f.name == name else f.dataType, f.nullable
+            )
+            for f in snap.schema.fields
+        ]
+        version = snap.version + 1
+        self._commit(
+            Snapshot(
+                version,
+                T.StructType(new_fields),
+                snap.batches,
+                snap.partition_month_of,
+                snap.renames,
+            )
+        )
+        return version
+
     # -- DML ----------------------------------------------------------------
 
     def merge_into(
@@ -345,13 +407,38 @@ class LakehouseTable:
         source: DataFrame,
         on: list[str],
         partition_keys_immutable: bool = False,
+        matched_update: dict | str | None = "all",
+        matched_condition=None,
+        matched_delete_where=None,
+        insert_unmatched: bool = True,
     ) -> int:
-        """MERGE INTO: WHEN MATCHED update all columns, WHEN NOT MATCHED
-        insert — copy-on-write, matching keys GLOBALLY like Iceberg's COW
-        MERGE, but rewriting only the partitions that can change: the
-        source rows' months plus any month holding a matched target row
-        (a merge may move a row's partition timestamp — the old-partition
-        copy must be dropped, not survive as a stale duplicate).
+        """MERGE INTO with Iceberg's clause surface — copy-on-write,
+        matching keys GLOBALLY like Iceberg's COW MERGE, but rewriting
+        only the partitions that can change: the source rows' months plus
+        any month holding a matched target row (a merge may move a row's
+        partition timestamp — the old-partition copy must be dropped, not
+        survive as a stale duplicate).
+
+        Clauses (mirroring Iceberg MERGE, evaluated per matched pair in
+        Iceberg's clause order — delete first, then update):
+
+        - ``matched_delete_where``: WHEN MATCHED AND <cond> THEN DELETE.
+          Column or SQL string over the joined row; reference target
+          columns as ``t.<col>`` and source columns as ``s.<col>``.
+        - ``matched_update``: ``"all"`` (default — WHEN MATCHED THEN
+          UPDATE SET * — replace the row with the source's values), a
+          ``{column: expression}`` dict (expressions again see ``t.``/
+          ``s.``; key columns cannot be assigned), or ``None`` (no update
+          clause: matched rows pass through unchanged — with
+          ``insert_unmatched=True`` that is Iceberg's insert-only MERGE).
+        - ``matched_condition``: extra AND gate on the update clause
+          (WHEN MATCHED AND <cond> THEN UPDATE). Matched rows failing it
+          are kept unchanged.
+        - ``insert_unmatched``: WHEN NOT MATCHED THEN INSERT (default on).
+
+        Source rows are expected unique per key (Iceberg errors on
+        multi-match; use ``streaming.stream_upsert_to_lakehouse``'s
+        ``change_ts`` dedup for CDC feeds).
 
         The matched-month discovery is a key+month column-pruned scan of
         the target semi-joined to the distinct source keys; only the
@@ -395,11 +482,15 @@ class LakehouseTable:
             target_scope = self.read()
             keep_batches = []
 
-        merged = target_scope.join(
-            source.select(*on), on, "left_anti"
-        ).unionByName(
-            align_schema(source, snap.schema, keep_extras=False),
-            allowMissingColumns=True,
+        merged = self._apply_merge_clauses(
+            target_scope,
+            source,
+            snap.schema,
+            on,
+            matched_update,
+            matched_condition,
+            matched_delete_where,
+            insert_unmatched,
         )
         version = snap.version + 1
         batch = self._write_batch(
@@ -411,6 +502,94 @@ class LakehouseTable:
             )
         )
         return version
+
+    @staticmethod
+    def _apply_merge_clauses(
+        target: DataFrame,
+        source: DataFrame,
+        schema: T.StructType,
+        on: list[str],
+        matched_update,
+        matched_condition,
+        matched_delete_where,
+        insert_unmatched: bool,
+    ) -> DataFrame:
+        """Evaluate MERGE clauses over the scoped target (see merge_into).
+        All clause arms come from ONE target-source join; the legacy
+        default (update-all + insert, no conditions) keeps its join-free
+        anti-union fast path."""
+        names = [f.name for f in schema.fields]
+        if isinstance(matched_update, dict):
+            bad = [k for k in matched_update if k in on]
+            if bad:
+                raise ValueError(f"cannot assign merge key columns: {bad}")
+            unknown = [k for k in matched_update if k not in names]
+            if unknown:
+                raise ValueError(f"UPDATE of unknown columns: {unknown}")
+        if (
+            matched_update == "all"
+            and matched_condition is None
+            and matched_delete_where is None
+            and insert_unmatched
+        ):
+            return target.join(source.select(*on), on, "left_anti").unionByName(
+                align_schema(source, schema, keep_extras=False),
+                allowMissingColumns=True,
+            )
+
+        def as_col(e):
+            return F.expr(e) if isinstance(e, str) else e
+
+        del_c = (
+            F.coalesce(as_col(matched_delete_where), F.lit(False))
+            if matched_delete_where is not None
+            else F.lit(False)
+        )
+        upd_c = (
+            F.coalesce(as_col(matched_condition), F.lit(False))
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        key_cond = None
+        for k in on:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            key_cond = c if key_cond is None else key_cond & c
+        joined = target.alias("t").join(source.alias("s"), key_cond, "inner")
+        t_cols = [F.col(f"t.{n}").alias(n) for n in names]
+        src_names = set(source.columns)
+
+        def s_val(f: T.StructField):
+            if f.name in src_names:
+                return F.col(f"s.{f.name}").try_cast(f.dataType)
+            return F.lit(None).cast(f.dataType)
+
+        if matched_update == "all":
+            upd_cols = [s_val(f).alias(f.name) for f in schema.fields]
+        elif isinstance(matched_update, dict):
+            exprs = {k: as_col(v) for k, v in matched_update.items()}
+            upd_cols = [
+                (
+                    exprs[f.name].try_cast(f.dataType)
+                    if f.name in exprs
+                    else F.col(f"t.{f.name}")
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        else:
+            upd_cols = t_cols
+        survive = joined.where(~del_c)
+        out = (
+            target.join(source.select(*on).distinct(), on, "left_anti")
+            .unionByName(survive.where(~upd_c).select(*t_cols))
+            .unionByName(survive.where(upd_c).select(*upd_cols))
+        )
+        if insert_unmatched:
+            ins = source.join(target.select(*on).distinct(), on, "left_anti")
+            out = out.unionByName(
+                align_schema(ins, schema, keep_extras=False),
+                allowMissingColumns=True,
+            )
+        return out
 
     def _affected_months(self, cond) -> list[str]:
         """Distinct months holding rows matching ``cond`` — a column-pruned

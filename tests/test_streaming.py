@@ -185,3 +185,51 @@ def test_stream_upsert_converges(spark, tmp_path):
     users = t.groupBy("user_id").count().where("count > 1").count()
     assert users == 0  # upsert converged: one row per key
     assert t.count() == t.select("user_id").distinct().count()
+
+
+def test_stream_upsert_dedupes_multirow_batches(spark, tmp_path):
+    """A CDC micro-batch with MANY rows per key must converge last-wins
+    (change_ts dedup), not insert duplicates (round-2 ADVICE)."""
+    from spark_iceberg_schema_evolution_spark.queries import load_events
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+    from tests.conftest import SF_SMOKE
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    ev = SW.read_events_stream(spark, SF_SMOKE).select(
+        "user_id", "ts", "value"
+    )
+    SW.stream_upsert_to_lakehouse(
+        ev, cat, "db", "u", on=["user_id"],
+        checkpoint_dir=str(tmp_path / "c1"),
+        output_mode="append", change_ts="ts",
+    )
+    t = cat.table("db", "u").read()
+    assert t.groupBy("user_id").count().where("count > 1").count() == 0
+    # last-wins: the surviving ts is each user's max event ts
+    mx = load_events(spark, SF_SMOKE).groupBy("user_id").agg(
+        F.max("ts").alias("max_ts")
+    )
+    assert (
+        t.join(mx, "user_id").where(F.col("ts") != F.col("max_ts")).count()
+        == 0
+    )
+
+
+def test_stream_upsert_rejects_dup_keys_without_ts(spark, tmp_path):
+    import pytest as _pytest
+
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+    from tests.conftest import SF_SMOKE
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh2"))
+    ev = SW.read_events_stream(spark, SF_SMOKE).select(
+        "user_id", "ts", "value"
+    )
+    with _pytest.raises(Exception, match="multiple rows per merge key"):
+        SW.stream_upsert_to_lakehouse(
+            ev, cat, "db", "u2", on=["user_id"],
+            checkpoint_dir=str(tmp_path / "c2"),
+            output_mode="append",
+        )

@@ -403,3 +403,108 @@ def test_unpartitioned_dml_noop_keeps_version(spark, catalog):
     assert t.delete_where(F.col("id") == 999) == v
     assert t.update_where(F.col("id") == 999, {"x": F.lit("z")}) == v
     assert t._load().version == v
+
+
+def test_merge_clause_variants(spark, catalog):
+    """Iceberg MERGE parity: conditional update, matched delete, and
+    insert-only, driven by a CDC-style op column on the source."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, 10, "keep"), (2, 20, "old"), (3, 30, "old")],
+            ["id", "bal", "tag"],
+        ),
+        "db", "mv",
+    )
+    t = catalog.table("db", "mv")
+    src = spark.createDataFrame(
+        [(2, 200, "new", "U"), (3, 300, "new", "D"), (4, 400, "new", "U")],
+        ["id", "bal", "tag", "op"],
+    )
+    # delete where op='D'; update bal only where op='U'; insert unmatched
+    t.merge_into(
+        src,
+        on=["id"],
+        matched_update={"bal": "s.bal"},
+        matched_condition="s.op = 'U'",
+        matched_delete_where="s.op = 'D'",
+    )
+    rows = {r.id: (r.bal, r.tag) for r in t.read().collect()}
+    assert rows == {
+        1: (10, "keep"),       # untouched
+        2: (200, "old"),       # bal updated, tag kept (partial SET)
+        4: (400, "new"),       # inserted
+    }  # 3 deleted
+
+
+def test_merge_insert_only(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "x"]), "db", "io"
+    )
+    t = catalog.table("db", "io")
+    t.merge_into(
+        spark.createDataFrame([(1, "CHANGED"), (2, "b")], ["id", "x"]),
+        on=["id"],
+        matched_update=None,
+    )
+    rows = {r.id: r.x for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b"}  # matched untouched, unmatched inserted
+
+
+def test_merge_update_only_no_insert(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "x"]), "db", "uo"
+    )
+    t = catalog.table("db", "uo")
+    t.merge_into(
+        spark.createDataFrame([(1, "A"), (2, "b")], ["id", "x"]),
+        on=["id"],
+        insert_unmatched=False,
+    )
+    rows = {r.id: r.x for r in t.read().collect()}
+    assert rows == {1: "A"}
+
+
+def test_merge_clause_variants_partitioned(spark, catalog):
+    """Clause arms against a partitioned table: the delete arm must drop
+    the matched row even though its month has no source INSERT row."""
+    catalog.write_evolving(
+        _mk_part(spark, [(1, "2024-01-05", 10), (2, "2024-02-05", 20)]),
+        "db", "mvp", partition_month_of="ts",
+    )
+    t = catalog.table("db", "mvp")
+    src = _mk_part(spark, [(1, "2024-01-05", 0), (3, "2024-03-05", 30)])
+    t.merge_into(
+        src, on=["id"],
+        matched_update=None,
+        matched_delete_where=F.lit(True),
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {2: 20, 3: 30}
+
+
+def test_merge_rejects_key_assignment(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "x"]), "db", "ka"
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        catalog.table("db", "ka").merge_into(
+            spark.createDataFrame([(1, "b")], ["id", "x"]),
+            on=["id"],
+            matched_update={"id": "s.id"},
+        )
+
+
+def test_widen_column_type_metadata_only(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 100)], "id INT, v INT"), "db", "w"
+    )
+    t = catalog.table("db", "w")
+    t.widen_column_type("v", "bigint")
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    # append a value only bigint can hold
+    t.append(spark.createDataFrame([(2, 2**40)], "id INT, v BIGINT"))
+    assert {r.v for r in t.read().collect()} == {100, 2**40}
+    with pytest.raises(ValueError, match="unsafe type change"):
+        t.widen_column_type("v", "int")
+    with pytest.raises(ValueError, match="no such column"):
+        t.widen_column_type("nope", "bigint")
