@@ -3067,6 +3067,49 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q91_data_skipping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey > 4000 AND o_orderkey <= 9000
+    """,
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-stats data skipping (Iceberg min/max file pruning): three
+    disjoint key-range appends; a key-range read prunes non-overlapping
+    batches at PLANNING time from footer-harvested stats, then applies the
+    exact predicate. Result must equal the oracle's plain filter. The
+    planning metric (scanned vs total batches) is asserted in
+    tests/test_tables.py; here the driver checks value equivalence."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for lo, hi in ((0, 3000), (3000, 6000), (6000, 100 * 1000 * 1000)):
+        cat.write_evolving(
+            o.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ),
+            "db",
+            "skip",
+        )
+    t = cat.table("db", "skip")
+    out = t.read_where(
+        [("o_orderkey", ">", 4000), ("o_orderkey", "<=", 9000)]
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):
@@ -3471,8 +3514,8 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # (rename-epoch DML fix, MERGE clause variants, type widening, dedup
 # pointer-doubling, fixture paths), (b) the 16 entries that never had a
 # driver row, (c) as many round-1-stale entries as fit. Left for the
-# round-4 rotation: q31 q32 q34 q39-q43 t2_simhash t2_lsh_cosine_topk
-# t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
+# round-4 rotation: q30 q31 q32 q34 q39-q43 t2_simhash
+# t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
 
@@ -3529,7 +3572,7 @@ _DRIVER_WINDOW = [
     "q27_date_funcs",
     "q28_math_funcs",
     "q29_null_cond",
-    "q30_array_explode",
+    "q91_data_skipping",
 ]
 
 

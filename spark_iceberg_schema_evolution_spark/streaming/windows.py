@@ -59,6 +59,61 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 100
+) -> DataFrame:
+    """Synthetic unbounded source (the built-in ``rate`` format): one row
+    per tick, shaped into the events schema so every operator here runs
+    against it unchanged — the local stand-in for a Kafka topic (same
+    unbounded semantics; no broker in this image). On a cluster, swap for
+    ``spark.readStream.format("kafka")`` plus a value-decoding select."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.when(F.col("value") % 3 == 0, F.lit("view"))
+        .when(F.col("value") % 3 == 1, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        (F.col("value") % 1000 / F.lit(10.0)).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Drive a query with ``Trigger.AvailableNow``: process everything
+    available at start across (possibly many) micro-batches, then stop on
+    its own — the production pattern for periodic batch-over-stream jobs.
+    Unlike the test-harness ``processAllAvailable``, the trigger is part
+    of the query itself, and a later run from the same checkpoint picks
+    up only new input."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"availableNow query still running after {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
 def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
     """Tumbling-window counts + exact value sums per event_type."""
     return (

@@ -183,10 +183,63 @@ class LakehouseTable:
                 if d.startswith(f"{_PART_COL}=")
             )
             return {
-                "path": batch_dir, "months": months, "renames_at": renames_at
+                "path": batch_dir,
+                "months": months,
+                "renames_at": renames_at,
+                "stats": self._footer_stats(batch_dir),
             }
         out.write.mode("error").parquet(batch_dir)
-        return {"path": batch_dir, "months": None, "renames_at": renames_at}
+        return {
+            "path": batch_dir,
+            "months": None,
+            "renames_at": renames_at,
+            "stats": self._footer_stats(batch_dir),
+        }
+
+    @staticmethod
+    def _footer_stats(batch_dir: str) -> dict:
+        """Per-batch column [min, max] harvested from the parquet FOOTERS
+        the write just produced — Iceberg's manifest column stats, without
+        a second data scan. Driver work is O(files) footer reads
+        (metadata-only; the no-collect rule is about data rows). Only
+        int/float/string columns are recorded — enough for key-range,
+        amount, and category skipping; everything else reads as
+        un-skippable."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return {}
+        lo: dict = {}
+        hi: dict = {}
+        for root, _dirs, files in os.walk(batch_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                try:
+                    meta = pq.ParquetFile(os.path.join(root, fn)).metadata
+                except Exception:
+                    return {}
+                for rg in range(meta.num_row_groups):
+                    row_group = meta.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        st = col.statistics
+                        if (
+                            "." in name  # nested field: skip
+                            or st is None
+                            or not st.has_min_max
+                            or not isinstance(
+                                st.min, (int, float, str)
+                            )
+                            or isinstance(st.min, bool)
+                        ):
+                            continue
+                        if name not in lo or st.min < lo[name]:
+                            lo[name] = st.min
+                        if name not in hi or st.max > hi[name]:
+                            hi[name] = st.max
+        return {c: [lo[c], hi[c]] for c in lo if c in hi}
 
     def append(self, df: DataFrame, evolve: bool = True) -> int:
         """Distributed append with schema evolution (replaces reference
@@ -229,8 +282,13 @@ class LakehouseTable:
         hidden partitions using manifest metadata — no file listing of
         irrelevant batches."""
         snap = self._load(version)
+        return self._scan(snap, snap.batches, months)
+
+    def _scan(
+        self, snap: Snapshot, batches: list[dict], months: list[str] | None
+    ) -> DataFrame:
         parts = []
-        for b in snap.batches:
+        for b in batches:
             if b["months"] is not None:
                 # the manifest's month list is authoritative: after a
                 # partition overwrite/merge, a batch may be live for only a
@@ -266,6 +324,98 @@ class LakehouseTable:
         if not parts:
             return self.spark.createDataFrame([], snap.schema)
         return union_evolving(parts, target=snap.schema)
+
+    # -- stats-based data skipping (Iceberg manifest min/max pruning) --------
+
+    @staticmethod
+    def _physical_name(name: str, batch: dict, snap: Snapshot) -> str:
+        """Map a CURRENT column name back to the name physically written in
+        ``batch``: reverse-walk the renames committed after the batch's
+        epoch (the inverse of _replay_renames)."""
+        for old, new in reversed(snap.renames[batch.get("renames_at", 0):]):
+            if new == name:
+                name = old
+        return name
+
+    @staticmethod
+    def _stats_may_match(batch: dict, snap: Snapshot, filters) -> bool:
+        """True unless the batch's recorded [min,max] PROVES no row can
+        satisfy the conjunction. Missing stats (old manifests, unsupported
+        types, type mismatch) always read — skipping is an optimization,
+        never a semantics change."""
+        stats = batch.get("stats") or {}
+        for col, op, val in filters:
+            s = stats.get(
+                LakehouseTable._physical_name(col, batch, snap)
+            )
+            if s is None:
+                continue
+            lo, hi = s
+            same_kind = isinstance(val, str) == isinstance(lo, str)
+            if not same_kind or isinstance(val, bool):
+                continue
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        return True
+
+    def prune_batches(
+        self, filters: list[tuple], version: int | None = None
+    ) -> tuple[int, int]:
+        """(surviving, total) batch counts for a filter conjunction — the
+        observable planning metric (what Iceberg surfaces as scanned vs
+        total data files)."""
+        snap = self._load(version)
+        keep = [
+            b
+            for b in snap.batches
+            if self._stats_may_match(b, snap, filters)
+        ]
+        return len(keep), len(snap.batches)
+
+    def read_where(
+        self,
+        filters: list[tuple],
+        version: int | None = None,
+        months: list[str] | None = None,
+    ) -> DataFrame:
+        """Scan with manifest-stats batch skipping. ``filters`` is a
+        conjunction of ``(column, op, literal)`` with op in
+        ``= < <= > >=``: batches whose footer-harvested [min,max] cannot
+        satisfy it are dropped at PLANNING time (no file listing, no scan
+        node), and the exact predicate is applied to the survivors — so
+        the result always equals ``read().where(...)``, it just plans
+        fewer inputs. The 100 TB path for key-range and category lookups
+        on append-mostly tables."""
+        ops = {"=", "<", "<=", ">", ">="}
+        bad = [f for f in filters if f[1] not in ops]
+        if bad:
+            raise ValueError(f"unsupported skip ops: {bad}")
+        snap = self._load(version)
+        keep = [
+            b
+            for b in snap.batches
+            if self._stats_may_match(b, snap, filters)
+        ]
+        df = self._scan(snap, keep, months)
+        cond = F.lit(True)
+        for col, op, val in filters:
+            c = F.col(col)
+            cond = cond & {
+                "=": c == F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+            }[op]
+        return df.where(cond)
 
     def snapshots(self) -> list[dict]:
         """Snapshot metadata listing (Iceberg's `snapshots` metadata

@@ -233,3 +233,50 @@ def test_stream_upsert_rejects_dup_keys_without_ts(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "c2"),
             output_mode="append",
         )
+
+
+def test_available_now_equals_batch(spark):
+    """Trigger.AvailableNow drains the file source across micro-batches
+    and terminates on its own; results must equal the one-shot batch
+    aggregation."""
+    from spark_iceberg_schema_evolution_spark.queries import load_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = SW.read_events_stream(spark, sf, max_files_per_trigger=1)
+    got = SW.run_available_now(
+        SW.tumbling_counts(ev), "avnow_sink", output_mode="complete"
+    )
+    batch = SW.tumbling_counts(load_events(spark, sf))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_rate_source_shapes_events(spark):
+    """The rate-source wrapper produces the events schema and real rows
+    (unbounded source smoke: start, let a couple of batches fire, stop)."""
+    ev = SW.read_rate_stream(spark, rows_per_second=500)
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("rate_sink").count() > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table("rate_sink")
+    assert out.columns == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    assert out.count() > 0
+    assert out.where(
+        ~F.col("event_type").isin("view", "click", "purchase")
+    ).count() == 0

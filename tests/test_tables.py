@@ -508,3 +508,61 @@ def test_widen_column_type_metadata_only(spark, catalog):
         t.widen_column_type("v", "int")
     with pytest.raises(ValueError, match="no such column"):
         t.widen_column_type("nope", "bigint")
+
+
+def test_data_skipping_prunes_batches(spark, catalog):
+    """Footer-stats batch skipping: disjoint-range appends are pruned at
+    planning time; results always equal the full-scan filter."""
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(i, f"s{i:04d}") for i in range(lo, lo + 100)], ["id", "s"]
+        )
+        catalog.write_evolving(df, "db", "skip")
+    t = catalog.table("db", "skip")
+    assert t.prune_batches([("id", "<", 50)]) == (1, 3)
+    assert t.prune_batches([("id", ">=", 250)]) == (1, 3)
+    assert t.prune_batches([("id", "=", 150)]) == (1, 3)
+    assert t.prune_batches([("id", ">", 99), ("id", "<", 200)]) == (1, 3)
+    assert t.prune_batches([("s", "=", "s0042")]) == (1, 3)
+    assert t.prune_batches([("id", ">=", 0)]) == (3, 3)
+    # result equivalence on a range that spans two batches
+    got = sorted(
+        r.id for r in t.read_where([("id", ">", 150), ("id", "<=", 250)]).collect()
+    )
+    want = sorted(
+        r.id
+        for r in t.read()
+        .where((F.col("id") > 150) & (F.col("id") <= 250))
+        .collect()
+    )
+    assert got == want and len(got) == 100
+
+
+def test_data_skipping_survives_rename(spark, catalog):
+    """Stats are recorded under physical names; pruning on the CURRENT
+    name must reverse the rename epoch mapping."""
+    catalog.write_evolving(
+        spark.createDataFrame([(i,) for i in range(100)], ["id"]),
+        "db", "skipren",
+    )
+    t = catalog.table("db", "skipren")
+    t.rename_column("id", "key")
+    t.append(
+        spark.createDataFrame([(i,) for i in range(100, 200)], ["key"])
+    )
+    assert t.prune_batches([("key", "<", 50)]) == (1, 2)
+    assert t.prune_batches([("key", ">=", 150)]) == (1, 2)
+    got = sorted(r.key for r in t.read_where([("key", "<", 50)]).collect())
+    assert got == list(range(50))
+
+
+def test_data_skipping_unknown_column_reads_all(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, None)], "id INT, b BOOLEAN"),
+        "db", "skipnone",
+    )
+    t = catalog.table("db", "skipnone")
+    # bool/missing stats: never skip
+    assert t.prune_batches([("b", "=", True)]) == (1, 1)
+    with pytest.raises(ValueError, match="unsupported skip ops"):
+        t.read_where([("id", "!=", 1)])
