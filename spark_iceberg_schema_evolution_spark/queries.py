@@ -3110,6 +3110,99 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q92_sorted_compact_skip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE o_orderkey >= 2000 AND o_orderkey < 2600
+    """,
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """Sort-order rewrite (Iceberg rewrite_data_files with a sort order):
+    three mod-sliced appends each span the FULL key range (no skipping
+    possible), then compact(sort_by=key) range-clusters the files and the
+    same key-range read plans a strict subset. The driver checks value
+    equivalence; the planning metric is asserted in tests."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    for m in range(3):
+        cat.write_evolving(
+            o.where(F.col("o_orderkey") % 3 == m), "db", "sorted"
+        )
+    t = cat.table("db", "sorted")
+    t.compact(sort_by=["o_orderkey"], target_files=8)
+    out = t.read_where(
+        [("o_orderkey", ">=", 2000), ("o_orderkey", "<", 2600)]
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+@q(
+    "q93_merge_evolution",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer WHERE c_custkey < 800),
+    src AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1 AS bal_c,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey >= 400 AND c_custkey < 1200),
+    merged AS (
+      SELECT t.id, t.bal_c, NULL AS seg FROM tgt t
+      WHERE t.id NOT IN (SELECT id FROM src)
+      UNION ALL
+      SELECT id, bal_c, seg FROM src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bal_c) AS BIGINT) AS total_bal,
+           CAST(COUNT(seg) AS BIGINT) AS n_seg,
+           'id,bal_c,seg' AS schema_cols
+    FROM merged
+    """,
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION: the source carries a column the
+    target lacks; the merge extends the schema extras-last, pre-existing
+    unmatched rows surface it as NULL, and matched+inserted rows carry
+    the source values."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 800").select(
+            F.col("c_custkey").alias("id"),
+            cents(F.col("c_acctbal")).alias("bal_c"),
+        ),
+        "db",
+        "mevo",
+    )
+    t = cat.table("db", "mevo")
+    t.merge_into(
+        c.where("c_custkey >= 400 AND c_custkey < 1200").select(
+            F.col("c_custkey").alias("id"),
+            (cents(F.col("c_acctbal")) + 1).alias("bal_c"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+        on=["id"],
+        evolve=True,
+    )
+    out = t.read()
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal_c").alias("total_bal"),
+        F.count("seg").alias("n_seg"),
+        F.lit(",".join(out.columns)).alias("schema_cols"),
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):
@@ -3514,7 +3607,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # (rename-epoch DML fix, MERGE clause variants, type widening, dedup
 # pointer-doubling, fixture paths), (b) the 16 entries that never had a
 # driver row, (c) as many round-1-stale entries as fit. Left for the
-# round-4 rotation: q30 q31 q32 q34 q39-q43 t2_simhash
+# round-4 rotation: q28 q29 q30 q31 q32 q34 q39-q43 t2_simhash
 # t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
@@ -3570,9 +3663,9 @@ _DRIVER_WINDOW = [
     "q25_union_byname",
     "q26_string_funcs",
     "q27_date_funcs",
-    "q28_math_funcs",
-    "q29_null_cond",
     "q91_data_skipping",
+    "q92_sorted_compact_skip",
+    "q93_merge_evolution",
 ]
 
 

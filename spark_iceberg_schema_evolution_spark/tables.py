@@ -162,6 +162,7 @@ class LakehouseTable:
         month_of: str | None,
         n: int,
         renames_at: int = 0,
+        pre_arranged: bool = False,
     ) -> dict:
         batch_dir = os.path.join(self.data_dir, f"batch-{n}")
         out = align_schema(df, schema, keep_extras=False)
@@ -174,51 +175,62 @@ class LakehouseTable:
             # month dir (tasks x months tiny files — the classic lakehouse
             # small-files sin); with it each month gets O(1) files and AQE
             # coalesces the shuffle. Skew (one hot month) stays bounded by
-            # AQE skew-split on the same exchange.
-            out = out.repartition(F.col(_PART_COL))
+            # AQE skew-split on the same exchange. (A sorted compaction
+            # arrives pre-range-partitioned — don't destroy its clustering.)
+            if not pre_arranged:
+                out = out.repartition(F.col(_PART_COL))
             out.write.partitionBy(_PART_COL).mode("error").parquet(batch_dir)
             months = sorted(
                 d.split("=", 1)[1]
                 for d in os.listdir(batch_dir)
                 if d.startswith(f"{_PART_COL}=")
             )
+            stats, file_stats = self._footer_stats(batch_dir)
             return {
                 "path": batch_dir,
                 "months": months,
                 "renames_at": renames_at,
-                "stats": self._footer_stats(batch_dir),
+                "stats": stats,
+                "file_stats": file_stats,
             }
         out.write.mode("error").parquet(batch_dir)
+        stats, file_stats = self._footer_stats(batch_dir)
         return {
             "path": batch_dir,
             "months": None,
             "renames_at": renames_at,
-            "stats": self._footer_stats(batch_dir),
+            "stats": stats,
+            "file_stats": file_stats,
         }
 
     @staticmethod
-    def _footer_stats(batch_dir: str) -> dict:
-        """Per-batch column [min, max] harvested from the parquet FOOTERS
-        the write just produced — Iceberg's manifest column stats, without
-        a second data scan. Driver work is O(files) footer reads
-        (metadata-only; the no-collect rule is about data rows). Only
-        int/float/string columns are recorded — enough for key-range,
-        amount, and category skipping; everything else reads as
-        un-skippable."""
+    def _footer_stats(batch_dir: str) -> tuple[dict, dict]:
+        """Batch-level and per-file column [min, max] harvested from the
+        parquet FOOTERS the write just produced — Iceberg's manifest
+        column stats, without a second data scan. Driver work is O(files)
+        footer reads (metadata-only; the no-collect rule is about data
+        rows). Only int/float/string columns are recorded — enough for
+        key-range, amount, and category skipping; everything else reads
+        as un-skippable. Returns ({col: [lo, hi]},
+        {relative_file_path: {col: [lo, hi]}})."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in
-            return {}
+            return {}, {}
         lo: dict = {}
         hi: dict = {}
+        per_file: dict = {}
         for root, _dirs, files in os.walk(batch_dir):
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
+                full = os.path.join(root, fn)
                 try:
-                    meta = pq.ParquetFile(os.path.join(root, fn)).metadata
+                    meta = pq.ParquetFile(full).metadata
                 except Exception:
-                    return {}
+                    return {}, {}
+                flo: dict = {}
+                fhi: dict = {}
                 for rg in range(meta.num_row_groups):
                     row_group = meta.row_group(rg)
                     for ci in range(row_group.num_columns):
@@ -235,11 +247,19 @@ class LakehouseTable:
                             or isinstance(st.min, bool)
                         ):
                             continue
-                        if name not in lo or st.min < lo[name]:
-                            lo[name] = st.min
-                        if name not in hi or st.max > hi[name]:
-                            hi[name] = st.max
-        return {c: [lo[c], hi[c]] for c in lo if c in hi}
+                        if name not in flo or st.min < flo[name]:
+                            flo[name] = st.min
+                        if name not in fhi or st.max > fhi[name]:
+                            fhi[name] = st.max
+                for c in flo:
+                    if c not in lo or flo[c] < lo[c]:
+                        lo[c] = flo[c]
+                    if c not in hi or fhi[c] > hi[c]:
+                        hi[c] = fhi[c]
+                per_file[os.path.relpath(full, batch_dir)] = {
+                    c: [flo[c], fhi[c]] for c in flo if c in fhi
+                }
+        return {c: [lo[c], hi[c]] for c in lo if c in hi}, per_file
 
     def append(self, df: DataFrame, evolve: bool = True) -> int:
         """Distributed append with schema evolution (replaces reference
@@ -305,7 +325,7 @@ class LakehouseTable:
                 # non-hit month directories at planning time (84 months is
                 # 1 scan + pruning, not 84 scans).
                 df = (
-                    self.spark.read.parquet(b["path"])
+                    self._read_batch(b)
                     .where(F.col(_PART_COL).isin(hit))
                     .drop(_PART_COL)
                 )
@@ -315,15 +335,24 @@ class LakehouseTable:
                 )
             else:
                 if months is None:
-                    df = self._replay_renames(
-                        self.spark.read.parquet(b["path"]), b, snap
-                    )
+                    df = self._replay_renames(self._read_batch(b), b, snap)
                     parts.append(
                         align_schema(df, snap.schema, keep_extras=False)
                     )
         if not parts:
             return self.spark.createDataFrame([], snap.schema)
         return union_evolving(parts, target=snap.schema)
+
+    def _read_batch(self, b: dict) -> DataFrame:
+        """Scan a batch dir — or, when file-level skipping selected a
+        subset ("__files"), exactly those files (basePath keeps hive
+        partition-column discovery working on the subset)."""
+        files = b.get("__files")
+        if files:
+            return self.spark.read.option(
+                "basePath", b["path"]
+            ).parquet(*files)
+        return self.spark.read.parquet(b["path"])
 
     # -- stats-based data skipping (Iceberg manifest min/max pruning) --------
 
@@ -366,6 +395,34 @@ class LakehouseTable:
                 return False
         return True
 
+    def _prune_files(
+        self, b: dict, snap: Snapshot, filters
+    ) -> dict | None:
+        """File-level skipping within a surviving batch: keep only files
+        whose per-file stats may satisfy the conjunction. None = the whole
+        batch is skippable; a batch without file stats passes through
+        unchanged (batch-level granularity only)."""
+        fstats = b.get("file_stats")
+        if not fstats:
+            return b
+        keep = [
+            rel
+            for rel, st in fstats.items()
+            if self._stats_may_match(
+                {"stats": st, "renames_at": b.get("renames_at", 0)},
+                snap,
+                filters,
+            )
+        ]
+        if not keep:
+            return None
+        if len(keep) == len(fstats):
+            return b
+        return {
+            **b,
+            "__files": [os.path.join(b["path"], r) for r in sorted(keep)],
+        }
+
     def prune_batches(
         self, filters: list[tuple], version: int | None = None
     ) -> tuple[int, int]:
@@ -379,6 +436,33 @@ class LakehouseTable:
             if self._stats_may_match(b, snap, filters)
         ]
         return len(keep), len(snap.batches)
+
+    def plan_scan(
+        self, filters: list[tuple], version: int | None = None
+    ) -> dict:
+        """Full planning metric for a skip-scan: batch- AND file-level
+        scanned/total counts (Iceberg's scanned-data-files summary)."""
+        snap = self._load(version)
+        batches_scanned = files_scanned = files_total = 0
+        for b in snap.batches:
+            n_files = len(b.get("file_stats") or {})
+            files_total += n_files
+            if not self._stats_may_match(b, snap, filters):
+                continue
+            pruned = self._prune_files(b, snap, filters)
+            if pruned is None:
+                continue
+            batches_scanned += 1
+            if n_files:
+                files_scanned += len(
+                    pruned.get("__files") or b["file_stats"]
+                )
+        return {
+            "batches_scanned": batches_scanned,
+            "batches_total": len(snap.batches),
+            "files_scanned": files_scanned,
+            "files_total": files_total,
+        }
 
     def read_where(
         self,
@@ -399,11 +483,13 @@ class LakehouseTable:
         if bad:
             raise ValueError(f"unsupported skip ops: {bad}")
         snap = self._load(version)
-        keep = [
-            b
-            for b in snap.batches
-            if self._stats_may_match(b, snap, filters)
-        ]
+        keep = []
+        for b in snap.batches:
+            if not self._stats_may_match(b, snap, filters):
+                continue
+            pruned = self._prune_files(b, snap, filters)
+            if pruned is not None:
+                keep.append(pruned)
         df = self._scan(snap, keep, months)
         cond = F.lit(True)
         for col, op, val in filters:
@@ -561,6 +647,7 @@ class LakehouseTable:
         matched_condition=None,
         matched_delete_where=None,
         insert_unmatched: bool = True,
+        evolve: bool = False,
     ) -> int:
         """MERGE INTO with Iceberg's clause surface — copy-on-write,
         matching keys GLOBALLY like Iceberg's COW MERGE, but rewriting
@@ -585,6 +672,9 @@ class LakehouseTable:
           (WHEN MATCHED AND <cond> THEN UPDATE). Matched rows failing it
           are kept unchanged.
         - ``insert_unmatched``: WHEN NOT MATCHED THEN INSERT (default on).
+        - ``evolve``: MERGE WITH SCHEMA EVOLUTION — new source columns
+          extend the table schema (extras-last, like append); existing
+          target rows surface them as NULL.
 
         Source rows are expected unique per key (Iceberg errors on
         multi-match; use ``streaming.stream_upsert_to_lakehouse``'s
@@ -599,6 +689,18 @@ class LakehouseTable:
         skip that scan — the Iceberg-style fast path that plans from
         source months alone."""
         snap = self._load()
+        schema = snap.schema
+        if evolve:
+            diff = compare_schemas(snap.schema, source.schema)
+            new_fields = [
+                f
+                for f in source.schema.fields
+                if f.name in diff.missing_in_left
+            ]
+            if new_fields:
+                schema = T.StructType(
+                    list(snap.schema.fields) + list(new_fields)
+                )
         mo = snap.partition_month_of
         if mo:
             month_expr = F.date_format(F.col(mo), "yyyy-MM")
@@ -632,10 +734,14 @@ class LakehouseTable:
             target_scope = self.read()
             keep_batches = []
 
+        if schema is not snap.schema:
+            target_scope = align_schema(
+                target_scope, schema, keep_extras=False
+            )
         merged = self._apply_merge_clauses(
             target_scope,
             source,
-            snap.schema,
+            schema,
             on,
             matched_update,
             matched_condition,
@@ -644,11 +750,11 @@ class LakehouseTable:
         )
         version = snap.version + 1
         batch = self._write_batch(
-            merged, snap.schema, mo, version, renames_at=len(snap.renames)
+            merged, schema, mo, version, renames_at=len(snap.renames)
         )
         self._commit(
             Snapshot(
-                version, snap.schema, keep_batches + [batch], mo, snap.renames
+                version, schema, keep_batches + [batch], mo, snap.renames
             )
         )
         return version
@@ -919,16 +1025,46 @@ class LakehouseTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def compact(self) -> int:
+    def compact(
+        self,
+        sort_by: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> int:
         """Rewrite the live file set into one batch (Iceberg
         ``rewrite_data_files``, the native replacement for the reference's
-        Athena OPTIMIZE thresholds, spark_utils.py:169-171)."""
+        Athena OPTIMIZE thresholds, spark_utils.py:169-171).
+
+        ``sort_by`` = Iceberg's sort-order rewrite: range-partition the
+        table on those columns (after the hidden month, if partitioned)
+        into ``target_files`` tasks and sort within each, so every output
+        file covers a narrow key range — which is what makes the
+        footer-stats FILE skipping in ``read_where`` effective (tight
+        non-overlapping [min,max] per file). This is the scheduled
+        maintenance that keeps point/range lookups cheap on an
+        append-mostly 100 TB table."""
         snap = self._load()
         current = self.read()
+        pre_arranged = False
+        if sort_by:
+            n = target_files or max(
+                2, self.spark.sparkContext.defaultParallelism
+            )
+            keys = []
+            if snap.partition_month_of:
+                keys.append(
+                    F.date_format(
+                        F.col(snap.partition_month_of), "yyyy-MM"
+                    )
+                )
+            keys += [F.col(c) for c in sort_by]
+            current = current.repartitionByRange(
+                n, *keys
+            ).sortWithinPartitions(*keys)
+            pre_arranged = True
         version = snap.version + 1
         batch = self._write_batch(
             current, snap.schema, snap.partition_month_of, version,
-            renames_at=len(snap.renames),
+            renames_at=len(snap.renames), pre_arranged=pre_arranged,
         )
         self._commit(
             Snapshot(

@@ -566,3 +566,78 @@ def test_data_skipping_unknown_column_reads_all(spark, catalog):
     assert t.prune_batches([("b", "=", True)]) == (1, 1)
     with pytest.raises(ValueError, match="unsupported skip ops"):
         t.read_where([("id", "!=", 1)])
+
+
+def test_merge_with_schema_evolution(spark, catalog):
+    """MERGE WITH SCHEMA EVOLUTION: a source column the target lacks
+    extends the schema; pre-existing rows surface it as NULL."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "x"]), "db", "me"
+    )
+    t = catalog.table("db", "me")
+    src = spark.createDataFrame(
+        [(2, "B", 20), (3, "c", 30)], ["id", "x", "score"]
+    )
+    t.merge_into(src, on=["id"], evolve=True)
+    out = t.read()
+    assert out.columns == ["id", "x", "score"]
+    rows = {r.id: (r.x, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("B", 20), 3: ("c", 30)}
+    # without evolve, the extra column is simply not written
+    t2src = spark.createDataFrame([(4, "d", 40)], ["id", "x", "extra"])
+    t.merge_into(t2src, on=["id"])
+    assert t.read().columns == ["id", "x", "score"]
+
+
+def test_sorted_compaction_enables_file_skipping(spark, catalog):
+    """Iceberg sort-order rewrite: shuffled appends have overlapping file
+    ranges (no file skipping possible); compact(sort_by) range-clusters
+    so a key-range read plans a strict subset of files."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(3000))
+    rng.shuffle(ids)
+    for part in (ids[:1000], ids[1000:2000], ids[2000:]):
+        catalog.write_evolving(
+            spark.createDataFrame([(i, i % 97) for i in part], ["id", "v"]),
+            "db", "sorted",
+        )
+    t = catalog.table("db", "sorted")
+    before = t.plan_scan([("id", "<", 100)])
+    assert before["batches_scanned"] == 3  # shuffled: nothing skippable
+    t.compact(sort_by=["id"], target_files=8)
+    after = t.plan_scan([("id", "<", 100)])
+    assert after["files_total"] >= 4
+    assert 0 < after["files_scanned"] < after["files_total"]
+    got = sorted(r.id for r in t.read_where([("id", "<", 100)]).collect())
+    assert got == list(range(100))
+
+
+def test_sorted_compaction_partitioned(spark, catalog):
+    """Sorted compaction of a month-partitioned table keeps partition
+    dirs correct and file ranges tight within months."""
+    rows = [
+        (i, f"2024-{1 + (i % 3):02d}-15", i * 3 % 1000)
+        for i in range(900)
+    ]
+    catalog.write_evolving(
+        _mk_part(spark, rows), "db", "sortedp", partition_month_of="ts"
+    )
+    t = catalog.table("db", "sortedp")
+    t.compact(sort_by=["v"], target_files=6)
+    plan = t.plan_scan([("v", ">=", 900)])
+    assert plan["files_scanned"] < plan["files_total"]
+    want = sorted(
+        (r.id, r.v)
+        for r in t.read().where(F.col("v") >= 900).collect()
+    )
+    got = sorted(
+        (r.id, r.v) for r in t.read_where([("v", ">=", 900)]).collect()
+    )
+    assert got == want
+    # month pruning still composes with file skipping
+    jan = t.read_where([("v", ">=", 900)], months=["2024-01"])
+    assert jan.count() == sum(
+        1 for i, m, v in rows if v >= 900 and m.startswith("2024-01")
+    )
