@@ -181,3 +181,77 @@ def pack_sequences(
         F.floor(prev_total / capacity).cast("long").alias("bin_id"),
         (running - prev_total).alias("__sz"),
     ).drop("__sz")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment for a training corpus:
+    bucket each document by an md5 hex-prefix of its id (+ optional salt)
+    against cumulative-weight thresholds.
+
+    The properties a 100 TB pipeline needs: map-only (no shuffle, no
+    sample pass), content-independent (re-running, re-partitioning, or
+    appending to the corpus never moves an existing doc between splits),
+    and engine-portable (md5 hex is identical everywhere, so the split is
+    reproducible outside Spark — the reason this is not xxhash64)."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if len(weights) < 2:
+        raise ValueError("need at least two split labels")
+    total = sum(weights.values())
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(salt)
+            ).cast("binary")
+        ),
+        1,
+        4,
+    )
+    items = list(weights.items())
+    expr = None
+    cum = 0
+    for label, wgt in items[:-1]:
+        cum += wgt
+        thr = format(int(65536 * cum / total), "04x")
+        cond = bucket < F.lit(thr)
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    return df.withColumn(
+        "split", expr.otherwise(F.lit(items[-1][0]))
+    )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus bigram frequencies (the n=2 slice of distributed n-gram LM
+    counting): tokenize -> adjacent-pair arrays inside codegen (no UDF)
+    -> explode -> one hash-aggregate shuffle. ``top_k`` adds a
+    deterministic (count desc, bigram asc) TakeOrdered instead of a full
+    sort."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    bigrams = F.when(
+        F.size(F.col("__w")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__w) - 1), "
+            "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(words.alias("__w"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k:
+        out = out.orderBy(F.desc("n"), F.asc("bigram")).limit(top_k)
+    return out

@@ -3203,6 +3203,75 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q94_hash_split",
+    oracle="""
+    WITH s AS (
+      SELECT CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens
+      FROM documents)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5) over the
+    corpus: md5 hex-prefix bucketing, map-only, reproducible across
+    engines and re-runs — the oracle recomputes the same thresholds in
+    SQL."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        hash_split,
+        token_count,
+    )
+
+    docs = load(spark, sf, "documents")
+    out = hash_split(
+        docs, id_col="doc_id",
+        weights={"train": 90, "val": 5, "test": 5},
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
+    "q95_bigram_counts",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents),
+    b AS (
+      SELECT UNNEST(
+        [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]
+      ) AS bigram
+      FROM w)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram frequencies, top-50 (distributed n-gram LM counts):
+    adjacent-pair generation stays in codegen (transform over sequence),
+    one aggregate shuffle, deterministic tie-break."""
+    from spark_iceberg_schema_evolution_spark.operators.text import bigram_counts
+
+    return bigram_counts(
+        load(spark, sf, "documents"), text_col="text", top_k=50
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):

@@ -71,3 +71,49 @@ def test_fingerprint_order_insensitive(spark):
     fps = {r.id: r.fp for r in df.select("id", text.fingerprint().alias("fp")).collect()}
     assert fps[1] == fps[2]  # reordering does not change the fingerprint
     assert fps[1] != fps[3]
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import hash_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], ["doc_id", "text"]
+    )
+    a = hash_split(df, weights={"train": 90, "val": 5, "test": 5})
+    b = hash_split(
+        df.repartition(7), weights={"train": 90, "val": 5, "test": 5}
+    )
+    # identical assignment regardless of partitioning
+    assert sorted(map(tuple, a.select("doc_id", "split").collect())) == sorted(
+        map(tuple, b.select("doc_id", "split").collect())
+    )
+    counts = {
+        r.split: r.n
+        for r in a.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~90% of 2000
+    assert 20 < counts["val"] + counts["test"] < 400
+    # salt moves docs between splits
+    c = hash_split(df, weights={"train": 90, "val": 5, "test": 5}, salt="2")
+    moved = (
+        a.select("doc_id", "split")
+        .join(
+            c.select("doc_id", F.col("split").alias("split2")), "doc_id"
+        )
+        .where("split != split2")
+        .count()
+    )
+    assert moved > 0
+
+
+def test_bigram_counts_edges(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import bigram_counts
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("single",), ("a b",)], ["text"]
+    )
+    got = {r.bigram: r.n for r in bigram_counts(df).collect()}
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
