@@ -186,3 +186,43 @@ def test_packing_single_shuffle_per_shard(spark):
     )
     out = pack_sequences(d, capacity=512, shard_col="lang")
     assert explain.count_exchanges(out) == 1
+
+
+def test_hash_split_is_map_only(spark):
+    """hash_split must add zero exchanges — a pure projection."""
+    from spark_iceberg_schema_evolution_spark.operators.text import hash_split
+
+    df = spark.createDataFrame([(i, "t") for i in range(10)], ["doc_id", "text"])
+    out = hash_split(df)
+    assert explain.count_exchanges(out) == 0
+
+
+def test_bigram_counts_single_shuffle(spark):
+    """Bigram counting: adjacent pairs in codegen + exactly one aggregate
+    exchange (plus AQE nodes); no UDF, no join."""
+    from spark_iceberg_schema_evolution_spark.operators.text import bigram_counts
+
+    df = spark.createDataFrame([("a b c",)], ["text"])
+    out = bigram_counts(df)
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_read_where_scans_fewer_input_files(spark, tmp_path):
+    """File-level skipping must shrink the PHYSICAL scan's input-file
+    set, not just the manifest metric."""
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    for lo in (0, 1000, 2000):
+        cat.write_evolving(
+            spark.createDataFrame(
+                [(i,) for i in range(lo, lo + 1000)], ["id"]
+            ),
+            "db", "files",
+        )
+    t = cat.table("db", "files")
+    full = set(t.read().inputFiles())
+    pruned = set(t.read_where([("id", "<", 500)]).inputFiles())
+    assert pruned and pruned < full
