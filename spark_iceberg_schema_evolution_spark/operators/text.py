@@ -255,3 +255,29 @@ def bigram_counts(
     if top_k:
         out = out.orderBy(F.desc("n"), F.asc("bigram")).limit(top_k)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample (e.g. a balanced per-language
+    eval subcorpus): rank rows inside each stratum by the md5 hex of
+    their id and keep the first k.
+
+    Unlike ``df.sampleBy``, the selection is exact-k, reproducible across
+    engines/re-runs, and stable under appends for the docs already chosen
+    BELOW the k-boundary (hash order is content-independent). One window
+    shuffle on the stratum key; change ``salt`` to draw a fresh sample."""
+    order = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    w = W.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3272,6 +3272,70 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q96_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 7
+    ORDER BY lang, doc_id
+    """,
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic k-per-stratum sampling (balanced per-language
+    subcorpus): md5 hash order inside each stratum, exact k, reproducible
+    across engines and re-runs. The oracle is the QUALIFY twin."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        stratified_sample,
+    )
+
+    docs = load(spark, sf, "documents").select("lang", "doc_id", "n_chars")
+    return stratified_sample(
+        docs, group_col="lang", k=7, id_col="doc_id"
+    ).orderBy("lang", "doc_id")
+
+
+@q(
+    "q97_zorder_box_query",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE o_custkey >= 100 AND o_custkey < 400
+      AND o_totalprice >= 50000 AND o_totalprice < 120000
+    """,
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order rewrite + 2D box query: after compact(z_order=[custkey,
+    totalprice]) the box read skips files on BOTH dimensions (planning
+    metric asserted in tests); the driver checks value equivalence
+    against the plain filter."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.write_evolving(o, "db", "zbox")
+    t = cat.table("db", "zbox")
+    t.compact(z_order=["o_custkey", "o_totalprice"], target_files=16)
+    out = t.read_where(
+        [
+            ("o_custkey", ">=", 100),
+            ("o_custkey", "<", 400),
+            ("o_totalprice", ">=", 50000.0),
+            ("o_totalprice", "<", 120000.0),
+        ]
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):
@@ -3676,7 +3740,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # (rename-epoch DML fix, MERGE clause variants, type widening, dedup
 # pointer-doubling, fixture paths), (b) the 16 entries that never had a
 # driver row, (c) as many round-1-stale entries as fit. Left for the
-# round-4 rotation: q28 q29 q30 q31 q32 q34 q39-q43 t2_simhash
+# round-4 rotation: q25 q26 q28-q32 q34 q39-q43 q94 q95 t2_simhash
 # t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
@@ -3729,12 +3793,12 @@ _DRIVER_WINDOW = [
     "q21_sort_nulls",
     "q23_union_distinct",
     "q24_except",
-    "q25_union_byname",
-    "q26_string_funcs",
     "q27_date_funcs",
     "q91_data_skipping",
     "q92_sorted_compact_skip",
     "q93_merge_evolution",
+    "q96_stratified_sample",
+    "q97_zorder_box_query",
 ]
 
 

@@ -1025,9 +1025,72 @@ class LakehouseTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def _column_bounds(
+        self, cols: list[str], snap: Snapshot, current: DataFrame
+    ) -> dict:
+        """Global (lo, hi) per column for z-order bucketing: combined from
+        the manifest's batch stats when every live batch recorded them
+        (metadata-only), else one min/max aggregation scan."""
+        bounds: dict = {}
+        from_stats = True
+        for c in cols:
+            lo = hi = None
+            for b in snap.batches:
+                s = (b.get("stats") or {}).get(
+                    self._physical_name(c, b, snap)
+                )
+                if s is None:
+                    from_stats = False
+                    break
+                lo = s[0] if lo is None or s[0] < lo else lo
+                hi = s[1] if hi is None or s[1] > hi else hi
+            if not from_stats or lo is None:
+                from_stats = False
+                break
+            bounds[c] = (lo, hi)
+        if from_stats and len(bounds) == len(cols):
+            return bounds
+        row = current.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).first()
+        return {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+
+    @staticmethod
+    def _zvalue(cols: list[str], bounds: dict, bits: int = 16) -> F.Column:
+        """Interleaved-bit z-value over uniformly bucketed columns (the
+        Morton curve Iceberg's z-order rewrite sorts by): each column maps
+        to a ``bits``-bit bucket via its global [lo, hi], and bucket bits
+        interleave so sorting clusters ALL dimensions at once. Pure
+        codegen expressions — no UDF."""
+        k = len(cols)
+        bits = min(bits, 62 // k)
+        buckets = []
+        for c in cols:
+            lo, hi = bounds[c]
+            span = float(hi - lo) or 1.0
+            b = (
+                ((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span))
+                * F.lit((1 << bits) - 1)
+            ).cast("long")
+            b = F.coalesce(
+                F.greatest(
+                    F.least(b, F.lit((1 << bits) - 1)), F.lit(0)
+                ),
+                F.lit(0),
+            )
+            buckets.append(b)
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, b in enumerate(buckets):
+                bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+        return z
+
     def compact(
         self,
         sort_by: list[str] | None = None,
+        z_order: list[str] | None = None,
         target_files: int | None = None,
     ) -> int:
         """Rewrite the live file set into one batch (Iceberg
@@ -1041,10 +1104,37 @@ class LakehouseTable:
         footer-stats FILE skipping in ``read_where`` effective (tight
         non-overlapping [min,max] per file). This is the scheduled
         maintenance that keeps point/range lookups cheap on an
-        append-mostly 100 TB table."""
+        append-mostly 100 TB table.
+
+        ``z_order`` = Iceberg's z-order rewrite: cluster by the Morton
+        interleaving of 2+ numeric columns so file skipping bites on ANY
+        of them (a linear sort only tightens its leading column).
+        Mutually exclusive with ``sort_by``."""
+        if sort_by and z_order:
+            raise ValueError("sort_by and z_order are mutually exclusive")
         snap = self._load()
         current = self.read()
         pre_arranged = False
+        if z_order:
+            if len(z_order) < 2:
+                raise ValueError("z_order needs at least two columns")
+            bounds = self._column_bounds(z_order, snap, current)
+            n = target_files or max(
+                2, self.spark.sparkContext.defaultParallelism
+            )
+            zcol = self._zvalue(z_order, bounds)
+            keys = []
+            if snap.partition_month_of:
+                keys.append(
+                    F.date_format(
+                        F.col(snap.partition_month_of), "yyyy-MM"
+                    )
+                )
+            keys.append(zcol)
+            current = current.repartitionByRange(
+                n, *keys
+            ).sortWithinPartitions(*keys)
+            pre_arranged = True
         if sort_by:
             n = target_files or max(
                 2, self.spark.sparkContext.defaultParallelism

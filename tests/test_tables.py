@@ -641,3 +641,47 @@ def test_sorted_compaction_partitioned(spark, catalog):
     assert jan.count() == sum(
         1 for i, m, v in rows if v >= 900 and m.startswith("2024-01")
     )
+
+
+def test_zorder_compaction_skips_on_both_dims(spark, catalog):
+    """Z-order clusters BOTH dimensions: a y-only box query skips files
+    after z-order compaction, while a linear x-sort cannot skip on y."""
+    # full 200x200 grid: x and y are independent, so an x-sorted file
+    # spans ALL y values (unskippable on y) while z-order bounds both
+    rows = [(i, i % 200, (i // 200) % 200) for i in range(40000)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    for name in ("zord", "xsort"):
+        catalog.write_evolving(df, "db", name)
+    tz = catalog.table("db", "zord")
+    tx = catalog.table("db", "xsort")
+    tz.compact(z_order=["x", "y"], target_files=16)
+    tx.compact(sort_by=["x"], target_files=16)
+    q = [("y", "<", 13)]
+    pz, px = tz.plan_scan(q), tx.plan_scan(q)
+    assert pz["files_scanned"] < pz["files_total"]
+    assert px["files_scanned"] == px["files_total"]
+    # and x stays skippable too (both dims cluster)
+    qx = [("x", ">=", 190)]
+    pzx = tz.plan_scan(qx)
+    assert pzx["files_scanned"] < pzx["files_total"]
+    # value equivalence on a 2D box
+    box = [("x", "<", 50), ("y", "<", 50)]
+    got = sorted(r.id for r in tz.read_where(box).collect())
+    want = sorted(
+        r.id
+        for r in tz.read()
+        .where((F.col("x") < 50) & (F.col("y") < 50))
+        .collect()
+    )
+    assert got == want
+
+
+def test_zorder_validation(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 2)], ["a", "b"]), "db", "zv"
+    )
+    t = catalog.table("db", "zv")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(sort_by=["a"], z_order=["a", "b"])
+    with pytest.raises(ValueError, match="at least two"):
+        t.compact(z_order=["a"])

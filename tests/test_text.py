@@ -117,3 +117,28 @@ def test_bigram_counts_edges(spark):
     )
     got = {r.bigram: r.n for r in bigram_counts(df).collect()}
     assert got == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_stratified_sample_exact_k_and_stable(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)],
+        ["doc_id", "lang"],
+    )
+    got = stratified_sample(df, "lang", k=5, id_col="doc_id")
+    counts = {
+        r.lang: r.n
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"en": 5, "de": 5, "fr": 5}
+    # repartitioning does not change the selection
+    again = stratified_sample(df.repartition(11), "lang", 5, "doc_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # a stratum smaller than k yields all its rows
+    tiny = spark.createDataFrame([(1, "xx")], ["doc_id", "lang"])
+    assert stratified_sample(tiny, "lang", 5).count() == 1
