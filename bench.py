@@ -53,6 +53,13 @@ HEADLINE = [
     "q88_jsonl_scan",
     "q89_merge_clauses",
     "q90_type_widening",
+    "q91_data_skipping",
+    "q92_sorted_compact_skip",
+    "q93_merge_evolution",
+    "q94_hash_split",
+    "q95_bigram_counts",
+    "q96_stratified_sample",
+    "q97_zorder_box_query",
 ]
 
 

@@ -185,22 +185,24 @@ class LakehouseTable:
                 for d in os.listdir(batch_dir)
                 if d.startswith(f"{_PART_COL}=")
             )
-            stats, file_stats = self._footer_stats(batch_dir)
+            stats, file_stats, file_rows = self._footer_stats(batch_dir)
             return {
                 "path": batch_dir,
                 "months": months,
                 "renames_at": renames_at,
                 "stats": stats,
                 "file_stats": file_stats,
+                "file_rows": file_rows,
             }
         out.write.mode("error").parquet(batch_dir)
-        stats, file_stats = self._footer_stats(batch_dir)
+        stats, file_stats, file_rows = self._footer_stats(batch_dir)
         return {
             "path": batch_dir,
             "months": None,
             "renames_at": renames_at,
             "stats": stats,
             "file_stats": file_stats,
+            "file_rows": file_rows,
         }
 
     @staticmethod
@@ -212,14 +214,17 @@ class LakehouseTable:
         rows). Only int/float/string columns are recorded — enough for
         key-range, amount, and category skipping; everything else reads
         as un-skippable. Returns ({col: [lo, hi]},
-        {relative_file_path: {col: [lo, hi]}})."""
+        {relative_file_path: {col: [lo, hi]}},
+        {relative_file_path: row_count}) — the row counts power
+        metadata-only COUNT(*) (Iceberg's metadata-table fast path)."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in
-            return {}, {}
+            return {}, {}, {}
         lo: dict = {}
         hi: dict = {}
         per_file: dict = {}
+        rows: dict = {}
         for root, _dirs, files in os.walk(batch_dir):
             for fn in files:
                 if not fn.endswith(".parquet"):
@@ -228,7 +233,8 @@ class LakehouseTable:
                 try:
                     meta = pq.ParquetFile(full).metadata
                 except Exception:
-                    return {}, {}
+                    return {}, {}, {}
+                rows[os.path.relpath(full, batch_dir)] = meta.num_rows
                 flo: dict = {}
                 fhi: dict = {}
                 for rg in range(meta.num_row_groups):
@@ -259,7 +265,11 @@ class LakehouseTable:
                 per_file[os.path.relpath(full, batch_dir)] = {
                     c: [flo[c], fhi[c]] for c in flo if c in fhi
                 }
-        return {c: [lo[c], hi[c]] for c in lo if c in hi}, per_file
+        return (
+            {c: [lo[c], hi[c]] for c in lo if c in hi},
+            per_file,
+            rows,
+        )
 
     def append(self, df: DataFrame, evolve: bool = True) -> int:
         """Distributed append with schema evolution (replaces reference
@@ -502,6 +512,41 @@ class LakehouseTable:
                 ">=": c >= F.lit(val),
             }[op]
         return df.where(cond)
+
+    def row_count(
+        self, version: int | None = None, months: list[str] | None = None
+    ) -> int:
+        """Metadata-only COUNT(*): sums the manifest's per-file row
+        counts for live months — no file is opened (Iceberg's
+        metadata-table count path; at 100 TB this is the difference
+        between O(manifest) and a full scan). Batches whose manifests
+        predate row-count collection fall back to a scan."""
+        snap = self._load(version)
+        total = 0
+        legacy = []
+        for b in snap.batches:
+            fr = b.get("file_rows")
+            if fr is None:
+                legacy.append(b)
+                continue
+            if b["months"] is None:
+                if months is None:
+                    total += sum(fr.values())
+            else:
+                live = (
+                    b["months"]
+                    if months is None
+                    else [m for m in b["months"] if m in months]
+                )
+                prefixes = tuple(f"{_PART_COL}={m}/" for m in live)
+                total += sum(
+                    n
+                    for rel, n in fr.items()
+                    if rel.replace(os.sep, "/").startswith(prefixes)
+                )
+        if legacy:
+            total += self._scan(snap, legacy, months).count()
+        return total
 
     def snapshots(self) -> list[dict]:
         """Snapshot metadata listing (Iceberg's `snapshots` metadata

@@ -685,3 +685,36 @@ def test_zorder_validation(spark, catalog):
         t.compact(sort_by=["a"], z_order=["a", "b"])
     with pytest.raises(ValueError, match="at least two"):
         t.compact(z_order=["a"])
+
+
+def test_row_count_metadata_only(spark, catalog):
+    """Metadata COUNT(*) equals the scan count through appends, DML, and
+    month pruning; legacy manifests (no file_rows) fall back to a scan."""
+    import json
+    import os as _os
+
+    catalog.write_evolving(
+        _mk_part(
+            spark,
+            [(i, f"2024-{1 + i % 3:02d}-10", i) for i in range(300)],
+        ),
+        "db", "rc", partition_month_of="ts",
+    )
+    t = catalog.table("db", "rc")
+    t.append(_mk_part(spark, [(1000 + i, "2024-02-20", i) for i in range(50)]))
+    assert t.row_count() == t.read().count() == 350
+    t.delete_where(F.col("id") % 5 == 0)
+    assert t.row_count() == t.read().count()
+    assert t.row_count(months=["2024-02"]) == t.read(
+        months=["2024-02"]
+    ).count()
+    # legacy manifest: strip file_rows -> scan fallback, same answer
+    snap = t._load()
+    mpath = _os.path.join(t.meta_dir, f"v{snap.version}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    for b in m["batches"]:
+        b.pop("file_rows", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    assert t.row_count() == t.read().count()
