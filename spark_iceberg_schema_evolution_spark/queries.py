@@ -3336,6 +3336,66 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q98_version_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey AS id, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer WHERE c_custkey < 1000),
+    v2 AS (
+      SELECT id, CASE WHEN id % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+      FROM v1 WHERE id % 7 <> 0
+      UNION ALL
+      SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      FROM customer WHERE c_custkey >= 1000 AND c_custkey < 1200),
+    ins AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+    del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2),
+    tagged AS (
+      SELECT 'I' AS change_type, id, bal FROM ins
+      UNION ALL
+      SELECT 'D', id, bal FROM del)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal) AS BIGINT) AS total_bal
+    FROM tagged GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level CDC between snapshots (Iceberg changelog semantics):
+    UPDATE surfaces as D+I pairs, DELETE as D, append as I — computed by
+    exceptAll in both directions; the oracle mirrors it with EXCEPT ALL."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 1000").select(
+            F.col("c_custkey").alias("id"),
+            cents(F.col("c_acctbal")).alias("bal"),
+        ),
+        "db",
+        "cdc",
+    )
+    t = cat.table("db", "cdc")
+    v1 = t._load().version
+    t.update_where(
+        F.col("id") % 10 == 0, {"bal": F.col("bal") + 100}
+    )
+    t.delete_where(F.col("id") % 7 == 0)
+    t.append(
+        c.where("c_custkey >= 1000 AND c_custkey < 1200").select(
+            F.col("c_custkey").alias("id"),
+            cents(F.col("c_acctbal")).alias("bal"),
+        )
+    )
+    return (
+        t.diff(v1)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal").alias("total_bal"),
+        )
+        .orderBy("change_type")
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):

@@ -1049,6 +1049,60 @@ class LakehouseTable:
             parts.append(align_schema(df, to_snap.schema, keep_extras=False))
         return union_evolving(parts, target=to_snap.schema)
 
+    def diff(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level CDC between two snapshots: every row added since
+        ``from_version`` tagged ``_change_type='I'``, every row removed
+        tagged ``_change_type='D'`` (Iceberg CDF's column convention; bag
+        semantics — exceptAll both ways — so duplicate
+        rows diff by multiplicity). Unlike ``changes()`` (append-level,
+        batch metadata only), this sees through rewrites: an UPDATE
+        surfaces as one D and one I. The older snapshot is aligned to the
+        newer schema first, so evolution between the versions diffs as
+        value changes, not schema errors."""
+        to_snap = self._load(to_version)
+        old = align_schema(
+            self.read(version=from_version),
+            to_snap.schema,
+            keep_extras=False,
+        )
+        new = self.read(version=to_snap.version)
+        if "_change_type" in [f.name for f in to_snap.schema.fields]:
+            raise ValueError("table already has a _change_type column")
+        return (
+            new.exceptAll(old).withColumn("_change_type", F.lit("I"))
+        ).unionByName(
+            old.exceptAll(new).withColumn("_change_type", F.lit("D"))
+        )
+
+    def files(self, version: int | None = None) -> list[dict]:
+        """Manifest-level file listing (Iceberg's ``files`` metadata
+        table): one dict per live data file with its batch, months
+        scope, row count, and column [min,max] stats — driver-side
+        metadata only, nothing is scanned."""
+        snap = self._load(version)
+        out = []
+        for b in snap.batches:
+            rows = b.get("file_rows") or {}
+            stats = b.get("file_stats") or {}
+            names = set(rows) | set(stats)
+            for rel in sorted(names):
+                if b["months"] is not None:
+                    month = rel.replace(os.sep, "/").split("/", 1)[0]
+                    month = month.split("=", 1)[-1]
+                    if month not in b["months"]:
+                        continue
+                out.append(
+                    {
+                        "file": os.path.join(b["path"], rel),
+                        "batch": os.path.basename(b["path"]),
+                        "rows": rows.get(rel),
+                        "stats": stats.get(rel, {}),
+                    }
+                )
+        return out
+
     def rollback_to(self, version: int) -> int:
         """Roll the table back to an earlier snapshot (Iceberg
         ``rollback_to_snapshot``): commits a NEW version whose content is

@@ -718,3 +718,64 @@ def test_row_count_metadata_only(spark, catalog):
     with open(mpath, "w") as f:
         json.dump(m, f)
     assert t.row_count() == t.read().count()
+
+
+def test_diff_sees_through_rewrites(spark, catalog):
+    """diff() is row-level CDC: an UPDATE shows as one D + one I; appends
+    as I; deletes as D; bag semantics for duplicate rows."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (2, "b"), (3, "c")], ["id", "x"]
+        ),
+        "db", "df",
+    )
+    t = catalog.table("db", "df")
+    v1 = t._load().version
+    t.update_where(F.col("id") == 1, {"x": F.lit("A")})
+    t.delete_where(F.col("id") == 3)
+    t.append(spark.createDataFrame([(4, "d")], ["id", "x"]))
+    got = sorted(
+        (r.id, r.x, r._change_type) for r in t.diff(v1).collect()
+    )
+    assert got == [
+        (1, "A", "I"), (1, "a", "D"), (3, "c", "D"), (4, "d", "I")
+    ]
+    # duplicate-row multiplicity: dropping ONE of two (2,'b') copies
+    v2 = t._load().version
+    # rewrite the table with one less duplicate via merge delete on id=2
+    # then re-adding a single copy
+    t.delete_where(F.col("id") == 2)
+    t.append(spark.createDataFrame([(2, "b")], ["id", "x"]))
+    got2 = sorted((r.id, r.x, r._change_type) for r in t.diff(v2).collect())
+    assert got2 == [(2, "b", "D")]  # net change: one copy gone
+
+
+def test_diff_across_schema_evolution(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "x"]), "db", "dfe"
+    )
+    t = catalog.table("db", "dfe")
+    v1 = t._load().version
+    t.append(spark.createDataFrame([(2, "b", 9)], ["id", "x", "y"]))
+    got = sorted(
+        (r.id, r.x, r.y, r._change_type) for r in t.diff(v1).collect()
+    )
+    assert got == [(2, "b", 9, "I")]  # old row (1,a,NULL) unchanged
+
+
+def test_files_metadata_table(spark, catalog):
+    catalog.write_evolving(
+        _mk_part(
+            spark,
+            [(i, f"2024-{1 + i % 2:02d}-10", i) for i in range(100)],
+        ),
+        "db", "fmeta", partition_month_of="ts",
+    )
+    t = catalog.table("db", "fmeta")
+    fl = t.files()
+    assert fl and all(f["rows"] > 0 for f in fl)
+    assert sum(f["rows"] for f in fl) == 100
+    # after a partition-scoped delete, the dropped month's files vanish
+    t.delete_where(F.date_format(F.col("ts"), "yyyy-MM") == "2024-01")
+    fl2 = t.files()
+    assert sum(f["rows"] for f in fl2) == t.read().count()
