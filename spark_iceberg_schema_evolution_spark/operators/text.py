@@ -281,3 +281,79 @@ def stratified_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# PII patterns shared by engine and oracles: RE2/Java-regex common subset
+# (no lookaround), so Spark and DuckDB apply the IDENTICAL expression.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_LONG_NUMBER_RE = r"[0-9][0-9 \-]{5,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Training-corpus PII scrub: emails -> ``<EMAIL>``, long digit runs
+    (phone/card shaped, 7+ digits allowing space/dash separators) ->
+    ``<NUMBER>``. Two regexp_replace passes, map-only, JVM-side; the
+    patterns deliberately use the RE2-compatible subset so external
+    audits (DuckDB, grep) can re-apply them byte-for-byte."""
+    out = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_LONG_NUMBER_RE,
+        "<NUMBER>",
+    )
+    return df.withColumn(out_col or text_col, out)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 10,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal: a LINE that appears in more than
+    ``max_doc_freq`` distinct documents (headers, footers, cookie
+    banners) is dropped from every document.
+
+    Shape: explode distinct lines per doc -> one aggregate shuffle for
+    document frequency -> the (small) frequent-line set joins back as a
+    BROADCAST filter inside array_join(filter(...)) — the full corpus is
+    never shuffled, only its distinct frequent lines move. Returns
+    (id, text) with lines order-preserved."""
+    lines = F.split(F.col(text_col), line_sep)
+    per_doc = df.select(
+        F.col(id_col), F.explode(F.array_distinct(lines)).alias("__line")
+    )
+    frequent = (
+        per_doc.groupBy("__line")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("__line")
+    )
+    from pyspark.sql.functions import broadcast
+
+    ban = broadcast(
+        frequent.agg(
+            F.collect_set("__line").alias("__banned")
+        )
+    )
+    return (
+        df.crossJoin(ban)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(
+                    F.split(F.col(text_col), line_sep),
+                    lambda ln: ~F.array_contains(
+                        F.coalesce(
+                            F.col("__banned"),
+                            F.array().cast("array<string>"),
+                        ),
+                        ln,
+                    ),
+                ),
+                line_sep,
+            ).alias(text_col),
+        )
+    )

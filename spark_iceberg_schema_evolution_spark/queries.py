@@ -3396,6 +3396,121 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q99_pii_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact-' || CAST(doc_id AS VARCHAR)
+                  || '@example.com code 415-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9][0-9 \\-]{5,}[0-9]', '<NUMBER>', 'g') AS t
+      FROM seeded)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(t)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN t LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_email_masked,
+           CAST(SUM(CASE WHEN t LIKE '%<NUMBER>%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_number_masked
+    FROM red
+    """,
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction: emails and long digit runs masked by the same
+    RE2-compatible patterns in both engines ('g' flag in DuckDB to match
+    Spark's replace-all)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import redact_pii
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact-"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com code 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("text").contains("<EMAIL>"), 1).otherwise(0)
+        ).alias("docs_with_email_masked"),
+        F.sum(
+            F.when(F.col("text").contains("<NUMBER>"), 1).otherwise(0)
+        ).alias("docs_with_number_masked"),
+    )
+
+
+@q(
+    "q100_boilerplate_removal",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             'HDR' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || text ||
+             CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'SHARED FOOTER'
+                  ELSE '' END AS t
+      FROM documents),
+    dl AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split(t, chr(10)))) AS line
+      FROM docs),
+    banned AS (
+      SELECT line FROM dl GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) > 10),
+    all_lines AS (
+      SELECT doc_id, UNNEST(string_split(t, chr(10))) AS line FROM docs),
+    kept AS (
+      SELECT doc_id, line FROM all_lines
+      WHERE line <> '' AND line NOT IN (SELECT line FROM banned))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+           CAST(SUM(LENGTH(line)) AS BIGINT) AS kept_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_content
+    FROM kept
+    """,
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style boilerplate removal: lines occurring in >10 distinct docs
+    (synthetic shared headers/footers here) are dropped corpus-wide; the
+    frequent-line set broadcasts back, the corpus itself never
+    reshuffles. Metrics over the kept lines match the oracle's NOT IN
+    formulation."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HDR"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\nSHARED FOOTER")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = remove_boilerplate_lines(docs, max_doc_freq=10)
+    kept = cleaned.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).where(F.col("line") != "")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept_lines"),
+        F.sum(F.length("line")).alias("kept_chars"),
+        F.countDistinct("doc_id").alias("n_docs_with_content"),
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):

@@ -142,3 +142,42 @@ def test_stratified_sample_exact_k_and_stable(spark):
     # a stratum smaller than k yields all its rows
     tiny = spark.createDataFrame([(1, "xx")], ["doc_id", "lang"])
     assert stratified_sample(tiny, "lang", 5).count() == 1
+
+
+def test_redact_pii(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@corp.example.org today"),
+            (2, "call 415-555-0199 or 0800 123 4567 now"),
+            (3, "clean text with year 2024 and room 42"),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: r.text for r in redact_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "call <NUMBER> or <NUMBER> now"
+    assert got[3] == "clean text with year 2024 and room 42"  # short digits kept
+
+
+def test_remove_boilerplate_lines(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, f"COMMON HEADER\nunique body {i}\nCOMMON FOOTER") for i in range(20)]
+    rows.append((99, "unique body 99\nrare line"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(df, max_doc_freq=5).collect()
+    }
+    assert out[0] == "unique body 0"
+    assert out[99] == "unique body 99\nrare line"  # rare lines survive
+    # nothing banned when threshold is high: text unchanged
+    out2 = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(df, max_doc_freq=100).collect()
+    }
+    assert out2[0] == "COMMON HEADER\nunique body 0\nCOMMON FOOTER"
