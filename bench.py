@@ -60,6 +60,9 @@ HEADLINE = [
     "q95_bigram_counts",
     "q96_stratified_sample",
     "q97_zorder_box_query",
+    "q98_version_diff",
+    "q99_pii_redaction",
+    "q100_boilerplate_removal",
 ]
 
 

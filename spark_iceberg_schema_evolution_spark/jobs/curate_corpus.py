@@ -4,6 +4,9 @@ Composes the engine's data-pipeline operators into the flow a 100 TB
 pretraining corpus actually runs:
 
     documents parquet
+      -> PII redaction          (email/number masking, map-only)
+      -> boilerplate removal    (line doc-frequency > cap dropped
+                                 corpus-wide, banned set broadcast)
       -> exact dedup            (md5 keep-one, fixed-width shuffle keys)
       -> near-dedup             (MinHash -> LSH bands -> exact-Jaccard
                                  verify on candidates -> connected
@@ -11,6 +14,7 @@ pretraining corpus actually runs:
       -> quality filter         (heuristic score >= threshold, lang-id)
       -> chunking               (fixed-size overlapping token windows)
       -> sequence packing       (fixed-capacity bins, sharded by lang)
+      -> train/val/test split   (md5 bucket thresholds, deterministic)
       -> curated parquet (one dir per stage for auditability)
 
 Every stage is a declarative DataFrame transform from operators/ — no
@@ -43,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--minhash-bands", type=int, default=8,
         help="LSH bands over a 32-hash signature",
     )
+    p.add_argument(
+        "--boilerplate-df", type=int, default=0,
+        help="drop lines appearing in more than this many docs "
+        "(0 = stage off)",
+    )
+    p.add_argument("--no-redact", action="store_true")
     return p
 
 
@@ -52,14 +62,35 @@ def curate(spark, args) -> dict:
     from spark_iceberg_schema_evolution_spark.operators import dedup
     from spark_iceberg_schema_evolution_spark.operators.text import (
         chunk_text,
+        hash_split,
         lang_id,
         pack_sequences,
         quality_score,
+        redact_pii,
+        remove_boilerplate_lines,
         token_count,
     )
 
     docs = spark.read.parquet(args.input)
     counts = {"input": docs.count()}
+
+    # 0. scrub: PII masking (map-only) + optional boilerplate lines
+    if not args.no_redact:
+        docs = redact_pii(docs)
+    if args.boilerplate_df:
+        other = [c for c in docs.columns if c not in ("doc_id", "text")]
+        cleaned = remove_boilerplate_lines(
+            docs, max_doc_freq=args.boilerplate_df
+        )
+        docs = (
+            cleaned.join(docs.select("doc_id", *other), "doc_id")
+            if other
+            else cleaned
+        )
+    if not args.no_redact or args.boilerplate_df:
+        docs.write.mode("overwrite").parquet(f"{args.output}/00_scrubbed")
+        docs = spark.read.parquet(f"{args.output}/00_scrubbed")
+        counts["after_scrub"] = docs.count()
 
     # 1. exact dedup
     exact = dedup.exact_dedup(docs)
@@ -122,6 +153,17 @@ def curate(spark, args) -> dict:
         .distinct()
         .count()
     )
+
+    # 6. deterministic split over the surviving documents
+    split = hash_split(kept.select("doc_id"), id_col="doc_id")
+    split.write.mode("overwrite").parquet(f"{args.output}/06_split")
+    for r in (
+        spark.read.parquet(f"{args.output}/06_split")
+        .groupBy("split")
+        .count()
+        .collect()
+    ):
+        counts[f"split_{r['split']}"] = r["count"]
     return counts
 
 

@@ -44,6 +44,8 @@ def test_curate_corpus_end_to_end(spark, tmp_path, capsys):
             "4",
             "--pack-capacity",
             "256",
+            "--boilerplate-df",
+            "25",
         ]
     )
     assert rc == 0
@@ -54,7 +56,10 @@ def test_curate_corpus_end_to_end(spark, tmp_path, capsys):
     assert int(lines["after_near_dedup"]) <= int(lines["after_exact_dedup"])
     assert int(lines["chunks"]) >= int(lines["after_quality"])
     assert int(lines["bins"]) >= 1
+    assert int(lines["after_scrub"]) == int(lines["input"])  # scrub edits, never drops
+    splits = {k: int(v) for k, v in lines.items() if k.startswith("split_")}
+    assert splits and sum(splits.values()) == int(lines["after_quality"])
     # every stage parquet is readable
-    for stage in ["01_exact_dedup", "02_near_dedup", "03_quality",
-                  "04_chunks", "05_packed"]:
+    for stage in ["00_scrubbed", "01_exact_dedup", "02_near_dedup",
+                  "03_quality", "04_chunks", "05_packed", "06_split"]:
         assert spark.read.parquet(str(tmp_path / "curated" / stage)).count() > 0
