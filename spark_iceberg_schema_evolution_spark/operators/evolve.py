@@ -75,17 +75,111 @@ def _try_cast(col: Column, dt: T.DataType) -> Column:
     return col.try_cast(dt)
 
 
+def _align_col(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    """Recursively align one column to a target type — NESTED schema
+    evolution (Iceberg evolves struct fields by id; here by name):
+    structs gain missing fields as typed NULLs and drop extras, arrays
+    and map values align element-wise, scalars try_cast. A plain
+    ``cast(struct<...>)`` cannot add or drop fields — this can."""
+    if src == dst:  # identical (incl. deep-equal nested): no-op
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        have = {f.name: f.dataType for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in have:
+                parts.append(
+                    _align_col(
+                        col.getField(f.name), have[f.name], f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        struct_col = F.struct(*parts)
+        # a NULL struct must stay NULL, not become a struct of NULLs
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            struct_col
+        )
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        if src.elementType == dst.elementType:
+            return _try_cast(col, dst)
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.transform(
+                col,
+                lambda e: _align_col(e, src.elementType, dst.elementType),
+            )
+        )
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        if src == dst:
+            return col
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.map_from_arrays(
+                F.transform(
+                    F.map_keys(col),
+                    lambda k: _align_col(k, src.keyType, dst.keyType),
+                ),
+                F.transform(
+                    F.map_values(col),
+                    lambda v: _align_col(v, src.valueType, dst.valueType),
+                ),
+            )
+        )
+    if src == dst:
+        return col
+    return _try_cast(col, dst)
+
+
+def merge_evolved_type(old: T.DataType, new: T.DataType) -> T.DataType:
+    """Catalog-wins type merge with NESTED evolution: when both sides are
+    structs, common fields merge recursively and incoming-only fields
+    append last (Iceberg's ALTER TABLE ADD COLUMN parent.child);
+    arrays/maps merge element-wise; scalar conflicts keep the catalog
+    type (the reference's catalog-wins rule, job.py:108-119)."""
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        have = {f.name: f for f in old.fields}
+        incoming = {f.name: f for f in new.fields}
+        fields = [
+            T.StructField(
+                f.name,
+                merge_evolved_type(f.dataType, incoming[f.name].dataType)
+                if f.name in incoming
+                else f.dataType,
+                f.nullable,
+            )
+            for f in old.fields
+        ]
+        fields += [f for f in new.fields if f.name not in have]
+        return T.StructType(fields)
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return T.ArrayType(
+            merge_evolved_type(old.elementType, new.elementType),
+            old.containsNull or new.containsNull,
+        )
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        return T.MapType(
+            merge_evolved_type(old.keyType, new.keyType),
+            merge_evolved_type(old.valueType, new.valueType),
+            old.valueContainsNull or new.valueContainsNull,
+        )
+    return old
+
+
 def align_schema(
     df: DataFrame, target: T.StructType, keep_extras: bool = True
 ) -> DataFrame:
     """Project ``df`` onto ``target``: existing columns cast to the target
-    type, missing columns added as typed NULLs, extra columns appended last
-    (reference align_schema, spark_utils.py:82-111). One ``select``."""
-    have = {f.name for f in df.schema.fields}
+    type (recursing into structs/arrays/maps — nested evolution), missing
+    columns added as typed NULLs, extra columns appended last (reference
+    align_schema, spark_utils.py:82-111). One ``select``."""
+    have = {f.name: f.dataType for f in df.schema.fields}
     cols: list[Column] = []
     for f in target.fields:
         if f.name in have:
-            cols.append(_try_cast(F.col(f.name), f.dataType).alias(f.name))
+            cols.append(
+                _align_col(
+                    F.col(f.name), have[f.name], f.dataType
+                ).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     if keep_extras:

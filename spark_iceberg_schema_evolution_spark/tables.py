@@ -50,6 +50,7 @@ from pyspark.sql import types as T
 from spark_iceberg_schema_evolution_spark.operators.evolve import (
     align_schema,
     compare_schemas,
+    merge_evolved_type,
     union_evolving,
 )
 from spark_iceberg_schema_evolution_spark.types_map import datatype_to_str, str_to_datatype
@@ -288,7 +289,23 @@ class LakehouseTable:
                 f"schema evolution disabled; new columns: "
                 f"{[f.name for f in new_fields]}"
             )
-        evolved = T.StructType(list(snap.schema.fields) + list(new_fields))
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        evolved = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    # nested evolution: struct/array/map columns absorb
+                    # NEW nested fields from the incoming batch (scalar
+                    # conflicts stay catalog-wins)
+                    merge_evolved_type(f.dataType, incoming[f.name])
+                    if evolve and f.name in incoming
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in snap.schema.fields
+            ]
+            + list(new_fields)
+        )
         version = snap.version + 1
         batch = self._write_batch(
             df, evolved, snap.partition_month_of, version,

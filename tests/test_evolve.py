@@ -118,3 +118,130 @@ def test_coerce_to_types(spark):
     )
     assert dict(out.dtypes) == {"a": "int", "b": "double"}
     assert tuple(out.collect()[0]) == (1, 2.5)
+
+
+def test_align_schema_nested_struct_evolution(spark):
+    """Nested evolution: a struct column gains a field (old rows NULL in
+    it), loses a field (dropped), and a nested scalar widens — all inside
+    one align_schema call."""
+    from pyspark.sql import types as T
+
+    from spark_iceberg_schema_evolution_spark.operators.evolve import align_schema
+
+    old = spark.createDataFrame(
+        [(1, (10, "a", 5))],
+        "id INT, meta STRUCT<w: INT, tag: STRING, gone: INT>",
+    )
+    target = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.LongType()),     # widened
+                        T.StructField("tag", T.StringType()),  # kept
+                        T.StructField("h", T.DoubleType()),    # added
+                    ]
+                ),
+            ),
+        ]
+    )
+    out = align_schema(old, target, keep_extras=False)
+    assert out.schema == target
+    r = out.collect()[0]
+    assert (r.meta.w, r.meta.tag, r.meta.h) == (10, "a", None)
+
+
+def test_align_schema_null_struct_stays_null(spark):
+    from pyspark.sql import types as T
+
+    from spark_iceberg_schema_evolution_spark.operators.evolve import align_schema
+
+    df = spark.createDataFrame(
+        [(1, None)], "id INT, meta STRUCT<a: INT>"
+    )
+    target = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("a", T.IntegerType()),
+                        T.StructField("b", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    r = align_schema(df, target, keep_extras=False).collect()[0]
+    assert r.meta is None  # NOT a struct of NULLs
+
+
+def test_align_schema_array_of_struct_evolution(spark):
+    from pyspark.sql import types as T
+
+    from spark_iceberg_schema_evolution_spark.operators.evolve import align_schema
+
+    df = spark.createDataFrame(
+        [(1, [(1, "x"), (2, "y")])],
+        "id INT, frames ARRAY<STRUCT<n: INT, lbl: STRING>>",
+    )
+    target = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField(
+                "frames",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("n", T.LongType()),
+                            T.StructField("lbl", T.StringType()),
+                            T.StructField("score", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    out = align_schema(df, target, keep_extras=False)
+    assert out.schema == target
+    r = out.collect()[0]
+    assert [(e.n, e.lbl, e.score) for e in r.frames] == [
+        (1, "x", None), (2, "y", None)
+    ]
+
+
+def test_lakehouse_nested_struct_evolution_end_to_end(spark, tmp_path):
+    """Appending a batch whose struct column has MORE fields evolves the
+    table; the old batch's structs read back with NULL in the new
+    field."""
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.write_evolving(
+        spark.createDataFrame(
+            [(1, (100, "jpg"))], "id INT, meta STRUCT<size: INT, fmt: STRING>"
+        ),
+        "db", "nested",
+    )
+    t = cat.table("db", "nested")
+    t.append(
+        spark.createDataFrame(
+            [(2, (200, "png", 9))],
+            "id INT, meta STRUCT<size: INT, fmt: STRING, q: INT>",
+        )
+    )
+    out = {r.id: r.meta for r in t.read().collect()}
+    assert (out[1].size, out[1].fmt, out[1].q) == (100, "jpg", None)
+    assert (out[2].size, out[2].fmt, out[2].q) == (200, "png", 9)
+    # scalar conflict inside the struct stays catalog-wins
+    t.append(
+        spark.createDataFrame(
+            [(3, ("300", "gif", 1))],
+            "id INT, meta STRUCT<size: STRING, fmt: STRING, q: INT>",
+        )
+    )
+    out3 = {r.id: r.meta for r in t.read().collect()}
+    assert out3[3].size == 300  # cast back to the catalog INT
