@@ -3511,6 +3511,63 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q101_nested_evolution",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+             CASE WHEN c_custkey >= 800 THEN c_custkey % 3 END AS flag
+      FROM customer WHERE c_custkey < 1500)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(nk) AS BIGINT) AS sum_nk,
+           CAST(COUNT(flag) AS BIGINT) AS n_flag,
+           MIN(seg) AS min_seg
+    FROM t
+    """,
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """NESTED schema evolution end-to-end: batch 2's struct column
+    carries an extra field; append absorbs it (ADD COLUMN meta.flag),
+    batch 1's structs read back with NULL there. Output flattens the
+    struct to scalars (driver canonicalizer handles scalars only)."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 800").select(
+            F.col("c_custkey").alias("id"),
+            F.struct(
+                F.col("c_nationkey").alias("nk"),
+                F.col("c_mktsegment").alias("seg"),
+            ).alias("meta"),
+        ),
+        "db",
+        "nested",
+    )
+    t = cat.table("db", "nested")
+    t.append(
+        c.where("c_custkey >= 800 AND c_custkey < 1500").select(
+            F.col("c_custkey").alias("id"),
+            F.struct(
+                F.col("c_nationkey").alias("nk"),
+                F.col("c_mktsegment").alias("seg"),
+                (F.col("c_custkey") % 3).alias("flag"),
+            ).alias("meta"),
+        )
+    )
+    out = t.read().select(
+        "id",
+        F.col("meta.nk").alias("nk"),
+        F.col("meta.seg").alias("seg"),
+        F.col("meta.flag").alias("flag"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nk").alias("sum_nk"),
+        F.count("flag").alias("n_flag"),
+        F.min("seg").alias("min_seg"),
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):
@@ -3915,8 +3972,8 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # (rename-epoch DML fix, MERGE clause variants, type widening, dedup
 # pointer-doubling, fixture paths), (b) the 16 entries that never had a
 # driver row, (c) as many round-1-stale entries as fit. Left for the
-# round-4 rotation: q25 q26 q28-q32 q34 q39-q43 q94 q95 t2_simhash
-# t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
+# round-4 rotation: q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
+# q100 t2_simhash t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
 
@@ -3967,8 +4024,8 @@ _DRIVER_WINDOW = [
     "q20_window_frame",
     "q21_sort_nulls",
     "q23_union_distinct",
-    "q24_except",
     "q27_date_funcs",
+    "q101_nested_evolution",
     "q91_data_skipping",
     "q92_sorted_compact_skip",
     "q93_merge_evolution",
