@@ -73,6 +73,30 @@ class ModelTable:
         for r in src:
             self.rows.append({c: r.get(c) for c in self.cols})
 
+    def merge_clauses(
+        self, src: list[dict], val_col: str, del_mod: int
+    ) -> None:
+        """Mirror of merge_into(matched_update={val: s.val},
+        matched_condition=id%del_mod!=0, matched_delete_where=
+        id%del_mod=0, insert_unmatched=True)."""
+        by_id = {r["id"]: r for r in src}
+        out = []
+        for r in self.rows:
+            s = by_id.get(r["id"])
+            if s is None:
+                out.append(r)
+            elif r["id"] % del_mod == 0:
+                continue  # matched delete
+            else:
+                r2 = dict(r)
+                r2[val_col] = s.get(val_col)
+                out.append(r2)
+        matched_ids = {r["id"] for r in self.rows}
+        for i, s in by_id.items():
+            if i not in matched_ids:
+                out.append({c: s.get(c) for c in self.cols})
+        self.rows = out
+
     def rollback(self, version: int) -> None:
         cols, rows = self.history[version]
         self.cols = list(cols)
@@ -124,6 +148,11 @@ _op = st.one_of(
         st.integers(min_value=100, max_value=199),
     ),
     st.tuples(st.just("merge"), _rows),
+    st.tuples(
+        st.just("merge_clauses"),
+        _rows,
+        st.integers(min_value=2, max_value=4),  # delete modulus
+    ),
     st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=7)),
 )
 
@@ -200,6 +229,22 @@ def test_dml_evolution_matches_model(spark, first, ops):
                 _mk_df(spark, rws, ["id", "ts", val_col]), on=["id"]
             )
             model.merge(rws)
+        elif kind == "merge_clauses":
+            _, raw, dmod = op
+            val_col = next(
+                (c for c in schema_cols if c not in ("id", "ts")), None
+            )
+            if val_col is None:
+                continue
+            rws = rows_of(raw, val_col)
+            v = t.merge_into(
+                _mk_df(spark, rws, ["id", "ts", val_col]),
+                on=["id"],
+                matched_update={val_col: f"s.{val_col}"},
+                matched_condition=f"t.id % {dmod} != 0",
+                matched_delete_where=f"t.id % {dmod} = 0",
+            )
+            model.merge_clauses(rws, val_col, dmod)
         else:  # rollback
             _, j = op
             target = versions[j % len(versions)]
