@@ -432,10 +432,22 @@ class LakehouseTable:
         fstats = b.get("file_stats")
         if not fstats:
             return b
+        live = (
+            tuple(f"{_PART_COL}={m}/" for m in b["months"])
+            if b["months"] is not None
+            else None
+        )
         keep = [
             rel
             for rel, st in fstats.items()
-            if self._stats_may_match(
+            # a DML-trimmed batch stays live for a month SUBSET: files of
+            # dropped months are dead — exclude them from the plan, not
+            # just from the row filter
+            if (
+                live is None
+                or rel.replace(os.sep, "/").startswith(live)
+            )
+            and self._stats_may_match(
                 {"stats": st, "renames_at": b.get("renames_at", 0)},
                 snap,
                 filters,
@@ -1235,6 +1247,12 @@ class LakehouseTable:
             if len(z_order) < 2:
                 raise ValueError("z_order needs at least two columns")
             bounds = self._column_bounds(z_order, snap, current)
+            if any(
+                lo is None or hi is None for lo, hi in bounds.values()
+            ):
+                # empty table or all-NULL column: nothing to cluster
+                z_order = None
+        if z_order:
             n = target_files or max(
                 2, self.spark.sparkContext.defaultParallelism
             )

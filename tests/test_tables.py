@@ -779,3 +779,40 @@ def test_files_metadata_table(spark, catalog):
     t.delete_where(F.date_format(F.col("ts"), "yyyy-MM") == "2024-01")
     fl2 = t.files()
     assert sum(f["rows"] for f in fl2) == t.read().count()
+
+
+def test_zorder_empty_and_allnull_safe(spark, catalog):
+    """z-order compaction degrades to a plain rewrite when there is
+    nothing to bucket (empty table / all-NULL column)."""
+    catalog.write_evolving(
+        spark.createDataFrame([], "a BIGINT, b BIGINT"), "db", "ze"
+    )
+    t = catalog.table("db", "ze")
+    t.compact(z_order=["a", "b"])  # must not raise
+    assert t.read().count() == 0
+    catalog.write_evolving(
+        spark.createDataFrame([(None, 1), (None, 2)], "a BIGINT, b BIGINT"),
+        "db", "zn",
+    )
+    t2 = catalog.table("db", "zn")
+    t2.compact(z_order=["a", "b"])
+    assert t2.read().count() == 2
+
+
+def test_file_pruning_excludes_dead_month_files(spark, catalog):
+    """After a DML trims a batch to a month subset, dead-month files must
+    leave the PLAN (inputFiles), not merely be row-filtered."""
+    catalog.write_evolving(
+        _mk_part(
+            spark,
+            [(i, f"2024-{1 + i % 2:02d}-10", i) for i in range(200)],
+        ),
+        "db", "dead", partition_month_of="ts",
+    )
+    t = catalog.table("db", "dead")
+    t.delete_where(F.date_format(F.col("ts"), "yyyy-MM") == "2024-01")
+    # the original batch is live only for 2024-02 now; a read_where must
+    # not plan its 2024-01 file
+    files = t.read_where([("v", ">=", 0)]).inputFiles()
+    assert files and not any("2024-01" in f for f in files)
+    assert t.read_where([("v", ">=", 0)]).count() == t.read().count()
