@@ -3568,6 +3568,64 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q102_lakehouse_sql",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_c
+    FROM customer WHERE c_custkey < 1200
+    GROUP BY c_mktsegment ORDER BY seg
+    """,
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL front door over a lakehouse table: ``lake.<ns>.<table>`` refs
+    resolve to snapshot scans, then plain spark.sql runs — the query a
+    reference user would type against the Iceberg catalog."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 1200").select(
+            F.col("c_mktsegment").alias("seg"),
+            cents(F.col("c_acctbal")).alias("bal"),
+        ),
+        "db",
+        "custs",
+    )
+    return cat.sql(
+        "SELECT seg, COUNT(*) AS n, SUM(bal) AS bal_c "
+        "FROM lake.db.custs GROUP BY seg ORDER BY seg"
+    )
+
+
+@q("t2_skip_planning", oracle=None, tier=2)
+def t2_skip_planning(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-skipping planning metrics as a driver-visible row: after a
+    sorted compaction, a narrow key range must plan a strict subset of
+    files (rows-only check records the metric; the value equivalence is
+    q91/q92's hash gate)."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    cat.write_evolving(o, "db", "plan")
+    t = cat.table("db", "plan")
+    t.compact(sort_by=["o_orderkey"], target_files=8)
+    p = t.plan_scan([("o_orderkey", "<", 2000)])
+    return spark.createDataFrame(
+        [
+            (
+                p["batches_scanned"],
+                p["batches_total"],
+                p["files_scanned"],
+                p["files_total"],
+                int(p["files_scanned"] < p["files_total"]),
+            )
+        ],
+        "batches_scanned INT, batches_total INT, files_scanned INT, "
+        "files_total INT, subset_planned INT",
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):

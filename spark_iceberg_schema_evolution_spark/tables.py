@@ -1349,3 +1349,30 @@ class LakehouseCatalog:
         if not t.exists():
             t.create(df.schema, partition_month_of=partition_month_of)
         return t.append(df, evolve=True)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL front door over lakehouse tables: references shaped
+        ``lake.<namespace>.<table>`` (optionally ``@v<version>`` for time
+        travel) resolve to the table's current snapshot scan as a temp
+        view, then the query runs through ``spark.sql`` — the ergonomics
+        of Iceberg's catalog-registered tables without the jar.
+
+            catalog.sql("SELECT seg, COUNT(*) FROM lake.db.custs "
+                        "GROUP BY seg")
+            catalog.sql("SELECT * FROM lake.db.custs@v3")   -- VERSION AS OF
+        """
+        import re
+
+        def resolve(m: re.Match) -> str:
+            ns, name, ver = m.group(1), m.group(2), m.group(3)
+            version = int(ver[2:]) if ver else None
+            view = f"__lake_{ns}_{name}" + (f"_v{version}" if ver else "")
+            self.table(ns, name).read(
+                version=version
+            ).createOrReplaceTempView(view)
+            return view
+
+        rewritten = re.sub(
+            r"\blake\.(\w+)\.(\w+)(@v\d+)?", resolve, query
+        )
+        return self.spark.sql(rewritten)

@@ -816,3 +816,35 @@ def test_file_pruning_excludes_dead_month_files(spark, catalog):
     files = t.read_where([("v", ">=", 0)]).inputFiles()
     assert files and not any("2024-01" in f for f in files)
     assert t.read_where([("v", ">=", 0)]).count() == t.read().count()
+
+
+def test_catalog_sql_front_door(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "A"), (2, "B"), (3, "A")], ["id", "seg"]
+        ),
+        "db", "custs",
+    )
+    t = catalog.table("db", "custs")
+    v1 = t._load().version
+    t.append(spark.createDataFrame([(4, "B")], ["id", "seg"]))
+    out = {
+        r.seg: r.n
+        for r in catalog.sql(
+            "SELECT seg, COUNT(*) AS n FROM lake.db.custs GROUP BY seg"
+        ).collect()
+    }
+    assert out == {"A": 2, "B": 2}
+    # time travel via @v
+    assert (
+        catalog.sql(
+            f"SELECT COUNT(*) AS n FROM lake.db.custs@v{v1}"
+        ).collect()[0].n
+        == 3
+    )
+    # join a lakehouse table with itself under two refs
+    n = catalog.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.custs a "
+        "JOIN lake.db.custs b ON a.seg = b.seg"
+    ).collect()[0].n
+    assert n == 8  # 2x2 + 2x2
