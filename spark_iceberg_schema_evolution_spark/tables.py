@@ -1360,11 +1360,63 @@ class LakehouseCatalog:
             catalog.sql("SELECT seg, COUNT(*) FROM lake.db.custs "
                         "GROUP BY seg")
             catalog.sql("SELECT * FROM lake.db.custs@v3")   -- VERSION AS OF
+
+        DML statements targeting a lake table route to the engine's COW
+        operations (the SELECT body still goes through spark.sql):
+
+            INSERT INTO lake.db.t SELECT ...           -> append
+            DELETE FROM lake.db.t WHERE <cond>         -> delete_where
+            UPDATE lake.db.t SET c = e, ... WHERE ...  -> update_where
+
+        Each DML returns a 1-row DataFrame with the new snapshot version.
         """
         import re
 
-        def resolve(m: re.Match) -> str:
-            ns, name, ver = m.group(1), m.group(2), m.group(3)
+        q = query.strip()
+        m = re.match(
+            r"(?is)^INSERT\s+INTO\s+lake\.(\w+)\.(\w+)\s+(SELECT\b.*)$", q
+        )
+        if m:
+            ns, name, body = m.groups()
+            v = self.table(ns, name).append(self.sql(body))
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^DELETE\s+FROM\s+lake\.(\w+)\.(\w+)\s+WHERE\s+(.*)$", q
+        )
+        if m:
+            ns, name, cond = m.groups()
+            v = self.table(ns, name).delete_where(cond.strip())
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^UPDATE\s+lake\.(\w+)\.(\w+)\s+SET\s+(.*?)"
+            r"\s+WHERE\s+(.*)$",
+            q,
+        )
+        if m:
+            ns, name, sets, cond = m.groups()
+            assignments = {}
+            # split on top-level commas (good enough for scalar SETs; no
+            # nested function commas with parens is handled below)
+            depth, start, parts = 0, 0, []
+            for i, ch in enumerate(sets):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(sets[start:i])
+                    start = i + 1
+            parts.append(sets[start:])
+            for part in parts:
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            v = self.table(ns, name).update_where(
+                cond.strip(), assignments
+            )
+            return self._version_df(v)
+
+        def resolve(mm: re.Match) -> str:
+            ns, name, ver = mm.group(1), mm.group(2), mm.group(3)
             version = int(ver[2:]) if ver else None
             view = f"__lake_{ns}_{name}" + (f"_v{version}" if ver else "")
             self.table(ns, name).read(
@@ -1373,6 +1425,11 @@ class LakehouseCatalog:
             return view
 
         rewritten = re.sub(
-            r"\blake\.(\w+)\.(\w+)(@v\d+)?", resolve, query
+            r"\blake\.(\w+)\.(\w+)(@v\d+)?", resolve, q
         )
         return self.spark.sql(rewritten)
+
+    def _version_df(self, version: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(version,)], "version BIGINT"
+        )

@@ -848,3 +848,29 @@ def test_catalog_sql_front_door(spark, catalog):
         "JOIN lake.db.custs b ON a.seg = b.seg"
     ).collect()[0].n
     assert n == 8  # 2x2 + 2x2
+
+
+def test_catalog_sql_dml_routing(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["id", "x", "v"]
+        ),
+        "db", "dml",
+    )
+    # INSERT INTO ... SELECT (source may itself read lake tables)
+    catalog.sql(
+        "INSERT INTO lake.db.dml "
+        "SELECT id + 10 AS id, x, v + 100 AS v FROM lake.db.dml"
+    )
+    t = catalog.table("db", "dml")
+    assert t.read().count() == 4
+    # UPDATE with multiple SETs incl. a function call with commas
+    catalog.sql(
+        "UPDATE lake.db.dml SET v = v * 2, x = concat(x, '!') "
+        "WHERE id >= 11"
+    )
+    rows = {r.id: (r.x, r.v) for r in t.read().collect()}
+    assert rows[11] == ("a!", 220) and rows[1] == ("a", 10)
+    # DELETE
+    catalog.sql("DELETE FROM lake.db.dml WHERE id > 10")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
