@@ -1,0 +1,92 @@
+"""Scheduled table-maintenance job — the engine-native replacement for
+the reference's Athena OPTIMIZE / VACUUM property knobs
+(`src/utils/spark/spark_utils.py:166-171`: optimize_rewrite_* thresholds,
+vacuum_min_snapshots_to_keep).
+
+    python -m spark_iceberg_schema_evolution_spark.jobs.maintain_table \
+        --warehouse /tmp/wh --namespace db --table events \
+        [--sort-by k1,k2 | --z-order x,y] [--target-files 32] \
+        [--keep-snapshots 5] [--max-batches 8]
+
+Behavior:
+- compacts when the live batch count exceeds ``--max-batches`` (the
+  reference's rewrite "file threshold", applied to manifest batches),
+  optionally with a sort/z-order rewrite so data skipping stays tight;
+- expires snapshots beyond ``--keep-snapshots`` (vacuum), physically
+  deleting unreferenced batch dirs;
+- prints before/after planning metrics (batches, files, rows) — all
+  manifest-derived, no data scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="maintain_table")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--namespace", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--sort-by", default=None, help="comma-separated")
+    p.add_argument("--z-order", default=None, help="comma-separated")
+    p.add_argument("--target-files", type=int, default=None)
+    p.add_argument("--keep-snapshots", type=int, default=5)
+    p.add_argument(
+        "--max-batches", type=int, default=8,
+        help="compact only when live batches exceed this",
+    )
+    p.add_argument(
+        "--force", action="store_true",
+        help="compact regardless of batch count",
+    )
+    return p
+
+
+def maintain(spark, args) -> dict:
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, args.warehouse)
+    t = cat.table(args.namespace, args.table)
+    snap = t._load()
+    report = {
+        "batches_before": len(snap.batches),
+        "files_before": len(t.files()),
+        "rows": t.row_count(),
+        "compacted": False,
+    }
+    if args.force or len(snap.batches) > args.max_batches:
+        sort_by = args.sort_by.split(",") if args.sort_by else None
+        z_order = args.z_order.split(",") if args.z_order else None
+        t.compact(
+            sort_by=sort_by,
+            z_order=z_order,
+            target_files=args.target_files,
+        )
+        report["compacted"] = True
+    dropped = t.expire_snapshots(keep_last=args.keep_snapshots)
+    report["snapshots_expired"] = len(dropped)
+    report["batches_after"] = len(t._load().batches)
+    report["files_after"] = len(t.files())
+    report["rows_after"] = t.row_count()
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from spark_iceberg_schema_evolution_spark.session import get_spark
+
+    spark = get_spark()
+    report = maintain(spark, args)
+    for k, v in report.items():
+        print(f"{k}: {v}")
+    if report["rows_after"] != report["rows"]:
+        print("ERROR: row count changed during maintenance", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

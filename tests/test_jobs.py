@@ -63,3 +63,38 @@ def test_curate_corpus_end_to_end(spark, tmp_path, capsys):
     for stage in ["00_scrubbed", "01_exact_dedup", "02_near_dedup",
                   "03_quality", "04_chunks", "05_packed", "06_split"]:
         assert spark.read.parquet(str(tmp_path / "curated" / stage)).count() > 0
+
+
+def test_maintain_table_job(spark, tmp_path, capsys):
+    from spark_iceberg_schema_evolution_spark.jobs.maintain_table import main
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    for lo in range(0, 500, 100):
+        cat.write_evolving(
+            spark.createDataFrame(
+                [(i, i % 7) for i in range(lo, lo + 100)], ["id", "v"]
+            ),
+            "db", "m",
+        )
+    rc = main(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--namespace", "db", "--table", "m",
+            "--sort-by", "id", "--target-files", "4",
+            "--max-batches", "3", "--keep-snapshots", "2",
+        ]
+    )
+    assert rc == 0
+    out = dict(
+        ln.split(": ")
+        for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    assert out["compacted"] == "True"
+    assert int(out["batches_after"]) == 1
+    assert out["rows"] == out["rows_after"] == "500"
+    assert int(out["snapshots_expired"]) > 0
+    # sorted rewrite left skippable files behind
+    t = cat.table("db", "m")
+    p = t.plan_scan([("id", "<", 50)])
+    assert p["files_scanned"] < p["files_total"]
