@@ -3810,6 +3810,62 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q103_mor_delete_update",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_custkey < 1500),
+    after_del AS (
+      SELECT * FROM base WHERE NOT (o_orderstatus = 'F')),
+    after_upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 180000 THEN '5-MOR'
+                  ELSE o_orderpriority END AS pri,
+             o_totalprice
+      FROM after_del),
+    reappended AS (
+      SELECT o_orderkey, o_orderpriority AS pri, o_totalprice
+      FROM base WHERE o_orderstatus = 'F' AND o_custkey < 100),
+    final AS (
+      SELECT * FROM after_upd UNION ALL SELECT * FROM reappended)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN pri = '5-MOR' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mor,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_price
+    FROM final
+    """,
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read DML lifecycle (Iceberg v2 equality deletes): MOR
+    DELETE writes an O(matched-keys) delete file instead of rewriting
+    partitions, MOR UPDATE adds a delete file plus just the updated rows,
+    and a later re-append of deleted keys survives (sequence-number
+    rule: deletes apply only to strictly-older batches). The re-appended
+    rows keep their ORIGINAL priority — proving the update's delete file
+    doesn't touch rows written after it. Post-state checked against the
+    equivalent filter/CASE/union over the base table."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where("o_custkey < 1500")
+    cat.write_evolving(o, "db", "mor", partition_month_of="o_orderdate")
+    t = cat.table("db", "mor")
+    t.delete_where("o_orderstatus = 'F'", mode="mor", keys=["o_orderkey"])
+    t.update_where(
+        "o_totalprice > 180000",
+        {"o_orderpriority": F.lit("5-MOR")},
+        mode="mor",
+        keys=["o_orderkey"],
+    )
+    t.append(o.where("o_orderstatus = 'F' AND o_custkey < 100"))
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "5-MOR", 1).otherwise(0)
+        ).alias("n_mor"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@q(
     "q71_text_chunking",
     oracle=f"""
     WITH t AS (
@@ -4028,9 +4084,10 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # insertion order (round-1 finding: q46+ had no hard-signal coverage).
 # Round-3 window: (a) every query whose engine code changed this round
 # (rename-epoch DML fix, MERGE clause variants, type widening, dedup
-# pointer-doubling, fixture paths), (b) the 16 entries that never had a
-# driver row, (c) as many round-1-stale entries as fit. Left for the
-# round-4 rotation: q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
+# pointer-doubling, fixture paths, merge-on-read deletes), (b) the 16
+# entries that never had a driver row, (c) as many round-1-stale entries
+# as fit. Left for the
+# round-4 rotation: q03 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
 # q100 t2_simhash t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
@@ -4064,8 +4121,9 @@ _DRIVER_WINDOW = [
     "t2_multimodal_frames",
     "t2_stats_moments",
     "t2_profile_approx",
+    # merge-on-read DML (new this round; tables.py read path changed)
+    "q103_mor_delete_update",
     # (c) round-1-stale rotation (green in CORRECTNESS_r01 only)
-    "q03_json_extract",
     "q04_filter_case",
     "q06_join_broadcast",
     "q07_join_left_outer",

@@ -75,13 +75,20 @@ class Snapshot:
     version: int
     schema: T.StructType
     batches: list[dict]  # {"path": str, "months": [str] | None,
-    #                        "renames_at": int (rename-epoch at write)}
+    #                        "renames_at": int (rename-epoch at write),
+    #                        "seq": int (commit sequence number)}
     partition_month_of: str | None
     # ordered [old, new] column renames across the table's history; a batch
     # only replays the renames committed AFTER it was written (its
     # "renames_at" epoch) — the name-mapping equivalent of Iceberg's
     # field-ids, which makes rename + later re-add of the old name safe.
     renames: list = field(default_factory=list)
+    # merge-on-read equality-delete files (Iceberg v2 delete files):
+    # {"path": str, "keys": [col], "seq": int, "renames_at": int,
+    #  "rows": int}. A delete applies to data batches with seq strictly
+    # below its own — rows re-appended after the delete survive, exactly
+    # Iceberg's sequence-number rule. compact() materializes and clears.
+    deletes: list = field(default_factory=list)
 
 
 class LakehouseTable:
@@ -124,6 +131,7 @@ class LakehouseTable:
             batches=m["batches"],
             partition_month_of=m.get("partition_month_of"),
             renames=m.get("renames", []),
+            deletes=m.get("deletes", []),
         )
 
     def _commit(self, snap: Snapshot) -> None:
@@ -136,6 +144,7 @@ class LakehouseTable:
             "batches": snap.batches,
             "partition_month_of": snap.partition_month_of,
             "renames": snap.renames,
+            "deletes": snap.deletes,
         }
         tmp = os.path.join(self.meta_dir, f".v{snap.version}.json.tmp")
         with open(tmp, "w") as f:
@@ -191,6 +200,7 @@ class LakehouseTable:
                 "path": batch_dir,
                 "months": months,
                 "renames_at": renames_at,
+                "seq": n,
                 "stats": stats,
                 "file_stats": file_stats,
                 "file_rows": file_rows,
@@ -201,6 +211,7 @@ class LakehouseTable:
             "path": batch_dir,
             "months": None,
             "renames_at": renames_at,
+            "seq": n,
             "stats": stats,
             "file_stats": file_stats,
             "file_rows": file_rows,
@@ -314,7 +325,7 @@ class LakehouseTable:
         self._commit(
             Snapshot(
                 version, evolved, snap.batches + [batch],
-                snap.partition_month_of, snap.renames,
+                snap.partition_month_of, snap.renames, snap.deletes,
             )
         )
         return version
@@ -335,6 +346,7 @@ class LakehouseTable:
         self, snap: Snapshot, batches: list[dict], months: list[str] | None
     ) -> DataFrame:
         parts = []
+        seqs = []
         for b in batches:
             if b["months"] is not None:
                 # the manifest's month list is authoritative: after a
@@ -360,15 +372,81 @@ class LakehouseTable:
                 parts.append(
                     align_schema(df, snap.schema, keep_extras=False)
                 )
+                seqs.append(int(b.get("seq", 0)))
             else:
                 if months is None:
                     df = self._replay_renames(self._read_batch(b), b, snap)
                     parts.append(
                         align_schema(df, snap.schema, keep_extras=False)
                     )
+                    seqs.append(int(b.get("seq", 0)))
         if not parts:
             return self.spark.createDataFrame([], snap.schema)
-        return union_evolving(parts, target=snap.schema)
+        if not snap.deletes:
+            return union_evolving(parts, target=snap.schema)
+        # merge-on-read: tag every part with its batch's commit sequence,
+        # union, then anti-join the equality-delete files (align_schema
+        # above already normalized each part, so extras survive the union).
+        parts = [
+            p.withColumn("__seq", F.lit(s)) for p, s in zip(parts, seqs)
+        ]
+        out = union_evolving(parts, target=snap.schema)
+        return self._apply_equality_deletes(out, snap).drop("__seq")
+
+    def _apply_equality_deletes(
+        self, rows: DataFrame, snap: Snapshot
+    ) -> DataFrame:
+        """Anti-join ``rows`` (carrying a ``__seq`` batch-sequence column)
+        against every live equality-delete file: a row is removed when some
+        delete file written with a STRICTLY LARGER sequence holds its key
+        tuple (Iceberg v2's delete-file application rule — re-appends after
+        the delete survive). Delete files are small by construction (key
+        columns of matched rows only) so every anti-join broadcasts; the
+        scan stays one shuffle-free pass at any table size."""
+        from functools import reduce as _reduce
+
+        groups: dict[tuple, list[dict]] = {}
+        for d in snap.deletes:
+            cur = tuple(
+                self._current_name(k, d.get("renames_at", 0), snap)
+                for k in d["keys"]
+            )
+            groups.setdefault(cur, []).append(d)
+        for cur_keys, ds in groups.items():
+            dparts = []
+            for d in ds:
+                # _replay_renames brings the delete file's physical column
+                # names forward to current names, matching cur_keys.
+                dd = self._replay_renames(
+                    self.spark.read.parquet(d["path"]), d, snap
+                )
+                dparts.append(
+                    dd.select(*cur_keys).withColumn(
+                        "__del_seq", F.lit(int(d["seq"]))
+                    )
+                )
+            dels = _reduce(lambda a, b: a.unionByName(b), dparts)
+            r = rows.alias("__r")
+            dl = F.broadcast(dels.alias("__d"))
+            cond = _reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__r.{k}") == F.col(f"__d.{k}")
+                    for k in cur_keys
+                ],
+            ) & (F.col("__r.__seq") < F.col("__d.__del_seq"))
+            rows = r.join(dl, cond, "left_anti")
+        return rows
+
+    @staticmethod
+    def _current_name(name: str, renames_at: int, snap: Snapshot) -> str:
+        """Forward-map a column name recorded at rename-epoch
+        ``renames_at`` to its CURRENT name (the inverse direction of
+        _physical_name)."""
+        for old, new in snap.renames[renames_at:]:
+            if old == name:
+                name = new
+        return name
 
     def _read_batch(self, b: dict) -> DataFrame:
         """Scan a batch dir — or, when file-level skipping selected a
@@ -501,6 +579,9 @@ class LakehouseTable:
             "batches_total": len(snap.batches),
             "files_scanned": files_scanned,
             "files_total": files_total,
+            # live MOR delete files always join the surviving scan (they
+            # can't be pruned by data stats — they REMOVE rows anywhere)
+            "delete_files": len(snap.deletes),
         }
 
     def read_where(
@@ -549,8 +630,14 @@ class LakehouseTable:
         counts for live months — no file is opened (Iceberg's
         metadata-table count path; at 100 TB this is the difference
         between O(manifest) and a full scan). Batches whose manifests
-        predate row-count collection fall back to a scan."""
+        predate row-count collection fall back to a scan. Live
+        merge-on-read delete files make the manifest sums an upper bound
+        only, so their presence forces a real count (Iceberg does the
+        same: a metadata count is exact only when delete files don't
+        apply)."""
         snap = self._load(version)
+        if snap.deletes:
+            return self._scan(snap, snap.batches, months).count()
         total = 0
         legacy = []
         for b in snap.batches:
@@ -630,6 +717,7 @@ class LakehouseTable:
                 snap.batches,
                 snap.partition_month_of,
                 snap.renames + [[old, new]],
+                snap.deletes,
             )
         )
         return version
@@ -645,6 +733,16 @@ class LakehouseTable:
             raise ValueError(f"no such column: {name}")
         if name == snap.partition_month_of:
             raise ValueError("cannot drop the partition source column")
+        for d in snap.deletes:
+            if name in (
+                self._current_name(k, d.get("renames_at", 0), snap)
+                for k in d["keys"]
+            ):
+                raise ValueError(
+                    f"column {name!r} is an equality-delete key of a live "
+                    "merge-on-read delete file; compact() first to "
+                    "materialize the deletes"
+                )
         version = snap.version + 1
         tombstone = f"__dropped_v{version}_{name}"
         self._commit(
@@ -656,6 +754,7 @@ class LakehouseTable:
                 snap.batches,
                 snap.partition_month_of,
                 snap.renames + [[name, tombstone]],
+                snap.deletes,
             )
         )
         return version
@@ -706,6 +805,7 @@ class LakehouseTable:
                 snap.batches,
                 snap.partition_month_of,
                 snap.renames,
+                snap.deletes,
             )
         )
         return version
@@ -828,7 +928,8 @@ class LakehouseTable:
         )
         self._commit(
             Snapshot(
-                version, schema, keep_batches + [batch], mo, snap.renames
+                version, schema, keep_batches + [batch], mo,
+                snap.renames, snap.deletes,
             )
         )
         return version
@@ -935,15 +1036,72 @@ class LakehouseTable:
             .collect()
         ]
 
-    def delete_where(self, condition) -> int:
-        """DELETE FROM ... WHERE — copy-on-write at partition granularity
-        (Iceberg's COW DELETE): only partitions holding matching rows are
+    def _write_delete_file(
+        self, snap: Snapshot, cond_true, keys: list[str], version: int
+    ) -> dict | None:
+        """Write an equality-delete file (Iceberg v2 MOR): the distinct
+        ``keys`` tuples of rows matching ``cond_true``. Returns the
+        manifest delete entry, or None when nothing matched (caller skips
+        the commit). O(matched keys) written instead of an O(partition)
+        rewrite — the right trade at 100 TB for small scattered deletes.
+
+        ``keys`` must functionally identify the predicate's rows (a
+        primary key): equality deletes remove EVERY older row sharing the
+        key tuple, exactly like Iceberg's."""
+        names = [f.name for f in snap.schema.fields]
+        missing = [k for k in keys if k not in names]
+        if missing:
+            raise ValueError(f"delete keys not in schema: {missing}")
+        path = os.path.join(self.data_dir, f"delete-{version}")
+        matched = self.read().where(cond_true).select(*keys).distinct()
+        matched.write.mode("error").parquet(path)
+        _stats, _fstats, file_rows = self._footer_stats(path)
+        n = sum(file_rows.values())
+        if n == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            return None
+        return {
+            "path": path,
+            "keys": keys,
+            "seq": version,
+            "renames_at": len(snap.renames),
+            "rows": n,
+        }
+
+    def delete_where(self, condition, mode: str = "cow", keys: list[str] | None = None) -> int:
+        """DELETE FROM ... WHERE.
+
+        ``mode="cow"`` (default): copy-on-write at partition granularity
+        (Iceberg's COW DELETE) — only partitions holding matching rows are
         rewritten. Rows where the predicate is NULL are KEPT (SQL DELETE
-        removes only where the condition is TRUE)."""
+        removes only where the condition is TRUE).
+
+        ``mode="mor"``: merge-on-read — writes an equality-delete file of
+        the matched rows' ``keys`` tuples instead of rewriting data; reads
+        anti-join it until ``compact()`` materializes. Commit cost is
+        O(matched keys) regardless of partition size — use for small
+        scattered deletes (GDPR erasure, row corrections) on huge tables;
+        prefer COW when a large fraction of a partition dies."""
         snap = self._load()
         mo = snap.partition_month_of
         cond = F.expr(condition) if isinstance(condition, str) else condition
         cond_true = F.coalesce(cond, F.lit(False))
+        if mode == "mor":
+            if not keys:
+                raise ValueError("mor delete requires keys=[...]")
+            version = snap.version + 1
+            entry = self._write_delete_file(snap, cond_true, keys, version)
+            if entry is None:
+                return snap.version  # nothing matches: no new snapshot
+            self._commit(
+                Snapshot(
+                    version, snap.schema, snap.batches, mo,
+                    snap.renames, snap.deletes + [entry],
+                )
+            )
+            return version
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode: {mode}")
         if mo:
             hit = self._affected_months(cond_true)
             if not hit:
@@ -965,17 +1123,35 @@ class LakehouseTable:
         )
         self._commit(
             Snapshot(
-                version, snap.schema, keep_batches + [batch], mo, snap.renames
+                version, snap.schema, keep_batches + [batch], mo,
+                snap.renames, snap.deletes,
             )
         )
         return version
 
-    def update_where(self, condition, assignments: dict) -> int:
-        """UPDATE ... SET ... WHERE — copy-on-write at partition
-        granularity. ``assignments`` maps column name -> Column (or SQL
-        string). An update that changes the partition timestamp moves the
-        row to its new partition (the rewrite re-derives the hidden month
-        from the new value)."""
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        mode: str = "cow",
+        keys: list[str] | None = None,
+    ) -> int:
+        """UPDATE ... SET ... WHERE.
+
+        ``mode="cow"`` (default): copy-on-write at partition granularity.
+        ``assignments`` maps column name -> Column (or SQL string). An
+        update that changes the partition timestamp moves the row to its
+        new partition (the rewrite re-derives the hidden month from the
+        new value).
+
+        ``mode="mor"``: merge-on-read (Iceberg v2 MOR UPDATE) — one
+        commit adds an equality-delete file of the matched rows' ``keys``
+        tuples AND a data batch holding just the updated rows. The new
+        batch's sequence equals the delete's, so (Iceberg's rule:
+        deletes apply only to strictly-older sequences) the updated rows
+        survive their own delete. Commit cost is O(matched rows), not
+        O(partition) — the right shape for sparse updates on a 100 TB
+        table; ``compact()`` materializes later."""
         snap = self._load()
         mo = snap.partition_month_of
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -996,6 +1172,27 @@ class LakehouseTable:
                 }
             )
 
+        if mode == "mor":
+            if not keys:
+                raise ValueError("mor update requires keys=[...]")
+            version = snap.version + 1
+            entry = self._write_delete_file(snap, cond_true, keys, version)
+            if entry is None:
+                return snap.version  # nothing matches: no new snapshot
+            updated = apply(self.read().where(cond_true))
+            batch = self._write_batch(
+                updated, snap.schema, mo, version,
+                renames_at=len(snap.renames),
+            )
+            self._commit(
+                Snapshot(
+                    version, snap.schema, snap.batches + [batch], mo,
+                    snap.renames, snap.deletes + [entry],
+                )
+            )
+            return version
+        if mode != "cow":
+            raise ValueError(f"unknown update mode: {mode}")
         if mo:
             hit = self._affected_months(cond_true)
             if not hit:
@@ -1017,7 +1214,8 @@ class LakehouseTable:
         )
         self._commit(
             Snapshot(
-                version, snap.schema, keep_batches + [batch], mo, snap.renames
+                version, snap.schema, keep_batches + [batch], mo,
+                snap.renames, snap.deletes,
             )
         )
         return version
@@ -1047,7 +1245,8 @@ class LakehouseTable:
         )
         self._commit(
             Snapshot(
-                version, snap.schema, keep_batches + [batch], mo, snap.renames
+                version, snap.schema, keep_batches + [batch], mo,
+                snap.renames, snap.deletes,
             )
         )
         return version
@@ -1128,8 +1327,19 @@ class LakehouseTable:
                         "batch": os.path.basename(b["path"]),
                         "rows": rows.get(rel),
                         "stats": stats.get(rel, {}),
+                        "content": "data",
                     }
                 )
+        for d in snap.deletes:
+            out.append(
+                {
+                    "file": d["path"],
+                    "batch": os.path.basename(d["path"]),
+                    "rows": d.get("rows"),
+                    "stats": {},
+                    "content": "equality-deletes",
+                }
+            )
         return out
 
     def rollback_to(self, version: int) -> int:
@@ -1147,6 +1357,7 @@ class LakehouseTable:
                 target.batches,
                 target.partition_month_of,
                 target.renames,
+                target.deletes,
             )
         )
         return new_version
@@ -1293,7 +1504,7 @@ class LakehouseTable:
         self._commit(
             Snapshot(
                 version, snap.schema, [batch], snap.partition_month_of,
-                snap.renames,
+                snap.renames, [],
             )
         )
         return version
@@ -1305,9 +1516,11 @@ class LakehouseTable:
         vs = self._versions()
         drop = vs[:-keep_last] if keep_last else vs[:-1]
         keep = [v for v in vs if v not in drop]
-        live = {
-            b["path"] for v in keep for b in self._load(v).batches
-        }
+        live = set()
+        for v in keep:
+            s = self._load(v)
+            live.update(b["path"] for b in s.batches)
+            live.update(d["path"] for d in s.deletes)
         for v in drop:
             os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
         if os.path.isdir(self.data_dir):

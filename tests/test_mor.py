@@ -1,0 +1,249 @@
+"""Merge-on-read (Iceberg v2 equality-delete) lifecycle tests: MOR
+DELETE/UPDATE write O(matched-keys) delete files instead of rewriting
+partitions, reads anti-join them with the sequence-number rule
+(deletes apply only to strictly-older batches, so re-appends survive),
+and compact() materializes them away."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _ids(t, version=None):
+    return sorted(r.id for r in t.read(version=version).collect())
+
+
+def test_mor_delete_removes_rows_without_rewriting_data(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i * 10) for i in range(10)], ["id", "v"]),
+        "db", "d",
+    )
+    t = catalog.table("db", "d")
+    paths_before = [b["path"] for b in t._load().batches]
+    v = t.delete_where("id >= 7", mode="mor", keys=["id"])
+    assert v == 2
+    assert _ids(t) == [0, 1, 2, 3, 4, 5, 6]
+    snap = t._load()
+    # no data rewrite: same batch set, one delete file recorded
+    assert [b["path"] for b in snap.batches] == paths_before
+    assert len(snap.deletes) == 1 and snap.deletes[0]["rows"] == 3
+    # time travel still sees the pre-delete rows
+    assert _ids(t, version=1) == list(range(10))
+
+
+def test_mor_delete_no_match_no_snapshot(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 1)], ["id", "v"]), "db", "n"
+    )
+    t = catalog.table("db", "n")
+    assert t.delete_where("id > 99", mode="mor", keys=["id"]) == 1
+    assert t._load().version == 1 and not t._load().deletes
+
+
+def test_mor_delete_requires_keys(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 1)], ["id", "v"]), "db", "k"
+    )
+    t = catalog.table("db", "k")
+    with pytest.raises(ValueError, match="keys"):
+        t.delete_where("id = 1", mode="mor")
+    with pytest.raises(ValueError, match="not in schema"):
+        t.delete_where("id = 1", mode="mor", keys=["nope"])
+
+
+def test_reappend_after_mor_delete_survives(spark, catalog):
+    """Iceberg's sequence rule: a delete applies only to older batches —
+    re-inserting a deleted key works."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "db", "r"
+    )
+    t = catalog.table("db", "r")
+    t.delete_where("id = 2", mode="mor", keys=["id"])
+    assert _ids(t) == [1]
+    catalog.write_evolving(
+        spark.createDataFrame([(2, "b2")], ["id", "v"]), "db", "r"
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b2"}
+
+
+def test_stacked_mor_deletes_and_multi_column_keys(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, i % 3, i * 1.0) for i in range(12)], ["id", "g", "v"]
+        ),
+        "db", "s",
+    )
+    t = catalog.table("db", "s")
+    t.delete_where("g = 0", mode="mor", keys=["id", "g"])
+    t.delete_where("id < 4", mode="mor", keys=["id", "g"])
+    expect = sorted(
+        i for i in range(12) if not (i % 3 == 0 or i < 4)
+    )
+    assert _ids(t) == expect
+    assert t.row_count() == len(expect)  # delete-aware count
+
+
+def test_mor_delete_on_partitioned_table(spark, catalog):
+    df = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1 + (i % 3), 5), i)
+            for i in range(30)
+        ],
+        ["id", "ts", "v"],
+    )
+    catalog.write_evolving(df, "db", "p", partition_month_of="ts")
+    t = catalog.table("db", "p")
+    t.delete_where("id % 5 = 0", mode="mor", keys=["id"])
+    expect = sorted(i for i in range(30) if i % 5)
+    assert _ids(t) == expect
+    # month-pruned reads still apply the delete
+    feb = t.read(months=["2024-02"])
+    assert sorted(r.id for r in feb.collect()) == [
+        i for i in expect if i % 3 == 1
+    ]
+    assert t.row_count(months=["2024-02"]) == feb.count()
+
+
+def test_mor_delete_survives_key_rename(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "db", "rn"
+    )
+    t = catalog.table("db", "rn")
+    t.delete_where("id = 1", mode="mor", keys=["id"])
+    t.rename_column("id", "ident")
+    rows = t.read().collect()
+    assert [r.ident for r in rows] == [2]
+
+
+def test_drop_column_blocked_while_delete_key_live(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), "db", "dc"
+    )
+    t = catalog.table("db", "dc")
+    t.delete_where("id = 1", mode="mor", keys=["id"])
+    with pytest.raises(ValueError, match="equality-delete key"):
+        t.drop_column("id")
+    t.compact()
+    t.drop_column("id")  # fine once materialized
+
+
+def test_compact_materializes_deletes(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(10)], ["id", "v"]),
+        "db", "c",
+    )
+    t = catalog.table("db", "c")
+    t.delete_where("id < 5", mode="mor", keys=["id"])
+    before = _ids(t)
+    t.compact()
+    snap = t._load()
+    assert snap.deletes == [] and len(snap.batches) == 1
+    assert _ids(t) == before == [5, 6, 7, 8, 9]
+
+
+def test_expire_snapshots_keeps_live_delete_files(spark, catalog):
+    import os
+
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(6)], ["id", "v"]),
+        "db", "e",
+    )
+    t = catalog.table("db", "e")
+    t.delete_where("id = 0", mode="mor", keys=["id"])
+    for _ in range(6):  # push the delete-commit version out of keep_last
+        catalog.write_evolving(
+            spark.createDataFrame([(99, 99)], ["id", "v"]), "db", "e"
+        )
+    dpath = t._load().deletes[0]["path"]
+    t.expire_snapshots(keep_last=2)
+    assert os.path.isdir(dpath)  # still referenced by live snapshots
+    assert 0 not in _ids(t)
+
+
+def test_mor_update_rewrites_only_matched_rows(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, "x", i * 1.0) for i in range(100)], ["id", "tag", "v"]
+        ),
+        "db", "u",
+    )
+    t = catalog.table("db", "u")
+    n_batches = len(t._load().batches)
+    v = t.update_where(
+        "id IN (3, 7)", {"tag": F.lit("hit"), "v": "v * 2"},
+        mode="mor", keys=["id"],
+    )
+    assert v == 2
+    snap = t._load()
+    assert len(snap.deletes) == 1 and len(snap.batches) == n_batches + 1
+    rows = {r.id: (r.tag, r.v) for r in t.read().collect()}
+    assert len(rows) == 100
+    assert rows[3] == ("hit", 6.0) and rows[7] == ("hit", 14.0)
+    assert rows[5] == ("x", 5.0)
+
+
+def test_mor_update_no_match_no_snapshot(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), "db", "un"
+    )
+    t = catalog.table("db", "un")
+    assert (
+        t.update_where("id = 9", {"v": F.lit("z")}, mode="mor", keys=["id"])
+        == 1
+    )
+    assert t._load().version == 1
+
+
+def test_mor_then_cow_dml_interact_correctly(spark, catalog):
+    """A later COW rewrite must not resurrect MOR-deleted rows."""
+    df = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1 + (i % 2), 5), i)
+            for i in range(20)
+        ],
+        ["id", "ts", "v"],
+    )
+    catalog.write_evolving(df, "db", "mix", partition_month_of="ts")
+    t = catalog.table("db", "mix")
+    t.delete_where("id = 4", mode="mor", keys=["id"])  # feb-partition row? id4 -> month 1+(0)=jan
+    t.update_where("id = 5", {"v": F.lit(500)})  # COW rewrite of feb
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert 4 not in rows and rows[5] == 500 and len(rows) == 19
+
+
+def test_files_and_plan_scan_surface_delete_files(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(10)], ["id", "v"]),
+        "db", "f",
+    )
+    t = catalog.table("db", "f")
+    assert t.plan_scan([("id", ">=", 0)])["delete_files"] == 0
+    t.delete_where("id = 1", mode="mor", keys=["id"])
+    assert t.plan_scan([("id", ">=", 0)])["delete_files"] == 1
+    contents = {f["content"] for f in t.files()}
+    assert contents == {"data", "equality-deletes"}
+    # read_where (stats-skipping scan) also applies the delete
+    assert sorted(
+        r.id for r in t.read_where([("id", "<", 5)]).collect()
+    ) == [0, 2, 3, 4]
+
+
+def test_diff_sees_mor_delete_as_cdc(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "db", "cd"
+    )
+    t = catalog.table("db", "cd")
+    t.delete_where("id = 2", mode="mor", keys=["id"])
+    d = t.diff(1).collect()
+    assert [(r.id, r._change_type) for r in d] == [(2, "D")]
