@@ -3866,6 +3866,66 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q104_mor_merge",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_custkey < 1200),
+    src AS (
+      SELECT o_orderkey, o_totalprice * 3 AS s_price
+      FROM orders WHERE o_custkey BETWEEN 600 AND 1799),
+    merged AS (
+      SELECT b.o_orderdate,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                       AND b.o_orderstatus = 'O'
+                  THEN b.o_totalprice + s.s_price
+                  ELSE b.o_totalprice END AS price
+      FROM base b LEFT JOIN src s USING (o_orderkey)
+      WHERE s.o_orderkey IS NULL OR NOT (s.s_price < 150000)),
+    ins AS (
+      SELECT CAST(NULL AS TIMESTAMP) AS o_orderdate, s_price AS price
+      FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+    final AS (SELECT * FROM merged UNION ALL SELECT * FROM ins)
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_orderdate) AS n_with_date,
+           CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM final
+    """,
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read MERGE (Iceberg v2 write.merge.mode=merge-on-read):
+    all three clause arms — WHEN MATCHED AND s.price<150k THEN DELETE,
+    WHEN MATCHED AND t.status='O' THEN UPDATE, WHEN NOT MATCHED INSERT —
+    land as ONE equality-delete file plus ONE batch of updated+inserted
+    rows; no partition rewrite. Matched rows failing both arms pass
+    through untouched (keys absent from the delete file). The update arm
+    only fires when the delete arm didn't (Iceberg clause order). Source
+    prices use *3 (exact IEEE scaling, no ROUND ties vs DuckDB)."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders")
+    cat.write_evolving(o.where("o_custkey < 1200"), "db", "morm")
+    t = cat.table("db", "morm")
+    src = o.where("o_custkey BETWEEN 600 AND 1799").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    t.merge_into(
+        src,
+        on=["o_orderkey"],
+        matched_delete_where="s.o_totalprice < 150000",
+        matched_update={"o_totalprice": "t.o_totalprice + s.o_totalprice"},
+        matched_condition="t.o_orderstatus = 'O'",
+        mode="mor",
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderdate").alias("n_with_date"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@q(
     "q71_text_chunking",
     oracle=f"""
     WITH t AS (
@@ -4087,7 +4147,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # pointer-doubling, fixture paths, merge-on-read deletes), (b) the 16
 # entries that never had a driver row, (c) as many round-1-stale entries
 # as fit. Left for the
-# round-4 rotation: q03 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
+# round-4 rotation: q03 q04 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
 # q100 t2_simhash t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
@@ -4123,8 +4183,8 @@ _DRIVER_WINDOW = [
     "t2_profile_approx",
     # merge-on-read DML (new this round; tables.py read path changed)
     "q103_mor_delete_update",
+    "q104_mor_merge",
     # (c) round-1-stale rotation (green in CORRECTNESS_r01 only)
-    "q04_filter_case",
     "q06_join_broadcast",
     "q07_join_left_outer",
     "q08_join_semi_anti",

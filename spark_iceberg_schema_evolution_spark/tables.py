@@ -822,6 +822,7 @@ class LakehouseTable:
         matched_delete_where=None,
         insert_unmatched: bool = True,
         evolve: bool = False,
+        mode: str = "cow",
     ) -> int:
         """MERGE INTO with Iceberg's clause surface — copy-on-write,
         matching keys GLOBALLY like Iceberg's COW MERGE, but rewriting
@@ -854,6 +855,9 @@ class LakehouseTable:
         multi-match; use ``streaming.stream_upsert_to_lakehouse``'s
         ``change_ts`` dedup for CDC feeds).
 
+        ``mode="mor"`` switches to merge-on-read writes (Iceberg v2's
+        ``write.merge.mode=merge-on-read``): see ``_merge_mor``.
+
         The matched-month discovery is a key+month column-pruned scan of
         the target semi-joined to the distinct source keys; only the
         distinct month strings come back to the driver (metadata-bounded,
@@ -875,6 +879,13 @@ class LakehouseTable:
                 schema = T.StructType(
                     list(snap.schema.fields) + list(new_fields)
                 )
+        if mode == "mor":
+            return self._merge_mor(
+                snap, source, schema, on, matched_update,
+                matched_condition, matched_delete_where, insert_unmatched,
+            )
+        if mode != "cow":
+            raise ValueError(f"unknown merge mode: {mode}")
         mo = snap.partition_month_of
         if mo:
             month_expr = F.date_format(F.col(mo), "yyyy-MM")
@@ -930,6 +941,128 @@ class LakehouseTable:
             Snapshot(
                 version, schema, keep_batches + [batch], mo,
                 snap.renames, snap.deletes,
+            )
+        )
+        return version
+
+    def _merge_mor(
+        self,
+        snap: Snapshot,
+        source: DataFrame,
+        schema: T.StructType,
+        on: list[str],
+        matched_update,
+        matched_condition,
+        matched_delete_where,
+        insert_unmatched: bool,
+    ) -> int:
+        """MERGE with merge-on-read writes (Iceberg v2
+        ``write.merge.mode=merge-on-read``): ONE commit adds (a) an
+        equality-delete file holding the merge keys of rows hit by the
+        DELETE or UPDATE arm and (b) a data batch of the updated rows plus
+        the NOT-MATCHED inserts. No partition is rewritten — commit cost
+        is O(touched rows), the right trade for sparse upserts into a
+        100 TB table (COW rewrites every partition a key lands in). The
+        new batch shares the delete file's sequence number, so updated/
+        inserted rows survive it (deletes apply only to strictly-older
+        sequences); ``compact()`` materializes later.
+
+        Matched rows failing both arms pass through untouched — their keys
+        never enter the delete file. Partition-moving updates are free:
+        the updated row is written into its new month, the delete file
+        kills the old copy wherever it lives. Like Iceberg equality
+        deletes, ALL older rows sharing a touched key tuple die — the
+        merge keys must be unique in the target."""
+        from functools import reduce as _reduce
+
+        names = [f.name for f in schema.fields]
+        if isinstance(matched_update, dict):
+            bad = [k for k in matched_update if k in on]
+            if bad:
+                raise ValueError(f"cannot assign merge key columns: {bad}")
+            unknown = [k for k in matched_update if k not in names]
+            if unknown:
+                raise ValueError(f"UPDATE of unknown columns: {unknown}")
+
+        def as_col(e):
+            return F.expr(e) if isinstance(e, str) else e
+
+        del_c = (
+            F.coalesce(as_col(matched_delete_where), F.lit(False))
+            if matched_delete_where is not None
+            else F.lit(False)
+        )
+        upd_c = (
+            F.coalesce(as_col(matched_condition), F.lit(False))
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        if matched_update is None:
+            upd_c = F.lit(False)
+        target = self.read()
+        if schema is not snap.schema:
+            target = align_schema(target, schema, keep_extras=False)
+        key_cond = _reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
+        )
+        joined = target.alias("t").join(source.alias("s"), key_cond, "inner")
+        del_keys = (
+            joined.where(del_c | upd_c)
+            .select(*[F.col(f"t.{k}").alias(k) for k in on])
+            .distinct()
+        )
+        src_names = set(source.columns)
+
+        def s_val(f: T.StructField):
+            if f.name in src_names:
+                return F.col(f"s.{f.name}").try_cast(f.dataType)
+            return F.lit(None).cast(f.dataType)
+
+        if matched_update == "all":
+            upd_cols = [s_val(f).alias(f.name) for f in schema.fields]
+        elif isinstance(matched_update, dict):
+            exprs = {k: as_col(v) for k, v in matched_update.items()}
+            upd_cols = [
+                (
+                    exprs[f.name].try_cast(f.dataType)
+                    if f.name in exprs
+                    else F.col(f"t.{f.name}")
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        else:
+            upd_cols = None
+        new_rows = None
+        if upd_cols is not None:
+            new_rows = joined.where(~del_c & upd_c).select(*upd_cols)
+        if insert_unmatched:
+            ins = align_schema(
+                source.join(target.select(*on).distinct(), on, "left_anti"),
+                schema,
+                keep_extras=False,
+            )
+            new_rows = ins if new_rows is None else new_rows.unionByName(ins)
+        version = snap.version + 1
+        entry = self._write_delete_keys(snap, del_keys, list(on), version)
+        batches = snap.batches
+        if new_rows is not None and not new_rows.isEmpty():
+            batches = batches + [
+                self._write_batch(
+                    new_rows, schema, snap.partition_month_of, version,
+                    renames_at=len(snap.renames),
+                )
+            ]
+        if (
+            entry is None
+            and batches is snap.batches
+            and schema is snap.schema
+        ):
+            return snap.version  # no-op merge: no new snapshot
+        self._commit(
+            Snapshot(
+                version, schema, batches, snap.partition_month_of,
+                snap.renames, snap.deletes + ([entry] if entry else []),
             )
         )
         return version
@@ -1052,8 +1185,15 @@ class LakehouseTable:
         missing = [k for k in keys if k not in names]
         if missing:
             raise ValueError(f"delete keys not in schema: {missing}")
-        path = os.path.join(self.data_dir, f"delete-{version}")
         matched = self.read().where(cond_true).select(*keys).distinct()
+        return self._write_delete_keys(snap, matched, keys, version)
+
+    def _write_delete_keys(
+        self, snap: Snapshot, matched: DataFrame, keys: list[str], version: int
+    ) -> dict | None:
+        """Persist a distinct key-tuple DataFrame as an equality-delete
+        file; returns the manifest entry or None when empty."""
+        path = os.path.join(self.data_dir, f"delete-{version}")
         matched.write.mode("error").parquet(path)
         _stats, _fstats, file_rows = self._footer_stats(path)
         n = sum(file_rows.values())

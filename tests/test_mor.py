@@ -247,3 +247,115 @@ def test_diff_sees_mor_delete_as_cdc(spark, catalog):
     t.delete_where("id = 2", mode="mor", keys=["id"])
     d = t.diff(1).collect()
     assert [(r.id, r._change_type) for r in d] == [(2, "D")]
+
+
+def test_mor_merge_upsert(spark, catalog):
+    """UPDATE-all + INSERT merge: one delete file + one batch, no rewrite."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, "old", i * 1.0) for i in range(50)], ["id", "tag", "v"]
+        ),
+        "db", "m",
+    )
+    t = catalog.table("db", "m")
+    src = spark.createDataFrame(
+        [(3, "new", 33.0), (7, "new", 77.0), (100, "new", 1.0)],
+        ["id", "tag", "v"],
+    )
+    v = t.merge_into(src, on=["id"], mode="mor")
+    assert v == 2
+    snap = t._load()
+    assert len(snap.deletes) == 1 and snap.deletes[0]["rows"] == 2
+    assert len(snap.batches) == 2  # original + (updates ∪ inserts)
+    rows = {r.id: (r.tag, r.v) for r in t.read().collect()}
+    assert len(rows) == 51
+    assert rows[3] == ("new", 33.0) and rows[100] == ("new", 1.0)
+    assert rows[4] == ("old", 4.0)
+
+
+def test_mor_merge_clause_arms(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], ["id", "v"]
+        ),
+        "db", "mc",
+    )
+    t = catalog.table("db", "mc")
+    src = spark.createDataFrame(
+        [(1, -1), (2, 5), (3, 999), (40, 40)], ["id", "v"]
+    )
+    t.merge_into(
+        src,
+        on=["id"],
+        matched_delete_where="s.v < 0",        # id 1 deleted
+        matched_update={"v": "t.v + s.v"},
+        matched_condition="s.v < 100",         # id 2 updated, id 3 untouched
+        mode="mor",
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert 1 not in rows
+    assert rows[2] == 25 and rows[3] == 30 and rows[40] == 40
+    assert len(rows) == 10  # 10 - deleted + inserted
+    # untouched matched row id=3 must NOT be in the delete file
+    assert t._load().deletes[0]["rows"] == 2
+
+
+def test_mor_merge_insert_only_no_delete_file(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), "db", "io"
+    )
+    t = catalog.table("db", "io")
+    src = spark.createDataFrame([(1, "X"), (2, "b")], ["id", "v"])
+    t.merge_into(src, on=["id"], matched_update=None, mode="mor")
+    snap = t._load()
+    assert snap.deletes == []  # insert-only: nothing touched
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_mor_merge_noop_no_snapshot(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), "db", "mn"
+    )
+    t = catalog.table("db", "mn")
+    src = spark.createDataFrame([], "id int, v string")
+    assert t.merge_into(src, on=["id"], mode="mor") == 1
+    assert t._load().version == 1
+
+
+def test_mor_merge_partition_moving_update(spark, catalog):
+    """MOR handles partition-moving updates with zero rewrites: the new
+    row lands in its new month, the delete file kills the old copy."""
+    df = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1 + (i % 2), 5), i)
+            for i in range(10)
+        ],
+        ["id", "ts", "v"],
+    )
+    catalog.write_evolving(df, "db", "mv", partition_month_of="ts")
+    t = catalog.table("db", "mv")
+    src = spark.createDataFrame(
+        [(0, datetime.datetime(2024, 6, 1), 100)], ["id", "ts", "v"]
+    )
+    t.merge_into(src, on=["id"], mode="mor")
+    rows = {r.id: (r.ts, r.v) for r in t.read().collect()}
+    assert len(rows) == 10
+    assert rows[0] == (datetime.datetime(2024, 6, 1), 100)
+    jun = t.read(months=["2024-06"]).collect()
+    assert [r.id for r in jun] == [0]
+    jan = sorted(r.id for r in t.read(months=["2024-01"]).collect())
+    assert 0 not in jan
+
+
+def test_mor_merge_schema_evolution(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "db", "ev"
+    )
+    t = catalog.table("db", "ev")
+    src = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.5)], ["id", "v", "score"]
+    )
+    t.merge_into(src, on=["id"], evolve=True, mode="mor")
+    rows = {r.id: (r.v, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.5)}
