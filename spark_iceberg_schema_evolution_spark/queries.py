@@ -3926,6 +3926,47 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q105_wap_branch_publish",
+    oracle="""
+    WITH staged AS (
+      SELECT * FROM customer WHERE c_custkey < 3000),
+    final AS (
+      SELECT * FROM staged WHERE NOT (c_acctbal < 0))
+    SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey < 2000)
+             AS n_main_before,
+           COUNT(*) AS n_after,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS acctbal_sum
+    FROM final
+    """,
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish via snapshot refs (Iceberg branches +
+    fast_forward): stage an append and a DELETE on an 'audit' branch —
+    main's row count is proven untouched mid-audit (n_main_before) —
+    then publish with fast_forward('main','audit'), an atomic pointer
+    move that rewrites no data. Readers of main see both staged commits
+    at once; the oracle replays them as plain filters over the base."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(c.where("c_custkey < 2000"), "db", "wap")
+    t = cat.table("db", "wap")
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.append(c.where("c_custkey BETWEEN 2000 AND 2999"))
+    b.delete_where("c_acctbal < 0")
+    n_before = t.read().count()  # main is still pre-audit
+    t.fast_forward("main", "audit")
+    dsum_sql = ORACLE_DSUM.format(c="c_acctbal")
+    return cat.sql(
+        f"SELECT CAST({n_before} AS BIGINT) AS n_main_before, "
+        "COUNT(*) AS n_after, "
+        f"{dsum_sql} AS acctbal_sum "
+        "FROM lake.db.wap"
+    )
+
+
+@q(
     "q71_text_chunking",
     oracle=f"""
     WITH t AS (
@@ -4147,7 +4188,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # pointer-doubling, fixture paths, merge-on-read deletes), (b) the 16
 # entries that never had a driver row, (c) as many round-1-stale entries
 # as fit. Left for the
-# round-4 rotation: q03 q04 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
+# round-4 rotation: q03 q04 q06 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
 # q100 t2_simhash t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
@@ -4184,8 +4225,9 @@ _DRIVER_WINDOW = [
     # merge-on-read DML (new this round; tables.py read path changed)
     "q103_mor_delete_update",
     "q104_mor_merge",
+    # branches/tags + write-audit-publish (new this round)
+    "q105_wap_branch_publish",
     # (c) round-1-stale rotation (green in CORRECTNESS_r01 only)
-    "q06_join_broadcast",
     "q07_join_left_outer",
     "q08_join_semi_anti",
     "q09_cross_join",

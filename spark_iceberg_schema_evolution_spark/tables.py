@@ -94,11 +94,13 @@ class Snapshot:
 class LakehouseTable:
     """One evolving, snapshot-versioned table."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, branch: str = "main"):
         self.spark = spark
         self.path = path
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
+        # every read/commit on this handle targets this branch's head
+        self._branch = branch
 
     # -- catalog ------------------------------------------------------------
 
@@ -114,11 +116,136 @@ class LakehouseTable:
             if f.startswith("v") and f.endswith(".json")
         )
 
+    # -- refs: branches & tags (Iceberg's snapshot references) --------------
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def _refs(self) -> dict:
+        """Named snapshot refs. A table without a refs file is the legacy
+        single-branch layout: ``main`` implicitly tracks the newest
+        version. The file appears the first time a branch or tag is
+        created (or a non-main commit lands) and from then on pins every
+        branch head explicitly — version numbers stay globally unique
+        across branches, so ``main`` can no longer be "the max"."""
+        if not os.path.isfile(self._refs_path):
+            return {"branches": {}, "tags": {}}
+        with open(self._refs_path) as f:
+            return json.load(f)
+
+    def _save_refs(self, refs: dict) -> None:
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.rename(tmp, self._refs_path)
+
+    def _head(self, ref: str) -> int:
+        refs = self._refs()
+        if ref in refs["branches"]:
+            return refs["branches"][ref]
+        if ref in refs["tags"]:
+            return refs["tags"][ref]
+        if ref == "main":  # legacy layout: main = newest version
+            vs = self._versions()
+            if not vs:
+                raise FileNotFoundError(
+                    f"table does not exist: {self.path}"
+                )
+            return vs[-1]
+        raise ValueError(f"no such branch or tag: {ref!r}")
+
+    def _next_version(self, snap: Snapshot) -> int:
+        """Next globally-unique version number. With branches, the head
+        being committed over may be far below the newest version file —
+        allocating max+1 keeps every snapshot id unique table-wide
+        (Iceberg snapshot ids are global too)."""
+        vs = self._versions()
+        return max(vs[-1] if vs else 0, snap.version) + 1
+
+    def refs(self) -> dict:
+        """All named refs with ``main`` resolved — ``{"branches": {...},
+        "tags": {...}}``."""
+        refs = self._refs()
+        out = {
+            "branches": dict(refs["branches"]),
+            "tags": dict(refs["tags"]),
+        }
+        out["branches"].setdefault("main", self._head("main"))
+        return out
+
+    def branch(self, name: str) -> "LakehouseTable":
+        """A handle whose reads AND commits target branch ``name`` (like
+        Iceberg's ``branch_<name>`` writes). The branch must exist."""
+        self._head(name)  # validates
+        return LakehouseTable(self.spark, self.path, branch=name)
+
+    def create_branch(self, name: str, at_version: int | None = None) -> int:
+        """CREATE BRANCH at the current head (or ``at_version``) — the
+        audit stage of write-audit-publish: stage commits on the branch,
+        validate them, then ``fast_forward('main', branch)``."""
+        refs = self._refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref exists: {name!r}")
+        head = at_version if at_version is not None else self._head(
+            self._branch
+        )
+        self._load(head)  # must be a real snapshot
+        # first ref: pin main explicitly before other branches add versions
+        refs["branches"].setdefault("main", self._head("main"))
+        refs["branches"][name] = head
+        self._save_refs(refs)
+        return head
+
+    def create_tag(self, name: str, at_version: int | None = None) -> int:
+        """CREATE TAG — an immutable named snapshot (release pinning);
+        ``read(ref=name)`` time-travels to it and ``expire_snapshots``
+        never drops it."""
+        refs = self._refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref exists: {name!r}")
+        head = at_version if at_version is not None else self._head(
+            self._branch
+        )
+        self._load(head)
+        refs["branches"].setdefault("main", self._head("main"))
+        refs["tags"][name] = head
+        self._save_refs(refs)
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        refs = self._refs()
+        del refs["branches"][name]
+        self._save_refs(refs)
+
+    def drop_tag(self, name: str) -> None:
+        refs = self._refs()
+        del refs["tags"][name]
+        self._save_refs(refs)
+
+    def fast_forward(self, to_branch: str, from_branch: str) -> int:
+        """Move ``to_branch``'s head to ``from_branch``'s head (Iceberg's
+        ``fast_forward`` procedure) — the publish stage of
+        write-audit-publish: audited commits become visible to readers of
+        ``to_branch`` atomically, no data moves."""
+        src = self._head(from_branch)
+        refs = self._refs()
+        if from_branch not in refs["branches"]:
+            raise ValueError(f"no such branch: {from_branch!r}")
+        refs["branches"].setdefault("main", self._head("main"))
+        if to_branch not in refs["branches"]:
+            raise ValueError(f"no such branch: {to_branch!r}")
+        refs["branches"][to_branch] = src
+        self._save_refs(refs)
+        return src
+
     def _load(self, version: int | None = None) -> Snapshot:
         vs = self._versions()
         if not vs:
             raise FileNotFoundError(f"table does not exist: {self.path}")
-        v = version if version is not None else vs[-1]
+        v = version if version is not None else self._head(self._branch)
         if v not in vs:
             raise ValueError(f"no snapshot v{v}; have {vs}")
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
@@ -150,6 +277,14 @@ class LakehouseTable:
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.rename(tmp, os.path.join(self.meta_dir, f"v{snap.version}.json"))
+        # advance this handle's branch head. Legacy single-branch tables
+        # (no refs file) skip the write on main: head == newest version.
+        refs = self._refs()
+        if self._branch != "main" and self._branch not in refs["branches"]:
+            raise ValueError(f"no such branch: {self._branch!r}")
+        if os.path.isfile(self._refs_path) or self._branch != "main":
+            refs["branches"][self._branch] = snap.version
+            self._save_refs(refs)
 
     # -- write path ---------------------------------------------------------
 
@@ -317,7 +452,7 @@ class LakehouseTable:
             ]
             + list(new_fields)
         )
-        version = snap.version + 1
+        version = self._next_version(snap)
         batch = self._write_batch(
             df, evolved, snap.partition_month_of, version,
             renames_at=len(snap.renames),
@@ -333,12 +468,20 @@ class LakehouseTable:
     # -- read path ----------------------------------------------------------
 
     def read(
-        self, version: int | None = None, months: list[str] | None = None
+        self,
+        version: int | None = None,
+        months: list[str] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Scan a snapshot (latest by default; ``version`` = time travel,
-        reference R10/VERSION AS OF). ``months`` prunes to the named
-        hidden partitions using manifest metadata — no file listing of
-        irrelevant batches."""
+        """Scan a snapshot (this handle's branch head by default;
+        ``version`` = time travel, reference R10/VERSION AS OF; ``ref`` =
+        a branch or tag name, Iceberg's VERSION AS OF 'ref'). ``months``
+        prunes to the named hidden partitions using manifest metadata —
+        no file listing of irrelevant batches."""
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version OR ref, not both")
+            version = self._head(ref)
         snap = self._load(version)
         return self._scan(snap, snap.batches, months)
 
@@ -709,7 +852,7 @@ class LakehouseTable:
             T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
             for f in snap.schema.fields
         ]
-        version = snap.version + 1
+        version = self._next_version(snap)
         self._commit(
             Snapshot(
                 version,
@@ -743,7 +886,7 @@ class LakehouseTable:
                     "merge-on-read delete file; compact() first to "
                     "materialize the deletes"
                 )
-        version = snap.version + 1
+        version = self._next_version(snap)
         tombstone = f"__dropped_v{version}_{name}"
         self._commit(
             Snapshot(
@@ -797,7 +940,7 @@ class LakehouseTable:
             )
             for f in snap.schema.fields
         ]
-        version = snap.version + 1
+        version = self._next_version(snap)
         self._commit(
             Snapshot(
                 version,
@@ -933,7 +1076,7 @@ class LakehouseTable:
             matched_delete_where,
             insert_unmatched,
         )
-        version = snap.version + 1
+        version = self._next_version(snap)
         batch = self._write_batch(
             merged, schema, mo, version, renames_at=len(snap.renames)
         )
@@ -1043,7 +1186,7 @@ class LakehouseTable:
                 keep_extras=False,
             )
             new_rows = ins if new_rows is None else new_rows.unionByName(ins)
-        version = snap.version + 1
+        version = self._next_version(snap)
         entry = self._write_delete_keys(snap, del_keys, list(on), version)
         batches = snap.batches
         if new_rows is not None and not new_rows.isEmpty():
@@ -1229,7 +1372,7 @@ class LakehouseTable:
         if mode == "mor":
             if not keys:
                 raise ValueError("mor delete requires keys=[...]")
-            version = snap.version + 1
+            version = self._next_version(snap)
             entry = self._write_delete_file(snap, cond_true, keys, version)
             if entry is None:
                 return snap.version  # nothing matches: no new snapshot
@@ -1257,7 +1400,7 @@ class LakehouseTable:
                 return snap.version  # nothing matches: no new snapshot
             keep_batches = []
             remaining = self.read().where(~cond_true)
-        version = snap.version + 1
+        version = self._next_version(snap)
         batch = self._write_batch(
             remaining, snap.schema, mo, version, renames_at=len(snap.renames)
         )
@@ -1315,7 +1458,7 @@ class LakehouseTable:
         if mode == "mor":
             if not keys:
                 raise ValueError("mor update requires keys=[...]")
-            version = snap.version + 1
+            version = self._next_version(snap)
             entry = self._write_delete_file(snap, cond_true, keys, version)
             if entry is None:
                 return snap.version  # nothing matches: no new snapshot
@@ -1348,7 +1491,7 @@ class LakehouseTable:
                 return snap.version  # nothing matches: no new snapshot
             keep_batches = []
             rewritten = apply(self.read())
-        version = snap.version + 1
+        version = self._next_version(snap)
         batch = self._write_batch(
             rewritten, snap.schema, mo, version, renames_at=len(snap.renames)
         )
@@ -1379,7 +1522,7 @@ class LakehouseTable:
             remaining = [m for m in (b["months"] or []) if m not in new_months]
             if remaining:
                 keep_batches.append({**b, "months": remaining})
-        version = snap.version + 1
+        version = self._next_version(snap)
         batch = self._write_batch(
             df, snap.schema, mo, version, renames_at=len(snap.renames)
         )
@@ -1636,7 +1779,7 @@ class LakehouseTable:
                 n, *keys
             ).sortWithinPartitions(*keys)
             pre_arranged = True
-        version = snap.version + 1
+        version = self._next_version(snap)
         batch = self._write_batch(
             current, snap.schema, snap.partition_month_of, version,
             renames_at=len(snap.renames), pre_arranged=pre_arranged,
@@ -1652,9 +1795,17 @@ class LakehouseTable:
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Drop old manifests and any batch dirs no live manifest
         references (Iceberg ``expire_snapshots`` / the reference's
-        vacuum_min_snapshots_to_keep=5, spark_utils.py:171)."""
+        vacuum_min_snapshots_to_keep=5, spark_utils.py:171). Versions a
+        branch or tag points at are never expired (Iceberg retains every
+        referenced snapshot)."""
         vs = self._versions()
-        drop = vs[:-keep_last] if keep_last else vs[:-1]
+        r = self.refs()
+        heads = set(r["branches"].values()) | set(r["tags"].values())
+        drop = [
+            v
+            for v in (vs[:-keep_last] if keep_last else vs[:-1])
+            if v not in heads
+        ]
         keep = [v for v in vs if v not in drop]
         live = set()
         for v in keep:
@@ -1713,6 +1864,7 @@ class LakehouseCatalog:
             catalog.sql("SELECT seg, COUNT(*) FROM lake.db.custs "
                         "GROUP BY seg")
             catalog.sql("SELECT * FROM lake.db.custs@v3")   -- VERSION AS OF
+            catalog.sql("SELECT * FROM lake.db.custs@audit") -- branch/tag
 
         DML statements targeting a lake table route to the engine's COW
         operations (the SELECT body still goes through spark.sql):
@@ -1769,16 +1921,24 @@ class LakehouseCatalog:
             return self._version_df(v)
 
         def resolve(mm: re.Match) -> str:
-            ns, name, ver = mm.group(1), mm.group(2), mm.group(3)
-            version = int(ver[2:]) if ver else None
-            view = f"__lake_{ns}_{name}" + (f"_v{version}" if ver else "")
+            ns, name, at = mm.group(1), mm.group(2), mm.group(3)
+            version = ref = None
+            if at:
+                # @v<N> = VERSION AS OF; any other @<word> = branch/tag
+                # (a branch literally named "vN" is shadowed — rename it)
+                if re.fullmatch(r"@v\d+", at):
+                    version = int(at[2:])
+                else:
+                    ref = at[1:]
+            suffix = re.sub(r"\W", "_", at[1:]) if at else ""
+            view = f"__lake_{ns}_{name}" + (f"_{suffix}" if at else "")
             self.table(ns, name).read(
-                version=version
+                version=version, ref=ref
             ).createOrReplaceTempView(view)
             return view
 
         rewritten = re.sub(
-            r"\blake\.(\w+)\.(\w+)(@v\d+)?", resolve, q
+            r"\blake\.(\w+)\.(\w+)(@[\w-]+)?", resolve, q
         )
         return self.spark.sql(rewritten)
 
