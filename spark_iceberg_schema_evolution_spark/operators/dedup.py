@@ -394,3 +394,46 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter"
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    flag_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing ANY word
+    n-gram with a benchmark/eval set (the training-data hygiene step that
+    keeps test sets out of the corpus; same shape as the reference's
+    dedup stage but against an external small side).
+
+    Scale shape: the benchmark is eval-set-sized, so its distinct
+    shingle set BROADCASTS; the corpus side is a map-only shingle
+    explode + broadcast semi-join + distinct on ids — no all-to-all
+    shuffle of corpus text at any corpus size. ``flag_only=True`` returns
+    every doc with a ``contaminated`` boolean instead of filtering.
+    """
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(normalized_words(text_col), n)).alias("__s"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(shingles(normalized_words(text_col), n)).alias("__s")
+    ).distinct()
+    hit = (
+        doc_sh.join(F.broadcast(bench_sh), "__s", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if flag_only:
+        flags = hit.withColumn("__hit", F.lit(True))
+        return (
+            docs.join(flags, id_col, "left")
+            .withColumn(
+                "contaminated", F.coalesce(F.col("__hit"), F.lit(False))
+            )
+            .drop("__hit")
+        )
+    return docs.join(hit, id_col, "left_anti")

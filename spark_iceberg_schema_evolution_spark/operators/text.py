@@ -357,3 +357,102 @@ def remove_boilerplate_lines(
             ).alias(text_col),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word ratio,
+    top-word fraction, and top-bigram fraction — the classic filters for
+    degenerate/repetitive text in a pretraining corpus.
+
+    Two hash-aggregate passes keyed by (doc, token): both get map-side
+    partial aggregation, and the (doc_id, token) grain is near-unique so
+    neither shuffle skews no matter how large one document's vocabulary
+    is. No UDF anywhere. Docs shorter than 2 words report NULL
+    top_bigram_frac (no bigrams exist — callers treat NULL as pass)."""
+    words = normalized_words(text_col)
+    bigrams = F.when(
+        F.size(F.col("__w")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__w) - 1), "
+            "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(F.col(id_col), words.alias("__w"))
+    uni = (
+        toks.select(id_col, F.explode("__w").alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_words"),
+            F.max("__n").alias("__top_w"),
+            F.count(F.lit(1)).alias("__n_distinct"),
+        )
+    )
+    bg = (
+        toks.select(id_col, F.explode(bigrams).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("__top_b"),
+            F.sum("__n").alias("__n_bg"),
+        )
+    )
+    return uni.join(bg, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.col("__n_distinct").alias("n_distinct"),
+        F.col("__top_w").alias("top_word_n"),
+        F.col("__n_bg").alias("n_bigrams"),
+        F.col("__top_b").alias("top_bigram_n"),
+        (F.col("__n_distinct") / F.col("n_words")).alias("distinct_ratio"),
+        (F.col("__top_w") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("__top_b") / F.col("__n_bg")).alias("top_bigram_frac"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: every row
+    gets a ``shard`` and a ``shard_pos`` such that reading shards in
+    order of (shard, shard_pos) is a reproducible pseudo-random permutation
+    of the corpus — each trainer rank streams exactly one shard
+    sequentially.
+
+    The permutation key is md5(seed:id): content-independent,
+    engine-portable, and uniform, so the n_shards sorts it drives are
+    skew-free and run in parallel (one row_number window PER SHARD — no
+    global single-partition sort, the thing that would not survive
+    100 TB). Shards come from the key's 4-hex prefix against
+    cumulative thresholds (same scheme as ``hash_split``), so the
+    assignment is reproducible in any engine with md5."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    prefix = F.substring(key, 1, 4)
+    expr = None
+    for s in range(n_shards - 1):
+        thr = format(int(65536 * (s + 1) / n_shards), "04x")
+        cond = prefix < F.lit(thr)
+        expr = (
+            F.when(cond, F.lit(s)) if expr is None else expr.when(cond, F.lit(s))
+        )
+    shard = (
+        expr.otherwise(F.lit(n_shards - 1)) if expr is not None else F.lit(0)
+    ).cast("int")
+    out = df.withColumn("__k", key).withColumn("shard", shard)
+    w = W.partitionBy("shard").orderBy(F.col("__k"), F.col(id_col))
+    return out.withColumn(
+        "shard_pos", F.row_number().over(w) - 1
+    ).drop("__k")

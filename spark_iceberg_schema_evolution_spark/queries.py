@@ -3967,6 +3967,169 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q106_decontamination",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+    cs AS (SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s FROM corpus),
+    bs AS (SELECT DISTINCT UNNEST({_DUCK_SHINGLES}) AS s FROM bench),
+    cont AS (SELECT DISTINCT cs.doc_id FROM cs JOIN bs USING (s))
+    SELECT (SELECT COUNT(*) FROM corpus) AS n_corpus,
+           (SELECT COUNT(*) FROM cont) AS n_contaminated,
+           (SELECT COUNT(*) FROM corpus c
+             WHERE c.doc_id NOT IN (SELECT doc_id FROM cont)) AS n_clean
+    """,
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing ANY 5-gram shingle with a
+    held-out benchmark set (every 50th doc) are dropped from the corpus.
+    The benchmark's shingle set broadcasts (eval sets are tiny); the
+    corpus side is a map-only explode + broadcast semi-join — no
+    all-to-all shuffle of corpus text at 100 TB. Exercises both the
+    flagging and the filtering entry points."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    d = load(spark, sf, "documents")
+    corpus = d.where("doc_id % 50 <> 0")
+    bench = d.where("doc_id % 50 = 0")
+    flags = decontaminate(corpus, bench, flag_only=True)
+    n_clean = decontaminate(corpus, bench).count()
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.lit(n_clean).cast("long").alias("n_clean"),
+    )
+
+
+@q(
+    "q107_repetition_filters",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w
+      FROM documents),
+    uc AS (
+      SELECT doc_id, tok, COUNT(*) AS n
+      FROM (SELECT doc_id, UNNEST(w) AS tok FROM t)
+      GROUP BY doc_id, tok),
+    ud AS (
+      SELECT doc_id, SUM(n) AS n_words, MAX(n) AS top_w,
+             COUNT(*) AS n_distinct
+      FROM uc GROUP BY doc_id),
+    bgc AS (
+      SELECT doc_id, b, COUNT(*) AS n
+      FROM (SELECT doc_id,
+                   UNNEST([array_to_string(w[i:i+1], ' ')
+                           for i in generate_series(1, len(w)-1)]) AS b
+            FROM t)
+      GROUP BY doc_id, b),
+    bgd AS (
+      SELECT doc_id, MAX(n) AS top_b, SUM(n) AS n_bg
+      FROM bgc GROUP BY doc_id),
+    d AS (
+      SELECT t.lang, ud.n_words, ud.n_distinct, ud.top_w,
+             bgd.top_b, bgd.n_bg,
+             CAST(ud.top_w AS DOUBLE) / ud.n_words AS twf
+      FROM ud JOIN t USING (doc_id) LEFT JOIN bgd USING (doc_id))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words)
+             AS distinct_ratio,
+           CAST(SUM(top_w) AS DOUBLE) / SUM(n_words) AS top_word_share,
+           CAST(SUM(top_b) AS BIGINT) AS top_bigram_total,
+           CAST(SUM(CASE WHEN twf > 0.12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters: per-doc distinct-word ratio,
+    top-word fraction, and top-bigram fraction, aggregated per language
+    with exact integer sums (single final division — no float-summation
+    order sensitivity vs the oracle). n_repetitive counts docs whose top
+    word exceeds 12% of the doc — the degenerate-text filter arm."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        repetition_stats,
+    )
+
+    d = load(spark, sf, "documents")
+    s = repetition_stats(d).join(d.select("doc_id", "lang"), "doc_id")
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            (
+                F.sum("n_distinct").cast("double") / F.sum("n_words")
+            ).alias("distinct_ratio"),
+            (
+                F.sum("top_word_n").cast("double") / F.sum("n_words")
+            ).alias("top_word_share"),
+            F.sum("top_bigram_n").alias("top_bigram_total"),
+            F.sum(
+                (F.col("top_word_frac") > 0.12).cast("long")
+            ).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "q108_shuffle_shards",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('r3:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents),
+    s AS (
+      SELECT doc_id, key,
+             CASE WHEN substr(key, 1, 4) < '4000' THEN 0
+                  WHEN substr(key, 1, 4) < '8000' THEN 1
+                  WHEN substr(key, 1, 4) < 'c000' THEN 2
+                  ELSE 3 END AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY (CASE WHEN substr(key, 1, 4) < '4000' THEN 0
+                                  WHEN substr(key, 1, 4) < '8000' THEN 1
+                                  WHEN substr(key, 1, 4) < 'c000' THEN 2
+                                  ELSE 3 END)
+               ORDER BY key, doc_id) - 1 AS shard_pos
+      FROM k)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(doc_id * shard_pos) AS BIGINT) AS perm_checksum
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: md5(seed:id)
+    permutation key, hex-threshold shard assignment (hash_split's
+    engine-portable scheme), and a per-shard row_number for the in-shard
+    order — n_shards parallel sorts, never one global sort. perm_checksum
+    pins the EXACT permutation order against the oracle, not just shard
+    membership."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        shuffle_shards,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id")
+    s = shuffle_shards(d, n_shards=4, seed="r3")
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.col("doc_id") * F.col("shard_pos")).alias(
+                "perm_checksum"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+@q(
     "q71_text_chunking",
     oracle=f"""
     WITH t AS (
@@ -4188,7 +4351,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # pointer-doubling, fixture paths, merge-on-read deletes), (b) the 16
 # entries that never had a driver row, (c) as many round-1-stale entries
 # as fit. Left for the
-# round-4 rotation: q03 q04 q06 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
+# round-4 rotation: q03 q04 q06 q07 q08 q09 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
 # q100 t2_simhash t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
 # q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
 # tools/check_correctness.py + pytest — follow in their original order.
@@ -4227,10 +4390,11 @@ _DRIVER_WINDOW = [
     "q104_mor_merge",
     # branches/tags + write-audit-publish (new this round)
     "q105_wap_branch_publish",
+    # new training-pipeline ops (new this round)
+    "q106_decontamination",
+    "q107_repetition_filters",
+    "q108_shuffle_shards",
     # (c) round-1-stale rotation (green in CORRECTNESS_r01 only)
-    "q07_join_left_outer",
-    "q08_join_semi_anti",
-    "q09_cross_join",
     "q10_range_join",
     "q13_count_distinct",
     "q14_multi_distinct",

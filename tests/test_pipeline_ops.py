@@ -1,0 +1,90 @@
+"""Round-3 training-pipeline operators: decontamination, repetition
+filters, deterministic shuffle shards."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_iceberg_schema_evolution_spark.operators.dedup import decontaminate
+from spark_iceberg_schema_evolution_spark.operators.text import (
+    repetition_stats,
+    shuffle_shards,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different words about spark and lakehouse tables"),
+        (3, "the quick brown fox jumps high above everything else"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_decontaminate_drops_overlapping_docs(spark, docs):
+    bench = spark.createDataFrame(
+        [(99, "x y the quick brown fox jumps z")], ["doc_id", "text"]
+    )
+    clean = decontaminate(docs, bench)
+    # docs 1 and 3 share the 5-gram "the quick brown fox jumps"
+    assert sorted(r.doc_id for r in clean.collect()) == [2]
+    flags = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, bench, flag_only=True).collect()
+    }
+    assert flags == {1: True, 2: False, 3: True}
+
+
+def test_decontaminate_no_overlap_keeps_all(spark, docs):
+    bench = spark.createDataFrame(
+        [(99, "unrelated benchmark sentence with novel vocabulary only")],
+        ["doc_id", "text"],
+    )
+    assert decontaminate(docs, bench).count() == 3
+
+
+def test_repetition_stats_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),          # top word 4/5, bigram "a a" 3/4
+            (2, "one two three four"), # all distinct
+            (3, "solo"),               # no bigrams -> NULL frac
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1.n_words == 5 and r1.n_distinct == 2 and r1.top_word_n == 4
+    assert r1.top_word_frac == 0.8 and r1.top_bigram_frac == 0.75
+    r2 = out[2]
+    assert r2.distinct_ratio == 1.0 and r2.top_word_frac == 0.25
+    assert out[3].top_bigram_frac is None and out[3].n_bigrams is None
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = shuffle_shards(df, n_shards=4, seed="s").collect()
+    b = shuffle_shards(df, n_shards=4, seed="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rows = {(r.shard, r.shard_pos) for r in a}
+    assert len(rows) == 200  # (shard, pos) unique
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():  # contiguous 0..n-1 per shard
+        assert sorted(poss) == list(range(len(poss)))
+    # a different seed yields a different permutation
+    c = shuffle_shards(df, n_shards=4, seed="other").collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in c} != {
+        (r.doc_id, r.shard, r.shard_pos) for r in a
+    }
+
+
+def test_shuffle_shards_single_shard(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    out = shuffle_shards(df, n_shards=1)
+    rows = out.collect()
+    assert all(r.shard == 0 for r in rows)
+    assert sorted(r.shard_pos for r in rows) == list(range(10))
