@@ -328,3 +328,43 @@ def stream_upsert_to_lakehouse(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_lakehouse_appends(
+    table, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Incremental streaming read of a lakehouse table's appends
+    (Iceberg's streaming read): every committed append batch surfaces as
+    new files to a file-source stream over ``data/batch-*``, and a
+    checkpointed query restarted later processes ONLY batches committed
+    since — exactly-once file-level accounting from the source's
+    seen-files log, no manifest diffing on the driver.
+
+    Append-only semantics, enforced: rename/drop history and live
+    merge-on-read delete files cannot be replayed into an unbounded
+    stream (Iceberg's streaming read refuses non-append snapshots the
+    same way), so this raises when either exists. Compaction rewrites
+    also surface as "new" files — stream from ingest-only tables, or
+    restart the checkpoint after table maintenance. At scale, bound
+    micro-batch size with ``max_files_per_trigger``."""
+    import os
+
+    snap = table._load()
+    if snap.renames:
+        raise ValueError(
+            "streaming read needs a rename-free history (tombstones can't "
+            "be replayed into an unbounded stream)"
+        )
+    if snap.deletes:
+        raise ValueError(
+            "streaming read needs no live merge-on-read delete files; "
+            "compact() first"
+        )
+    reader = (
+        table.spark.readStream.schema(snap.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(os.path.join(table.data_dir, "batch-*"))

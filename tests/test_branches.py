@@ -117,3 +117,53 @@ def test_refs_listing(spark, catalog):
     t.create_tag("v1")
     r = t.refs()
     assert r["branches"] == {"main": 1, "a": 1} and r["tags"] == {"v1": 1}
+
+
+def test_stream_lakehouse_appends_incremental(spark, catalog, tmp_path):
+    from spark_iceberg_schema_evolution_spark.streaming.windows import (
+        stream_lakehouse_appends,
+    )
+
+    t = _mk(spark, catalog, "stream", n=10)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_lakehouse_appends(t)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out_dir)
+
+    assert drain().count() == 10
+    t.append(spark.createDataFrame([(100, 1), (101, 2)], ["id", "v"]))
+    # restarted from the same checkpoint: only the new batch arrives
+    out = drain()
+    assert out.count() == 12  # 10 + exactly the 2 new rows, no re-reads
+    assert sorted(r.id for r in out.collect()) == sorted(
+        list(range(10)) + [100, 101]
+    )
+
+
+def test_stream_lakehouse_appends_refuses_renames_and_deletes(
+    spark, catalog
+):
+    from spark_iceberg_schema_evolution_spark.streaming.windows import (
+        stream_lakehouse_appends,
+    )
+
+    t = _mk(spark, catalog, "refuse")
+    t.delete_where("id = 1", mode="mor", keys=["id"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        stream_lakehouse_appends(t)
+    t.compact()
+    t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="rename-free"):
+        stream_lakehouse_appends(t)
