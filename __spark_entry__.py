@@ -29,14 +29,19 @@ from spark_iceberg_schema_evolution_spark import queries as _q  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _q.REGISTRY["q12_tpch_q1"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # the driver may hand us a session without the nanos conf; it is
-        # a runtime (not builder-only) conf for the parquet reader.
+        # the driver may hand us a bare session; both confs are runtime-
+        # settable. nanosAsLong is a no-op unless the parquet is
+        # TIMESTAMP(NANOS) (the loader branches on the scanned dtype);
+        # the UTC pin keeps NTZ->TIMESTAMP casts and date_format
+        # tz-independent of the driver host.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
 
     return run

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from spark_iceberg_schema_evolution_spark.operators.relational import asof_join
 from spark_iceberg_schema_evolution_spark.plans import explain
-from spark_iceberg_schema_evolution_spark.queries import REGISTRY, load
+from spark_iceberg_schema_evolution_spark.queries import REGISTRY, load, load_events
 from tests.conftest import SF_SMOKE
 
 
@@ -41,9 +41,7 @@ def test_partial_aggregation(spark):
 def test_asof_join_single_shuffle(spark):
     """The union+window as-of join must cost exactly ONE hash exchange
     (the window shuffle) — no join shuffles, no pair blowup."""
-    ev = load(spark, SF_SMOKE, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_events(spark, SF_SMOKE)
     p = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
     v = ev.where("event_type = 'view'").select(
         "user_id", "ts", F.col("event_id").alias("view_event_id")
