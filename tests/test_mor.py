@@ -50,15 +50,195 @@ def test_mor_delete_no_match_no_snapshot(spark, catalog):
     assert t._load().version == 1 and not t._load().deletes
 
 
-def test_mor_delete_requires_keys(spark, catalog):
+def test_mor_delete_rejects_unknown_keys(spark, catalog):
     catalog.write_evolving(
         spark.createDataFrame([(1, 1)], ["id", "v"]), "db", "k"
     )
     t = catalog.table("db", "k")
-    with pytest.raises(ValueError, match="keys"):
-        t.delete_where("id = 1", mode="mor")
     with pytest.raises(ValueError, match="not in schema"):
         t.delete_where("id = 1", mode="mor", keys=["nope"])
+
+
+# -- position deletes (keyless MOR: Iceberg v2 file+pos flavor) -------------
+
+
+def test_mor_pos_delete_arbitrary_predicate(spark, catalog):
+    """MOR DELETE without keys= writes a position-delete file: no data
+    rewrite, arbitrary predicate, exact row identity (VERDICT r3 #5)."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, i * 10.0) for i in range(10)], ["id", "v"]
+        ),
+        "db", "pd",
+    )
+    t = catalog.table("db", "pd")
+    paths_before = [b["path"] for b in t._load().batches]
+    v = t.delete_where("v >= 70.0", mode="mor")
+    assert v == 2
+    assert _ids(t) == [0, 1, 2, 3, 4, 5, 6]
+    snap = t._load()
+    assert [b["path"] for b in snap.batches] == paths_before
+    assert len(snap.deletes) == 1
+    assert snap.deletes[0]["content"] == "pos"
+    assert snap.deletes[0]["rows"] == 3
+    assert _ids(t, version=1) == list(range(10))  # time travel intact
+    assert t.row_count() == 7
+
+
+def test_mor_pos_delete_is_positional_not_key_based(spark, catalog):
+    """Two rows sharing an id: a pos delete matching ONE of them removes
+    exactly that row — an equality delete on id would kill both."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "keep"), (1, "kill"), (2, "keep")], ["id", "tag"]
+        ),
+        "db", "pk",
+    )
+    t = catalog.table("db", "pk")
+    t.delete_where("tag = 'kill'", mode="mor")
+    rows = sorted((r.id, r.tag) for r in t.read().collect())
+    assert rows == [(1, "keep"), (2, "keep")]
+
+
+def test_reappend_after_pos_delete_survives(spark, catalog):
+    """Position deletes name exact physical files — a later append of the
+    same values lands in new files and is untouched."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "db", "pr"
+    )
+    t = catalog.table("db", "pr")
+    t.delete_where("id = 2", mode="mor")
+    assert _ids(t) == [1]
+    catalog.write_evolving(
+        spark.createDataFrame([(2, "b2")], ["id", "v"]), "db", "pr"
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b2"}
+
+
+def test_mor_pos_update_without_keys(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, "x", i * 1.0) for i in range(20)], ["id", "tag", "v"]
+        ),
+        "db", "pu",
+    )
+    t = catalog.table("db", "pu")
+    n_batches = len(t._load().batches)
+    t.update_where("v > 17.0", {"tag": F.lit("hit")}, mode="mor")
+    snap = t._load()
+    assert snap.deletes[0]["content"] == "pos"
+    assert len(snap.batches) == n_batches + 1
+    rows = {r.id: r.tag for r in t.read().collect()}
+    assert len(rows) == 20
+    assert rows[18] == "hit" and rows[19] == "hit" and rows[17] == "x"
+
+
+def test_pos_and_equality_deletes_stack(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(10)], ["id", "v"]),
+        "db", "mix2",
+    )
+    t = catalog.table("db", "mix2")
+    t.delete_where("id = 1", mode="mor", keys=["id"])
+    t.delete_where("v = 5", mode="mor")  # positional
+    assert _ids(t) == [0, 2, 3, 4, 6, 7, 8, 9]
+    contents = {f["content"] for f in t.files()}
+    assert contents == {"data", "equality-deletes", "position-deletes"}
+
+
+def test_compact_materializes_pos_deletes(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(10)], ["id", "v"]),
+        "db", "pc",
+    )
+    t = catalog.table("db", "pc")
+    t.delete_where("v < 5", mode="mor")
+    t.compact()
+    snap = t._load()
+    assert snap.deletes == [] and len(snap.batches) == 1
+    assert _ids(t) == [5, 6, 7, 8, 9]
+
+
+def test_mor_pos_delete_on_partitioned_table(spark, catalog):
+    df = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1 + (i % 3), 5), i)
+            for i in range(30)
+        ],
+        ["id", "ts", "v"],
+    )
+    catalog.write_evolving(df, "db", "pp", partition_month_of="ts")
+    t = catalog.table("db", "pp")
+    t.delete_where("v % 5 = 0", mode="mor")
+    expect = sorted(i for i in range(30) if i % 5)
+    assert _ids(t) == expect
+    feb = t.read(months=["2024-02"])
+    assert sorted(r.id for r in feb.collect()) == [
+        i for i in expect if i % 3 == 1
+    ]
+
+
+# -- manifest-stats no-op DML short-circuit (VERDICT r3 #7) -----------------
+
+
+def _forbid_scans(t):
+    def boom(*a, **k):
+        raise AssertionError("no-op DML must not scan data")
+
+    t.read = boom
+    t._scan = boom
+    t._affected_months = boom
+
+
+def test_noop_delete_is_metadata_only(spark, catalog):
+    """An out-of-bounds predicate must short-circuit on manifest stats:
+    zero data files read, no new snapshot — COW, MOR-eq and MOR-pos."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, i * 1.0) for i in range(100)], ["id", "v"]
+        ),
+        "db", "sc",
+    )
+    t = catalog.table("db", "sc")
+    _forbid_scans(t)
+    assert t.delete_where("id > 100000") == 1
+    assert t.delete_where("id > 100000", mode="mor", keys=["id"]) == 1
+    assert t.delete_where("id > 100000", mode="mor") == 1
+    assert t.delete_where("id > 100000 AND v < 3.0") == 1
+    assert t.delete_where("v = -1.0", mode="mor") == 1
+    assert t._load().version == 1 and not t._load().deletes
+
+
+def test_noop_update_is_metadata_only(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, i * 1.0) for i in range(100)], ["id", "v"]
+        ),
+        "db", "su",
+    )
+    t = catalog.table("db", "su")
+    _forbid_scans(t)
+    assert t.update_where("id = -5", {"v": F.lit(0.0)}) == 1
+    assert t.update_where("id = -5", {"v": F.lit(0.0)}, mode="mor") == 1
+    assert t._load().version == 1
+
+
+def test_stats_gate_is_conservative(spark, catalog):
+    """Predicates the conjunct extractor can't prove no-op (ORs, UDF-ish,
+    in-bounds) must still execute correctly — gating is an optimization,
+    never a semantics change."""
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(10)], ["id", "v"]),
+        "db", "cons",
+    )
+    t = catalog.table("db", "cons")
+    # OR disjunction: extractor bails, normal path runs
+    t.delete_where("id = 3 OR id = 4")
+    assert _ids(t) == [0, 1, 2, 5, 6, 7, 8, 9]
+    # in-bounds simple conjunct: gate passes through, delete happens
+    t.delete_where("id = 7", mode="mor")
+    assert _ids(t) == [0, 1, 2, 5, 6, 8, 9]
 
 
 def test_reappend_after_mor_delete_survives(spark, catalog):
