@@ -4163,6 +4163,61 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q109_mor_pos_delete",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_custkey < 1000),
+    kept AS (
+      SELECT * FROM base WHERE NOT (o_totalprice > 250000)),
+    upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN 'POS-U'
+                  ELSE o_orderpriority END AS pri,
+             o_totalprice
+      FROM kept),
+    reapp AS (
+      SELECT o_orderkey, o_orderpriority AS pri, o_totalprice
+      FROM base WHERE o_totalprice > 250000 AND o_custkey < 200),
+    final AS (SELECT * FROM upd UNION ALL SELECT * FROM reapp)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN pri = 'POS-U' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_posu,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_price
+    FROM final
+    """,
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read POSITION deletes (Iceberg v2's file+pos flavor,
+    round 4): keyless MOR DELETE/UPDATE on ARBITRARY predicates — the
+    matched rows' (file, row-index) pairs, captured from the scan's
+    ``_metadata`` pseudo-columns, land in a position-delete file; no data
+    file is rewritten and no key columns are required. A later re-append
+    of value-identical rows survives both delete files (position deletes
+    name exact physical files — path identity replaces the equality
+    flavor's sequence-number rule). Post-state checked against the
+    equivalent filter/CASE/union SQL."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where("o_custkey < 1000")
+    cat.write_evolving(o, "db", "posd", partition_month_of="o_orderdate")
+    t = cat.table("db", "posd")
+    t.delete_where("o_totalprice > 250000", mode="mor")  # keyless: pos
+    t.update_where(
+        "o_orderstatus = 'O'",
+        {"o_orderpriority": F.lit("POS-U")},
+        mode="mor",
+    )
+    t.append(o.where("o_totalprice > 250000 AND o_custkey < 200"))
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "POS-U", 1).otherwise(0)
+        ).alias("n_posu"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@q(
     "q71_text_chunking",
     oracle=f"""
     WITH t AS (
@@ -4379,73 +4434,75 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 #
 # The correctness driver oracle-checks the FIRST 50 registry entries in
 # insertion order (round-1 finding: q46+ had no hard-signal coverage).
-# Round-3 window: (a) every query whose engine code changed this round
-# (rename-epoch DML fix, MERGE clause variants, type widening, dedup
-# pointer-doubling, fixture paths, merge-on-read deletes), (b) the 16
-# entries that never had a driver row, (c) as many round-1-stale entries
-# as fit. Left for the
-# round-4 rotation: q03 q04 q06 q07 q08 q09 q24 q25 q26 q28-q32 q34 q39-q43 q94 q95 q98 q99
-# q100 t2_simhash t2_lsh_cosine_topk t2_approx_distinct, plus the r2-green core (q01 q05 q11 q12 q22 q33
-# q35-q38 q44 q45 q49-q72...). The remaining entries — all hash-green in round 1 and still covered by
-# tools/check_correctness.py + pytest — follow in their original order.
+# Round-4 window: (a) every query whose engine code changed this round —
+# the events.ts dtype-drift fix touches all event/streaming queries (3 of
+# them were r3's red rows, 4 more were silently wrong), and the _scan/
+# position-delete rework touches the MOR family; (b) the 7 entries that
+# never had a driver row; (c) the round-1-stale rotation (q03-q09,
+# q24-q32, q39-q43, t2 approx/LSH/simhash family). Still stale after this
+# round (green r2/r3 rows, unchanged code, covered by
+# tools/check_correctness.py + pytest): q01 q05 q12-q18 q20-q23 q27 q33
+# q36-q38 q44 q45 q53-q65 q67 q68 q70-q72 q75-q83 q85 q87-q93 q96 q97
+# q101 q105-q108 t2_ivf/orc/frames/moments/profile/spark_hashes.
 
 _DRIVER_WINDOW = [
-    # (a) engine code changed this round
-    "q46_merge_upsert",
-    "q47_time_travel",
-    "q48_overwrite_partitions",
-    "q73_delete_update",
-    "q74_dedup_clusters",
-    "q87_rename_drop_evolution",
-    "q89_merge_clauses",
-    "q90_type_widening",
-    "q02_csv_scan_schema",
-    "q88_jsonl_scan",
-    # (b) never driver-checked
-    "q75_incremental_changes",
-    "q76_group_by_all_qualify",
-    "q77_except_all",
-    "q78_unpivot",
-    "q79_percentile_cont",
-    "q80_string_funcs2",
-    "q81_try_cast",
-    "q82_ignore_nulls_stringagg",
-    "q83_bit_bool_aggs",
+    # (a) events.ts drift fix — r3 red rows first
+    "q10_range_join",
+    "q19_window_lag",
     "q84_asof_tolerance",
-    "q85_salted_join_equivalence",
+    # (a) erred locally / crashed the r3 bench
+    "q11_asof_join",
+    "q34_tumbling_hour",
+    "q35_sessionize",
+    # (a) silently 1000x-wrong in r3; stale-green r2 rows
+    "q49_stream_tumbling",
+    "q50_stream_sliding",
+    "q51_stream_session",
+    "q69_stream_stream_join",
+    # (a) streaming family re-verify (q52 oracle now ts-pinned)
+    "q52_stream_to_lakehouse",
+    "q66_stream_stateful",
+    "t2_stream_dedup",
     "q86_stream_static_join",
-    "t2_orc_roundtrip",
-    "t2_multimodal_frames",
-    "t2_stats_moments",
-    "t2_profile_approx",
-    # merge-on-read DML (new this round; tables.py read path changed)
+    # (a) tables._scan rework + new position deletes
     "q103_mor_delete_update",
     "q104_mor_merge",
-    # branches/tags + write-audit-publish (new this round)
-    "q105_wap_branch_publish",
-    # new training-pipeline ops (new this round)
-    "q106_decontamination",
-    "q107_repetition_filters",
-    "q108_shuffle_shards",
-    # (c) round-1-stale rotation (green in CORRECTNESS_r01 only)
-    "q10_range_join",
-    "q13_count_distinct",
-    "q14_multi_distinct",
-    "q15_rollup",
-    "q16_having",
-    "q17_collect_sorted",
-    "q18_window_topk",
-    "q19_window_lag",
-    "q20_window_frame",
-    "q21_sort_nulls",
-    "q23_union_distinct",
-    "q27_date_funcs",
-    "q101_nested_evolution",
-    "q91_data_skipping",
-    "q92_sorted_compact_skip",
-    "q93_merge_evolution",
-    "q96_stratified_sample",
-    "q97_zorder_box_query",
+    "q109_mor_pos_delete",
+    # (b) never driver-checked
+    "q94_hash_split",
+    "q95_bigram_counts",
+    "q98_version_diff",
+    "q99_pii_redaction",
+    "q100_boilerplate_removal",
+    "q102_lakehouse_sql",
+    "t2_skip_planning",
+    # (c) round-1-stale rotation
+    "q03_json_extract",
+    "q04_filter_case",
+    "q06_join_broadcast",
+    "q07_join_left_outer",
+    "q08_join_semi_anti",
+    "q09_cross_join",
+    "q24_except",
+    "q25_union_byname",
+    "q26_string_funcs",
+    "q28_math_funcs",
+    "q29_null_cond",
+    "q30_array_explode",
+    "q31_map_funcs",
+    "q32_hash_md5",
+    "q39_text_stats",
+    "q40_embedding_norms",
+    "q41_lang_id",
+    "q42_quality_fingerprint",
+    "q43_multimodal_meta",
+    "t2_approx_distinct",
+    "t2_lsh_cosine_topk",
+    "t2_simhash",
+    "t2_minhash_lsh_pairs",
+    "t2_cosine_near_dups",
+    "t2_json_write",
+    "t2_percentile_approx",
 ]
 
 
