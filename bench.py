@@ -63,6 +63,11 @@ HEADLINE = [
     "q98_version_diff",
     "q99_pii_redaction",
     "q100_boilerplate_removal",
+    # round-4 ops (tracked from this round). The MOR lifecycle queries
+    # (q103/q109) are deliberately NOT here: their wall time is dominated
+    # by the oracle-scenario's table SETUP (multiple partitioned writes),
+    # not the DML under test — q73 already tracks DML cost.
+    "q110_weighted_resample",
 ]
 
 

@@ -396,6 +396,39 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup resolution that keeps the BEST member of each duplicate
+    cluster instead of an arbitrary canonical id: cluster the verified
+    pair list with :func:`connected_components`, then keep the
+    highest-``quality_col`` member per cluster (tiebreak: lowest id);
+    documents in no pair pass through untouched.
+
+    Scale shape: components run on the PAIR set only (edges << corpus);
+    the winner pick is one window over cluster MEMBERS only (an inner
+    join pulls just those rows); the untouched bulk of the corpus exits
+    via a broadcast-able anti-join and never reshuffles. No step touches
+    text payloads — only ids and the quality scalar move."""
+    cc = connected_components(pairs)  # (id, cluster_id), id = member
+    members = docs.join(
+        cc, docs[id_col] == cc["id"], "inner"
+    ).drop("id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    best = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "cluster_id")
+    )
+    rest = docs.join(cc, docs[id_col] == cc["id"], "left_anti")
+    return best.unionByName(rest)
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -228,6 +228,72 @@ def hash_split(
     )
 
 
+def weighted_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "w1",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style deterministic domain reweighting for a training mix:
+    each document is kept ``floor(w)`` times plus one more with
+    probability ``frac(w)``, where ``w`` is its domain's target weight —
+    ``w < 1`` downsamples, ``w > 1`` upsamples with repetition, ``w = 0``
+    drops the domain. Output rows carry ``copy_idx`` (1-based) so
+    downstream shuffling/packing can treat copies as distinct examples.
+
+    The keep/extra-copy decision is the md5 hex prefix of ``seed:id``
+    against a precomputed threshold (granularity 1/65536): map-only (no
+    shuffle, no sampling pass), content-independent (appending docs never
+    flips an existing doc's copy count), and engine-portable — the same
+    property set as ``hash_split``, which a 100 TB pipeline needs to make
+    the mix reproducible and incrementally maintainable. Fractions are
+    exact in units of 1/65536.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be >= 0")
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}:"), F.col(id_col).cast("string")
+            ).cast("binary")
+        ),
+        1,
+        4,
+    )
+
+    def n_copies(w: float) -> F.Column:
+        base, thr = resample_threshold(w)
+        extra = F.when(bucket < F.lit(thr), 1).otherwise(0)
+        return F.lit(base) + extra
+
+    expr = None
+    for dom, w in weights.items():
+        cond = F.col(domain_col) == dom
+        expr = (
+            F.when(cond, n_copies(w))
+            if expr is None
+            else expr.when(cond, n_copies(w))
+        )
+    copies = expr.otherwise(n_copies(default_weight))
+    return (
+        df.withColumn("__copies", copies)
+        .where(F.col("__copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.expr("sequence(1, __copies)"))
+        )
+        .drop("__copies")
+    )
+
+
+def resample_threshold(w: float) -> tuple[int, str]:
+    """(floor(w), 4-hex-digit threshold for frac(w)) — shared with oracle
+    SQL generation so both engines draw identical copy counts."""
+    base = int(w)
+    return base, format(int(65536 * (w - base)), "04x")
+
+
 def bigram_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -4162,6 +4162,129 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# q110 domain weights; the oracle's CASE thresholds are the exact hex
+# literals text.resample_threshold derives from these (frac * 65536):
+# en 2.5 -> base 2 + bucket<'8000'; fr 0.5 -> '8000'; es 0.25 -> '4000';
+# de 1.0 / zh 0.0 -> no fractional draw.
+_Q110_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 0.0}
+
+
+@q(
+    "q110_weighted_resample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             substr(md5('r4:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+             CASE lang
+               WHEN 'en' THEN 2 + CASE WHEN bucket < '8000' THEN 1 ELSE 0 END
+               WHEN 'de' THEN 1
+               WHEN 'fr' THEN CASE WHEN bucket < '8000' THEN 1 ELSE 0 END
+               WHEN 'es' THEN CASE WHEN bucket < '4000' THEN 1 ELSE 0 END
+               ELSE 0
+             END AS copies
+      FROM d),
+    x AS (
+      SELECT doc_id, lang, g.g AS copy_idx
+      FROM c JOIN (VALUES (1), (2), (3)) AS g(g) ON g.g <= c.copies)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id * copy_idx) AS BIGINT) AS checksum
+    FROM x GROUP BY lang ORDER BY lang
+    """,
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-style deterministic domain reweighting of the training mix:
+    per-language target weights drive an exact md5-threshold copy count —
+    en upsampled 2.5x (2 or 3 copies each), de kept, fr/es downsampled,
+    zh dropped. checksum pins the exact per-copy expansion against the
+    oracle's generate_series, not just totals."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        weighted_resample,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    s = weighted_resample(
+        d, _Q110_WEIGHTS, domain_col="lang", seed="r4"
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("copy_idx")).alias("checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "q111_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs),
+    walk AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT w.id, e.dst AS label FROM walk w JOIN edges e ON w.label = e.src),
+    cc AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+    best AS (
+      SELECT d.doc_id, d.n_chars
+      FROM documents d JOIN cc ON d.doc_id = cc.id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                 ORDER BY d.n_chars DESC, d.doc_id) = 1),
+    rest AS (
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM cc)),
+    final AS (SELECT * FROM best UNION ALL SELECT * FROM rest)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM final
+    """,
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup resolution keeping the BEST cluster member (longest doc,
+    tiebreak lowest id) instead of an arbitrary canonical — the quality-
+    aware dedup a curation pipeline actually ships. Unpaired docs pass
+    through an anti-join untouched. Oracle: q74's recursive-CTE closure
+    plus a QUALIFY argmax per cluster, unioned with the never-paired
+    remainder."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        dedup_keep_best,
+        jaccard_pairs,
+    )
+
+    d = load(spark, sf, "documents")
+    pairs = jaccard_pairs(d).where(F.col("jaccard") >= 0.2)
+    kept = dedup_keep_best(
+        d.select("doc_id", "n_chars"), pairs, quality_col="n_chars"
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
 @q(
     "q109_mor_pos_delete",
     oracle="""
@@ -4501,8 +4624,9 @@ _DRIVER_WINDOW = [
     "t2_simhash",
     "t2_minhash_lsh_pairs",
     "t2_cosine_near_dups",
-    "t2_json_write",
-    "t2_percentile_approx",
+    # new round-4 training-pipeline ops (tier-1)
+    "q110_weighted_resample",
+    "q111_dedup_keep_best",
 ]
 
 

@@ -876,19 +876,24 @@ class LakehouseTable:
         self, version: int | None = None, months: list[str] | None = None
     ) -> int:
         """Metadata-only COUNT(*): sums the manifest's per-file row
-        counts for live months — no file is opened (Iceberg's
+        counts for live months — no data file is opened (Iceberg's
         metadata-table count path; at 100 TB this is the difference
         between O(manifest) and a full scan). Batches whose manifests
-        predate row-count collection fall back to a scan. Live
-        merge-on-read delete files make the manifest sums an upper bound
-        only, so their presence forces a real count (Iceberg does the
-        same: a metadata count is exact only when delete files don't
-        apply)."""
+        predate row-count collection fall back to a scan.
+
+        Live EQUALITY-delete files force a real count (their effect
+        depends on data values — Iceberg applies the same rule). Live
+        POSITION-delete files don't: each distinct (file, pos) pair that
+        names a still-live file kills exactly one row, so the count is
+        manifest sums minus a semi-join of the (small) delete files
+        against the live-file list — delete files are read, data files
+        are not."""
         snap = self._load(version)
-        if snap.deletes:
+        if any(d.get("content") != "pos" for d in snap.deletes):
             return self._scan(snap, snap.batches, months).count()
         total = 0
         legacy = []
+        live_files: list[str] = []
         for b in snap.batches:
             fr = b.get("file_rows")
             if fr is None:
@@ -897,6 +902,9 @@ class LakehouseTable:
             if b["months"] is None:
                 if months is None:
                     total += sum(fr.values())
+                    live_files += [
+                        os.path.join(b["path"], rel) for rel in fr
+                    ]
             else:
                 live = (
                     b["months"]
@@ -904,14 +912,51 @@ class LakehouseTable:
                     else [m for m in b["months"] if m in months]
                 )
                 prefixes = tuple(f"{_PART_COL}={m}/" for m in live)
-                total += sum(
-                    n
-                    for rel, n in fr.items()
-                    if rel.replace(os.sep, "/").startswith(prefixes)
-                )
+                for rel, n_rows in fr.items():
+                    if rel.replace(os.sep, "/").startswith(prefixes):
+                        total += n_rows
+                        live_files.append(os.path.join(b["path"], rel))
         if legacy:
+            # pre-row-count manifests can't join the metadata fast path
+            # when deletes are live (their files aren't in live_files)
+            if snap.deletes:
+                return self._scan(snap, snap.batches, months).count()
             total += self._scan(snap, legacy, months).count()
+        if snap.deletes:
+            total -= self._live_pos_delete_count(snap, live_files)
         return total
+
+    def _live_pos_delete_count(
+        self, snap: Snapshot, live_files: list[str]
+    ) -> int:
+        """Distinct (file, pos) pairs across all position-delete files
+        that name a still-live data file. Reads ONLY delete files; the
+        live-file list is manifest metadata. The `file:` URI prefix the
+        `_metadata.file_path` column carries is stripped to match
+        manifest paths."""
+        from functools import reduce as _reduce
+
+        dels = _reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                self.spark.read.parquet(d["path"]).select(
+                    "__file_path", "__row_pos"
+                )
+                for d in snap.deletes
+            ],
+        ).withColumn(
+            "__file_path",
+            F.regexp_replace("__file_path", "^file:(//)?", ""),
+        )
+        live_df = self.spark.createDataFrame(
+            [(p,) for p in live_files], "__file_path string"
+        )
+        # inner join: every distinct (file, pos) pair matches at most one
+        # live-file row. Broadcast the DELETE side — it's the small one by
+        # construction; the live-file list scales with the manifest.
+        return live_df.join(
+            F.broadcast(dels.distinct()), "__file_path", "inner"
+        ).count()
 
     def snapshots(self) -> list[dict]:
         """Snapshot metadata listing (Iceberg's `snapshots` metadata
@@ -1255,7 +1300,14 @@ class LakehouseTable:
             lambda a, b: a & b,
             [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
         )
-        joined = target.alias("t").join(source.alias("s"), key_cond, "inner")
+        # the matched set feeds the delete-file write, the updated-rows
+        # write, and an emptiness probe — cache it (O(touched rows), the
+        # sparse-upsert working set) so the target-source join runs ONCE.
+        joined = (
+            target.alias("t")
+            .join(source.alias("s"), key_cond, "inner")
+            .persist()
+        )
         del_keys = (
             joined.where(del_c | upd_c)
             .select(*[F.col(f"t.{k}").alias(k) for k in on])
@@ -1293,15 +1345,22 @@ class LakehouseTable:
             )
             new_rows = ins if new_rows is None else new_rows.unionByName(ins)
         version = self._next_version(snap)
-        entry = self._write_delete_keys(snap, del_keys, list(on), version)
-        batches = snap.batches
-        if new_rows is not None and not new_rows.isEmpty():
-            batches = batches + [
-                self._write_batch(
-                    new_rows, schema, snap.partition_month_of, version,
-                    renames_at=len(snap.renames),
-                )
-            ]
+        try:
+            if new_rows is not None:
+                new_rows = new_rows.persist()  # probe + write: one eval
+            entry = self._write_delete_keys(snap, del_keys, list(on), version)
+            batches = snap.batches
+            if new_rows is not None and not new_rows.isEmpty():
+                batches = batches + [
+                    self._write_batch(
+                        new_rows, schema, snap.partition_month_of, version,
+                        renames_at=len(snap.renames),
+                    )
+                ]
+        finally:
+            joined.unpersist()
+            if new_rows is not None:
+                new_rows.unpersist()
         if (
             entry is None
             and batches is snap.batches
@@ -1467,13 +1526,20 @@ class LakehouseTable:
         surviving files (manifest + footer-stats pruning upstream) and
         ships two fixed-width columns — O(matched rows) commit cost with
         no key requirement."""
-        matched = (
-            self._scan(snap, snap.batches, None, with_pos=True)
-            .where(cond_true)
-            .select("__file_path", "__row_pos")
-        )
+        matched = self._scan(
+            snap, snap.batches, None, with_pos=True
+        ).where(cond_true)
+        return self._write_pos_pairs(snap, matched, version)
+
+    def _write_pos_pairs(
+        self, snap: Snapshot, matched: DataFrame, version: int
+    ) -> dict | None:
+        """Persist a matched-rows frame (carrying ``__file_path`` /
+        ``__row_pos``) as a position-delete file; None when empty."""
         path = os.path.join(self.data_dir, f"posdelete-{version}")
-        matched.write.mode("error").parquet(path)
+        matched.select("__file_path", "__row_pos").write.mode(
+            "error"
+        ).parquet(path)
         _stats, _fstats, file_rows = self._footer_stats(path)
         n = sum(file_rows.values())
         if n == 0:
@@ -1601,20 +1667,39 @@ class LakehouseTable:
 
         if mode == "mor":
             version = self._next_version(snap)
+            need_pos = not keys
             if keys:
-                entry = self._write_delete_file(
-                    snap, cond_true, keys, version
+                names = [f.name for f in snap.schema.fields]
+                missing = [k for k in keys if k not in names]
+                if missing:
+                    raise ValueError(f"delete keys not in schema: {missing}")
+            # ONE table scan feeds BOTH writes (delete file + updated
+            # batch): matched rows are small for the sparse updates MOR
+            # targets, so they cache; without this the table scans twice.
+            matched = self._scan(
+                snap, snap.batches, None, with_pos=need_pos
+            ).where(cond_true).persist()
+            try:
+                if keys:
+                    entry = self._write_delete_keys(
+                        snap, matched.select(*keys).distinct(), keys, version
+                    )
+                else:
+                    # position-delete flavor: no key requirement (r3 gap)
+                    entry = self._write_pos_pairs(snap, matched, version)
+                if entry is None:
+                    return snap.version  # nothing matches: no new snapshot
+                updated = apply(
+                    matched.drop("__file_path", "__row_pos")
+                    if need_pos
+                    else matched
                 )
-            else:
-                # position-delete flavor: no key requirement (VERDICT r3)
-                entry = self._write_pos_delete_file(snap, cond_true, version)
-            if entry is None:
-                return snap.version  # nothing matches: no new snapshot
-            updated = apply(self.read().where(cond_true))
-            batch = self._write_batch(
-                updated, snap.schema, mo, version,
-                renames_at=len(snap.renames),
-            )
+                batch = self._write_batch(
+                    updated, snap.schema, mo, version,
+                    renames_at=len(snap.renames),
+                )
+            finally:
+                matched.unpersist()
             self._commit(
                 Snapshot(
                     version, snap.schema, snap.batches + [batch], mo,

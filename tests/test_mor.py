@@ -160,6 +160,51 @@ def test_compact_materializes_pos_deletes(spark, catalog):
     assert _ids(t) == [5, 6, 7, 8, 9]
 
 
+def test_row_count_metadata_only_under_pos_deletes(spark, catalog):
+    """Position deletes keep COUNT(*) metadata-only: manifest sums minus
+    the delete files' live (file, pos) pairs — no data file is scanned."""
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(50)], ["id", "v"]),
+        "db", "rc",
+    )
+    t = catalog.table("db", "rc")
+    t.delete_where("id >= 40", mode="mor")
+    t.delete_where("v < 5", mode="mor")
+    expect = t.read().count()
+    assert expect == 35
+    t._scan_orig = t._scan
+
+    def no_data_scan(snap, batches, months, with_pos=False):
+        raise AssertionError("row_count under pos-only deletes must not scan")
+
+    t._scan = no_data_scan
+    assert t.row_count() == 35
+    t._scan = t._scan_orig
+    # equality deletes still force the real count (value-dependent)
+    t.delete_where("id = 10", mode="mor", keys=["id"])
+    assert t.row_count() == 34
+
+
+def test_row_count_pos_deletes_after_partition_trim(spark, catalog):
+    """A COW month-trim can orphan pos-delete pairs (their data file goes
+    dead); the live-file semi-join must not subtract those."""
+    df = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1 + (i % 2), 5), i)
+            for i in range(20)
+        ],
+        ["id", "ts", "v"],
+    )
+    catalog.write_evolving(df, "db", "rt", partition_month_of="ts")
+    t = catalog.table("db", "rt")
+    t.delete_where("v = 0", mode="mor")  # one jan row, positional
+    t.delete_where("v = 1", mode="mor")  # one feb row, positional
+    # COW-delete all of january: its files die; the v=0 pair is orphaned
+    t.delete_where(F.date_format(F.col("ts"), "yyyy-MM") == "2024-01")
+    assert t.read().count() == t.row_count() == 9
+    assert t.row_count(months=["2024-02"]) == 9
+
+
 def test_mor_pos_delete_on_partitioned_table(spark, catalog):
     df = spark.createDataFrame(
         [

@@ -88,3 +88,100 @@ def test_shuffle_shards_single_shard(spark):
     rows = out.collect()
     assert all(r.shard == 0 for r in rows)
     assert sorted(r.shard_pos for r in rows) == list(range(10))
+
+
+# -- round 4: weighted resampling + keep-best dedup -------------------------
+
+
+def test_weighted_resample_copy_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        weighted_resample,
+    )
+
+    d = spark.createDataFrame(
+        [(i, ["a", "b", "c", "drop"][i % 4]) for i in range(400)],
+        ["doc_id", "dom"],
+    )
+    out = weighted_resample(
+        d,
+        {"a": 2.0, "b": 0.5, "c": 1.0, "drop": 0.0},
+        domain_col="dom",
+        seed="t",
+    )
+    per = {
+        r.dom: (r.n, r.docs)
+        for r in out.groupBy("dom")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        .collect()
+    }
+    assert "drop" not in per  # w=0 domain vanishes
+    assert per["a"] == (200, 100)  # integer weight: exactly 2 copies each
+    assert per["c"] == (100, 100)  # w=1: untouched
+    nb, docsb = per["b"]  # w=0.5: kept docs have exactly 1 copy
+    assert nb == docsb and 20 <= nb <= 80  # ~50 of 100, md5-deterministic
+    # determinism: same seed -> identical expansion
+    again = weighted_resample(
+        d,
+        {"a": 2.0, "b": 0.5, "c": 1.0, "drop": 0.0},
+        domain_col="dom",
+        seed="t",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_weighted_resample_append_stability(spark):
+    """Adding new docs never changes existing docs' copy counts — the
+    property that makes the mix incrementally maintainable."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        weighted_resample,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "x") for i in range(100)], ["doc_id", "dom"]
+    )
+    bigger = spark.createDataFrame(
+        [(i, "x") for i in range(200)], ["doc_id", "dom"]
+    )
+    w = {"x": 1.5}
+    a = weighted_resample(base, w, domain_col="dom", seed="s")
+    b = weighted_resample(bigger, w, domain_col="dom", seed="s").where(
+        "doc_id < 100"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_resample_rejects_negative(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        weighted_resample,
+    )
+
+    d = spark.createDataFrame([(1, "a")], ["doc_id", "dom"])
+    with pytest.raises(ValueError, match=">= 0"):
+        weighted_resample(d, {"a": -0.5}, domain_col="dom")
+
+
+def test_dedup_keep_best_picks_quality_winner(spark):
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, 50)],
+        ["doc_id", "quality"],
+    )
+    # cluster {1,2,3}: best quality 99, tiebreak lowest id -> 2 survives
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        (r.doc_id, r.quality) for r in
+        dedup_keep_best(docs, pairs, quality_col="quality").collect()
+    )
+    assert kept == [(2, 99), (4, 7), (5, 50)]
