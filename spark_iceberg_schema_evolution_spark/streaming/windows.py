@@ -352,12 +352,22 @@ def stream_upsert_to_lakehouse(
     checkpoint_dir: str,
     output_mode: str = "update",
     change_ts: str | None = None,
+    merge_mode: str = "cow",
 ) -> None:
     """CDC-style streaming upsert sink: each micro-batch MERGEs into the
     lakehouse table on ``on`` keys (update-matched / insert-new), so
     re-delivered keys converge instead of duplicating — the foreachBatch
     idiom Iceberg documents for streaming MERGE. The first batch creates
     the table.
+
+    ``merge_mode="mor"`` is the scale shape for high-frequency feeds
+    (Iceberg's ``write.merge.mode=merge-on-read``): each micro-batch
+    commits one small equality-delete file plus one batch of
+    changed/new rows — commit cost O(batch), never an O(partition)
+    rewrite per epoch. Delete files accumulate with micro-batches;
+    schedule ``compact()`` (the maintenance CLI) to fold them down.
+    The default ``"cow"`` rewrites matched partitions each epoch —
+    fine for low-frequency/large-batch feeds.
 
     A real change feed carries MULTIPLE rows per key within one
     micro-batch; MERGE semantics need exactly one source row per key
@@ -394,7 +404,7 @@ def stream_upsert_to_lakehouse(
         if not t.exists():
             catalog.write_evolving(df, namespace, table)
         else:
-            t.merge_into(df, on=on)
+            t.merge_into(df, on=on, mode=merge_mode)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

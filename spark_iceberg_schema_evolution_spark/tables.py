@@ -1862,6 +1862,43 @@ class LakehouseTable:
             )
         return out
 
+    def partitions(self, version: int | None = None) -> list[dict]:
+        """Per-partition row/file counts from the manifest (Iceberg's
+        ``partitions`` metadata table) — driver-side metadata only,
+        nothing is scanned. For an unpartitioned table returns one row
+        with ``month=None``. Live MOR delete files make the row counts
+        upper bounds (same caveat as ``row_count``; the listing notes
+        them in ``n_delete_files``)."""
+        snap = self._load(version)
+        agg: dict = {}
+        for b in snap.batches:
+            fr = b.get("file_rows") or {}
+            if b["months"] is None:
+                slot = agg.setdefault(None, {"rows": 0, "files": 0})
+                slot["rows"] += sum(fr.values())
+                slot["files"] += len(fr)
+                continue
+            for rel, n in fr.items():
+                month = (
+                    rel.replace(os.sep, "/").split("/", 1)[0].split("=", 1)[-1]
+                )
+                if month not in b["months"]:
+                    continue  # trimmed by a partition-scoped DML
+                slot = agg.setdefault(month, {"rows": 0, "files": 0})
+                slot["rows"] += n
+                slot["files"] += 1
+        return [
+            {
+                "month": m,
+                "rows": v["rows"],
+                "files": v["files"],
+                "n_delete_files": len(snap.deletes),
+            }
+            for m, v in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            )
+        ]
+
     def rollback_to(self, version: int) -> int:
         """Roll the table back to an earlier snapshot (Iceberg
         ``rollback_to_snapshot``): commits a NEW version whose content is

@@ -584,3 +584,53 @@ def test_mor_merge_schema_evolution(spark, catalog):
     t.merge_into(src, on=["id"], evolve=True, mode="mor")
     rows = {r.id: (r.v, r.score) for r in t.read().collect()}
     assert rows == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.5)}
+
+
+def test_stream_upsert_mor_mode(spark, tmp_path):
+    """Streaming CDC upsert with merge_mode='mor': converges to one row
+    per key like COW, but commits delete files instead of rewriting;
+    compact() folds them away with identical content."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from tests.conftest import SF_SMOKE
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    ev = SW.read_events_stream(spark, SF_SMOKE, max_files_per_trigger=1)
+    SW.stream_upsert_to_lakehouse(
+        ev.select("user_id", "ts", "value"),
+        cat, "db", "u", on=["user_id"],
+        checkpoint_dir=str(tmp_path / "c"),
+        output_mode="append", change_ts="ts", merge_mode="mor",
+    )
+    t = cat.table("db", "u")
+    assert t.read().groupBy("user_id").count().where("count > 1").count() == 0
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact()
+    assert t._load().deletes == []
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_partitions_metadata_table(spark, catalog):
+    df = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1 + (i % 3), 5), i)
+            for i in range(30)
+        ],
+        ["id", "ts", "v"],
+    )
+    catalog.write_evolving(df, "db", "pm", partition_month_of="ts")
+    t = catalog.table("db", "pm")
+    parts = t.partitions()
+    assert [p["month"] for p in parts] == ["2024-01", "2024-02", "2024-03"]
+    assert sum(p["rows"] for p in parts) == 30
+    assert all(p["files"] >= 1 for p in parts)
+    # partition-scoped COW delete drops its month from the listing
+    t.delete_where(F.date_format(F.col("ts"), "yyyy-MM") == "2024-02")
+    months = [p["month"] for p in t.partitions()]
+    assert "2024-02" not in months
+    assert sum(p["rows"] for p in t.partitions()) == 20
+    # unpartitioned: single None row
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 1)], ["id", "v"]), "db", "up"
+    )
+    up = catalog.table("db", "up").partitions()
+    assert len(up) == 1 and up[0]["month"] is None and up[0]["rows"] == 1
