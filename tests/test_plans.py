@@ -224,3 +224,37 @@ def test_read_where_scans_fewer_input_files(spark, tmp_path):
     full = set(t.read().inputFiles())
     pruned = set(t.read_where([("id", "<", 500)]).inputFiles())
     assert pruned and pruned < full
+
+
+def test_weighted_resample_is_map_only(spark):
+    """Domain reweighting must not shuffle: threshold decision and copy
+    explode are per-row codegen over the scan — zero exchanges, no UDF."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        weighted_resample,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = weighted_resample(
+        d, {"en": 2.5, "de": 0.5}, domain_col="lang", seed="p"
+    )
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pos_delete_read_is_shuffle_free(spark, tmp_path):
+    """A scan under position deletes must stay one shuffle-free pass:
+    the (file, pos) anti-join broadcasts the small delete file."""
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(1000)], ["id", "v"]),
+        "db", "pp",
+    )
+    t = cat.table("db", "pp")
+    t.delete_where("v % 97 = 0", mode="mor")
+    out = t.read()
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 0, plan
+    assert explain.has_broadcast_join(out), plan
