@@ -705,20 +705,29 @@ class LakehouseTable:
         """Best-effort (col, op, literal) conjuncts from a STRING predicate
         for manifest-stats gating. Only top-level ``AND``-joined
         ``name <op> literal`` terms are recognized; anything else —
-        ``OR``, functions, column-vs-column, a Column object — yields no
-        conjunct for that term. Under-extraction is always sound: checking
-        a SUBSET of conjuncts can only make ``_stats_may_match`` more
-        permissive (scan rather than skip)."""
+        ``OR``, functions, column-vs-column, unquoted strings — yields no
+        conjunct for that term. Column objects are rendered through their
+        JVM expression string (``(id > 5)`` shapes) and re-parsed the same
+        way. Under-extraction is always sound: checking a SUBSET of
+        conjuncts can only make ``_stats_may_match`` more permissive
+        (scan rather than skip)."""
         if not isinstance(condition, str):
-            return []
-        if re.search(r"\bOR\b", condition, re.IGNORECASE):
-            return []  # a disjunction invalidates per-term gating
+            jc = getattr(condition, "_jc", None)
+            if jc is None:
+                return []  # Connect / unknown Column flavor: no gating
+            try:
+                rendered = jc.toString()
+            except Exception:  # pragma: no cover - defensive
+                return []
+            return LakehouseTable._conjuncts_from_fn_notation(rendered)
+        if re.search(r"\bOR\b|\bNOT\b", condition, re.IGNORECASE):
+            return []  # disjunction/negation invalidates per-term gating
         out = []
         for term in re.split(r"\bAND\b", condition, flags=re.IGNORECASE):
             m = re.fullmatch(
-                r"\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
+                r"[\s(]*([A-Za-z_][A-Za-z0-9_]*)\s*"
                 r"(=|==|<=|>=|<|>)\s*"
-                r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?)\s*\)?\s*",
+                r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?)[\s)]*",
                 term,
             )
             if not m:
@@ -733,6 +742,58 @@ class LakehouseTable:
                 val = int(lit)
             out.append((col, "=" if op == "==" else op, val))
         return out
+
+    @staticmethod
+    def _conjuncts_from_fn_notation(expr: str) -> list[tuple]:
+        """Parse Spark 4's Column rendering — ``and(>(id, 5), =(t, 'x'))``
+        — into (col, op, literal) conjuncts. ``or()``/``not()`` anywhere
+        bails entirely; an unrecognized AND-child yields nothing for that
+        child only (sound under-extraction)."""
+        if re.search(r"\b(?:or|not)\(", expr, re.IGNORECASE):
+            return []
+
+        def split_top(inner: str) -> list[str]:
+            parts, depth, quoted, start = [], 0, False, 0
+            for i, ch in enumerate(inner):
+                if quoted:
+                    quoted = ch != "'"
+                elif ch == "'":
+                    quoted = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(inner[start:i])
+                    start = i + 1
+            parts.append(inner[start:])
+            return parts
+
+        def walk(e: str) -> list[tuple]:
+            e = e.strip()
+            if e.startswith("and(") and e.endswith(")"):
+                out: list[tuple] = []
+                for part in split_top(e[4:-1]):
+                    out += walk(part)
+                return out
+            m = re.fullmatch(
+                r"(<=>|==|=|<=|>=|<|>)\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+                r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?)\s*\)",
+                e,
+            )
+            if not m:
+                return []
+            op, col, lit = m.groups()
+            val: object
+            if lit.startswith("'"):
+                val = lit[1:-1]
+            elif "." in lit:
+                val = float(lit)
+            else:
+                val = int(lit)
+            return [(col, "=" if op in ("==", "<=>") else op, val)]
+
+        return walk(expr)
 
     def _no_batch_may_match(self, snap: Snapshot, condition) -> bool:
         """True when manifest/file stats PROVE the predicate matches no

@@ -255,6 +255,40 @@ def test_noop_delete_is_metadata_only(spark, catalog):
     assert t._load().version == 1 and not t._load().deletes
 
 
+def test_noop_delete_column_predicate_is_metadata_only(spark, catalog):
+    """Column-object predicates gate through the JVM expression string:
+    (id > 100000) must short-circuit exactly like the string form."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], ["id", "v"]
+        ),
+        "db", "scc",
+    )
+    t = catalog.table("db", "scc")
+    _forbid_scans(t)
+    assert t.delete_where(F.col("id") > 100000) == 1
+    assert t.delete_where((F.col("id") > 100000) & (F.col("v") < 5.0)) == 1
+    assert t.update_where(F.col("id") == -3, {"v": F.lit(0.0)}) == 1
+    assert t._load().version == 1
+
+
+def test_column_predicate_gate_is_conservative(spark, catalog):
+    """Column shapes the extractor can't prove (string literals render
+    unquoted, NOT, isin) must still execute correctly."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, "keep" if i else "kill") for i in range(10)],
+            ["id", "tag"],
+        ),
+        "db", "sccv",
+    )
+    t = catalog.table("db", "sccv")
+    t.delete_where(F.col("tag") == "kill")  # unquoted render: no gating
+    assert _ids(t) == list(range(1, 10))
+    t.delete_where(~(F.col("id") < 9))  # NOT render: no gating
+    assert _ids(t) == list(range(1, 9))
+
+
 def test_noop_update_is_metadata_only(spark, catalog):
     catalog.write_evolving(
         spark.createDataFrame(
