@@ -1561,9 +1561,11 @@ class LakehouseTable:
         self, snap: Snapshot, matched: DataFrame, keys: list[str], version: int
     ) -> dict | None:
         """Persist a distinct key-tuple DataFrame as an equality-delete
-        file; returns the manifest entry or None when empty."""
+        file; returns the manifest entry or None when empty. One output
+        file (same rationale as ``_write_pos_pairs``: every later scan
+        re-reads it)."""
         path = os.path.join(self.data_dir, f"delete-{version}")
-        matched.write.mode("error").parquet(path)
+        matched.repartition(1).write.mode("error").parquet(path)
         _stats, _fstats, file_rows = self._footer_stats(path)
         n = sum(file_rows.values())
         if n == 0:
@@ -1598,7 +1600,12 @@ class LakehouseTable:
         """Persist a matched-rows frame (carrying ``__file_path`` /
         ``__row_pos``) as a position-delete file; None when empty."""
         path = os.path.join(self.data_dir, f"posdelete-{version}")
-        matched.select("__file_path", "__row_pos").write.mode(
+        # one output file: delete files are small by construction and are
+        # re-read by EVERY subsequent scan's anti-join — dozens of
+        # scan-parallelism-shaped shards would tax each of those reads.
+        # repartition (not coalesce: coalesce would collapse the matching
+        # scan's parallelism too) of the tiny pair set.
+        matched.select("__file_path", "__row_pos").repartition(1).write.mode(
             "error"
         ).parquet(path)
         _stats, _fstats, file_rows = self._footer_stats(path)
