@@ -130,3 +130,67 @@ def test_scd2_matches_reference(spark, changes):
         for r in scd2_apply(hist_df, ch_df, keys=["id"], change_ts="ts").collect()
     )
     assert got == ref_scd2(history, ch)
+
+
+# -- stats-gate soundness (round 4) -----------------------------------------
+
+
+def test_noop_dml_gate_soundness(spark, tmp_path):
+    """THE property the no-op DML short-circuit must never break: when
+    _no_batch_may_match says skip, the predicate really matches nothing.
+    Sweep the comparison grid around the table's [min, max] bounds for
+    both string and Column predicates, cross-checking against a real
+    scan every time the gate fires — and assert it DOES fire for clearly
+    out-of-bounds predicates (the optimization exists)."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh-gate"))
+    cat.write_evolving(
+        spark.createDataFrame(
+            [(i, float(i * 2), f"s{i:03d}") for i in range(10, 60)],
+            ["id", "v", "name"],
+        ),
+        "db", "g",
+    )
+    t = cat.table("db", "g")
+    snap = t._load()
+    fired = []
+
+    @given(
+        col=st.sampled_from(["id", "v", "name"]),
+        op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+        point=st.integers(min_value=-30, max_value=150),
+        as_column=st.booleans(),
+    )
+    @settings(
+        max_examples=120,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(col, op, point, as_column):
+        if col == "v":
+            lit_sql, lit_col = f"{float(point)}", F.lit(float(point))
+        elif col == "name":
+            lit_sql, lit_col = f"'s{point:03d}'", F.lit(f"s{point:03d}")
+        else:
+            lit_sql, lit_col = str(point), F.lit(point)
+        cond_str = f"{col} {op} {lit_sql}"
+        if as_column:
+            c = F.col(col)
+            cond = {
+                "=": c == lit_col, "<": c < lit_col, "<=": c <= lit_col,
+                ">": c > lit_col, ">=": c >= lit_col,
+            }[op]
+        else:
+            cond = cond_str
+        if t._no_batch_may_match(snap, cond):
+            fired.append(cond_str)
+            n = t.read().where(F.expr(cond_str)).count()
+            assert n == 0, f"gate skipped {cond_str!r} but {n} rows match"
+
+    check()
+    assert fired, "gate never fired across an out-of-bounds sweep"
