@@ -4322,7 +4322,10 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     equivalent filter/CASE/union SQL."""
     cat = _tmp_catalog(spark)
     o = load(spark, sf, "orders").where("o_custkey < 1000")
-    cat.write_evolving(o, "db", "posd", partition_month_of="o_orderdate")
+    # unpartitioned on purpose: the scenario exercises position deletes,
+    # not hidden partitioning (test_mor covers the partitioned pos path);
+    # ~80 month dirs x 4 writes would triple this entry's driver cost.
+    cat.write_evolving(o, "db", "posd")
     t = cat.table("db", "posd")
     t.delete_where("o_totalprice > 250000", mode="mor")  # keyless: pos
     t.update_where(
