@@ -1077,6 +1077,34 @@ class LakehouseTable:
         )
         return version
 
+    def add_column(self, name: str, dtype, nullable: bool = True) -> int:
+        """ALTER TABLE ... ADD COLUMN — metadata-only commit; no file is
+        rewritten. Historic batches surface the new column as typed NULLs
+        through align_schema on read (Iceberg's add-column semantics).
+        If a column of this name existed before and was dropped, the old
+        data cannot resurface: drop renames the physical column to a
+        unique tombstone (see drop_column)."""
+        snap = self._load()
+        names = [f.name for f in snap.schema.fields]
+        if name in names:
+            raise ValueError(f"column exists: {name}")
+        dt = str_to_datatype(dtype) if isinstance(dtype, str) else dtype
+        version = self._next_version(snap)
+        self._commit(
+            Snapshot(
+                version,
+                T.StructType(
+                    list(snap.schema.fields)
+                    + [T.StructField(name, dt, nullable)]
+                ),
+                snap.batches,
+                snap.partition_month_of,
+                snap.renames,
+                snap.deletes,
+            )
+        )
+        return version
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE ... DROP COLUMN — metadata-only. Implemented as a
         rename to a unique tombstone plus schema removal, so historic
@@ -2215,11 +2243,55 @@ class LakehouseCatalog:
             DELETE FROM lake.db.t WHERE <cond>         -> delete_where
             UPDATE lake.db.t SET c = e, ... WHERE ...  -> update_where
 
-        Each DML returns a 1-row DataFrame with the new snapshot version.
+        Metadata-only schema DDL routes the same way:
+
+            ALTER TABLE lake.db.t ADD COLUMN c <type>     -> add_column
+            ALTER TABLE lake.db.t DROP COLUMN c           -> drop_column
+            ALTER TABLE lake.db.t RENAME COLUMN a TO b    -> rename_column
+            ALTER TABLE lake.db.t ALTER COLUMN c TYPE <t> -> widen_column_type
+
+        Each DML/DDL returns a 1-row DataFrame with the new snapshot
+        version.
         """
         import re
 
         q = query.strip()
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)\s*$",
+            q,
+        )
+        if m:
+            ns, name, col, dtype = m.groups()
+            v = self.table(ns, name).add_column(col, dtype.strip())
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"DROP\s+COLUMN\s+(\w+)\s*$",
+            q,
+        )
+        if m:
+            ns, name, col = m.groups()
+            v = self.table(ns, name).drop_column(col)
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+            q,
+        )
+        if m:
+            ns, name, old, new = m.groups()
+            v = self.table(ns, name).rename_column(old, new)
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(),\s]+?)\s*$",
+            q,
+        )
+        if m:
+            ns, name, col, dtype = m.groups()
+            v = self.table(ns, name).widen_column_type(col, dtype.strip())
+            return self._version_df(v)
         m = re.match(
             r"(?is)^INSERT\s+INTO\s+lake\.(\w+)\.(\w+)\s+(SELECT\b.*)$", q
         )

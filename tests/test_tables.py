@@ -874,3 +874,44 @@ def test_catalog_sql_dml_routing(spark, catalog):
     # DELETE
     catalog.sql("DELETE FROM lake.db.dml WHERE id > 10")
     assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_add_column_metadata_only(spark, catalog):
+    """ALTER TABLE ADD COLUMN: no file rewritten; historic rows surface
+    typed NULLs; a dropped-then-readded name never resurrects old data."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "db", "ac"
+    )
+    t = catalog.table("db", "ac")
+    paths = [b["path"] for b in t._load().batches]
+    t.add_column("score", "double")
+    assert [b["path"] for b in t._load().batches] == paths  # metadata-only
+    rows = {r.id: r.score for r in t.read().collect()}
+    assert rows == {1: None, 2: None}
+    with pytest.raises(ValueError, match="exists"):
+        t.add_column("score", "double")
+    # append now carries the column
+    catalog.write_evolving(
+        spark.createDataFrame([(3, "c", 9.5)], ["id", "v", "score"]),
+        "db", "ac",
+    )
+    assert {r.id: r.score for r in t.read().collect()}[3] == 9.5
+    # drop + re-add: tombstoned old values must NOT resurface
+    t.drop_column("score")
+    t.add_column("score", "double")
+    assert all(r.score is None for r in t.read().where("id != 3").collect())
+    assert {r.id: r.score for r in t.read().collect()}[3] is None
+
+
+def test_sql_routes_schema_ddl(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10)], "id bigint, v int"), "db", "ddl"
+    )
+    catalog.sql("ALTER TABLE lake.db.ddl ADD COLUMN tag string")
+    catalog.sql("ALTER TABLE lake.db.ddl RENAME COLUMN tag TO label")
+    catalog.sql("ALTER TABLE lake.db.ddl ALTER COLUMN v TYPE bigint")
+    t = catalog.table("db", "ddl")
+    schema = {f.name: f.dataType.simpleString() for f in t._load().schema}
+    assert schema == {"id": "bigint", "v": "bigint", "label": "string"}
+    catalog.sql("ALTER TABLE lake.db.ddl DROP COLUMN label")
+    assert [f.name for f in t._load().schema] == ["id", "v"]
