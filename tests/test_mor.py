@@ -668,3 +668,16 @@ def test_partitions_metadata_table(spark, catalog):
     )
     up = catalog.table("db", "up").partitions()
     assert len(up) == 1 and up[0]["month"] is None and up[0]["rows"] == 1
+
+
+def test_diff_sees_pos_delete_as_cdc(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+        ),
+        "db", "cdp",
+    )
+    t = catalog.table("db", "cdp")
+    t.delete_where("v = 'b'", mode="mor")  # positional
+    d = t.diff(1).collect()
+    assert [(r.id, r._change_type) for r in d] == [(2, "D")]
