@@ -364,7 +364,19 @@ class LakehouseTable:
         as un-skippable. Returns ({col: [lo, hi]},
         {relative_file_path: {col: [lo, hi]}},
         {relative_file_path: row_count}) — the row counts power
-        metadata-only COUNT(*) (Iceberg's metadata-table fast path)."""
+        metadata-only COUNT(*) (Iceberg's metadata-table fast path).
+
+        Soundness rule: a column's recorded range must cover EVERY live
+        row that holds a value for it. Parquet writers legally omit
+        row-group stats (e.g. parquet-mr skips min/max for binary values
+        >4KB), so a chunk with values but no usable stats poisons the
+        column: it is dropped from that file's entry AND from the batch
+        aggregate — skipping then simply isn't available for it. A chunk
+        that is entirely NULL contributes nothing but doesn't poison
+        (NULL never satisfies a comparison conjunct), and a file that
+        lacks the column altogether reads it as NULL — same reasoning.
+        Without this rule the no-op-DML gate could 'prove' no-match from
+        a range that silently excluded a stats-less file's rows."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in
@@ -373,6 +385,7 @@ class LakehouseTable:
         hi: dict = {}
         per_file: dict = {}
         rows: dict = {}
+        incomplete: set = set()  # columns unsound at BATCH granularity
         for root, _dirs, files in os.walk(batch_dir):
             for fn in files:
                 if not fn.endswith(".parquet"):
@@ -385,36 +398,55 @@ class LakehouseTable:
                 rows[os.path.relpath(full, batch_dir)] = meta.num_rows
                 flo: dict = {}
                 fhi: dict = {}
+                fbad: set = set()  # columns with a stats-less chunk
                 for rg in range(meta.num_row_groups):
                     row_group = meta.row_group(rg)
                     for ci in range(row_group.num_columns):
                         col = row_group.column(ci)
                         name = col.path_in_schema
+                        if "." in name:  # nested field: skip
+                            continue
                         st = col.statistics
                         if (
-                            "." in name  # nested field: skip
-                            or st is None
+                            st is not None
+                            and st.has_null_count
+                            and st.null_count == row_group.num_rows
+                        ):
+                            continue  # all-NULL chunk: can't match
+                        if (
+                            st is None
                             or not st.has_min_max
                             or not isinstance(
                                 st.min, (int, float, str)
                             )
                             or isinstance(st.min, bool)
                         ):
+                            if row_group.num_rows > 0:
+                                fbad.add(name)
                             continue
                         if name not in flo or st.min < flo[name]:
                             flo[name] = st.min
                         if name not in fhi or st.max > fhi[name]:
                             fhi[name] = st.max
+                incomplete |= fbad
                 for c in flo:
+                    if c in fbad:
+                        continue
                     if c not in lo or flo[c] < lo[c]:
                         lo[c] = flo[c]
                     if c not in hi or fhi[c] > hi[c]:
                         hi[c] = fhi[c]
                 per_file[os.path.relpath(full, batch_dir)] = {
-                    c: [flo[c], fhi[c]] for c in flo if c in fhi
+                    c: [flo[c], fhi[c]]
+                    for c in flo
+                    if c in fhi and c not in fbad
                 }
         return (
-            {c: [lo[c], hi[c]] for c in lo if c in hi},
+            {
+                c: [lo[c], hi[c]]
+                for c in lo
+                if c in hi and c not in incomplete
+            },
             per_file,
             rows,
         )

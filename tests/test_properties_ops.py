@@ -194,3 +194,125 @@ def test_noop_dml_gate_soundness(spark, tmp_path):
 
     check()
     assert fired, "gate never fired across an out-of-bounds sweep"
+
+
+# -- footer-stats coverage soundness (round 5, ADVICE medium) ----------------
+
+
+def test_footer_stats_statless_file_poisons_column(tmp_path):
+    """A file holding VALUES but no usable min/max (parquet writers may
+    omit stats, e.g. parquet-mr for >4KB binary) must drop the column
+    from the batch aggregate AND its own per-file entry — otherwise the
+    no-op DML gate can 'prove' no-match from a range that excludes the
+    stats-less file's rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseTable
+
+    d = tmp_path / "batch"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([10, 20], pa.int64())}),
+        str(d / "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([5, 7], pa.int64())}),
+        str(d / "f2.parquet"),
+        write_statistics=False,
+    )
+    stats, fstats, rows = LakehouseTable._footer_stats(str(d))
+    assert "id" not in stats, "batch range must not hide f2's rows"
+    assert fstats["f1.parquet"]["id"] == [10, 20]
+    assert "id" not in fstats["f2.parquet"]
+    assert rows["f2.parquet"] == 2
+
+
+def test_footer_stats_allnull_and_absent_do_not_poison(tmp_path):
+    """All-NULL chunks and files lacking the column entirely contribute
+    no range but keep coverage: NULL never satisfies a comparison
+    conjunct, so the surviving [min, max] is still sound."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseTable
+
+    d = tmp_path / "batch"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([10, 20], pa.int64()),
+                  "v": pa.array([1.0, 2.0])}),
+        str(d / "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([None, None], pa.int64()),
+                  "v": pa.array([3.0, 4.0])}),
+        str(d / "f2.parquet"),
+    )
+    pq.write_table(  # schema-evolution shape: column absent altogether
+        pa.table({"v": pa.array([5.0])}),
+        str(d / "f3.parquet"),
+    )
+    stats, fstats, _rows = LakehouseTable._footer_stats(str(d))
+    assert stats["id"] == [10, 20]
+    assert stats["v"] == [1.0, 5.0]
+    assert "id" not in fstats["f2.parquet"]
+    assert "id" not in fstats["f3.parquet"]
+
+
+def test_dml_not_noop_on_stats_less_file(spark, tmp_path):
+    """End-to-end: doctor a committed batch with a stats-less file whose
+    row MATCHES the predicate, refresh the manifest through
+    _footer_stats, and prove the gate declines and DELETE really
+    deletes (the ADVICE-flagged silent-no-op scenario)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh-statless"))
+    cat.write_evolving(
+        spark.createDataFrame(
+            [(i, f"s{i:03d}") for i in range(10, 30)], ["id", "name"]
+        ),
+        "db", "sl",
+    )
+    t = cat.table("db", "sl")
+    snap = t._load()
+    bdir = snap.batches[0]["path"]
+    existing = next(
+        f for f in os.listdir(bdir) if f.endswith(".parquet")
+    )
+    file_schema = pq.read_schema(os.path.join(bdir, existing))
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([5], pa.int64()),
+             "name": pa.array(["s005"])}
+        ).cast(file_schema),
+        os.path.join(bdir, "part-statless.parquet"),
+        write_statistics=False,
+    )
+    # refresh the manifest the way a commit would
+    stats, fstats, frows = t._footer_stats(bdir)
+    mpath = os.path.join(t.meta_dir, f"v{snap.version}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["batches"][0].update(
+        stats=stats, file_stats=fstats, file_rows=frows
+    )
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    snap = t._load()
+    assert not t._no_batch_may_match(snap, "id = 5"), (
+        "gate must decline: a stats-less file may hold id=5"
+    )
+    assert t.read().where("id = 5").count() == 1
+    t.delete_where("id = 5")
+    assert t.read().where("id = 5").count() == 0
+    # the optimization still exists for clearly out-of-bounds predicates
+    # on a fully-covered column? id is now uncovered — but name still is
+    assert t._no_batch_may_match(t._load(), "name = 'zzz'")
