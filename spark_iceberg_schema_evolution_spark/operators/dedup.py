@@ -413,10 +413,12 @@ def dedup_keep_best(
     join pulls just those rows); the untouched bulk of the corpus exits
     via a broadcast-able anti-join and never reshuffles. No step touches
     text payloads — only ids and the quality scalar move."""
-    cc = connected_components(pairs)  # (id, cluster_id), id = member
+    # (id, cluster_id), id = member — renamed up front so drop-by-name
+    # can't also remove the caller's column when id_col == "id"
+    cc = connected_components(pairs).withColumnRenamed("id", "__cc_id")
     members = docs.join(
-        cc, docs[id_col] == cc["id"], "inner"
-    ).drop("id")
+        cc, docs[id_col] == cc["__cc_id"], "inner"
+    ).drop("__cc_id")
     w = W.partitionBy("cluster_id").orderBy(
         F.desc(quality_col), F.asc(id_col)
     )
@@ -425,7 +427,7 @@ def dedup_keep_best(
         .where(F.col("__rn") == 1)
         .drop("__rn", "cluster_id")
     )
-    rest = docs.join(cc, docs[id_col] == cc["id"], "left_anti")
+    rest = docs.join(cc, docs[id_col] == cc["__cc_id"], "left_anti")
     return best.unionByName(rest)
 
 

@@ -142,21 +142,23 @@ def read_kafka_stream(
         reader = reader.option(
             "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
         )
-    payload = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    return decode_event_payload(reader.load())
+
+
+def decode_event_payload(
+    df: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Decode a Kafka-shaped binary/string JSON ``value`` column into
+    EVENTS_SCHEMA — factored out of ``read_kafka_stream`` so the decode
+    path is unit-testable without the connector jar, and so all three
+    event sources (file, rate, Kafka) are schema-IDENTICAL: ``ts``
+    decodes as TimestampNTZ, matching ``EVENTS_SCHEMA`` (a TimestampType
+    here would break unionByName/operator reuse across sources).
+    Permissive: malformed payloads surface as all-NULL columns."""
     return (
-        reader.load()
-        .select(
+        df.select(
             F.from_json(
-                F.col("value").cast("string"), payload
+                F.col(value_col).cast("string"), EVENTS_SCHEMA
             ).alias("e")
         )
         .select("e.*")

@@ -1041,8 +1041,13 @@ class LakehouseTable:
             "__file_path",
             F.regexp_replace("__file_path", "^file:(//)?", ""),
         )
+        # abspath both sides: manifest paths are relative when the
+        # catalog was created with a relative warehouse path, while
+        # _metadata.file_path is always absolute — an un-normalized
+        # mismatch would silently skip the subtraction and overcount
         live_df = self.spark.createDataFrame(
-            [(p,) for p in live_files], "__file_path string"
+            [(os.path.abspath(p),) for p in live_files],
+            "__file_path string",
         )
         # inner join: every distinct (file, pos) pair matches at most one
         # live-file row. Broadcast the DELETE side — it's the small one by
@@ -1429,44 +1434,51 @@ class LakehouseTable:
             .join(source.alias("s"), key_cond, "inner")
             .persist()
         )
-        del_keys = (
-            joined.where(del_c | upd_c)
-            .select(*[F.col(f"t.{k}").alias(k) for k in on])
-            .distinct()
-        )
-        src_names = set(source.columns)
-
-        def s_val(f: T.StructField):
-            if f.name in src_names:
-                return F.col(f"s.{f.name}").try_cast(f.dataType)
-            return F.lit(None).cast(f.dataType)
-
-        if matched_update == "all":
-            upd_cols = [s_val(f).alias(f.name) for f in schema.fields]
-        elif isinstance(matched_update, dict):
-            exprs = {k: as_col(v) for k, v in matched_update.items()}
-            upd_cols = [
-                (
-                    exprs[f.name].try_cast(f.dataType)
-                    if f.name in exprs
-                    else F.col(f"t.{f.name}")
-                ).alias(f.name)
-                for f in schema.fields
-            ]
-        else:
-            upd_cols = None
         new_rows = None
-        if upd_cols is not None:
-            new_rows = joined.where(~del_c & upd_c).select(*upd_cols)
-        if insert_unmatched:
-            ins = align_schema(
-                source.join(target.select(*on).distinct(), on, "left_anti"),
-                schema,
-                keep_extras=False,
-            )
-            new_rows = ins if new_rows is None else new_rows.unionByName(ins)
-        version = self._next_version(snap)
+        # try starts at the persist: an exception anywhere below (e.g. a
+        # unionByName schema mismatch while shaping inserts) must not
+        # leak the cached join for the session's lifetime
         try:
+            del_keys = (
+                joined.where(del_c | upd_c)
+                .select(*[F.col(f"t.{k}").alias(k) for k in on])
+                .distinct()
+            )
+            src_names = set(source.columns)
+
+            def s_val(f: T.StructField):
+                if f.name in src_names:
+                    return F.col(f"s.{f.name}").try_cast(f.dataType)
+                return F.lit(None).cast(f.dataType)
+
+            if matched_update == "all":
+                upd_cols = [s_val(f).alias(f.name) for f in schema.fields]
+            elif isinstance(matched_update, dict):
+                exprs = {k: as_col(v) for k, v in matched_update.items()}
+                upd_cols = [
+                    (
+                        exprs[f.name].try_cast(f.dataType)
+                        if f.name in exprs
+                        else F.col(f"t.{f.name}")
+                    ).alias(f.name)
+                    for f in schema.fields
+                ]
+            else:
+                upd_cols = None
+            if upd_cols is not None:
+                new_rows = joined.where(~del_c & upd_c).select(*upd_cols)
+            if insert_unmatched:
+                ins = align_schema(
+                    source.join(
+                        target.select(*on).distinct(), on, "left_anti"
+                    ),
+                    schema,
+                    keep_extras=False,
+                )
+                new_rows = (
+                    ins if new_rows is None else new_rows.unionByName(ins)
+                )
+            version = self._next_version(snap)
             if new_rows is not None:
                 new_rows = new_rows.persist()  # probe + write: one eval
             entry = self._write_delete_keys(snap, del_keys, list(on), version)

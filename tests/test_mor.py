@@ -681,3 +681,28 @@ def test_diff_sees_pos_delete_as_cdc(spark, catalog):
     t.delete_where("v = 'b'", mode="mor")  # positional
     d = t.diff(1).collect()
     assert [(r.id, r._change_type) for r in d] == [(2, "D")]
+
+
+def test_row_count_relative_warehouse_path(spark):
+    """A catalog rooted at a RELATIVE warehouse path stores relative
+    manifest paths while _metadata.file_path is always absolute — the
+    pos-delete subtraction must normalize both sides or it silently
+    overcounts."""
+    import shutil
+
+    rel = "tmp_relwh_rowcount"
+    shutil.rmtree(rel, ignore_errors=True)
+    try:
+        cat = LakehouseCatalog(spark, rel)
+        cat.write_evolving(
+            spark.createDataFrame(
+                [(i, i * 2) for i in range(30)], ["id", "v"]
+            ),
+            "db", "relrc",
+        )
+        t = cat.table("db", "relrc")
+        t.delete_where("id >= 25", mode="mor")  # 5 positional pairs
+        assert t.read().count() == 25
+        assert t.row_count() == 25
+    finally:
+        shutil.rmtree(rel, ignore_errors=True)

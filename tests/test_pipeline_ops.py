@@ -185,3 +185,21 @@ def test_dedup_keep_best_picks_quality_winner(spark):
         dedup_keep_best(docs, pairs, quality_col="quality").collect()
     )
     assert kept == [(2, 99), (4, 7), (5, 50)]
+
+
+def test_dedup_keep_best_with_id_col_named_id(spark):
+    """id_col="id" must not collide with the component frame's internal
+    member column — drop-by-name would silently remove BOTH and lose the
+    document id."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7)], ["id", "quality"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = dedup_keep_best(docs, pairs, quality_col="quality", id_col="id")
+    assert out.columns == ["id", "quality"]
+    kept = sorted((r.id, r.quality) for r in out.collect())
+    assert kept == [(2, 99), (4, 7)]

@@ -292,3 +292,30 @@ def test_rate_source_shapes_events(spark):
     assert out.where(
         ~F.col("event_type").isin("view", "click", "purchase")
     ).count() == 0
+
+
+def test_kafka_event_decode_offline(spark):
+    """The from_json value-decode path, tested without the connector jar:
+    a valid payload round-trips, a malformed one surfaces as all-NULL
+    columns (permissive mode), and the decoded frame is schema-IDENTICAL
+    to EVENTS_SCHEMA — ts included (TimestampNTZ, not TimestampType) —
+    so file/rate/Kafka sources stay interchangeable."""
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id": 7, "ts": "2024-03-01T10:30:00", '
+             '"user_id": 42, "event_type": "click", "value": 1.5, '
+             '"props": "{}"}',),
+            ("this is not json",),
+        ],
+        ["value"],
+    )
+    out = SW.decode_event_payload(raw)
+    assert out.schema == SW.EVENTS_SCHEMA
+    rows = out.collect()
+    good = next(r for r in rows if r.event_id is not None)
+    assert (good.event_id, good.user_id, good.event_type, good.value) == (
+        7, 42, "click", 1.5
+    )
+    assert good.ts.isoformat() == "2024-03-01T10:30:00"
+    bad = next(r for r in rows if r.event_id is None)
+    assert all(v is None for v in bad.asDict().values())

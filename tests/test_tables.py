@@ -915,3 +915,29 @@ def test_sql_routes_schema_ddl(spark, catalog):
     assert schema == {"id": "bigint", "v": "bigint", "label": "string"}
     catalog.sql("ALTER TABLE lake.db.ddl DROP COLUMN label")
     assert [f.name for f in t._load().schema] == ["id", "v"]
+
+
+def test_merge_failure_does_not_leak_cache(spark, catalog):
+    """A merge that dies mid-planning must unpersist its cached join —
+    otherwise the working set stays pinned for the session's lifetime."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "a")], ["id", "val"]), "db", "leak"
+    )
+    t = catalog.table("db", "leak")
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    orig = type(t)._next_version
+
+    def boom(self, snap):
+        raise RuntimeError("injected planning failure")
+
+    type(t)._next_version = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            t.merge_into(
+                spark.createDataFrame([(1, "b")], ["id", "val"]),
+                on=["id"],
+            )
+    finally:
+        type(t)._next_version = orig
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
