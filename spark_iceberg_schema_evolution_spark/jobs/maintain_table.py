@@ -6,12 +6,17 @@ vacuum_min_snapshots_to_keep).
     python -m spark_iceberg_schema_evolution_spark.jobs.maintain_table \
         --warehouse /tmp/wh --namespace db --table events \
         [--sort-by k1,k2 | --z-order x,y] [--target-files 32] \
-        [--keep-snapshots 5] [--max-batches 8]
+        [--keep-snapshots 5] [--max-batches 8] [--max-delete-files 2]
 
 Behavior:
 - compacts when the live batch count exceeds ``--max-batches`` (the
   reference's rewrite "file threshold", applied to manifest batches),
   optionally with a sort/z-order rewrite so data skipping stays tight;
+- otherwise folds MOR delete files into data files when their live
+  count exceeds ``--max-delete-files`` (the reference's
+  optimize_rewrite_delete_file_threshold=2) — a streaming CDC upsert in
+  MOR mode ships one delete file per micro-batch, and each one stacks
+  an anti-join onto every subsequent read until folded;
 - expires snapshots beyond ``--keep-snapshots`` (vacuum), physically
   deleting unreferenced batch dirs;
 - prints before/after planning metrics (batches, files, rows) — all
@@ -38,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="compact only when live batches exceed this",
     )
     p.add_argument(
+        "--max-delete-files", type=int, default=2,
+        help=(
+            "fold MOR delete files into data files when the live "
+            "delete-file count exceeds this (the reference's "
+            "optimize_rewrite_delete_file_threshold=2; probe_r5 "
+            "measures ~linear read amplification per stacked file)"
+        ),
+    )
+    p.add_argument(
         "--force", action="store_true",
         help="compact regardless of batch count",
     )
@@ -53,8 +67,10 @@ def maintain(spark, args) -> dict:
     report = {
         "batches_before": len(snap.batches),
         "files_before": len(t.files()),
+        "delete_files_before": len(snap.deletes),
         "rows": t.row_count(),
         "compacted": False,
+        "deletes_folded": False,
     }
     if args.force or len(snap.batches) > args.max_batches:
         sort_by = args.sort_by.split(",") if args.sort_by else None
@@ -65,9 +81,15 @@ def maintain(spark, args) -> dict:
             target_files=args.target_files,
         )
         report["compacted"] = True
+    elif t.should_compact_deletes(args.max_delete_files):
+        # full compact above already clears delete files; this is the
+        # cheaper delete-only fold for tables under the batch threshold
+        t.compact_deletes()
+        report["deletes_folded"] = True
     dropped = t.expire_snapshots(keep_last=args.keep_snapshots)
     report["snapshots_expired"] = len(dropped)
     report["batches_after"] = len(t._load().batches)
+    report["delete_files_after"] = len(t._load().deletes)
     report["files_after"] = len(t.files())
     report["rows_after"] = t.row_count()
     return report

@@ -4286,6 +4286,75 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q112_sql_merge",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey < 1500),
+    src AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) + 250 AS bal_c,
+             c_mktsegment AS seg,
+             CASE WHEN c_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM customer WHERE c_custkey >= 800 AND c_custkey < 2500),
+    merged AS (
+      SELECT t.id, t.bal_c, t.seg FROM tgt t
+      WHERE t.id NOT IN (SELECT id FROM src)
+      UNION ALL
+      SELECT t.id, s.bal_c, t.seg FROM tgt t JOIN src s ON t.id = s.id
+      WHERE s.op = 'U'
+      UNION ALL
+      SELECT s.id, s.bal_c, s.seg FROM src s
+      WHERE s.id NOT IN (SELECT id FROM tgt))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bal_c) AS BIGINT) AS total_bal_c,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
+           MIN(seg) AS min_seg
+    FROM merged
+    """,
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO through the SQL front door — the reference's SQL
+    runner executed arbitrary Athena DML including MERGE
+    (src/utils/run_query.py:35-37); the engine's catalog.sql now parses
+    the statement and routes it to merge_into (clause conditions,
+    partial SET, INSERT *). Same three-arm shape as q89, driven as SQL
+    text against a source temp view."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    tgt = c.where("c_custkey < 1500").select(
+        F.col("c_custkey").alias("id"),
+        cents(F.col("c_acctbal")).alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    src = c.where("c_custkey >= 800 AND c_custkey < 2500").select(
+        F.col("c_custkey").alias("id"),
+        (cents(F.col("c_acctbal")) + 250).alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    cat.write_evolving(tgt, "db", "smrg")
+    src.createOrReplaceTempView("__q112_src")
+    cat.sql(
+        "MERGE INTO lake.db.smrg AS t USING __q112_src AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET bal_c = s.bal_c "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    return cat.table("db", "smrg").read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal_c").alias("total_bal_c"),
+        F.countDistinct("id").alias("n_ids"),
+        F.min("seg").alias("min_seg"),
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (
@@ -4560,76 +4629,74 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 #
 # The correctness driver oracle-checks the FIRST 50 registry entries in
 # insertion order (round-1 finding: q46+ had no hard-signal coverage).
-# Round-4 window: (a) every query whose engine code changed this round —
-# the events.ts dtype-drift fix touches all event/streaming queries (3 of
-# them were r3's red rows, 4 more were silently wrong), and the _scan/
-# position-delete rework touches the MOR family; (b) the 7 entries that
-# never had a driver row; (c) the round-1-stale rotation (q03-q09,
-# q24-q32, q39-q43, t2 approx/LSH/simhash family). Still stale after this
-# round (green r2/r3 rows, unchanged code, covered by
-# tools/check_correctness.py + pytest): q01 q05 q12-q18 q20-q23 q27 q33
-# q36-q38 q44 q45 q53-q65 q67 q68 q70-q72 q75-q83 q85 q87-q93 q96 q97
-# q101 q105-q108 t2_ivf/orc/frames/moments/profile/spark_hashes.
+# Round-5 window — retiring the rotation debt (r4 VERDICT item 1): the
+# oldest-stale block (r1/r2 driver rows only): q12-q18, q20-q23, q33,
+# q36-q38, q44-q48, q53-q65, q67-q68, q70-q72, q76-q83, q85 — plus the
+# queries whose engine code changed THIS round: q112 (new SQL MERGE
+# routing) and q89/q93 (merge_into internals restructured for the cache-
+# leak fix). Still stale after this round (green r3/r4 rows, unchanged
+# code, covered by tools/check_correctness.py + pytest): q01 q05 q27 q73
+# q74 q75 q87 q88 q90 q91 q92 q96 q97 q101 q105-q108
+# t2_ivf/orc/frames/moments/profile/spark_hashes/json_write/
+# percentile_approx — scheduled for the r6 window (no entry older than
+# two rounds after r6).
 
 _DRIVER_WINDOW = [
-    # (a) events.ts drift fix — r3 red rows first
-    "q10_range_join",
-    "q19_window_lag",
-    "q84_asof_tolerance",
-    # (a) erred locally / crashed the r3 bench
-    "q11_asof_join",
-    "q34_tumbling_hour",
-    "q35_sessionize",
-    # (a) silently 1000x-wrong in r3; stale-green r2 rows
-    "q49_stream_tumbling",
-    "q50_stream_sliding",
-    "q51_stream_session",
-    "q69_stream_stream_join",
-    # (a) streaming family re-verify (q52 oracle now ts-pinned)
-    "q52_stream_to_lakehouse",
-    "q66_stream_stateful",
-    "t2_stream_dedup",
-    "q86_stream_static_join",
-    # (a) tables._scan rework + new position deletes
-    "q103_mor_delete_update",
-    "q104_mor_merge",
-    "q109_mor_pos_delete",
-    # (b) never driver-checked
-    "q94_hash_split",
-    "q95_bigram_counts",
-    "q98_version_diff",
-    "q99_pii_redaction",
-    "q100_boilerplate_removal",
-    "q102_lakehouse_sql",
-    "t2_skip_planning",
-    # (c) round-1-stale rotation
-    "q03_json_extract",
-    "q04_filter_case",
-    "q06_join_broadcast",
-    "q07_join_left_outer",
-    "q08_join_semi_anti",
-    "q09_cross_join",
-    "q24_except",
-    "q25_union_byname",
-    "q26_string_funcs",
-    "q28_math_funcs",
-    "q29_null_cond",
-    "q30_array_explode",
-    "q31_map_funcs",
-    "q32_hash_md5",
-    "q39_text_stats",
-    "q40_embedding_norms",
-    "q41_lang_id",
-    "q42_quality_fingerprint",
-    "q43_multimodal_meta",
-    "t2_approx_distinct",
-    "t2_lsh_cosine_topk",
-    "t2_simhash",
-    "t2_minhash_lsh_pairs",
-    "t2_cosine_near_dups",
-    # new round-4 training-pipeline ops (tier-1)
-    "q110_weighted_resample",
-    "q111_dedup_keep_best",
+    # changed this round: SQL MERGE front door + merge_into restructure
+    "q112_sql_merge",
+    "q89_merge_clauses",
+    "q93_merge_evolution",
+    # r1/r2-stale rotation: aggregation + window family
+    "q12_tpch_q1",
+    "q13_count_distinct",
+    "q14_multi_distinct",
+    "q15_rollup",
+    "q16_having",
+    "q17_collect_sorted",
+    "q18_window_topk",
+    "q20_window_frame",
+    "q21_sort_nulls",
+    "q22_topk_revenue",
+    "q23_union_distinct",
+    "q33_cast_matrix",
+    # r1/r2-stale: dedup/similarity heads
+    "q36_dedup_exact",
+    "q37_ngram_jaccard",
+    "q38_cosine_topk",
+    # r1/r2-stale: UDF + lakehouse lifecycle heads
+    "q44_pandas_udf_tokens",
+    "q45_evolving_ingest",
+    "q46_merge_upsert",
+    "q47_time_travel",
+    "q48_overwrite_partitions",
+    # r1/r2-stale: SQL surface block
+    "q53_pivot",
+    "q54_cube",
+    "q55_intersect",
+    "q56_date_arith",
+    "q57_udtf_tokens",
+    "q58_array_hofs",
+    "q59_evolution_type_conflict",
+    "q60_grouping_sets",
+    "q61_ranking_family",
+    "q62_range_frame",
+    "q63_subqueries",
+    "q64_grouped_agg_udf",
+    "q65_str_to_map",
+    "q67_null_safe_join",
+    "q68_scd2_dimension",
+    "q70_profile_stats",
+    "q71_text_chunking",
+    "q72_sequence_packing",
+    "q76_group_by_all_qualify",
+    "q77_except_all",
+    "q78_unpivot",
+    "q79_percentile_cont",
+    "q80_string_funcs2",
+    "q81_try_cast",
+    "q82_ignore_nulls_stringagg",
+    "q83_bit_bool_aggs",
+    "q85_salted_join_equivalence",
 ]
 
 

@@ -2206,6 +2206,129 @@ class LakehouseTable:
         )
         return version
 
+    def should_compact_deletes(self, max_delete_files: int = 2) -> bool:
+        """Maintenance trigger: True when the live delete-file count
+        exceeds ``max_delete_files`` — the engine-native analogue of the
+        reference's ``optimize_rewrite_delete_file_threshold=2``
+        (src/utils/spark/spark_utils.py:170). A MOR CDC sink ships one
+        delete file per micro-batch, and every subsequent scan re-reads
+        ALL of them (one stacked anti-join per key-group/pos set), so
+        read cost grows linearly with the backlog until someone folds
+        it; probe_r5 quantifies the curve."""
+        return len(self._load().deletes) > max_delete_files
+
+    def compact_deletes(self) -> int | None:
+        """Fold live delete files into data files by rewriting ONLY the
+        batches a delete can actually touch (Iceberg's delete-triggered
+        ``rewrite_data_files`` — what the reference's Athena OPTIMIZE
+        runs when delete files pass its threshold). Unlike ``compact()``
+        this never rewrites the unaffected bulk: on a 100 TB table where
+        a CDC stream upserts a hot key range, the untouched batches are
+        carried over by manifest reference and only the affected ones
+        are scanned and rewritten.
+
+        A batch is affected when (a) some equality delete committed
+        AFTER it (seq rule) has a key range its coverage-complete stats
+        cannot disprove, or (b) a position delete names one of its
+        files. Orphan-only deletes (all their targets already dead)
+        fold to a metadata-only commit. Returns the new version, or
+        None when there are no delete files."""
+        snap = self._load()
+        if not snap.deletes:
+            return None
+        pos = [d for d in snap.deletes if d.get("content") == "pos"]
+        pos_files: set[str] = set()
+        if pos:
+            # distinct named files: bounded by the table's file count —
+            # metadata-scale driver work, same class as month planning
+            from functools import reduce as _reduce
+
+            named = _reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    self.spark.read.parquet(d["path"]).select(
+                        "__file_path"
+                    )
+                    for d in pos
+                ],
+            ).distinct()
+            pos_files = {
+                os.path.abspath(
+                    re.sub(r"^file:(//)?", "", r["__file_path"])
+                )
+                for r in named.collect()
+            }
+        eq = [d for d in snap.deletes if d.get("content") != "pos"]
+        # equality-delete key ranges from the delete files' own footers
+        # (metadata-only, O(delete files))
+        eq_ranges = []
+        for d in eq:
+            dstats, _f, _r = self._footer_stats(d["path"])
+            eq_ranges.append((d, dstats))
+
+        def eq_hits(b: dict) -> bool:
+            for d, dstats in eq_ranges:
+                if int(d["seq"]) <= int(b.get("seq", 0)):
+                    continue  # deletes apply to strictly-older batches
+                bstats = b.get("stats") or {}
+                disjoint = False
+                for k in d["keys"]:
+                    cur = self._current_name(
+                        k, d.get("renames_at", 0), snap
+                    )
+                    brange = bstats.get(
+                        self._physical_name(cur, b, snap)
+                    )
+                    drange = dstats.get(k)
+                    if brange is None or drange is None:
+                        continue  # no stats: can't disprove
+                    same_kind = isinstance(
+                        brange[0], str
+                    ) == isinstance(drange[0], str)
+                    if same_kind and (
+                        drange[1] < brange[0] or drange[0] > brange[1]
+                    ):
+                        disjoint = True
+                        break
+                if not disjoint:
+                    return True
+            return False
+
+        def pos_hits(b: dict) -> bool:
+            if not pos_files:
+                return False
+            fr = b.get("file_rows")
+            if fr is None:
+                return True  # legacy manifest: conservatively rewrite
+            return any(
+                os.path.abspath(os.path.join(b["path"], rel))
+                in pos_files
+                for rel in fr
+            )
+
+        hit = [eq_hits(b) or pos_hits(b) for b in snap.batches]
+        affected = [b for b, h in zip(snap.batches, hit) if h]
+        untouched = [b for b, h in zip(snap.batches, hit) if not h]
+        version = self._next_version(snap)
+        new_batches = list(untouched)
+        if affected:
+            folded = self._scan(snap, affected, None)
+            batch = self._write_batch(
+                folded, snap.schema, snap.partition_month_of, version,
+                renames_at=len(snap.renames),
+            )
+            if sum(batch["file_rows"].values()) > 0:
+                new_batches = new_batches + [batch]
+            else:
+                shutil.rmtree(batch["path"], ignore_errors=True)
+        self._commit(
+            Snapshot(
+                version, snap.schema, new_batches,
+                snap.partition_month_of, snap.renames, [],
+            )
+        )
+        return version
+
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Drop old manifests and any batch dirs no live manifest
         references (Iceberg ``expire_snapshots`` / the reference's
@@ -2286,6 +2409,19 @@ class LakehouseCatalog:
             INSERT INTO lake.db.t SELECT ...           -> append
             DELETE FROM lake.db.t WHERE <cond>         -> delete_where
             UPDATE lake.db.t SET c = e, ... WHERE ...  -> update_where
+            MERGE INTO lake.db.t [AS] t USING <src> ON t.k = s.k [AND ..]
+              [WHEN MATCHED [AND <cond>] THEN DELETE]
+              [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | c = e, ...]
+              [WHEN NOT MATCHED THEN INSERT *]         -> merge_into
+
+        MERGE subset notes (the Python ``merge_into`` is the full
+        surface): ``<src>`` is a temp view, another ``lake.`` ref, or a
+        parenthesized SELECT with an alias; the ON clause must be an
+        AND-conjunction of same-named key equalities; conditions and SET
+        expressions should qualify columns with the declared aliases;
+        DELETE wins over UPDATE when both arms match a row (make the
+        conditions disjoint for clause-order semantics); an optional
+        trailing ``OPTIONS (mode 'mor')`` picks merge-on-read.
 
         Metadata-only schema DDL routes the same way:
 
@@ -2336,6 +2472,16 @@ class LakehouseCatalog:
             ns, name, col, dtype = m.groups()
             v = self.table(ns, name).widen_column_type(col, dtype.strip())
             return self._version_df(v)
+        m = re.match(
+            r"(?is)^MERGE\s+INTO\s+lake\.(\w+)\.(\w+)"
+            r"(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.*)$",
+            q,
+        )
+        if m:
+            ns, name, talias, rest = m.groups()
+            return self._version_df(
+                self._merge_sql(ns, name, talias, rest)
+            )
         m = re.match(
             r"(?is)^INSERT\s+INTO\s+lake\.(\w+)\.(\w+)\s+(SELECT\b.*)$", q
         )
@@ -2399,6 +2545,171 @@ class LakehouseCatalog:
             r"\blake\.(\w+)\.(\w+)(@[\w-]+)?", resolve, q
         )
         return self.spark.sql(rewritten)
+
+    def _merge_sql(
+        self, ns: str, name: str, talias: str | None, rest: str
+    ) -> int:
+        """Parse the tail of a MERGE statement (everything after USING)
+        and route it to :meth:`LakehouseTable.merge_into` — the front
+        door matching the reference's SQL runner, which shipped arbitrary
+        DML including MERGE (run_query.py:35-37). See :meth:`sql` for the
+        supported subset."""
+        rest = rest.strip()
+        # -- source: (subquery) alias | lake ref | temp view, opt. alias
+        if rest.startswith("("):
+            depth = 0
+            end = -1
+            quoted = False
+            for i, ch in enumerate(rest):
+                if quoted:
+                    quoted = ch != "'"
+                elif ch == "'":
+                    quoted = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise ValueError("MERGE: unbalanced parens in USING")
+            source = self.sql(rest[1:end])
+            rest = rest[end + 1:]
+            sname = None
+        else:
+            mm = re.match(r"(?is)^(lake\.\w+\.\w+|\w+)", rest)
+            if not mm:
+                raise ValueError("MERGE: unparseable USING source")
+            tok = mm.group(1)
+            rest = rest[mm.end():]
+            if tok.lower().startswith("lake."):
+                source = self.sql(f"SELECT * FROM {tok}")
+                sname = None
+            else:
+                source = self.spark.table(tok)
+                sname = tok
+        mm = re.match(r"(?is)^\s+(?:AS\s+)?(\w+)(?=\s+ON\s)", rest)
+        salias = None
+        if mm and mm.group(1).upper() != "ON":
+            salias = mm.group(1)
+            rest = rest[mm.end():]
+        mm = re.match(r"(?is)^\s*ON\s+(.*?)\s+(WHEN\s+.*?)"
+                      r"(?:\s+OPTIONS\s*\(\s*mode\s+'(\w+)'\s*\))?\s*$",
+                      rest)
+        if not mm:
+            raise ValueError("MERGE: expected ON <cond> WHEN ...")
+        on_cond, clauses, mode = mm.groups()
+
+        # -- alias translation: user aliases -> merge_into's t/s
+        amap = {}
+        if talias:
+            amap[talias.lower()] = "t"
+        if salias:
+            amap[salias.lower()] = "s"
+        if sname:
+            amap.setdefault(sname.lower(), "s")
+        amap.setdefault(name.lower(), "t")
+
+        def xlate(expr: str) -> str:
+            def sub(mo: re.Match) -> str:
+                a = mo.group(1)
+                return amap.get(a.lower(), a) + "."
+            return re.sub(r"\b(\w+)\.", sub, expr)
+
+        # -- ON: AND-conjunction of same-named key equalities
+        keys = []
+        for term in re.split(r"(?i)\bAND\b", on_cond):
+            tm = re.fullmatch(
+                r"\s*\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?\s*",
+                term,
+            )
+            if not tm:
+                raise ValueError(
+                    f"MERGE: ON term not a key equality: {term!r}"
+                )
+            a1, c1, a2, c2 = tm.groups()
+            if c1 != c2:
+                raise ValueError(
+                    f"MERGE: ON keys must be same-named: {term!r}"
+                )
+            sides = {amap.get(a1.lower()), amap.get(a2.lower())}
+            if sides != {"t", "s"}:
+                raise ValueError(
+                    f"MERGE: ON term must join target to source: {term!r}"
+                )
+            keys.append(c1)
+
+        # -- WHEN clauses
+        matched_update = None
+        matched_condition = None
+        matched_delete_where = None
+        insert_unmatched = False
+        for part in re.split(r"(?i)\bWHEN\b", clauses):
+            part = part.strip()
+            if not part:
+                continue
+            cm = re.match(
+                r"(?is)^(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?"
+                r"\s+THEN\s+(.+)$",
+                part,
+            )
+            if not cm:
+                raise ValueError(f"MERGE: bad WHEN clause: {part!r}")
+            neg, cond, action = cm.groups()
+            action = action.strip()
+            if neg:
+                if cond is not None:
+                    raise ValueError(
+                        "MERGE: WHEN NOT MATCHED AND <cond> unsupported"
+                    )
+                if not re.fullmatch(
+                    r"(?is)INSERT(\s*\*)?", action
+                ):
+                    raise ValueError(
+                        f"MERGE: NOT MATCHED supports INSERT *: {action!r}"
+                    )
+                insert_unmatched = True
+                continue
+            if re.fullmatch(r"(?is)DELETE", action):
+                matched_delete_where = (
+                    xlate(cond) if cond is not None else "true"
+                )
+                continue
+            um = re.match(r"(?is)^UPDATE\s+SET\s+(.+)$", action)
+            if not um:
+                raise ValueError(f"MERGE: bad MATCHED action: {action!r}")
+            matched_condition = xlate(cond) if cond is not None else None
+            sets = um.group(1).strip()
+            if sets == "*":
+                matched_update = "all"
+                continue
+            assignments = {}
+            depth, start, parts = 0, 0, []
+            for i, ch in enumerate(sets):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(sets[start:i])
+                    start = i + 1
+            parts.append(sets[start:])
+            for p in parts:
+                col, expr = p.split("=", 1)
+                col = col.strip()
+                col = re.sub(r"(?i)^\w+\.", "", col)  # strip t. prefix
+                assignments[col] = xlate(expr.strip())
+            matched_update = assignments
+        return self.table(ns, name).merge_into(
+            source,
+            on=keys,
+            matched_update=matched_update,
+            matched_condition=matched_condition,
+            matched_delete_where=matched_delete_where,
+            insert_unmatched=insert_unmatched,
+            mode=mode or "cow",
+        )
 
     def _version_df(self, version: int) -> DataFrame:
         return self.spark.createDataFrame(

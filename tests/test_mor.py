@@ -706,3 +706,135 @@ def test_row_count_relative_warehouse_path(spark):
         assert t.row_count() == 25
     finally:
         shutil.rmtree(rel, ignore_errors=True)
+
+
+# -- delete-file compaction (round 5: reference parity with
+# optimize_rewrite_delete_file_threshold, spark_utils.py:170) ---------------
+
+
+def test_compact_deletes_folds_mor_merge_backlog(spark, catalog):
+    """N MOR merges accumulate N equality-delete files; the fold clears
+    them, preserves the row set, and subsequent scans are anti-join-free."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, 0, "init") for i in range(50)], ["id", "rev", "src"]
+        ),
+        "db", "cdcf",
+    )
+    t = catalog.table("db", "cdcf")
+    for rev in range(1, 4):
+        t.merge_into(
+            spark.createDataFrame(
+                [(i, rev, "upd") for i in range(10 * rev, 10 * rev + 10)],
+                ["id", "rev", "src"],
+            ),
+            on=["id"], mode="mor",
+        )
+    assert len(t._load().deletes) == 3
+    assert t.should_compact_deletes(2)
+    assert not t.should_compact_deletes(3)
+    before = {(r.id, r.rev) for r in t.read().collect()}
+    t.compact_deletes()
+    snap = t._load()
+    assert snap.deletes == []
+    assert {(r.id, r.rev) for r in t.read().collect()} == before
+    assert t.read().count() == 50
+
+
+def test_compact_deletes_skips_disjoint_batches(spark, catalog):
+    """Only batches a delete can touch get rewritten: a batch whose key
+    range is provably disjoint from every delete file is carried over by
+    manifest reference (same path), not rewritten."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, "cold") for i in range(100)], ["id", "v"]
+        ),
+        "db", "dj",
+    )
+    t = catalog.table("db", "dj")
+    t.append(
+        spark.createDataFrame(
+            [(i, "hot") for i in range(1000, 1100)], ["id", "v"]
+        )
+    )
+    cold_path = t._load().batches[0]["path"]
+    # keys hit only the hot batch: delete range [1050, 1059]
+    t.merge_into(
+        spark.createDataFrame(
+            [(i, "hot2") for i in range(1050, 1060)], ["id", "v"]
+        ),
+        on=["id"], mode="mor",
+    )
+    assert len(t._load().deletes) == 1
+    before = {(r.id, r.v) for r in t.read().collect()}
+    t.compact_deletes()
+    snap = t._load()
+    assert snap.deletes == []
+    assert cold_path in [b["path"] for b in snap.batches], (
+        "cold batch must be carried over untouched"
+    )
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+
+
+def test_compact_deletes_pos_deletes_and_orphans(spark, catalog):
+    """Position deletes fold by named file; a backlog whose targets are
+    all dead (orphaned pairs) folds metadata-only."""
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [
+            (i, _dt.datetime(2024, 1 + (i % 2), 5), i)
+            for i in range(20)
+        ],
+        ["id", "ts", "v"],
+    )
+    catalog.write_evolving(df, "db", "pj", partition_month_of="ts")
+    t = catalog.table("db", "pj")
+    t.delete_where("v = 0", mode="mor")  # positional, one jan row
+    before = {r.id for r in t.read().collect()}
+    t.compact_deletes()
+    snap = t._load()
+    assert snap.deletes == []
+    assert {r.id for r in t.read().collect()} == before
+    # orphan case: pos-delete feb row, then COW-delete all of february
+    t.delete_where("v = 1", mode="mor")
+    t.delete_where(F.date_format(F.col("ts"), "yyyy-MM") == "2024-02")
+    n_batches = len(t._load().batches)
+    rows = t.read().count()
+    t.compact_deletes()
+    snap = t._load()
+    assert snap.deletes == []
+    assert t.read().count() == rows
+    assert len(snap.batches) <= n_batches
+
+
+def test_maintain_job_folds_delete_backlog(spark, tmp_path):
+    """The maintenance CLI folds the delete backlog when --max-delete-files
+    is exceeded while the batch count stays under --max-batches."""
+    from spark_iceberg_schema_evolution_spark.jobs.maintain_table import (
+        build_parser, maintain,
+    )
+
+    wh = str(tmp_path / "wh-maint")
+    cat = LakehouseCatalog(spark, wh)
+    cat.write_evolving(
+        spark.createDataFrame(
+            [(i, 0) for i in range(40)], ["id", "rev"]
+        ),
+        "db", "mt",
+    )
+    t = cat.table("db", "mt")
+    for rev in range(1, 4):
+        t.merge_into(
+            spark.createDataFrame([(5, rev), (7, rev)], ["id", "rev"]),
+            on=["id"], mode="mor",
+        )
+    args = build_parser().parse_args(
+        ["--warehouse", wh, "--namespace", "db", "--table", "mt",
+         "--max-delete-files", "2"]
+    )
+    report = maintain(spark, args)
+    assert report["delete_files_before"] == 3
+    assert report["deletes_folded"] is True
+    assert report["delete_files_after"] == 0
+    assert report["rows_after"] == report["rows"] == 40

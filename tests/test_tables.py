@@ -941,3 +941,74 @@ def test_merge_failure_does_not_leak_cache(spark, catalog):
     finally:
         type(t)._next_version = orig
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+
+# -- SQL front door: MERGE INTO routing (round 5) ----------------------------
+
+
+def test_sql_merge_routes_clause_variants(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            ["id", "bal", "seg"],
+        ),
+        "db", "sm",
+    )
+    spark.createDataFrame(
+        [(2, 99, "D"), (3, 99, "U"), (4, 40, "U")],
+        ["id", "bal", "op"],
+    ).createOrReplaceTempView("sm_src")
+    catalog.sql(
+        "MERGE INTO lake.db.sm AS t USING sm_src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET bal = s.bal "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r.id: (r.bal, r.seg) for r in
+            catalog.table("db", "sm").read().collect()}
+    # 1 untouched, 2 deleted, 3 updated (seg kept), 4 inserted (seg NULL)
+    assert rows == {1: (10, "a"), 3: (99, "c"), 4: (40, None)}
+
+
+def test_sql_merge_subquery_source_and_mor(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"]),
+        "db", "sm2",
+    )
+    catalog.write_evolving(
+        spark.createDataFrame([(2, 21), (3, 31)], ["id", "v"]),
+        "db", "feed",
+    )
+    catalog.sql(
+        "MERGE INTO lake.db.sm2 AS t "
+        "USING (SELECT id, v FROM lake.db.feed WHERE v > 0) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "OPTIONS (mode 'mor')"
+    )
+    t = catalog.table("db", "sm2")
+    assert {(r.id, r.v) for r in t.read().collect()} == {
+        (1, 10), (2, 21), (3, 31)
+    }
+    # MOR shape honored: one equality-delete file committed
+    assert len(t._load().deletes) == 1
+
+
+def test_sql_merge_rejects_malformed(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10)], ["id", "v"]), "db", "sm3"
+    )
+    spark.createDataFrame([(1, 11)], ["id", "v"]).createOrReplaceTempView(
+        "sm3_src"
+    )
+    with pytest.raises(ValueError, match="key equality"):
+        catalog.sql(
+            "MERGE INTO lake.db.sm3 t USING sm3_src s ON t.id > s.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="same-named"):
+        catalog.sql(
+            "MERGE INTO lake.db.sm3 t USING sm3_src s ON t.id = s.v "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
