@@ -240,3 +240,32 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1)
+
+
+def test_ann_recall_at_10_gate(spark):
+    """r4 VERDICT item 6: a hard recall@10 >= 0.9 gate for both ANN
+    variants vs the exact top-k, at operating points a user would pick
+    when recall matters (more probes / more tables — the knobs trade
+    compute for recall). Deterministic: seeded plane/centroid draws,
+    fixed testdata embeddings."""
+    e = _emb(spark)
+    qdf = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, qdf, k=10)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert len(ex) == 200
+
+    ivf = similarity.ivf_topk(e, qdf, k=10, num_centroids=8, n_probe=7)
+    iv = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    assert len(iv & ex) / len(ex) >= 0.9, (
+        f"IVF recall@10 {len(iv & ex) / len(ex):.3f}"
+    )
+
+    lsh = similarity.lsh_topk(
+        e, qdf, dim=64, k=10, num_planes=2, num_tables=24
+    )
+    ls = {(r.query_id, r.vec_id) for r in lsh.collect()}
+    assert len(ls & ex) / len(ex) >= 0.9, (
+        f"LSH recall@10 {len(ls & ex) / len(ex):.3f}"
+    )
