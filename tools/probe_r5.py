@@ -6,7 +6,7 @@ optimize_rewrite_delete_file_threshold=2 — spark_utils.py:170).
 A MOR CDC sink commits one delete file per micro-batch. Every read
 applies the whole backlog (broadcast anti-joins), so read cost grows
 with the stack until maintenance folds it. This probe measures the
-curve at 0 / 10 / 50 / 100 stacked equality-delete files on a 6M-row
+curve at 0 / 10 / 30 / 50 stacked equality-delete files on a 2M-row
 table, then folds with compact_deletes and re-measures — the numbers
 behind the `--max-delete-files` default.
 
@@ -32,7 +32,7 @@ def timed(label, fn):
     t0 = time.time()
     out = fn()
     dt = time.time() - t0
-    print(f"{label}: {dt:.2f}s")
+    print(f"{label}: {dt:.2f}s", flush=True)
     return dt, out
 
 
@@ -40,14 +40,14 @@ def main() -> None:
     spark = get_spark()
     spark.range(1000).selectExpr("sum(id)").collect()  # warm
 
-    n = 6_000_000
+    n = 2_000_000
     cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="probe-r5-"))
     df = spark.range(n).select(
         F.col("id"),
         (F.col("id") % 1000).alias("v"),
         F.lit(0).alias("rev"),
     )
-    timed("append 6M rows", lambda: cat.write_evolving(df, "db", "big"))
+    timed("append 2M rows", lambda: cat.write_evolving(df, "db", "big"))
     t = cat.table("db", "big")
 
     def read_agg():
@@ -66,17 +66,23 @@ def main() -> None:
 
     stacked = {}
     k = 0
-    for target in (10, 50, 100):
+    for target in (10, 30, 50):
+        t0 = time.time()
+        n_m = target - k
         while k < target:
             k += 1
             one_merge(k)
+        print(
+            f"merges {target - n_m + 1}..{target}: "
+            f"{(time.time() - t0) / n_m:.2f}s/merge", flush=True
+        )
         stacked[target], _ = timed(
             f"read+agg, {target} stacked delete files", read_agg
         )
 
     rows_before = t.row_count()
     fold, _ = timed(
-        "compact_deletes (fold 100 delete files)",
+        "compact_deletes (fold 50 delete files)",
         lambda: t.compact_deletes(),
     )
     after, _ = timed("read+agg, post-fold", read_agg)
@@ -85,8 +91,8 @@ def main() -> None:
 
     print(
         f"amplification vs clean read: "
-        f"10={stacked[10] / base:.2f}x 50={stacked[50] / base:.2f}x "
-        f"100={stacked[100] / base:.2f}x post-fold={after / base:.2f}x"
+        f"10={stacked[10] / base:.2f}x 30={stacked[30] / base:.2f}x "
+        f"50={stacked[50] / base:.2f}x post-fold={after / base:.2f}x"
     )
 
 
