@@ -522,3 +522,86 @@ def shuffle_shards(
     return out.withColumn(
         "shard_pos", F.row_number().over(w) - 1
     ).drop("__k")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic uniform sample of ``n`` rows: rank the corpus by
+    md5(seed:id) and take the first ``n`` — the reproducible
+    TABLESAMPLE a curation pipeline wants for eval carve-outs and
+    ablations (Spark's ``sample()`` is neither exactly-n nor stable
+    across partitioning changes; this is both, and engine-portable —
+    any system with md5 draws the identical sample).
+
+    Scale shape: compiles to TakeOrderedAndProject — a size-n heap per
+    partition then an n-row merge on the driver side of the exchange,
+    never a global sort. Content-independent (keys on the id), so the
+    sample is stable under re-encoding or re-sharding of the payload.
+    Different ``seed`` values draw independent samples."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    return (
+        df.withColumn("__k", key)
+        .orderBy(F.col("__k"), F.col(id_col))
+        .limit(n)
+        .drop("__k")
+    )
+
+
+def token_budget_batches(
+    df: DataFrame,
+    budget: int,
+    tokens_col: Column | str | None = None,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "",
+) -> DataFrame:
+    """Micro-batch assembly under a token budget: shard the corpus with
+    the :func:`shuffle_shards` permutation, then bin each shard's
+    running token total into batches of ``<= budget`` tokens —
+    ``(shard, batch_id, batch_pos)`` is the exact read order a data
+    loader replays, rank-parallel and reproducible in any engine.
+
+    Binning is cumulative-sum based: a batch is the run of documents
+    whose running total lands in the same ``budget``-sized window, so a
+    document straddling a boundary tips into the next batch's window
+    and a batch can overflow by at most that one document (the
+    industry-standard approximation — exact greedy reset is inherently
+    sequential and would serialize the corpus). Oversized single
+    documents (> budget) get a batch of their own rather than erroring:
+    filter upstream with chunk_text if that matters.
+
+    Scale shape: one window per shard (the shuffle_shards exchange is
+    reused — cumsum runs over the SAME partitioning, no second
+    shuffle), no global sort, no driver-side state."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    toks = (
+        token_count()
+        if tokens_col is None
+        else (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col)
+    )
+    out = shuffle_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
+    out = out.withColumn("__t", toks.cast("long"))
+    w = (
+        W.partitionBy("shard")
+        .orderBy("shard_pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = out.withColumn("__cum", F.sum("__t").over(w))
+    batch = ((F.col("__cum") - 1) / F.lit(budget)).cast("long")
+    out = out.withColumn("batch_id", batch)
+    wp = W.partitionBy("shard", "batch_id").orderBy("shard_pos")
+    return (
+        out.withColumn("batch_pos", F.row_number().over(wp) - 1)
+        .drop("__t", "__cum")
+    )

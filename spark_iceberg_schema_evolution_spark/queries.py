@@ -4355,6 +4355,93 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q113_deterministic_sample",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY md5('r5s:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 500
+    """,
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic exactly-n uniform sample (reproducible TABLESAMPLE
+    for eval carve-outs): rank by md5(seed:id), take n. Compiles to
+    TakeOrderedAndProject (size-n heap per partition, no global sort).
+    The oracle draws the identical sample in DuckDB — md5 is the
+    engine-portable randomness."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        deterministic_sample,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return deterministic_sample(d, n=500, seed="r5s")
+
+
+@q(
+    "q114_token_budget_batches",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             md5('r5b:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_chars, key,
+             CASE WHEN substr(key, 1, 4) < '4000' THEN 0
+                  WHEN substr(key, 1, 4) < '8000' THEN 1
+                  WHEN substr(key, 1, 4) < 'c000' THEN 2
+                  ELSE 3 END AS shard
+      FROM k),
+    p AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY key, doc_id) - 1 AS shard_pos
+      FROM s),
+    c AS (
+      SELECT *, SUM(n_chars) OVER (PARTITION BY shard ORDER BY shard_pos
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM p),
+    b AS (
+      SELECT shard, doc_id, n_chars, shard_pos,
+             CAST(FLOOR((cum - 1) / 20000.0) AS BIGINT) AS batch_id
+      FROM c),
+    o AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard, batch_id
+                                   ORDER BY shard_pos) - 1 AS batch_pos
+      FROM b)
+    SELECT CAST(shard AS INT) AS shard, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS batch_tokens,
+           CAST(SUM(doc_id * (batch_pos + 1)) AS BIGINT) AS order_checksum
+    FROM o GROUP BY shard, batch_id ORDER BY shard, batch_id
+    """,
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget micro-batch assembly: shuffle_shards permutation,
+    then per-shard running-total binning into <=20k-token batches with
+    an in-batch position — (shard, batch_id, batch_pos) is the exact
+    order a rank-parallel data loader replays. One window per shard
+    REUSING the shard exchange (no second shuffle); order_checksum pins
+    the exact in-batch ordering against the oracle."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        token_budget_batches,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    out = token_budget_batches(
+        d, budget=20000, tokens_col="n_chars", n_shards=4, seed="r5b"
+    )
+    return (
+        out.groupBy("shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("batch_tokens"),
+            F.sum(F.col("doc_id") * (F.col("batch_pos") + 1)).alias(
+                "order_checksum"
+            ),
+        )
+        .orderBy("shard", "batch_id")
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (
@@ -4639,7 +4726,8 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # q74 q75 q87 q88 q90 q91 q92 q96 q97 q101 q105-q108
 # t2_ivf/orc/frames/moments/profile/spark_hashes/json_write/
 # percentile_approx — scheduled for the r6 window (no entry older than
-# two rounds after r6).
+# two rounds after r6), together with the new r5 entries q113/q114
+# (green locally this round, no driver row yet).
 
 _DRIVER_WINDOW = [
     # changed this round: SQL MERGE front door + merge_into restructure

@@ -1744,6 +1744,11 @@ class LakehouseTable:
                     keep_batches.append({**b, "months": remaining_m})
             remaining = self.read(months=hit).where(~cond_true)
         else:
+            # UNPARTITIONED fallback: an existence probe (limit-1, early-
+            # exit scan) replaces a guaranteed full rewrite when nothing
+            # matches. It only runs when the stats gate above was
+            # inconclusive; partitioned tables take the cheaper
+            # _affected_months metadata path instead.
             if self.read().where(cond_true).limit(1).count() == 0:
                 return snap.version  # nothing matches: no new snapshot
             keep_batches = []

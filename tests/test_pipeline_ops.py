@@ -4,6 +4,7 @@ filters, deterministic shuffle shards."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_iceberg_schema_evolution_spark.operators.dedup import decontaminate
 from spark_iceberg_schema_evolution_spark.operators.text import (
@@ -203,3 +204,48 @@ def test_dedup_keep_best_with_id_col_named_id(spark):
     assert out.columns == ["id", "quality"]
     kept = sorted((r.id, r.quality) for r in out.collect())
     assert kept == [(2, 99), (4, 7)]
+
+
+def test_deterministic_sample_exact_and_stable(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        deterministic_sample,
+    )
+
+    d = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s1 = {r.doc_id for r in deterministic_sample(d, 50, seed="a").collect()}
+    # repartitioning must not change the drawn sample
+    s2 = {
+        r.doc_id
+        for r in deterministic_sample(
+            d.repartition(13), 50, seed="a"
+        ).collect()
+    }
+    s3 = {r.doc_id for r in deterministic_sample(d, 50, seed="b").collect()}
+    assert len(s1) == 50 and s1 == s2
+    assert s1 != s3  # independent draw per seed
+
+
+def test_token_budget_batches_overflow_bound(spark):
+    """Every batch's token sum stays under budget + its own largest
+    document (the one-straddler overflow bound), in-batch positions are
+    dense from 0, and the assignment is append-order independent."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        token_budget_batches,
+    )
+
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(900)) + 1).alias("toks"),
+    )
+    out = token_budget_batches(
+        d, budget=2000, tokens_col="toks", n_shards=4, seed="x"
+    ).collect()
+    by_batch: dict = {}
+    for r in out:
+        by_batch.setdefault((r.shard, r.batch_id), []).append(r)
+    assert len(out) == 500
+    for (shard, bid), rows in by_batch.items():
+        total = sum(r.toks for r in rows)
+        biggest = max(r.toks for r in rows)
+        assert total <= 2000 + biggest, (shard, bid, total)
+        assert sorted(r.batch_pos for r in rows) == list(range(len(rows)))

@@ -258,3 +258,34 @@ def test_pos_delete_read_is_shuffle_free(spark, tmp_path):
     plan = explain.physical_plan(out)
     assert explain.count_exchanges(out) == 0, plan
     assert explain.has_broadcast_join(out), plan
+
+
+def test_deterministic_sample_is_topk_not_sort(spark):
+    """Exactly-n sampling must compile to TakeOrderedAndProject (size-n
+    heap per partition), never a global Sort — the difference between
+    O(n) memory and a 100 TB sort."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        deterministic_sample,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    out = deterministic_sample(d, n=100, seed="p")
+    plan = explain.physical_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_token_budget_batches_single_exchange(spark):
+    """Budget binning must reuse the shard exchange: one hash partition
+    on shard, then ALL windows (shard_pos, cumsum, batch_pos) run on
+    that same partitioning — a second shuffle would double the corpus
+    movement for zero information."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        token_budget_batches,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    out = token_budget_batches(
+        d, budget=20000, tokens_col="n_chars", n_shards=4, seed="p"
+    )
+    assert explain.count_exchanges(out) == 1, explain.physical_plan(out)
