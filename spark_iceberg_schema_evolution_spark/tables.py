@@ -2380,6 +2380,17 @@ class LakehouseCatalog:
             self.spark, os.path.join(self.warehouse, namespace, name)
         )
 
+    def drop_table(self, namespace: str, name: str) -> None:
+        """DROP TABLE: remove the table directory (data + manifests +
+        refs). Errors on a missing table — an engine that silently
+        'drops' a typo'd name hides real mistakes."""
+        t = self.table(namespace, name)
+        if not t.exists():
+            raise FileNotFoundError(
+                f"table does not exist: {namespace}.{name}"
+            )
+        shutil.rmtree(t.path)
+
     def write_evolving(
         self,
         df: DataFrame,
@@ -2412,6 +2423,9 @@ class LakehouseCatalog:
         operations (the SELECT body still goes through spark.sql):
 
             INSERT INTO lake.db.t SELECT ...           -> append
+            INSERT INTO lake.db.t [(cols)] VALUES ...  -> append (no-evolve)
+            CREATE TABLE lake.db.t [PARTITIONED BY MONTH(c)] AS SELECT ...
+            DROP TABLE lake.db.t
             DELETE FROM lake.db.t WHERE <cond>         -> delete_where
             UPDATE lake.db.t SET c = e, ... WHERE ...  -> update_where
             MERGE INTO lake.db.t [AS] t USING <src> ON t.k = s.k [AND ..]
@@ -2487,6 +2501,48 @@ class LakehouseCatalog:
             return self._version_df(
                 self._merge_sql(ns, name, talias, rest)
             )
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+lake\.(\w+)\.(\w+)"
+            r"(?:\s+PARTITIONED\s+BY\s+MONTH\s*\(\s*(\w+)\s*\))?"
+            r"\s+AS\s+(SELECT\b.*)$",
+            q,
+        )
+        if m:
+            ns, name, month_of, body = m.groups()
+            if self.table(ns, name).exists():
+                raise FileExistsError(f"table exists: {ns}.{name}")
+            v = self.write_evolving(
+                self.sql(body), ns, name, partition_month_of=month_of
+            )
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^DROP\s+TABLE\s+lake\.(\w+)\.(\w+)\s*$", q
+        )
+        if m:
+            self.drop_table(m.group(1), m.group(2))
+            return self._version_df(-1)
+        m = re.match(
+            r"(?is)^INSERT\s+INTO\s+lake\.(\w+)\.(\w+)\s*"
+            r"(?:\(([^)]*)\)\s*)?(VALUES\s*\(.*)$",
+            q,
+        )
+        if m:
+            # INSERT ... VALUES: run the row list through spark.sql with
+            # column names (explicit list, else the table's full schema
+            # order) so positional values align, then take the normal
+            # append path — unnamed columns null-pad, types coerce
+            # catalog-wins
+            ns, name, collist, tail = m.groups()
+            t = self.table(ns, name)
+            cols = (
+                collist
+                if collist
+                else ", ".join(f.name for f in t._load().schema.fields)
+            )
+            rows = self.spark.sql(
+                f"SELECT * FROM ({tail}) AS __v({cols})"
+            )
+            return self._version_df(t.append(rows, evolve=False))
         m = re.match(
             r"(?is)^INSERT\s+INTO\s+lake\.(\w+)\.(\w+)\s+(SELECT\b.*)$", q
         )

@@ -838,3 +838,45 @@ def test_maintain_job_folds_delete_backlog(spark, tmp_path):
     assert report["deletes_folded"] is True
     assert report["delete_files_after"] == 0
     assert report["rows_after"] == report["rows"] == 40
+
+
+def test_stream_upsert_mor_auto_folds_backlog(spark, tmp_path):
+    """max_delete_files= keeps the CDC sink's delete-file backlog bounded
+    INLINE (compact_deletes between epochs) — the content must match a
+    run with no folding at all."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from tests.conftest import SF_SMOKE
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    # split events into several files so the file stream fires one
+    # micro-batch per file (one delete file per epoch in MOR mode)
+    from spark_iceberg_schema_evolution_spark.queries import load_events
+
+    src_dir = str(tmp_path / "ev")
+    load_events(spark, SF_SMOKE).select(
+        "user_id", "ts", "value"
+    ).repartition(5).write.parquet(src_dir)
+
+    def sel():
+        return SW.events_file_stream(
+            spark, src_dir, max_files_per_trigger=1
+        ).select("user_id", "ts", "value")
+
+    SW.stream_upsert_to_lakehouse(
+        sel(), cat, "db", "bounded", on=["user_id"],
+        checkpoint_dir=str(tmp_path / "c1"),
+        output_mode="append", change_ts="ts", merge_mode="mor",
+        max_delete_files=2,
+    )
+    SW.stream_upsert_to_lakehouse(
+        sel(), cat, "db", "unbounded", on=["user_id"],
+        checkpoint_dir=str(tmp_path / "c2"),
+        output_mode="append", change_ts="ts", merge_mode="mor",
+    )
+    tb = cat.table("db", "bounded")
+    tu = cat.table("db", "unbounded")
+    assert len(tb._load().deletes) <= 2
+    assert len(tu._load().deletes) >= 3  # backlog really accumulates
+    assert sorted(map(tuple, tb.read().collect())) == sorted(
+        map(tuple, tu.read().collect())
+    )

@@ -1012,3 +1012,50 @@ def test_sql_merge_rejects_malformed(spark, catalog):
             "MERGE INTO lake.db.sm3 t USING sm3_src s ON t.id = s.v "
             "WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+def test_sql_ctas_drop_and_insert_values(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], ["id", "seg", "bal"]
+        ),
+        "db", "src_t",
+    )
+    # CTAS from another lake table
+    catalog.sql(
+        "CREATE TABLE lake.db.ctas AS "
+        "SELECT id, bal FROM lake.db.src_t WHERE id > 1"
+    )
+    t = catalog.table("db", "ctas")
+    assert [(r.id, r.bal) for r in t.read().collect()] == [(2, 20.0)]
+    with pytest.raises(FileExistsError):
+        catalog.sql("CREATE TABLE lake.db.ctas AS SELECT 1 AS x")
+    # INSERT VALUES, full-schema positional
+    catalog.sql("INSERT INTO lake.db.ctas VALUES (3, 30.5), (4, 40.5)")
+    # INSERT VALUES with explicit column list: bal null-pads
+    catalog.sql("INSERT INTO lake.db.ctas (id) VALUES (5)")
+    rows = {r.id: r.bal for r in t.read().collect()}
+    assert rows == {2: 20.0, 3: 30.5, 4: 40.5, 5: None}
+    # unknown column in the list errors instead of evolving
+    with pytest.raises(Exception):
+        catalog.sql("INSERT INTO lake.db.ctas (nope) VALUES (9)")
+    catalog.sql("DROP TABLE lake.db.ctas")
+    assert not catalog.table("db", "ctas").exists()
+    with pytest.raises(FileNotFoundError):
+        catalog.sql("DROP TABLE lake.db.ctas")
+
+
+def test_sql_ctas_partitioned(spark, catalog):
+    import datetime as _dt
+
+    spark.createDataFrame(
+        [(i, _dt.datetime(2024, 1 + (i % 2), 3)) for i in range(10)],
+        ["id", "ts"],
+    ).createOrReplaceTempView("ctas_src")
+    catalog.sql(
+        "CREATE TABLE lake.db.ctp PARTITIONED BY MONTH(ts) AS "
+        "SELECT * FROM ctas_src"
+    )
+    t = catalog.table("db", "ctp")
+    assert [p["month"] for p in t.partitions()] == ["2024-01", "2024-02"]
+    assert t.read().count() == 10
