@@ -68,6 +68,11 @@ HEADLINE = [
     # by the oracle-scenario's table SETUP (multiple partitioned writes),
     # not the DML under test — q73 already tracks DML cost.
     "q110_weighted_resample",
+    # round-5 ops (tracked from this round). q112 (SQL MERGE) is not
+    # here for the same setup-dominated reason as q103/q109 — q89
+    # already tracks merge cost.
+    "q113_deterministic_sample",
+    "q114_token_budget_batches",
 ]
 
 
