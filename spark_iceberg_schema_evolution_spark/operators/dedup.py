@@ -472,3 +472,46 @@ def decontaminate(
             .drop("__hit")
         )
     return docs.join(hit, id_col, "left_anti")
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    quality_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Embedding-based semantic dedup, keep-best: LSH-bucketed cosine
+    near-dup pairs over the embedding table, clustered and resolved to
+    the highest-``quality_col`` member per cluster — the SemDeDup-style
+    pipeline composed from this module's primitives
+    (:func:`~spark_iceberg_schema_evolution_spark.operators.similarity.cosine_near_dups`
+    -> :func:`connected_components` -> :func:`dedup_keep_best`).
+
+    ``docs`` and ``embeddings`` join on ``id_col``/``emb_id_col``; docs
+    without an embedding can never pair, so they pass through untouched
+    (same anti-join shape as keep-best's unpaired bulk). All scale
+    properties are inherited: subquadratic candidate generation with the
+    bucket-size skew guard, O(log d) clustering rounds, and a corpus
+    that never reshuffles except for cluster members."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        cosine_near_dups,
+    )
+
+    pairs = cosine_near_dups(
+        embeddings.select(
+            F.col(emb_id_col), F.col(vec_col)
+        ),
+        dim=dim,
+        threshold=threshold,
+        id_col=emb_id_col,
+        vec_col=vec_col,
+        **near_dup_kwargs,
+    )
+    return dedup_keep_best(
+        docs, pairs, quality_col=quality_col, id_col=id_col
+    )

@@ -269,3 +269,34 @@ def test_ann_recall_at_10_gate(spark):
     assert len(ls & ex) / len(ex) >= 0.9, (
         f"LSH recall@10 {len(ls & ex) / len(ex):.3f}"
     )
+
+
+def test_semantic_dedup_keeps_best_of_embedding_cluster(spark):
+    """SemDeDup-style composition: planted near-identical embeddings
+    cluster; the highest-quality member survives; docs without an
+    embedding pass through untouched."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    base = _emb(spark).where("vec_id < 50").select("vec_id", "embedding")
+    # plant: 60/61 share vec 0's embedding (a 3-cluster with vec 0)
+    clones = base.where("vec_id = 0").crossJoin(
+        spark.createDataFrame([(60,), (61,)], ["new_id"])
+    ).select(F.col("new_id").alias("vec_id"), "embedding")
+    embs = base.unionByName(clones)
+    docs = embs.select("vec_id").withColumnRenamed(
+        "vec_id", "doc_id"
+    ).withColumn("quality", F.col("doc_id").cast("double"))
+    # doc 99 has NO embedding: must pass through
+    docs = docs.unionByName(
+        spark.createDataFrame([(99, 0.0)], ["doc_id", "quality"])
+    )
+    kept = semantic_dedup(
+        docs, embs, quality_col="quality", dim=64, threshold=0.99,
+        id_col="doc_id", emb_id_col="vec_id",
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert 61 in ids and 0 not in ids and 60 not in ids  # best quality=61
+    assert 99 in ids  # no embedding -> untouched
+    assert len(ids) == 51  # 53 docs - 2 cluster losers

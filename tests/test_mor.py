@@ -880,3 +880,38 @@ def test_stream_upsert_mor_auto_folds_backlog(spark, tmp_path):
     assert sorted(map(tuple, tb.read().collect())) == sorted(
         map(tuple, tu.read().collect())
     )
+
+
+def test_compact_deletes_after_key_rename(spark, catalog):
+    """Delete files recorded under an OLD key name must still adjudicate
+    batch disjointness correctly after a RENAME COLUMN — the name maps
+    walk both directions (delete epoch -> current -> batch physical)."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, "cold") for i in range(100)], ["id", "v"]
+        ),
+        "db", "ren",
+    )
+    t = catalog.table("db", "ren")
+    t.append(
+        spark.createDataFrame(
+            [(i, "hot") for i in range(1000, 1100)], ["id", "v"]
+        )
+    )
+    cold_path = t._load().batches[0]["path"]
+    t.merge_into(
+        spark.createDataFrame(
+            [(i, "hot2") for i in range(1050, 1060)], ["id", "v"]
+        ),
+        on=["id"], mode="mor",
+    )
+    # rename the merge key AFTER the delete file was written
+    t.rename_column("id", "doc_key")
+    before = {(r.doc_key, r.v) for r in t.read().collect()}
+    t.compact_deletes()
+    snap = t._load()
+    assert snap.deletes == []
+    assert cold_path in [b["path"] for b in snap.batches], (
+        "stats disjointness must survive the rename"
+    )
+    assert {(r.doc_key, r.v) for r in t.read().collect()} == before
