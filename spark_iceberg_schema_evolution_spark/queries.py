@@ -4442,6 +4442,207 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q115_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE base_e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 450),
+    planted_e AS (
+      SELECT vec_id + 1000 AS vec_id,
+             [x * 0.5 FOR x IN v] AS v
+      FROM base_e WHERE vec_id < 10),
+    e AS (SELECT * FROM base_e UNION ALL SELECT * FROM planted_e),
+    base_d AS (SELECT doc_id, n_chars FROM documents),
+    planted_d AS (
+      SELECT doc_id + 1000 AS doc_id, n_chars - 1 AS n_chars
+      FROM base_d WHERE doc_id < 10),
+    d AS (SELECT * FROM base_d UNION ALL SELECT * FROM planted_d),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs),
+    walk AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT w.id, e2.dst AS label
+      FROM walk w JOIN edges e2 ON w.label = e2.src),
+    cc AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+    best AS (
+      SELECT d.doc_id, d.n_chars
+      FROM d JOIN cc ON d.doc_id = cc.id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                 ORDER BY d.n_chars DESC, d.doc_id) = 1),
+    rest AS (
+      SELECT doc_id, n_chars FROM d
+      WHERE doc_id NOT IN (SELECT id FROM cc)),
+    final AS (SELECT * FROM best UNION ALL SELECT * FROM rest)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM final
+    """,
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style embedding dedup end-to-end: LSH-bucketed cosine
+    near-dup pairs -> connected components -> keep-best resolution
+    (`dedup.semantic_dedup`). The query plants 10 positively-scaled
+    copies (cosine exactly 1.0 with their originals — a scaled vector
+    keeps every hyperplane sign, so LSH collision is guaranteed in
+    every table, making the DuckDB exact-pair oracle valid); the
+    dataset's max natural cosine is 0.513, so threshold 0.95 isolates
+    exactly the planted pairs. Docs 450..499 get no embedding and must
+    pass through the anti-join untouched; each copy carries n_chars-1
+    so the original deterministically wins keep-best."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    e = load(spark, sf, "embeddings").where("vec_id < 450").select(
+        "vec_id", "embedding"
+    )
+    planted_e = e.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    emb = e.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).unionByName(planted_e)
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    planted_d = d.where("doc_id < 10").select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        (F.col("n_chars") - 1).alias("n_chars"),
+    )
+    docs = d.unionByName(planted_d)
+
+    kept = semantic_dedup(
+        docs,
+        emb,
+        quality_col="n_chars",
+        dim=64,
+        threshold=0.95,
+        id_col="doc_id",
+        emb_id_col="vec_id",
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@q(
+    "q116_metadata_sql",
+    oracle="""
+    WITH y96 AS (
+      SELECT STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                      '%Y-%m') AS m
+      FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1996),
+    y97 AS (
+      SELECT STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                      '%Y-%m') AS m
+      FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1997
+        AND o_custkey < 500),
+    allm AS (SELECT m FROM y96 UNION ALL SELECT m FROM y97)
+    SELECT m AS month, CAST(COUNT(*) AS BIGINT) AS rows_,
+           CAST(3 AS BIGINT) AS n_snapshots
+    FROM allm GROUP BY m ORDER BY m
+    """,
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg-style metadata tables through the SQL front door:
+    ``lake.ns.t.partitions`` joins/aggregates like any table, and
+    ``t.snapshots`` exposes the commit log (version, parent,
+    committed_at_us). Both are driver-side manifest reads — the plan
+    scans ZERO data files, which is the point: per-partition row counts
+    at 100 TB cost the same as at 100 MB. The oracle recomputes the
+    partition rows from raw data (3 snapshots = create + two appends)."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders")
+    cat.write_evolving(
+        o.where(F.year(F.col("o_orderdate").cast("date")) == 1996),
+        "db",
+        "mt",
+        partition_month_of="o_orderdate",
+    )
+    cat.table("db", "mt").append(
+        o.where(
+            (F.year(F.col("o_orderdate").cast("date")) == 1997)
+            & (F.col("o_custkey") < 500)
+        )
+    )
+    return cat.sql(
+        "SELECT p.month, p.rows AS rows_, s.n_snapshots "
+        "FROM lake.db.mt.partitions p CROSS JOIN "
+        "(SELECT COUNT(*) AS n_snapshots FROM lake.db.mt.snapshots) s "
+        "ORDER BY p.month"
+    )
+
+
+@q(
+    "q117_sql_time_travel",
+    oracle="""
+    WITH s1 AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer WHERE c_custkey < 1000),
+    s2 AS (
+      SELECT c_custkey AS id,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer WHERE c_custkey >= 1000 AND c_custkey < 1500),
+    v2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    v3 AS (SELECT id, CASE WHEN id < 50 THEN bal + 100 ELSE bal END
+             AS bal FROM v2)
+    SELECT 1 AS ver, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal) AS BIGINT) AS bal_c FROM s1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS BIGINT) FROM v3
+    ORDER BY ver
+    """,
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI time travel through the SQL front door: ``FOR VERSION AS
+    OF`` pins the append and insert snapshots while the head reflects a
+    COW UPDATE — one statement reads three snapshots of the same table
+    (reference R10's read-by-version, as SQL). v1 = initial append,
+    v2 = INSERT INTO, v3/head = UPDATE."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    c.select(
+        F.col("c_custkey").alias("id"), cents(F.col("c_acctbal")).alias("bal")
+    ).createOrReplaceTempView("q117_src")
+    cat.write_evolving(
+        cat.spark.sql("SELECT * FROM q117_src WHERE id < 1000"),
+        "db",
+        "tt",
+    )
+    cat.sql(
+        "INSERT INTO lake.db.tt SELECT * FROM q117_src "
+        "WHERE id >= 1000 AND id < 1500"
+    )
+    cat.sql("UPDATE lake.db.tt SET bal = bal + 100 WHERE id < 50")
+    return cat.sql(
+        "SELECT 1 AS ver, COUNT(*) AS n, SUM(bal) AS bal_c "
+        "FROM lake.db.tt FOR VERSION AS OF 1 "
+        "UNION ALL "
+        "SELECT 2, COUNT(*), SUM(bal) FROM lake.db.tt FOR VERSION AS OF 2 "
+        "UNION ALL "
+        "SELECT 3, COUNT(*), SUM(bal) FROM lake.db.tt "
+        "ORDER BY ver"
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (

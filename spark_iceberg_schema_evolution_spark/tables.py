@@ -43,6 +43,7 @@ import json
 import os
 import re
 import shutil
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -90,6 +91,12 @@ class Snapshot:
     # below its own — rows re-appended after the delete survive, exactly
     # Iceberg's sequence-number rule. compact() materializes and clears.
     deletes: list = field(default_factory=list)
+    # commit metadata (Iceberg's snapshot timestamp + parent lineage).
+    # Stamped by _commit, surfaced by _load; inputs to _commit ignore
+    # them. committed_at_us falls back to the manifest file's mtime for
+    # manifests written before this field existed.
+    committed_at_us: int = 0
+    parent: int | None = None
 
 
 class LakehouseTable:
@@ -249,10 +256,14 @@ class LakehouseTable:
         v = version if version is not None else self._head(self._branch)
         if v not in vs:
             raise ValueError(f"no snapshot v{v}; have {vs}")
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+        manifest = os.path.join(self.meta_dir, f"v{v}.json")
+        with open(manifest) as f:
             m = json.load(f)
         schema = str_to_datatype(f"struct<{m['schema_ddl']}>")
         assert isinstance(schema, T.StructType)
+        committed = m.get("committed_at_us")
+        if committed is None:  # pre-field manifest: mtime approximation
+            committed = int(os.path.getmtime(manifest) * 1_000_000)
         return Snapshot(
             version=v,
             schema=schema,
@@ -260,10 +271,16 @@ class LakehouseTable:
             partition_month_of=m.get("partition_month_of"),
             renames=m.get("renames", []),
             deletes=m.get("deletes", []),
+            committed_at_us=committed,
+            parent=m.get("parent"),
         )
 
     def _commit(self, snap: Snapshot) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
+        try:  # parent = this branch's head before the commit advances it
+            parent = self._head(self._branch)
+        except (FileNotFoundError, ValueError):
+            parent = None
         payload = {
             "schema_ddl": ", ".join(
                 f"{f.name}: {datatype_to_str(f.dataType)}"
@@ -273,6 +290,8 @@ class LakehouseTable:
             "partition_month_of": snap.partition_month_of,
             "renames": snap.renames,
             "deletes": snap.deletes,
+            "committed_at_us": int(time.time() * 1_000_000),
+            "parent": parent,
         }
         tmp = os.path.join(self.meta_dir, f".v{snap.version}.json.tmp")
         with open(tmp, "w") as f:
@@ -1065,11 +1084,60 @@ class LakehouseTable:
             out.append(
                 {
                     "version": v,
+                    "parent": s.parent,
+                    "committed_at_us": s.committed_at_us,
                     "n_batches": len(s.batches),
+                    "n_delete_files": len(s.deletes),
                     "columns": [f.name for f in s.schema.fields],
                 }
             )
         return out
+
+    def history(self) -> list[dict]:
+        """This branch's ancestry, oldest first (Iceberg's ``history``
+        metadata table): the chain of parent pointers from the branch
+        head back to the table's creation. Versions committed on other
+        branches don't appear — exactly Iceberg's is-current-ancestor
+        view. Manifests from before parent tracking fall back to
+        version-order lineage (single-branch tables, where the two
+        notions coincide)."""
+        chain, v = [], self._head(self._branch)
+        seen: set[int] = set()
+        while v is not None and v not in seen:
+            seen.add(v)
+            s = self._load(v)
+            chain.append(
+                {
+                    "version": v,
+                    "parent": s.parent,
+                    "committed_at_us": s.committed_at_us,
+                }
+            )
+            if s.parent is None and s.version != min(self._versions()):
+                # legacy manifest without a parent pointer: fall back to
+                # the previous version number on this chain
+                older = [x for x in self._versions() if x < v]
+                v = older[-1] if older else None
+            else:
+                v = s.parent
+        chain.reverse()
+        return chain
+
+    def version_as_of_timestamp(self, ts_us: int) -> int:
+        """Resolve a TIMESTAMP AS OF (epoch microseconds) to the newest
+        snapshot on this branch's ancestry committed at or before it —
+        Iceberg's snapshot-log lookup."""
+        eligible = [
+            h["version"]
+            for h in self.history()
+            if h["committed_at_us"] <= ts_us
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before epoch-us {ts_us}; "
+                f"oldest is {self.history()[0]['committed_at_us']}"
+            )
+        return eligible[-1]
 
     @staticmethod
     def _replay_renames(df: DataFrame, batch: dict, snap: Snapshot) -> DataFrame:
@@ -2044,6 +2112,70 @@ class LakehouseTable:
             )
         ]
 
+    def metadata_df(self, kind: str) -> DataFrame:
+        """One of Iceberg's metadata tables as a DataFrame — the
+        ``SELECT * FROM lake.ns.t.partitions`` surface. Driver-side
+        manifest metadata only (bounded by file/snapshot counts, like
+        Iceberg's own metadata-table scans); nothing reads data files.
+
+        kinds: ``partitions`` (month, rows, files, n_delete_files),
+        ``snapshots`` (version, parent_version, committed_at_us,
+        n_batches, n_delete_files, columns), ``files`` (file, batch,
+        rows, content), ``history`` (version, parent_version,
+        committed_at_us)."""
+        if kind == "partitions":
+            return self.spark.createDataFrame(
+                [
+                    (
+                        p["month"],
+                        p["rows"],
+                        p["files"],
+                        p["n_delete_files"],
+                    )
+                    for p in self.partitions()
+                ],
+                "month STRING, rows BIGINT, files BIGINT, "
+                "n_delete_files BIGINT",
+            )
+        if kind == "snapshots":
+            return self.spark.createDataFrame(
+                [
+                    (
+                        s["version"],
+                        s["parent"],
+                        s["committed_at_us"],
+                        s["n_batches"],
+                        s["n_delete_files"],
+                        s["columns"],
+                    )
+                    for s in self.snapshots()
+                ],
+                "version BIGINT, parent_version BIGINT, "
+                "committed_at_us BIGINT, n_batches BIGINT, "
+                "n_delete_files BIGINT, columns ARRAY<STRING>",
+            )
+        if kind == "files":
+            return self.spark.createDataFrame(
+                [
+                    (f["file"], f["batch"], f["rows"], f["content"])
+                    for f in self.files()
+                ],
+                "file STRING, batch STRING, rows BIGINT, content STRING",
+            )
+        if kind == "history":
+            return self.spark.createDataFrame(
+                [
+                    (h["version"], h["parent"], h["committed_at_us"])
+                    for h in self.history()
+                ],
+                "version BIGINT, parent_version BIGINT, "
+                "committed_at_us BIGINT",
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r}; "
+            "have partitions, snapshots, files, history"
+        )
+
     def rollback_to(self, version: int) -> int:
         """Roll the table back to an earlier snapshot (Iceberg
         ``rollback_to_snapshot``): commits a NEW version whose content is
@@ -2418,6 +2550,24 @@ class LakehouseCatalog:
                         "GROUP BY seg")
             catalog.sql("SELECT * FROM lake.db.custs@v3")   -- VERSION AS OF
             catalog.sql("SELECT * FROM lake.db.custs@audit") -- branch/tag
+            catalog.sql("SELECT * FROM lake.db.custs FOR VERSION AS OF 3")
+            catalog.sql("SELECT * FROM lake.db.custs "
+                        "FOR TIMESTAMP AS OF '2026-08-14 12:00:00'")
+
+        Metadata tables (Iceberg's ``t.partitions`` family) resolve the
+        same way — driver-side manifest metadata, no data scan:
+
+            SELECT * FROM lake.db.custs.partitions   -- month/rows/files
+            SELECT * FROM lake.db.custs.snapshots    -- commit log
+            SELECT * FROM lake.db.custs.files        -- live file manifest
+            SELECT * FROM lake.db.custs.history      -- branch ancestry
+
+        Catalog introspection statements:
+
+            SHOW NAMESPACES
+            SHOW TABLES IN lake.db
+            SHOW PARTITIONS lake.db.custs
+            DESCRIBE [TABLE] lake.db.custs
 
         DML statements targeting a lake table route to the engine's COW
         operations (the SELECT body still goes through spark.sql):
@@ -2455,6 +2605,62 @@ class LakehouseCatalog:
         import re
 
         q = query.strip()
+        m = re.match(r"(?is)^SHOW\s+NAMESPACES\s*$", q)
+        if m:
+            rows = sorted(
+                d
+                for d in (
+                    os.listdir(self.warehouse)
+                    if os.path.isdir(self.warehouse)
+                    else []
+                )
+                if os.path.isdir(os.path.join(self.warehouse, d))
+            )
+            return self.spark.createDataFrame(
+                [(r,) for r in rows], "namespace STRING"
+            )
+        m = re.match(r"(?is)^SHOW\s+TABLES\s+IN\s+lake\.(\w+)\s*$", q)
+        if m:
+            ns = m.group(1)
+            ns_dir = os.path.join(self.warehouse, ns)
+            rows = sorted(
+                t
+                for t in (
+                    os.listdir(ns_dir) if os.path.isdir(ns_dir) else []
+                )
+                if self.table(ns, t).exists()
+            )
+            return self.spark.createDataFrame(
+                [(ns, r) for r in rows], "namespace STRING, table STRING"
+            )
+        m = re.match(
+            r"(?is)^SHOW\s+PARTITIONS\s+lake\.(\w+)\.(\w+)\s*$", q
+        )
+        if m:
+            return self.table(m.group(1), m.group(2)).metadata_df(
+                "partitions"
+            )
+        m = re.match(
+            r"(?is)^DESCRIBE\s+(?:TABLE\s+)?lake\.(\w+)\.(\w+)\s*$", q
+        )
+        if m:
+            t = self.table(m.group(1), m.group(2))
+            snap = t._load()
+            rows = [
+                (f.name, datatype_to_str(f.dataType), None)
+                for f in snap.schema.fields
+            ]
+            if snap.partition_month_of:
+                rows.append(
+                    (
+                        "# partition",
+                        f"months({snap.partition_month_of})",
+                        "hidden transform",
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows, "col_name STRING, data_type STRING, comment STRING"
+            )
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
             r"ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)\s*$",
@@ -2584,6 +2790,66 @@ class LakehouseCatalog:
                 cond.strip(), assignments
             )
             return self._version_df(v)
+
+        # ANSI time travel sugar: FOR VERSION AS OF n / FOR TIMESTAMP AS
+        # OF <'ts' | epoch-us> normalize to the @vN form before ref
+        # resolution. Timestamps are UTC (sessions pin UTC) and resolve
+        # through the branch ancestry's commit log.
+        q = re.sub(
+            r"(?is)\blake\.(\w+)\.(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)",
+            r"lake.\1.\2@v\3",
+            q,
+        )
+
+        def resolve_ts(mm: re.Match) -> str:
+            ns, name, lit, num = mm.groups()
+            if num is not None:
+                ts_us = int(num)
+            else:
+                from datetime import datetime, timezone
+
+                for fmt in (
+                    "%Y-%m-%d %H:%M:%S.%f",
+                    "%Y-%m-%d %H:%M:%S",
+                    "%Y-%m-%d",
+                ):
+                    try:
+                        dt = datetime.strptime(lit, fmt).replace(
+                            tzinfo=timezone.utc
+                        )
+                        break
+                    except ValueError:
+                        continue
+                else:
+                    raise ValueError(
+                        f"unparseable TIMESTAMP AS OF literal: {lit!r}"
+                    )
+                ts_us = int(dt.timestamp() * 1_000_000)
+            v = self.table(ns, name).version_as_of_timestamp(ts_us)
+            return f"lake.{ns}.{name}@v{v}"
+
+        q = re.sub(
+            r"(?is)\blake\.(\w+)\.(\w+)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+"
+            r"(?:'([^']+)'|(\d+))",
+            resolve_ts,
+            q,
+        )
+
+        # metadata tables: lake.ns.t.partitions|snapshots|files|history
+        def resolve_meta(mm: re.Match) -> str:
+            ns, name, kind = mm.groups()
+            view = f"__lake_{ns}_{name}__{kind}"
+            self.table(ns, name).metadata_df(
+                kind
+            ).createOrReplaceTempView(view)
+            return view
+
+        q = re.sub(
+            r"\blake\.(\w+)\.(\w+)\."
+            r"(partitions|snapshots|files|history)\b",
+            resolve_meta,
+            q,
+        )
 
         def resolve(mm: re.Match) -> str:
             ns, name, at = mm.group(1), mm.group(2), mm.group(3)

@@ -1059,3 +1059,118 @@ def test_sql_ctas_partitioned(spark, catalog):
     t = catalog.table("db", "ctp")
     assert [p["month"] for p in t.partitions()] == ["2024-01", "2024-02"]
     assert t.read().count() == 10
+
+
+def test_sql_metadata_tables(spark, catalog):
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [(i, _dt.datetime(2024, 1 + (i % 2), 3)) for i in range(10)],
+        ["id", "ts"],
+    )
+    catalog.write_evolving(df, "db", "meta_t", partition_month_of="ts")
+    catalog.sql("INSERT INTO lake.db.meta_t SELECT 100 AS id, "
+                "TIMESTAMP '2024-03-05 00:00:00' AS ts")
+    # partitions: month-level row counts straight from the manifest
+    parts = catalog.sql(
+        "SELECT month, rows FROM lake.db.meta_t.partitions ORDER BY month"
+    ).collect()
+    assert [(p.month, p.rows) for p in parts] == [
+        ("2024-01", 5), ("2024-02", 5), ("2024-03", 1)
+    ]
+    # snapshots: commit log with parent lineage + timestamps
+    snaps = catalog.sql(
+        "SELECT version, parent_version, committed_at_us "
+        "FROM lake.db.meta_t.snapshots ORDER BY version"
+    ).collect()
+    assert [s.version for s in snaps] == [0, 1, 2]
+    assert [s.parent_version for s in snaps] == [None, 0, 1]
+    assert snaps[0].committed_at_us <= snaps[-1].committed_at_us
+    # files: one row per live data file, joinable like any table
+    nfiles = catalog.sql(
+        "SELECT COUNT(*) AS n, SUM(rows) AS r FROM lake.db.meta_t.files "
+        "WHERE content = 'data'"
+    ).collect()[0]
+    assert nfiles.r == 11 and nfiles.n >= 3  # >=1 file per live month
+    # history: branch ancestry matches the snapshot chain
+    hist = catalog.sql(
+        "SELECT version FROM lake.db.meta_t.history ORDER BY version"
+    ).collect()
+    assert [h.version for h in hist] == [0, 1, 2]
+
+
+def test_sql_time_travel_ansi(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "bal"]),
+        "db", "tt",
+    )
+    catalog.sql("INSERT INTO lake.db.tt VALUES (3, 30.0)")
+    v1 = catalog.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.tt FOR VERSION AS OF 1"
+    ).collect()[0].n
+    head = catalog.sql("SELECT COUNT(*) AS n FROM lake.db.tt").collect()[0].n
+    assert (v1, head) == (2, 3)
+    # TIMESTAMP AS OF: each snapshot's own commit stamp resolves to it
+    snaps = catalog.table("db", "tt").snapshots()
+    for s in snaps:
+        n = catalog.sql(
+            "SELECT COUNT(*) AS n FROM lake.db.tt "
+            f"FOR TIMESTAMP AS OF {s['committed_at_us']}"
+        ).collect()[0].n
+        assert n == {0: 0, 1: 2, 2: 3}[s["version"]]
+    # a pre-creation timestamp is a loud error, not an empty frame
+    with pytest.raises(ValueError):
+        catalog.sql(
+            "SELECT * FROM lake.db.tt FOR TIMESTAMP AS OF '1999-01-01'"
+        )
+    # string literal form (UTC): far-future date resolves to head
+    n = catalog.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.tt "
+        "FOR TIMESTAMP AS OF '2099-12-31 23:59:59'"
+    ).collect()[0].n
+    assert n == 3
+
+
+def test_sql_show_and_describe(spark, catalog):
+    import datetime as _dt
+
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, _dt.datetime(2024, 1, 1))], ["id", "ts"]
+        ),
+        "db", "shown", partition_month_of="ts",
+    )
+    catalog.write_evolving(
+        spark.createDataFrame([(1,)], ["x"]), "db2", "other"
+    )
+    ns = [r.namespace for r in catalog.sql("SHOW NAMESPACES").collect()]
+    assert ns == ["db", "db2"]
+    tabs = catalog.sql("SHOW TABLES IN lake.db").collect()
+    assert [(t.namespace, t.table) for t in tabs] == [("db", "shown")]
+    desc = catalog.sql("DESCRIBE TABLE lake.db.shown").collect()
+    assert [(d.col_name, d.data_type) for d in desc] == [
+        ("id", "bigint"), ("ts", "timestamp"),
+        ("# partition", "months(ts)"),
+    ]
+    parts = catalog.sql("SHOW PARTITIONS lake.db.shown").collect()
+    assert [(p.month, p.rows) for p in parts] == [("2024-01", 1)]
+
+
+def test_history_follows_branch_ancestry(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1,)], ["id"]), "db", "br"
+    )
+    t = catalog.table("db", "br")
+    t.append(spark.createDataFrame([(2,)], ["id"]))          # v2 on main
+    t.create_branch("audit")                                  # from head=2
+    ta = catalog.table("db", "br").branch("audit")
+    ta.append(spark.createDataFrame([(3,)], ["id"]))          # v3 on audit
+    t.append(spark.createDataFrame([(4,)], ["id"]))           # v4 on main
+    main_hist = [h["version"] for h in t.history()]
+    audit_hist = [h["version"] for h in ta.history()]
+    assert main_hist == [0, 1, 2, 4]    # v3 is not a main ancestor
+    assert audit_hist == [0, 1, 2, 3]   # v4 is not an audit ancestor
+    # timestamp resolution respects the ancestry: audit's newest commit
+    # never resolves on main even though its timestamp is in range
+    head_ts = t._load().committed_at_us
+    assert t.version_as_of_timestamp(head_ts) == 4
