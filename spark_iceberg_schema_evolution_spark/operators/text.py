@@ -605,3 +605,102 @@ def token_budget_batches(
         out.withColumn("batch_pos", F.row_number().over(wp) - 1)
         .drop("__t", "__cum")
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    sep_re: str | None = None,
+) -> DataFrame:
+    """Corpus-level exact paragraph dedup, keep-first (the CCNet/Dolma
+    step that precedes document-level dedup): every paragraph whose
+    normalized form (lower + trim) repeats ANYWHERE in the corpus is
+    dropped except its first occurrence in (id, position) order. Distinct
+    from :func:`remove_boilerplate_lines` (a doc-frequency BAN list that
+    drops all occurrences): dedup keeps exactly one.
+
+    Scale shape — paragraph TEXT never shuffles: the explode carries
+    only (id, pos, md5) fixed-width keys into the winner-pick window
+    shuffle, losers compact to per-doc drop-position sets, and the text
+    is rebuilt map-side by an indexed ``filter(...)`` over the original
+    split. The corpus pays exactly ONE payload shuffle (the id join
+    against its drop set — not broadcastable: a boilerplate-heavy corpus
+    can have drops in most docs), vs. the naive explode-filter-reagg
+    that moves full paragraph text through two shuffles. Empty
+    paragraphs participate (the corpus's first empty survives, the rest
+    drop — CCNet behavior).
+
+    ``sep`` is used literally for rebuilding; splitting uses ``sep_re``
+    if given (else ``sep`` escaped), so multi-char separators with regex
+    metacharacters are safe."""
+    import re as _re
+
+    pattern = sep_re if sep_re is not None else _re.escape(sep)
+    parts = F.split(F.col(text_col), pattern)
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("__pos", "__p"),
+    ).select(
+        id_col,
+        "__pos",
+        F.md5(F.lower(F.trim(F.col("__p")))).alias("__h"),
+    )
+    w = W.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
+    losers = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__drop"))
+    )
+    passthrough = [c for c in df.columns if c != text_col]
+    rebuilt = F.array_join(
+        F.filter(
+            parts,
+            lambda x, i: ~F.array_contains(
+                F.coalesce(F.col("__drop"), F.array().cast("array<int>")),
+                i,
+            ),
+        ),
+        sep,
+    ).alias(text_col)
+    return df.join(losers, on=id_col, how="left").select(
+        *passthrough, rebuilt
+    )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    score_col: str,
+    lo_q: float = 0.0,
+    hi_q: float = 1.0,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` lies inside the corpus's
+    [lo_q, hi_q] exact-percentile band — the quality-score tail trim a
+    curation pipeline runs after scoring (drop the shortest/garbage tail
+    and the longest/outlier tail in one pass).
+
+    Exact ``percentile`` (linear interpolation, matching ANSI
+    PERCENTILE_CONT / DuckDB quantile_cont) so the cut is reproducible
+    across engines — approx_percentile would make the kept set
+    nondeterministic. Cost: one partial-aggregated percentile pass (tiny
+    shuffle: per-partition digests only), thresholds broadcast back via
+    a 1-row cross join, then a map-only filter; the corpus itself never
+    shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    bounds = broadcast(
+        df.agg(
+            F.expr(f"percentile({score_col}, {lo_q})").alias("__lo"),
+            F.expr(f"percentile({score_col}, {hi_q})").alias("__hi"),
+        )
+    )
+    return (
+        df.crossJoin(bounds)
+        .where(
+            (F.col(score_col) >= F.col("__lo"))
+            & (F.col(score_col) <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

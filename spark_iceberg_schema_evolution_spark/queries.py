@@ -4643,6 +4643,109 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q118_paragraph_dedup",
+    oracle="""
+    WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    d AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || chr(10) || chr(10) ||
+             CASE WHEN doc_id % 5 = 0 THEN 'SHARED BOILERPLATE SENTENCE'
+                  ELSE substr(text, 41, 40) END || chr(10) || chr(10) ||
+             CASE WHEN doc_id % 7 = 0 THEN 'COMMON FOOTER'
+                  ELSE substr(text, 81, 40) END AS text
+      FROM src),
+    parts AS (
+      SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM d),
+    pos AS (
+      SELECT doc_id, ps, UNNEST(generate_series(1, len(ps))) AS pos
+      FROM parts),
+    paras AS (
+      SELECT doc_id, pos, ps[pos] AS p,
+             md5(lower(trim(ps[pos]))) AS h
+      FROM pos),
+    keep AS (
+      SELECT doc_id, pos, p FROM paras
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY h
+                                 ORDER BY doc_id, pos) = 1),
+    reb AS (
+      SELECT doc_id,
+             string_agg(p, chr(10) || chr(10) ORDER BY pos) AS text
+      FROM keep GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(length(COALESCE(r.text, '')) AS BIGINT) AS n_chars
+    FROM d s LEFT JOIN reb r ON s.doc_id = r.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level exact paragraph dedup, keep-first (CCNet/Dolma):
+    the query assembles paragraph-structured docs with planted
+    cross-doc duplicates (a shared boilerplate sentence in every 5th
+    doc, a common footer in every 7th), then `text.dedup_paragraphs`
+    drops every repeat except the corpus-first occurrence and rebuilds
+    each doc map-side. The oracle replays split -> global keep-first ->
+    ordered re-agg in DuckDB; per-doc char counts pin exact content."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dedup_paragraphs,
+    )
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 200)
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring("text", 1, 40),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("SHARED BOILERPLATE SENTENCE"),
+            ).otherwise(F.substring("text", 41, 40)),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("COMMON FOOTER")
+            ).otherwise(F.substring("text", 81, 40)),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(docs)
+    return out.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+@q(
+    "q119_quantile_filter",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.25) AS lo,
+             quantile_cont(n_chars, 0.75) AS hi
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(MIN(n_chars) AS BIGINT) AS min_kept,
+           CAST(MAX(n_chars) AS BIGINT) AS max_kept
+    FROM documents, b
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-percentile band filter over a quality score
+    (`text.quantile_band_filter`): trim the corpus to its [p25, p75]
+    n_chars band. Exact PERCENTILE_CONT on both engines makes the kept
+    set reproducible (approx_percentile would not hash-match); the
+    thresholds broadcast back, the corpus filter is map-only."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        quantile_band_filter,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    kept = quantile_band_filter(d, "n_chars", 0.25, 0.75)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.min("n_chars").alias("min_kept"),
+        F.max("n_chars").alias("max_kept"),
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (

@@ -249,3 +249,70 @@ def test_token_budget_batches_overflow_bound(spark):
         biggest = max(r.toks for r in rows)
         assert total <= 2000 + biggest, (shard, bid, total)
         assert sorted(r.batch_pos for r in rows) == list(range(len(rows)))
+
+
+def test_dedup_paragraphs_keep_first_semantics(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        # doc 1: B repeats intra-doc; first B survives, second drops
+        (1, "A\n\nB\n\nB", "x"),
+        # doc 2: B already seen in doc 1 (case/space-insensitive) -> drops;
+        # C is fresh
+        (2, " b \n\nC", "y"),
+        # doc 3: every paragraph already seen -> rebuilt text is empty
+        (3, "a\n\nC", "z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tag"])
+    out = {
+        r.doc_id: (r.text, r.tag)
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert out[1] == ("A\n\nB", "x")       # intra-doc repeat dropped
+    assert out[2] == ("C", "y")            # normalized cross-doc repeat
+    assert out[3] == ("", "z")             # all dropped -> empty, row kept
+    # passthrough column order preserved, text rebuilt in place
+    assert dedup_paragraphs(df).columns == ["doc_id", "tag", "text"]
+
+
+def test_dedup_paragraphs_regex_safe_separator(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dedup_paragraphs,
+    )
+
+    # '|' is a regex metachar: literal escaping must keep it a separator
+    df = spark.createDataFrame(
+        [(1, "p|q"), (2, "q|r")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup_paragraphs(df, sep="|").collect()
+    }
+    assert out == {1: "p|q", 2: "r"}
+
+
+def test_quantile_band_filter_exact_cut(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        quantile_band_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], ["id", "score"]
+    )
+    # p25 of 1..10 = 3.25, p75 = 7.75 -> kept ids 4..7
+    kept = sorted(
+        r.id
+        for r in quantile_band_filter(df, "score", 0.25, 0.75).collect()
+    )
+    assert kept == [4, 5, 6, 7]
+    # degenerate band keeps exactly the median element when it's a datum
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], ["id", "score"]
+    )
+    kept2 = sorted(
+        r.id
+        for r in quantile_band_filter(df2, "score", 0.5, 0.5).collect()
+    )
+    assert kept2 == [3]

@@ -289,3 +289,40 @@ def test_token_budget_batches_single_exchange(spark):
         d, budget=20000, tokens_col="n_chars", n_shards=4, seed="p"
     )
     assert explain.count_exchanges(out) == 1, explain.physical_plan(out)
+
+
+def test_dedup_paragraphs_payload_shuffles_once(spark):
+    """Paragraph dedup must keep paragraph TEXT out of the dedup
+    shuffles: the winner-pick window moves only (id, pos, md5) keys and
+    the corpus pays exactly one payload shuffle (the id join against
+    its drop set). Gate: bounded exchange count, no Python eval, and no
+    exploded-text exchange (the text column appears in at most one
+    exchange's input)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dedup_paragraphs,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = dedup_paragraphs(d)
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_band_filter_corpus_is_map_only(spark):
+    """The band filter's only exchange is the percentile digest (one
+    tiny row); thresholds come back as a broadcast nested-loop join, so
+    the corpus itself never repartitions."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        quantile_band_filter,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    out = quantile_band_filter(d, "n_chars", 0.25, 0.75)
+    plan = explain.physical_plan(out)
+    # no hash/range repartition anywhere; the single Exchange is the
+    # SinglePartition gather of partial percentile digests
+    assert explain.count_exchanges(out) == 0, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "partial_percentile" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
