@@ -37,18 +37,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sort-by", default=None, help="comma-separated")
     p.add_argument("--z-order", default=None, help="comma-separated")
     p.add_argument("--target-files", type=int, default=None)
-    p.add_argument("--keep-snapshots", type=int, default=5)
     p.add_argument(
-        "--max-batches", type=int, default=8,
-        help="compact only when live batches exceed this",
+        "--keep-snapshots", type=int, default=None,
+        help=(
+            "snapshots to retain on expiry; default: the table's "
+            "vacuum_min_snapshots_to_keep property, else 5"
+        ),
     )
     p.add_argument(
-        "--max-delete-files", type=int, default=2,
+        "--max-batches", type=int, default=None,
+        help=(
+            "compact only when live batches exceed this; default: the "
+            "table's optimize_rewrite_data_file_threshold property, "
+            "else 8"
+        ),
+    )
+    p.add_argument(
+        "--max-delete-files", type=int, default=None,
         help=(
             "fold MOR delete files into data files when the live "
-            "delete-file count exceeds this (the reference's "
-            "optimize_rewrite_delete_file_threshold=2; probe_r5 "
-            "measures ~linear read amplification per stacked file)"
+            "delete-file count exceeds this; default: the table's "
+            "optimize_rewrite_delete_file_threshold property, else 2 "
+            "(the reference declares these knobs as TBLPROPERTIES, "
+            "spark_utils.py:166-171; probe_r5 measures ~linear read "
+            "amplification per stacked file)"
         ),
     )
     p.add_argument(
@@ -63,6 +75,23 @@ def maintain(spark, args) -> dict:
 
     cat = LakehouseCatalog(spark, args.warehouse)
     t = cat.table(args.namespace, args.table)
+    # threshold resolution: explicit CLI flag > table property (the
+    # reference's TBLPROPERTIES knobs, spark_utils.py:166-171) > default
+    max_batches = (
+        args.max_batches
+        if args.max_batches is not None
+        else t.int_property("optimize_rewrite_data_file_threshold", 8)
+    )
+    max_delete_files = (
+        args.max_delete_files
+        if args.max_delete_files is not None
+        else t.int_property("optimize_rewrite_delete_file_threshold", 2)
+    )
+    keep_snapshots = (
+        args.keep_snapshots
+        if args.keep_snapshots is not None
+        else t.int_property("vacuum_min_snapshots_to_keep", 5)
+    )
     snap = t._load()
     report = {
         "batches_before": len(snap.batches),
@@ -72,7 +101,7 @@ def maintain(spark, args) -> dict:
         "compacted": False,
         "deletes_folded": False,
     }
-    if args.force or len(snap.batches) > args.max_batches:
+    if args.force or len(snap.batches) > max_batches:
         sort_by = args.sort_by.split(",") if args.sort_by else None
         z_order = args.z_order.split(",") if args.z_order else None
         t.compact(
@@ -81,12 +110,12 @@ def maintain(spark, args) -> dict:
             target_files=args.target_files,
         )
         report["compacted"] = True
-    elif t.should_compact_deletes(args.max_delete_files):
+    elif t.should_compact_deletes(max_delete_files):
         # full compact above already clears delete files; this is the
         # cheaper delete-only fold for tables under the batch threshold
         t.compact_deletes()
         report["deletes_folded"] = True
-    dropped = t.expire_snapshots(keep_last=args.keep_snapshots)
+    dropped = t.expire_snapshots(keep_last=keep_snapshots)
     report["snapshots_expired"] = len(dropped)
     report["batches_after"] = len(t._load().batches)
     report["delete_files_after"] = len(t._load().deletes)

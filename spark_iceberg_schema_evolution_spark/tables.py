@@ -148,6 +148,57 @@ class LakehouseTable:
             json.dump(refs, f)
         os.rename(tmp, self._refs_path)
 
+    # -- table properties (the reference's TBLPROPERTIES knobs,
+    #    spark_utils.py:166-171) ------------------------------------------
+
+    @property
+    def _props_path(self) -> str:
+        return os.path.join(self.meta_dir, "properties.json")
+
+    def properties(self) -> dict:
+        """Table properties (string -> string). Stored table-level (one
+        file beside refs.json) rather than per-snapshot: these are
+        operational knobs (compaction/vacuum thresholds, reference
+        spark_utils.py:166-171), not data lineage — rolling back data
+        should not roll back an operator's tuning."""
+        if not os.path.isfile(self._props_path):
+            return {}
+        with open(self._props_path) as f:
+            return json.load(f)
+
+    def set_properties(self, props: dict) -> None:
+        """Merge-set table properties (ALTER TABLE SET TBLPROPERTIES)."""
+        merged = self.properties()
+        merged.update({str(k): str(v) for k, v in props.items()})
+        tmp = self._props_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.rename(tmp, self._props_path)
+
+    def unset_property(self, key: str) -> None:
+        """ALTER TABLE UNSET TBLPROPERTIES — missing keys are a no-op,
+        matching Iceberg (IF EXISTS semantics by default)."""
+        props = self.properties()
+        if key in props:
+            del props[key]
+            tmp = self._props_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(props, f)
+            os.rename(tmp, self._props_path)
+
+    def int_property(self, key: str, default: int) -> int:
+        """Integer property lookup with a loud error on junk values —
+        a silently-ignored threshold typo would disable maintenance."""
+        raw = self.properties().get(key)
+        if raw is None:
+            return default
+        try:
+            return int(raw)
+        except ValueError:
+            raise ValueError(
+                f"table property {key}={raw!r} is not an integer"
+            )
+
     def _head(self, ref: str) -> int:
         refs = self._refs()
         if ref in refs["branches"]:
@@ -312,13 +363,18 @@ class LakehouseTable:
         self,
         schema: T.StructType,
         partition_month_of: str | None = None,
+        properties: dict | None = None,
     ) -> None:
         """CREATE TABLE with an optional hidden months(ts) partition
-        transform (reference R17/R18, spark_utils.py:154-173)."""
+        transform and TBLPROPERTIES (reference R17/R18,
+        spark_utils.py:154-173: the reference declares its OPTIMIZE /
+        VACUUM thresholds as table properties at create time)."""
         if self.exists():
             raise FileExistsError(f"table exists: {self.path}")
         os.makedirs(self.data_dir, exist_ok=True)
         self._commit(Snapshot(0, schema, [], partition_month_of))
+        if properties:
+            self.set_properties(properties)
 
     def _write_batch(
         self,
@@ -2662,6 +2718,45 @@ class LakehouseCatalog:
                 rows, "col_name STRING, data_type STRING, comment STRING"
             )
         m = re.match(
+            r"(?is)^SHOW\s+TBLPROPERTIES\s+lake\.(\w+)\.(\w+)\s*$", q
+        )
+        if m:
+            props = self.table(m.group(1), m.group(2)).properties()
+            return self.spark.createDataFrame(
+                sorted(props.items()), "key STRING, value STRING"
+            )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"SET\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+            q,
+        )
+        if m:
+            ns, name, body = m.groups()
+            pairs = re.findall(r"'([^']*)'\s*=\s*'([^']*)'", body)
+            if not pairs:
+                raise ValueError(
+                    "SET TBLPROPERTIES expects 'key'='value' pairs"
+                )
+            t = self.table(ns, name)
+            t.set_properties(dict(pairs))
+            return self._version_df(t._load().version)
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"UNSET\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+            q,
+        )
+        if m:
+            ns, name, body = m.groups()
+            keys = re.findall(r"'([^']*)'", body)
+            if not keys:
+                raise ValueError(
+                    "UNSET TBLPROPERTIES expects quoted keys"
+                )
+            t = self.table(ns, name)
+            for key in keys:
+                t.unset_property(key)
+            return self._version_df(t._load().version)
+        m = re.match(
             r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
             r"ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)\s*$",
             q,
@@ -2710,16 +2805,26 @@ class LakehouseCatalog:
         m = re.match(
             r"(?is)^CREATE\s+TABLE\s+lake\.(\w+)\.(\w+)"
             r"(?:\s+PARTITIONED\s+BY\s+MONTH\s*\(\s*(\w+)\s*\))?"
+            r"(?:\s+TBLPROPERTIES\s*\(([^)]*)\))?"
             r"\s+AS\s+(SELECT\b.*)$",
             q,
         )
         if m:
-            ns, name, month_of, body = m.groups()
+            ns, name, month_of, props_body, body = m.groups()
             if self.table(ns, name).exists():
                 raise FileExistsError(f"table exists: {ns}.{name}")
             v = self.write_evolving(
                 self.sql(body), ns, name, partition_month_of=month_of
             )
+            if props_body:
+                pairs = re.findall(
+                    r"'([^']*)'\s*=\s*'([^']*)'", props_body
+                )
+                if not pairs:
+                    raise ValueError(
+                        "TBLPROPERTIES expects 'key'='value' pairs"
+                    )
+                self.table(ns, name).set_properties(dict(pairs))
             return self._version_df(v)
         m = re.match(
             r"(?is)^DROP\s+TABLE\s+lake\.(\w+)\.(\w+)\s*$", q

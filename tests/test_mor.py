@@ -915,3 +915,44 @@ def test_compact_deletes_after_key_rename(spark, catalog):
         "stats disjointness must survive the rename"
     )
     assert {(r.doc_key, r.v) for r in t.read().collect()} == before
+
+
+def test_maintain_thresholds_from_table_properties(spark, tmp_path):
+    """With no CLI flags, maintenance reads its thresholds from the
+    table's TBLPROPERTIES — the reference's declaration style
+    (spark_utils.py:166-171). An explicit flag still overrides."""
+    from spark_iceberg_schema_evolution_spark.jobs.maintain_table import (
+        build_parser, maintain,
+    )
+
+    wh = str(tmp_path / "wh-props")
+    cat = LakehouseCatalog(spark, wh)
+    cat.write_evolving(
+        spark.createDataFrame([(i, 0) for i in range(40)], ["id", "rev"]),
+        "db", "pt",
+    )
+    t = cat.table("db", "pt")
+    t.set_properties({"optimize_rewrite_delete_file_threshold": "1"})
+    for rev in (1, 2):
+        t.merge_into(
+            spark.createDataFrame([(5, rev)], ["id", "rev"]),
+            on=["id"], mode="mor",
+        )
+    base = ["--warehouse", wh, "--namespace", "db", "--table", "pt"]
+    # CLI override above the backlog: nothing folds
+    report = maintain(
+        spark, build_parser().parse_args(base + ["--max-delete-files", "10"])
+    )
+    assert report["deletes_folded"] is False
+    assert report["delete_files_after"] == 2
+    # property-driven default (threshold 1 < 2 live files): folds
+    report = maintain(spark, build_parser().parse_args(base))
+    assert report["deletes_folded"] is True
+    assert report["delete_files_after"] == 0
+    assert report["rows_after"] == 40
+    # junk property values fail loudly instead of disabling maintenance
+    t.set_properties({"optimize_rewrite_delete_file_threshold": "lots"})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an integer"):
+        maintain(spark, build_parser().parse_args(base))

@@ -1174,3 +1174,38 @@ def test_history_follows_branch_ancestry(spark, catalog):
     # never resolves on main even though its timestamp is in range
     head_ts = t._load().committed_at_us
     assert t.version_as_of_timestamp(head_ts) == 4
+
+
+def test_sql_tblproperties_roundtrip(spark, catalog):
+    catalog.sql(
+        "CREATE TABLE lake.db.props "
+        "TBLPROPERTIES ('optimize_rewrite_delete_file_threshold'='2', "
+        "'vacuum_min_snapshots_to_keep'='5') "
+        "AS SELECT 1 AS id"
+    )
+    t = catalog.table("db", "props")
+    assert t.properties() == {
+        "optimize_rewrite_delete_file_threshold": "2",
+        "vacuum_min_snapshots_to_keep": "5",
+    }
+    catalog.sql(
+        "ALTER TABLE lake.db.props SET TBLPROPERTIES "
+        "('optimize_rewrite_data_file_threshold'='8', "
+        "'vacuum_min_snapshots_to_keep'='3')"
+    )
+    shown = {
+        r.key: r.value
+        for r in catalog.sql("SHOW TBLPROPERTIES lake.db.props").collect()
+    }
+    assert shown["optimize_rewrite_data_file_threshold"] == "8"
+    assert shown["vacuum_min_snapshots_to_keep"] == "3"  # merge-set wins
+    catalog.sql(
+        "ALTER TABLE lake.db.props UNSET TBLPROPERTIES "
+        "('optimize_rewrite_data_file_threshold')"
+    )
+    assert "optimize_rewrite_data_file_threshold" not in t.properties()
+    # unset of a missing key is a no-op (Iceberg IF EXISTS semantics)
+    catalog.sql(
+        "ALTER TABLE lake.db.props UNSET TBLPROPERTIES ('nope')"
+    )
+    assert t.int_property("vacuum_min_snapshots_to_keep", 5) == 3
