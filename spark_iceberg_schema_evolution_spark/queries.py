@@ -4746,6 +4746,47 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q120_sql_procedures",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price
+      FROM orders WHERE o_custkey < 1500)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price) AS BIGINT) AS price_c,
+           CAST(1 AS BIGINT) AS n_batches
+    FROM src
+    """,
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-procedure surface: three appends, then
+    ``CALL lake.system.rewrite_data_files(..., sort_order => ...)``
+    compacts to a single sorted batch — invoked purely through SQL, and
+    verified through SQL too (the batch count comes from the ``files``
+    metadata table, zero data files scanned for it). Content must be
+    byte-identical to the pre-compaction union; Iceberg-procedure
+    analogue of the reference's Athena OPTIMIZE."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("price")
+    )
+    cat.write_evolving(o.where("o_custkey < 500"), "db", "co")
+    t = cat.table("db", "co")
+    t.append(o.where("o_custkey >= 500 AND o_custkey < 1000"))
+    t.append(o.where("o_custkey >= 1000 AND o_custkey < 1500"))
+    cat.sql(
+        "CALL lake.system.rewrite_data_files('db.co', "
+        "sort_order => 'o_orderkey')"
+    )
+    return cat.sql(
+        "SELECT COUNT(*) AS n_rows, SUM(price) AS price_c, "
+        "(SELECT COUNT(DISTINCT batch) FROM lake.db.co.files "
+        " WHERE content = 'data') AS n_batches "
+        "FROM lake.db.co"
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (

@@ -2661,6 +2661,11 @@ class LakehouseCatalog:
         import re
 
         q = query.strip()
+        m = re.match(
+            r"(?is)^CALL\s+lake\.system\.(\w+)\s*\((.*)\)\s*$", q
+        )
+        if m:
+            return self._call_procedure(m.group(1), m.group(2))
         m = re.match(r"(?is)^SHOW\s+NAMESPACES\s*$", q)
         if m:
             rows = sorted(
@@ -2977,6 +2982,90 @@ class LakehouseCatalog:
             r"\blake\.(\w+)\.(\w+)(@[\w-]+)?", resolve, q
         )
         return self.spark.sql(rewritten)
+
+    def _call_procedure(self, proc: str, arg_body: str) -> DataFrame:
+        """Route ``CALL lake.system.<proc>(...)`` to the table-maintenance
+        API — the engine's analogue of Spark-Iceberg's stored procedures
+        (``CALL catalog.system.rewrite_data_files(...)`` etc.), which is
+        how the reference's Athena OPTIMIZE/VACUUM would be invoked from
+        SQL on an Iceberg catalog. Args: positional ``'quoted'``/numeric
+        or named ``name => value``; the first positional is always the
+        ``'ns.table'`` ref.
+
+        Procedures: rewrite_data_files(tbl [, sort_order=>'a,b' |
+        z_order=>'x,y'] [, target_files=>n]), rewrite_delete_files(tbl),
+        expire_snapshots(tbl [, retain_last=>n]),
+        rollback_to_snapshot(tbl, version), fast_forward(tbl, to, from),
+        create_branch(tbl, name [, at_version]),
+        create_tag(tbl, name [, at_version])."""
+        import re
+
+        pos: list = []
+        named: dict = {}
+        for raw in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", arg_body):
+            raw = raw.strip()
+            if not raw:
+                continue
+            m = re.fullmatch(
+                r"(?:(\w+)\s*=>\s*)?(?:'([^']*)'|(\d+))", raw
+            )
+            if not m:
+                raise ValueError(f"unparseable CALL argument: {raw!r}")
+            key, s, n = m.groups()
+            val = s if s is not None else int(n)
+            if key:
+                named[key] = val
+            else:
+                pos.append(val)
+        if not pos or not isinstance(pos[0], str) or "." not in pos[0]:
+            raise ValueError(
+                "first CALL argument must be the 'ns.table' ref"
+            )
+        ns, name = pos[0].split(".", 1)
+        t = self.table(ns, name)
+
+        def cols(v):
+            return [c.strip() for c in str(v).split(",")] if v else None
+
+        if proc == "rewrite_data_files":
+            v = t.compact(
+                sort_by=cols(named.get("sort_order")),
+                z_order=cols(named.get("z_order")),
+                target_files=(
+                    int(named["target_files"])
+                    if "target_files" in named
+                    else None
+                ),
+            )
+            return self._version_df(v)
+        if proc == "rewrite_delete_files":
+            v = t.compact_deletes()
+            return self._version_df(
+                v if v is not None else t._load().version
+            )
+        if proc == "expire_snapshots":
+            dropped = t.expire_snapshots(
+                keep_last=int(named.get("retain_last", 5))
+            )
+            return self.spark.createDataFrame(
+                [(len(dropped),)], "expired BIGINT"
+            )
+        if proc == "rollback_to_snapshot":
+            return self._version_df(t.rollback_to(int(pos[1])))
+        if proc == "fast_forward":
+            t.fast_forward(str(pos[1]), str(pos[2]))
+            return self._version_df(t._head(str(pos[1])))
+        if proc == "create_branch":
+            at = int(pos[2]) if len(pos) > 2 else None
+            return self._version_df(
+                t.create_branch(str(pos[1]), at_version=at)
+            )
+        if proc == "create_tag":
+            at = int(pos[2]) if len(pos) > 2 else None
+            return self._version_df(
+                t.create_tag(str(pos[1]), at_version=at)
+            )
+        raise ValueError(f"unknown procedure: lake.system.{proc}")
 
     def _merge_sql(
         self, ns: str, name: str, talias: str | None, rest: str

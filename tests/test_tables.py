@@ -1209,3 +1209,61 @@ def test_sql_tblproperties_roundtrip(spark, catalog):
         "ALTER TABLE lake.db.props UNSET TBLPROPERTIES ('nope')"
     )
     assert t.int_property("vacuum_min_snapshots_to_keep", 5) == 3
+
+
+def test_sql_call_procedures(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i % 3) for i in range(60)], ["id", "k"]),
+        "db", "proc",
+    )
+    t = catalog.table("db", "proc")
+    for j in range(3):
+        t.append(
+            spark.createDataFrame([(100 + j, j)], ["id", "k"])
+        )
+    n_before = len(t._load().batches)
+    assert n_before == 4
+    # rewrite_data_files with a sort order: one batch, content unchanged
+    catalog.sql(
+        "CALL lake.system.rewrite_data_files('db.proc', "
+        "sort_order => 'id', target_files => 2)"
+    )
+    assert len(t._load().batches) == 1
+    assert t.read().count() == 63
+    # expire_snapshots returns the expired count
+    n = catalog.sql(
+        "CALL lake.system.expire_snapshots('db.proc', retain_last => 1)"
+    ).collect()[0].expired
+    assert n >= 1
+    # rollback / branch / tag / fast_forward route end-to-end
+    head = t._load().version
+    catalog.sql(f"CALL lake.system.create_tag('db.proc', 'stable', {head})")
+    catalog.sql("CALL lake.system.create_branch('db.proc', 'audit')")
+    ta = catalog.table("db", "proc").branch("audit")
+    ta.append(spark.createDataFrame([(999, 9)], ["id", "k"]))
+    catalog.sql(
+        "CALL lake.system.fast_forward('db.proc', 'main', 'audit')"
+    )
+    assert catalog.table("db", "proc").read().count() == 64
+    with pytest.raises(ValueError, match="unknown procedure"):
+        catalog.sql("CALL lake.system.nope('db.proc')")
+    with pytest.raises(ValueError, match="ns.table"):
+        catalog.sql("CALL lake.system.expire_snapshots(5)")
+
+
+def test_sql_call_rewrite_delete_files(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, 0) for i in range(40)], ["id", "rev"]),
+        "db", "procd",
+    )
+    t = catalog.table("db", "procd")
+    for rev in (1, 2, 3):
+        t.merge_into(
+            spark.createDataFrame([(5, rev)], ["id", "rev"]),
+            on=["id"], mode="mor",
+        )
+    assert len(t._load().deletes) == 3
+    catalog.sql("CALL lake.system.rewrite_delete_files('db.procd')")
+    assert t._load().deletes == []
+    assert t.read().count() == 40
+    assert {r.rev for r in t.read().where("id = 5").collect()} == {3}
