@@ -704,3 +704,60 @@ def quantile_band_filter(
         )
         .drop("__lo", "__hi")
     )
+
+
+def mix_corpora(
+    df: DataFrame,
+    target_fracs: dict[str, float],
+    total_tokens: float,
+    domain_col: str = "source",
+    tokens_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Training-mixture builder: solve the per-domain epoch rates that
+    hit a target token composition, then apply the deterministic
+    :func:`weighted_resample`. ``target_fracs[d]`` is domain *d*'s share
+    of a ``total_tokens`` budget; its rate is
+    ``total_tokens * frac / domain_tokens`` — above 1 the domain repeats
+    (epochs), below 1 it subsamples. Domains not in the target are
+    dropped (weight 0), matching how a curated mix treats unlisted
+    sources.
+
+    The only driver-side step is the per-domain token-count aggregate
+    (bounded by the domain count, like partition planning); the resample
+    itself stays map-only, so the mix is reproducible and append-stable
+    at any corpus size. Rates inherit the resampler's exact-1/65536
+    fractional draws: the realized token share converges to the target
+    with relative error O(1/sqrt(docs per domain)).
+
+    The rate arithmetic is plain double ops on (token-sum, frac, budget)
+    in a fixed order, so an external auditor (the q121 oracle) can
+    reproduce the exact copy decisions from the raw data alone."""
+    if any(f < 0 for f in target_fracs.values()):
+        raise ValueError("target fractions must be >= 0")
+    tot = sum(target_fracs.values())
+    if not 0.999 <= tot <= 1.001:
+        raise ValueError(f"target fractions must sum to 1, got {tot}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+    }
+    weights = {}
+    for dom, frac in target_fracs.items():
+        tok = counts.get(dom)
+        if not tok:
+            raise ValueError(
+                f"target domain {dom!r} has no tokens in the corpus"
+            )
+        weights[dom] = (total_tokens * frac) / tok
+    return weighted_resample(
+        df,
+        weights,
+        domain_col=domain_col,
+        id_col=id_col,
+        seed=seed,
+        default_weight=0.0,
+    )

@@ -4787,6 +4787,78 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q121_corpus_mix",
+    oracle="""
+    WITH tok AS (
+      SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS t
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      GROUP BY source),
+    w AS (
+      SELECT source,
+             (30000 * CASE source WHEN 'src0' THEN 0.5
+                                  WHEN 'src1' THEN 0.25
+                                  WHEN 'src2' THEN 0.125
+                                  ELSE 0.125 END) / t AS wt
+      FROM tok),
+    thr AS (
+      SELECT source, CAST(FLOOR(wt) AS INT) AS base,
+             printf('%04x',
+                    CAST(FLOOR(65536 * (wt - FLOOR(wt))) AS INT)) AS hex
+      FROM w),
+    d AS (
+      SELECT doc_id, source, n_chars,
+             substr(md5('r5m:' || CAST(doc_id AS VARCHAR)), 1, 4)
+               AS bucket
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+    c AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             thr.base + CASE WHEN d.bucket < thr.hex THEN 1 ELSE 0 END
+               AS copies
+      FROM d JOIN thr ON d.source = thr.source),
+    x AS (
+      SELECT doc_id, source, n_chars, g.g AS copy_idx
+      FROM c JOIN (VALUES (1), (2), (3)) AS g(g) ON g.g <= c.copies)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(n_chars) AS BIGINT) AS tokens_real,
+           CAST(SUM(doc_id * copy_idx) AS BIGINT) AS checksum
+    FROM x GROUP BY source ORDER BY source
+    """,
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mixture builder end-to-end: target token shares
+    {src0: 50%, src1: 25%, src2/3: 12.5%} of a 30k budget solve to
+    per-domain epoch rates (src0 ~1.89 epochs, the rest subsample),
+    then the exact md5-threshold resampler applies them
+    (`text.mix_corpora`). The oracle re-derives the RATES from raw
+    token counts with the same fixed-order double arithmetic and
+    replays every copy decision — the whole mix is auditable from the
+    data alone; checksum pins per-copy expansion."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        mix_corpora,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    mixed = mix_corpora(
+        d.where(F.col("source").isin("src0", "src1", "src2", "src3")),
+        {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        total_tokens=30000,
+        seed="r5m",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_chars").alias("tokens_real"),
+            F.sum(F.col("doc_id") * F.col("copy_idx")).alias("checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (

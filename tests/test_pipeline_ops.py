@@ -316,3 +316,51 @@ def test_quantile_band_filter_exact_cut(spark):
         for r in quantile_band_filter(df2, "score", 0.5, 0.5).collect()
     )
     assert kept2 == [3]
+
+
+def test_mix_corpora_hits_target_shares(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        mix_corpora,
+    )
+
+    rows = [
+        (i, "a" if i < 400 else "b", 100) for i in range(600)
+    ]  # a: 40k tokens, b: 20k tokens
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = mix_corpora(
+        df, {"a": 0.5, "b": 0.5}, total_tokens=20000, seed="t"
+    )
+    got = {
+        r.source: r.t
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    # targets: 10k tokens each -> a at rate 0.25, b at rate 0.5; at
+    # 400/200 docs the md5 draw sits within ~3 binomial sigma of target
+    # (exact per-copy decisions are oracle-pinned by q121)
+    assert abs(got["a"] - 10000) / 10000 < 0.20
+    assert abs(got["b"] - 10000) / 10000 < 0.20
+    # determinism: identical rerun, byte-identical draw
+    again = mix_corpora(
+        df, {"a": 0.5, "b": 0.5}, total_tokens=20000, seed="t"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # unlisted domains drop
+    assert out.where("source NOT IN ('a','b')").count() == 0
+
+
+def test_mix_corpora_validation(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        mix_corpora,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10)], ["doc_id", "source", "n_chars"]
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_corpora(df, {"a": 0.4}, total_tokens=100)
+    with pytest.raises(ValueError, match="no tokens"):
+        mix_corpora(df, {"a": 0.5, "zz": 0.5}, total_tokens=100)
+    with pytest.raises(ValueError, match=">= 0"):
+        mix_corpora(df, {"a": 1.5, "zz": -0.5}, total_tokens=100)
