@@ -70,9 +70,14 @@ HEADLINE = [
     "q110_weighted_resample",
     # round-5 ops (tracked from this round). q112 (SQL MERGE) is not
     # here for the same setup-dominated reason as q103/q109 — q89
-    # already tracks merge cost.
+    # already tracks merge cost, and q116/q117/q120 (metadata-table /
+    # time-travel / procedure SQL) are likewise table-setup-dominated.
     "q113_deterministic_sample",
     "q114_token_budget_batches",
+    "q115_semantic_dedup",
+    "q118_paragraph_dedup",
+    "q119_quantile_filter",
+    "q121_corpus_mix",
 ]
 
 

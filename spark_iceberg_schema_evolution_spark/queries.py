@@ -5147,8 +5147,17 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # (green locally this round, no driver row yet).
 
 _DRIVER_WINDOW = [
-    # changed this round: SQL MERGE front door + merge_into restructure
+    # new this round (never driver-checked) — these exercise the round-5
+    # code: SQL front door growth, commit-log/time-travel, new LLM ops
     "q112_sql_merge",
+    "q115_semantic_dedup",
+    "q116_metadata_sql",
+    "q117_sql_time_travel",
+    "q118_paragraph_dedup",
+    "q119_quantile_filter",
+    "q120_sql_procedures",
+    "q121_corpus_mix",
+    # changed this round: merge_into restructure
     "q89_merge_clauses",
     "q93_merge_evolution",
     # r1/r2-stale rotation: aggregation + window family
@@ -5195,13 +5204,10 @@ _DRIVER_WINDOW = [
     "q72_sequence_packing",
     "q76_group_by_all_qualify",
     "q77_except_all",
-    "q78_unpivot",
-    "q79_percentile_cont",
-    "q80_string_funcs2",
-    "q81_try_cast",
-    "q82_ignore_nulls_stringagg",
-    "q83_bit_bool_aggs",
-    "q85_salted_join_equivalence",
+    # deferred to head r6's window (r2-green + local-green, lowest risk):
+    # q78_unpivot q79_percentile_cont q80_string_funcs2 q81_try_cast
+    # q82_ignore_nulls_stringagg q83_bit_bool_aggs
+    # q85_salted_join_equivalence
 ]
 
 
