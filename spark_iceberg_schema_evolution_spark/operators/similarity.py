@@ -350,3 +350,165 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    max_fit_rows: int = 100_000,
+) -> DataFrame:
+    """Product-quantization top-k (PQ + ADC + exact re-rank): the
+    compressed-domain ANN complement to ``ivf_topk``'s pruning. Each
+    vector is encoded as ``m`` sub-space codebook indices (``ksub``
+    centroids per sub-space — at ksub<=256 that is one byte per
+    sub-space, a dim*4/m-fold compression of the scan payload), scored
+    against a query by table lookups, and the top ``k*refine``
+    candidates re-ranked with exact cosine.
+
+    Scale shape:
+    - Codebooks fit on a BOUNDED sample (same ``fit_fraction`` /
+      ``max_fit_rows`` discipline as ``ivf_topk``); m tiny KMeans models.
+    - Encoding is a zero-shuffle map: codebooks are plan-time literals,
+      each sub-space code an ``array_min`` argmin in codegen. The exact
+      vector norm is captured once here, so cosine needs no full vector
+      later.
+    - ADC: the m x ksub lookup table is computed ONCE per query on the
+      (small, broadcast) query side; each corpus row then pays m array
+      lookups + adds — not a full D-dim dot product. Only fixed-width
+      (qid, id, score) rows enter the top-k shuffle.
+    - Re-rank: the k*refine survivors (tiny) broadcast back against the
+      original vectors for exact cosine — at 100 TB this is the only
+      stage that touches full vectors per query, and it touches
+      ~k*refine of them.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
+    )
+    fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
+    fit_df = fit_df.limit(max_fit_rows)
+
+    def sub(col: Column, j: int) -> Column:
+        return F.slice(col, j * dsub + 1, dsub)
+
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        km = KMeans(
+            k=ksub, seed=seed + j, featuresCol="__feat"
+        ).fit(
+            fit_df.select(
+                array_to_vector(sub(F.col("__cv"), j)).alias("__feat")
+            )
+        )
+        codebooks.append(
+            [[float(x) for x in ctr] for ctr in km.clusterCenters()]
+        )
+
+    def cb_struct_lit(j: int) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(x) for x in vec]).alias("v"),
+                    F.lit(i).alias("c"),
+                )
+                for i, vec in enumerate(codebooks[j])
+            ]
+        )
+
+    def code_for(vcol: Column, j: int) -> Column:
+        dists = F.transform(
+            cb_struct_lit(j),
+            lambda s: F.struct(
+                fold_sum(
+                    F.zip_with(
+                        sub(vcol, j), s["v"], lambda a, b: (a - b) * (a - b)
+                    )
+                ).alias("d"),
+                s["c"].alias("c"),
+            ),
+        )
+        return F.array_min(dists)["c"]
+
+    encoded = c.select(
+        corpus_id,
+        F.array(
+            *[code_for(F.col("__cv"), j) for j in range(m)]
+        ).alias("__codes"),
+        l2_norm(F.col("__cv")).alias("__xn"),
+    )
+
+    q = queries.select(
+        F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
+    )
+    # per-query ADC lookup table: lut[j][c] = dot(q_sub_j, codebook_j[c]),
+    # materialized once in the broadcast relation. NOTE the single-arg
+    # lambda via a factory: a two-parameter lambda would make F.transform
+    # pass the ELEMENT INDEX as the second arg, silently shadowing j.
+    def lut_for(j: int) -> Column:
+        return F.transform(
+            F.array(
+                *[
+                    F.array(*[F.lit(x) for x in vec])
+                    for vec in codebooks[j]
+                ]
+            ),
+            lambda ctr: dot(sub(F.col("__qv"), j), ctr),
+        )
+
+    lut = F.array(*[lut_for(j) for j in range(m)])
+    q_lut = q.select(
+        query_id,
+        lut.alias("__lut"),
+        l2_norm(F.col("__qv")).alias("__qn"),
+    )
+
+    adc_dot = fold_sum(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("__codes"),
+            lambda lj, cj: F.element_at(lj, cj + 1),
+        )
+    )
+    scored = encoded.crossJoin(F.broadcast(q_lut)).select(
+        query_id,
+        corpus_id,
+        (adc_dot / (F.col("__qn") * F.col("__xn"))).alias("__adc"),
+    )
+    w = Wnd.partitionBy(query_id).orderBy(
+        F.col("__adc").desc(), F.col(corpus_id).asc()
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k * refine)
+        .select(query_id, corpus_id)
+    )
+    rerank = (
+        c.join(F.broadcast(cand), corpus_id)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+        )
+    )
+    w2 = Wnd.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return rerank.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

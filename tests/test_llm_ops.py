@@ -300,3 +300,45 @@ def test_semantic_dedup_keeps_best_of_embedding_cluster(spark):
     assert 61 in ids and 0 not in ids and 60 not in ids  # best quality=61
     assert 99 in ids  # no embedding -> untouched
     assert len(ids) == 51  # 53 docs - 2 cluster losers
+
+
+def test_pq_topk_recall_gate(spark):
+    """PQ + ADC + exact re-rank: recall@10 >= 0.9 at a recall-matters
+    operating point (m=16 x ksub=32 codebooks, 8x re-rank depth) on the
+    hardest data for ANN — near-uniform random vectors whose true
+    neighbors sit barely above the noise floor. Deterministic: seeded
+    KMeans, fixed testdata. Also asserts no Python in the plan: the
+    whole path (encode, ADC lookups, re-rank) is JVM HOFs."""
+    from spark_iceberg_schema_evolution_spark.plans import explain
+
+    e = _emb(spark)
+    qdf = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, qdf, k=10)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    pq = similarity.pq_topk(
+        e, qdf, dim=64, k=10, m=16, ksub=32, refine=8
+    )
+    plan = explain.physical_plan(pq)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ap = {(r.query_id, r.vec_id) for r in pq.collect()}
+    assert all((q, q) in ap for q in range(20))  # self-match survives
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"PQ recall@10 {recall:.3f}"
+    # scores of survivors are EXACT cosine (the re-rank contract)
+    ex_scores = {
+        (r.query_id, r.vec_id): round(r.score, 9) for r in exact.collect()
+    }
+    for r in pq.collect():
+        if (r.query_id, r.vec_id) in ex_scores:
+            assert round(r.score, 9) == ex_scores[(r.query_id, r.vec_id)]
+
+
+def test_pq_topk_rejects_bad_subspaces(spark):
+    e = _emb(spark)
+    qdf = e.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_topk(e, qdf, dim=64, m=7)
