@@ -55,3 +55,84 @@ def profile_stats(
         .select("s.col_name", "n_rows", "s.n_nonnull", "s.n_distinct",
                 "s.min_str", "s.max_str")
     )
+
+
+def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Deequ/dbt-style data-quality gate: evaluate every rule in ONE
+    aggregate pass over the data and return long-format results —
+    (rule, n_violations, passed), one row per rule, in declaration
+    order. An ingest pipeline runs this per batch and fails the commit
+    on any ``passed = false``.
+
+    Rule shapes:
+      {"rule": "not_null",        "col": c}
+      {"rule": "unique",          "cols": [c, ...]}   # surplus rows
+      {"rule": "accepted_values", "col": c, "values": [...]}
+      {"rule": "range",           "col": c, "min": x, "max": y}
+      {"rule": "expression",      "name": n, "expr": sql_predicate}
+
+    Scale shape: row-local rules are conditional sums fused into one
+    partial aggregate (map-side combine, a single scalar row crosses
+    the wire); each ``unique`` rule adds an exact count_distinct
+    (Expand, still the same single scan — same trade as
+    ``profile_stats``). The long format comes from a plan-side
+    ``stack`` on the 1-row aggregate, not a second pass. NULLs in
+    ``accepted_values``/``range`` columns are not violations of those
+    rules (declare not_null separately) — SQL three-valued-logic
+    convention."""
+    aggs = []
+    labels = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "not_null":
+            label = f"not_null({r['col']})"
+            expr = F.sum(
+                F.when(F.col(r["col"]).isNull(), 1).otherwise(0)
+            )
+        elif kind == "unique":
+            cols = r["cols"]
+            label = f"unique({','.join(cols)})"
+            expr = F.count(F.lit(1)) - F.count_distinct(
+                F.struct(*[F.col(c) for c in cols])
+            )
+        elif kind == "accepted_values":
+            label = f"accepted_values({r['col']})"
+            expr = F.sum(
+                F.when(
+                    F.col(r["col"]).isNotNull()
+                    & ~F.col(r["col"]).isin(*r["values"]),
+                    1,
+                ).otherwise(0)
+            )
+        elif kind == "range":
+            label = f"range({r['col']})"
+            expr = F.sum(
+                F.when(
+                    F.col(r["col"]).isNotNull()
+                    & (
+                        (F.col(r["col"]) < F.lit(r["min"]))
+                        | (F.col(r["col"]) > F.lit(r["max"]))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+        elif kind == "expression":
+            label = f"expression({r['name']})"
+            expr = F.sum(
+                F.when(~F.expr(r["expr"]), 1).otherwise(0)
+            )
+        else:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+        aggs.append(
+            F.coalesce(expr, F.lit(0)).cast("long").alias(f"__v{i}")
+        )
+        labels.append(label)
+    if not aggs:
+        raise ValueError("no rules given")
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{lbl}', __v{i}" for i, lbl in enumerate(labels)
+    )
+    return one.selectExpr(
+        f"stack({len(labels)}, {stack_args}) AS (rule, n_violations)"
+    ).withColumn("passed", F.col("n_violations") == 0)

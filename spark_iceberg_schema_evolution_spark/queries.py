@@ -4877,6 +4877,70 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q122_expectations",
+    oracle="""
+    SELECT 'not_null(l_linestatus)' AS rule,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_linestatus IS NULL)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                 FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'unique(l_orderkey)',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT l_orderkey)
+                 FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'accepted_values(l_returnflag)',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_returnflag NOT IN ('A', 'N')) AS BIGINT)
+    UNION ALL
+    SELECT 'range(l_quantity)',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT)
+    UNION ALL
+    SELECT 'expression(positive_price)',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE NOT (l_extendedprice > 0)) AS BIGINT)
+    """,
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ/dbt-style expectations gate (`profile.validate_expectations`):
+    six rules — including a deliberately failing accepted-values set and
+    a non-unique key — evaluated in ONE aggregate pass (conditional sums
+    fused with the exact multi-distincts; long format from a plan-side
+    stack, no second scan). The per-batch quality gate an ingest
+    pipeline runs before committing."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        validate_expectations,
+    )
+
+    li = load(spark, sf, "lineitem")
+    out = validate_expectations(
+        li,
+        [
+            {"rule": "not_null", "col": "l_linestatus"},
+            {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+            {"rule": "unique", "cols": ["l_orderkey"]},
+            {
+                "rule": "accepted_values",
+                "col": "l_returnflag",
+                "values": ["A", "N"],
+            },
+            {"rule": "range", "col": "l_quantity", "min": 1, "max": 50},
+            {
+                "rule": "expression",
+                "name": "positive_price",
+                "expr": "l_extendedprice > 0",
+            },
+        ],
+    )
+    return out.select("rule", "n_violations")
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (

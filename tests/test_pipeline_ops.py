@@ -364,3 +364,54 @@ def test_mix_corpora_validation(spark):
         mix_corpora(df, {"a": 0.5, "zz": 0.5}, total_tokens=100)
     with pytest.raises(ValueError, match=">= 0"):
         mix_corpora(df, {"a": 1.5, "zz": -0.5}, total_tokens=100)
+
+
+def test_validate_expectations_single_pass_and_errors(spark):
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        validate_expectations,
+    )
+    from spark_iceberg_schema_evolution_spark.plans import explain
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 50), (2, None, -1)], ["id", "s", "v"]
+    )
+    out = validate_expectations(
+        df,
+        [
+            {"rule": "not_null", "col": "s"},
+            {"rule": "unique", "cols": ["id"]},
+            {"rule": "accepted_values", "col": "s", "values": ["a", "b"]},
+            {"rule": "range", "col": "v", "min": 0, "max": 10},
+            {"rule": "expression", "name": "pos", "expr": "v > 0"},
+        ],
+    )
+    got = {r.rule: (r.n_violations, r.passed) for r in out.collect()}
+    assert got["not_null(s)"] == (1, False)
+    assert got["unique(id)"] == (1, False)
+    # NULL s is not an accepted_values violation (three-valued logic)
+    assert got["accepted_values(s)"] == (0, True)
+    # NULL-free v: 50 and -1 out of band
+    assert got["range(v)"] == (2, False)
+    assert got["expression(pos)"] == (1, False)
+    # one scan: a single aggregate subtree, no join/union of passes
+    plan = explain.physical_plan(out)
+    assert plan.count("FileScan") == 0  # in-memory here; structural check:
+    assert "Union" not in plan and "Join" not in plan
+    with pytest.raises(ValueError, match="unknown rule"):
+        validate_expectations(df, [{"rule": "huh"}])
+    with pytest.raises(ValueError, match="no rules"):
+        validate_expectations(df, [])
+
+
+def test_validate_expectations_empty_frame_passes(spark):
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame([], "id INT, s STRING")
+    out = validate_expectations(
+        df,
+        [{"rule": "not_null", "col": "s"},
+         {"rule": "unique", "cols": ["id"]}],
+    )
+    assert all(r.passed for r in out.collect())  # vacuously green, not NULL
