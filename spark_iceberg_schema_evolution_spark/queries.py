@@ -4941,6 +4941,63 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q123_partition_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price
+      FROM orders
+      WHERE o_custkey < 800
+        AND EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+    live AS (SELECT * FROM src WHERE NOT (price > 20000000))
+    SELECT STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                    '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS BIGINT) AS price_c
+    FROM live GROUP BY 1 ORDER BY 1
+    """,
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition evolution end-to-end: the 1995 block lands
+    UNPARTITIONED, the spec then evolves to months(o_orderdate)
+    (metadata-only — nothing rewrites), the 1996 block lands in the new
+    layout, and a COW DELETE spans both: current-spec batches
+    month-trim by manifest metadata while the foreign-layout 1995 rows
+    ride the carry scan (and migrate to the new layout as a side
+    effect). Iceberg's partition-evolution contract: pruning never
+    lies across specs, old data never rewrites until touched."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        cents(F.col("o_totalprice")).alias("price"),
+    )
+    y95 = o.where(
+        (F.year(F.col("o_orderdate").cast("date")) == 1995)
+        & (F.col("o_custkey") < 800)
+    ).drop("o_custkey")
+    y96 = o.where(
+        (F.year(F.col("o_orderdate").cast("date")) == 1996)
+        & (F.col("o_custkey") < 800)
+    ).drop("o_custkey")
+    cat.write_evolving(y95, "db", "pe")
+    t = cat.table("db", "pe")
+    t.set_partition_spec("o_orderdate")
+    t.append(y96)
+    t.delete_where("price > 20000000")
+    return (
+        t.read()
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").alias("price_c"),
+        )
+        .orderBy("month")
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (
@@ -5239,6 +5296,8 @@ _DRIVER_WINDOW = [
     "q119_quantile_filter",
     "q120_sql_procedures",
     "q121_corpus_mix",
+    "q122_expectations",
+    "q123_partition_evolution",
     # changed this round: merge_into restructure
     "q89_merge_clauses",
     "q93_merge_evolution",
@@ -5284,10 +5343,9 @@ _DRIVER_WINDOW = [
     "q70_profile_stats",
     "q71_text_chunking",
     "q72_sequence_packing",
-    "q76_group_by_all_qualify",
-    "q77_except_all",
     # deferred to head r6's window (r2-green + local-green, lowest risk):
-    # q78_unpivot q79_percentile_cont q80_string_funcs2 q81_try_cast
+    # q76_group_by_all_qualify q77_except_all q78_unpivot
+    # q79_percentile_cont q80_string_funcs2 q81_try_cast
     # q82_ignore_nulls_stringagg q83_bit_bool_aggs
     # q85_salted_join_equivalence
 ]

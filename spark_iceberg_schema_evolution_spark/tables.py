@@ -410,6 +410,7 @@ class LakehouseTable:
             return {
                 "path": batch_dir,
                 "months": months,
+                "spec_col": month_of,
                 "renames_at": renames_at,
                 "seq": n,
                 "stats": stats,
@@ -421,6 +422,7 @@ class LakehouseTable:
         return {
             "path": batch_dir,
             "months": None,
+            "spec_col": None,
             "renames_at": renames_at,
             "seq": n,
             "stats": stats,
@@ -619,10 +621,9 @@ class LakehouseTable:
         parts = []
         seqs = []
         for b in batches:
-            if b["months"] is None and months is not None:
-                continue
+            prunable = self._month_prunable(b, snap)
             hit = None
-            if b["months"] is not None:
+            if prunable:
                 # the manifest's month list is authoritative: after a
                 # partition overwrite/merge, a batch may be live for only a
                 # subset of the months physically present in its directory
@@ -648,7 +649,23 @@ class LakehouseTable:
                 # non-hit month directories at planning time (84 months is
                 # 1 scan + pruning, not 84 scans).
                 df = df.where(F.col(_PART_COL).isin(hit)).drop(_PART_COL)
+            elif b["months"] is not None:
+                # foreign-spec batch (partition evolution): its month list
+                # indexes its OWN physical layout, still authoritative for
+                # which of its directories are live
+                df = df.where(
+                    F.col(_PART_COL).isin(b["months"])
+                ).drop(_PART_COL)
             df = self._replay_renames(df, b, snap)
+            if months is not None and not prunable:
+                # read(months=)'s contract is exact: a foreign-layout batch
+                # couldn't be manifest-pruned, so filter row-level on the
+                # CURRENT spec column (post-rename names)
+                df = df.where(
+                    F.date_format(
+                        F.col(snap.partition_month_of), "yyyy-MM"
+                    ).isin(months)
+                )
             parts.append(align_schema(df, target, keep_extras=False))
             seqs.append(int(b.get("seq", 0)))
         if not parts:
@@ -1064,7 +1081,13 @@ class LakehouseTable:
         live_files: list[str] = []
         for b in snap.batches:
             fr = b.get("file_rows")
-            if fr is None:
+            if fr is None or (
+                months is not None and not self._month_prunable(b, snap)
+            ):
+                # no per-file counts, or a foreign-layout batch under a
+                # month filter (partition evolution): only a scan with the
+                # row-level month filter can answer — route to the scan
+                # fallback below
                 legacy.append(b)
                 continue
             if b["months"] is None:
@@ -1194,6 +1217,22 @@ class LakehouseTable:
                 f"oldest is {self.history()[0]['committed_at_us']}"
             )
         return eligible[-1]
+
+    @staticmethod
+    def _month_prunable(b: dict, snap: Snapshot) -> bool:
+        """True when this batch's hidden-month metadata indexes the
+        CURRENT spec's source column — only then may a month list derived
+        from the current spec prune or trim it by manifest metadata.
+        Batches written before spec tracking default to the current spec
+        (the spec was immutable until partition evolution existed, so
+        the inference is exact). Foreign-layout batches (older spec, or
+        unpartitioned writes on a now-partitioned table) scan with a
+        row-level month filter instead — pruning must never lie."""
+        return (
+            b["months"] is not None
+            and b.get("spec_col", snap.partition_month_of)
+            == snap.partition_month_of
+        )
 
     @staticmethod
     def _replay_renames(df: DataFrame, batch: dict, snap: Snapshot) -> DataFrame:
@@ -1449,24 +1488,29 @@ class LakehouseTable:
                 ]
                 src_months = sorted(set(src_months) | set(matched_months))
             target_scope = self.read(months=src_months)
-            keep_batches = []
-            for b in snap.batches:
-                if b["months"] is None:
-                    continue
-                remaining = [m for m in b["months"] if m not in src_months]
-                if remaining:
-                    # carry ALL batch metadata (renames_at epoch included) —
-                    # dropping it would replay the full rename history on
-                    # post-rename batches and null out re-added columns.
-                    keep_batches.append({**b, "months": remaining})
+            # keep_batches carries ALL batch metadata (renames_at epoch
+            # included) — dropping it would replay the full rename history
+            # on post-rename batches and null out re-added columns.
+            # Foreign-layout batches (partition evolution) can't be
+            # month-trimmed: their out-of-scope rows ride the rewrite as
+            # merge_carry. Out-of-scope rows can never match the source
+            # (a matching row's month would be in src_months), so passing
+            # them around the clause application is semantics-preserving.
+            keep_batches, merge_carry = self._split_cow_scope(
+                snap, src_months
+            )
         else:
             target_scope = self.read()
-            keep_batches = []
+            keep_batches, merge_carry = [], None
 
         if schema is not snap.schema:
             target_scope = align_schema(
                 target_scope, schema, keep_extras=False
             )
+            if merge_carry is not None:
+                merge_carry = align_schema(
+                    merge_carry, schema, keep_extras=False
+                )
         merged = self._apply_merge_clauses(
             target_scope,
             source,
@@ -1477,6 +1521,8 @@ class LakehouseTable:
             matched_delete_where,
             insert_unmatched,
         )
+        if merge_carry is not None:
+            merged = merged.unionByName(merge_carry)
         version = self._next_version(snap)
         batch = self._write_batch(
             merged, schema, mo, version, renames_at=len(snap.renames)
@@ -1720,6 +1766,35 @@ class LakehouseTable:
             )
         return out
 
+    def _split_cow_scope(
+        self, snap: Snapshot, hit: list[str]
+    ) -> tuple[list[dict], DataFrame | None]:
+        """COW-DML batch split under a month scope (partition evolution
+        aware): current-spec batches keep their non-hit months by manifest
+        trim (metadata only); foreign-layout batches cannot be
+        month-trimmed, so they leave the keep set and their NON-hit live
+        rows ride the rewrite as a carry scan — migrating them to the
+        current layout as a side effect, exactly what a rewrite under an
+        evolved spec should do. Returns (keep_batches, carry_df | None);
+        the hit-month rows of foreign batches already flow through
+        ``read(months=hit)`` via the scan's row-level filter."""
+        keep, foreign = [], []
+        for b in snap.batches:
+            if self._month_prunable(b, snap):
+                remaining_m = [m for m in b["months"] if m not in hit]
+                if remaining_m:
+                    keep.append({**b, "months": remaining_m})
+            else:
+                foreign.append(b)
+        carry = None
+        if foreign:
+            carry = self._scan(snap, foreign, None).where(
+                ~F.date_format(
+                    F.col(snap.partition_month_of), "yyyy-MM"
+                ).isin(hit)
+            )
+        return keep, carry
+
     def _affected_months(self, cond) -> list[str]:
         """Distinct months holding rows matching ``cond`` — a column-pruned
         scan returning only month strings (metadata-bounded, like Iceberg's
@@ -1861,12 +1936,10 @@ class LakehouseTable:
             hit = self._affected_months(cond_true)
             if not hit:
                 return snap.version  # nothing matches: no new snapshot
-            keep_batches = []
-            for b in snap.batches:
-                remaining_m = [m for m in (b["months"] or []) if m not in hit]
-                if remaining_m:
-                    keep_batches.append({**b, "months": remaining_m})
+            keep_batches, carry = self._split_cow_scope(snap, hit)
             remaining = self.read(months=hit).where(~cond_true)
+            if carry is not None:
+                remaining = remaining.unionByName(carry)
         else:
             # UNPARTITIONED fallback: an existence probe (limit-1, early-
             # exit scan) replaces a guaranteed full rewrite when nothing
@@ -1982,12 +2055,10 @@ class LakehouseTable:
             hit = self._affected_months(cond_true)
             if not hit:
                 return snap.version
-            keep_batches = []
-            for b in snap.batches:
-                remaining_m = [m for m in (b["months"] or []) if m not in hit]
-                if remaining_m:
-                    keep_batches.append({**b, "months": remaining_m})
+            keep_batches, carry = self._split_cow_scope(snap, hit)
             rewritten = apply(self.read(months=hit))
+            if carry is not None:
+                rewritten = rewritten.unionByName(carry)
         else:
             if self.read().where(cond_true).limit(1).count() == 0:
                 return snap.version  # nothing matches: no new snapshot
@@ -2019,19 +2090,57 @@ class LakehouseTable:
             .distinct()
             .collect()
         ]
-        keep_batches = []
-        for b in snap.batches:
-            remaining = [m for m in (b["months"] or []) if m not in new_months]
-            if remaining:
-                keep_batches.append({**b, "months": remaining})
+        # foreign-layout batches (partition evolution) can't be
+        # month-trimmed: their rows OUTSIDE the overwritten months must
+        # survive, so they ride the new batch as a carry scan
+        keep_batches, carry = self._split_cow_scope(snap, new_months)
+        data = df
+        if carry is not None:
+            data = align_schema(
+                df, snap.schema, keep_extras=False
+            ).unionByName(carry)
         version = self._next_version(snap)
         batch = self._write_batch(
-            df, snap.schema, mo, version, renames_at=len(snap.renames)
+            data, snap.schema, mo, version, renames_at=len(snap.renames)
         )
         self._commit(
             Snapshot(
                 version, snap.schema, keep_batches + [batch], mo,
                 snap.renames, snap.deletes,
+            )
+        )
+        return version
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full-table INSERT OVERWRITE: ONE commit replacing every live
+        batch (and clearing live delete files) with the new content —
+        the whole-table complement of the dynamic
+        :meth:`overwrite_partitions`. History is preserved; time travel
+        still reads the replaced snapshots."""
+        snap = self._load()
+        version = self._next_version(snap)
+        batch = self._write_batch(
+            df, snap.schema, snap.partition_month_of, version,
+            renames_at=len(snap.renames),
+        )
+        self._commit(
+            Snapshot(
+                version, snap.schema, [batch],
+                snap.partition_month_of, snap.renames, [],
+            )
+        )
+        return version
+
+    def truncate(self) -> int:
+        """TRUNCATE TABLE: a new snapshot with no live batches and no
+        live delete files. Metadata-only — nothing is deleted from disk
+        (time travel still works; ``expire_snapshots`` reclaims)."""
+        snap = self._load()
+        version = self._next_version(snap)
+        self._commit(
+            Snapshot(
+                version, snap.schema, [],
+                snap.partition_month_of, snap.renames, [],
             )
         )
         return version
@@ -2143,30 +2252,88 @@ class LakehouseTable:
         for b in snap.batches:
             fr = b.get("file_rows") or {}
             if b["months"] is None:
-                slot = agg.setdefault(None, {"rows": 0, "files": 0})
+                slot = agg.setdefault(
+                    (None, None), {"rows": 0, "files": 0}
+                )
                 slot["rows"] += sum(fr.values())
                 slot["files"] += len(fr)
                 continue
+            # group under the spec that WROTE the batch (partition
+            # evolution: a foreign-layout batch's months index a different
+            # source column — Iceberg's partitions table is per-spec too)
+            spec = b.get("spec_col", snap.partition_month_of)
             for rel, n in fr.items():
                 month = (
                     rel.replace(os.sep, "/").split("/", 1)[0].split("=", 1)[-1]
                 )
                 if month not in b["months"]:
                     continue  # trimmed by a partition-scoped DML
-                slot = agg.setdefault(month, {"rows": 0, "files": 0})
+                slot = agg.setdefault(
+                    (spec, month), {"rows": 0, "files": 0}
+                )
                 slot["rows"] += n
                 slot["files"] += 1
         return [
             {
-                "month": m,
+                "spec_col": k[0],
+                "month": k[1],
                 "rows": v["rows"],
                 "files": v["files"],
                 "n_delete_files": len(snap.deletes),
             }
-            for m, v in sorted(
-                agg.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            for k, v in sorted(
+                agg.items(),
+                key=lambda kv: (
+                    kv[0][0] is None,
+                    kv[0][0] or "",
+                    kv[0][1] or "",
+                ),
             )
         ]
+
+    def set_partition_spec(self, month_of: str | None) -> int:
+        """Partition evolution (Iceberg ALTER TABLE ... partition-field
+        DDL): change the hidden months() source column — or drop the
+        transform entirely with ``None`` — as a METADATA-ONLY commit.
+        Existing batches keep their physical layout; each is stamped with
+        the spec that wrote it, so month pruning never lies: current-spec
+        batches prune by manifest metadata, foreign-layout batches scan
+        with a row-level month filter and migrate to the new layout on
+        their first rewrite (``compact()`` or any COW DML that touches
+        them). Writes after this commit use the new layout."""
+        snap = self._load()
+        if month_of is not None:
+            field = {f.name: f for f in snap.schema.fields}.get(month_of)
+            if field is None:
+                raise ValueError(f"no such column: {month_of}")
+            if not isinstance(
+                field.dataType,
+                (T.DateType, T.TimestampType, T.TimestampNTZType),
+            ):
+                raise ValueError(
+                    f"months() needs a date/timestamp column; "
+                    f"{month_of} is {field.dataType.simpleString()}"
+                )
+        if month_of == snap.partition_month_of:
+            return snap.version  # no-op
+        # stamp the writing spec on batches that predate spec tracking,
+        # so prunability stays decidable after the spec changes
+        batches = [
+            (
+                {**b, "spec_col": b.get("spec_col", snap.partition_month_of)}
+                if b["months"] is not None
+                else b
+            )
+            for b in snap.batches
+        ]
+        version = self._next_version(snap)
+        self._commit(
+            Snapshot(
+                version, snap.schema, batches, month_of,
+                snap.renames, snap.deletes,
+            )
+        )
+        return version
 
     def metadata_df(self, kind: str) -> DataFrame:
         """One of Iceberg's metadata tables as a DataFrame — the
@@ -2183,6 +2350,7 @@ class LakehouseTable:
             return self.spark.createDataFrame(
                 [
                     (
+                        p["spec_col"],
                         p["month"],
                         p["rows"],
                         p["files"],
@@ -2190,8 +2358,8 @@ class LakehouseTable:
                     )
                     for p in self.partitions()
                 ],
-                "month STRING, rows BIGINT, files BIGINT, "
-                "n_delete_files BIGINT",
+                "spec_col STRING, month STRING, rows BIGINT, "
+                "files BIGINT, n_delete_files BIGINT",
             )
         if kind == "snapshots":
             return self.spark.createDataFrame(
@@ -2763,6 +2931,18 @@ class LakehouseCatalog:
             return self._version_df(t._load().version)
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"SET\s+PARTITION\s+SPEC\s+"
+            r"(?:MONTH\s*\(\s*(\w+)\s*\)|(NONE))\s*$",
+            q,
+        )
+        if m:
+            ns, name, col, none = m.groups()
+            v = self.table(ns, name).set_partition_spec(
+                None if none else col
+            )
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
             r"ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)\s*$",
             q,
         )
@@ -2837,6 +3017,27 @@ class LakehouseCatalog:
         if m:
             self.drop_table(m.group(1), m.group(2))
             return self._version_df(-1)
+        m = re.match(
+            r"(?is)^TRUNCATE\s+TABLE\s+lake\.(\w+)\.(\w+)\s*$", q
+        )
+        if m:
+            v = self.table(m.group(1), m.group(2)).truncate()
+            return self._version_df(v)
+        m = re.match(
+            r"(?is)^INSERT\s+OVERWRITE\s+lake\.(\w+)\.(\w+)\s+"
+            r"(SELECT\b.*)$",
+            q,
+        )
+        if m:
+            # Spark's dynamic-overwrite semantics: a partitioned table
+            # replaces exactly the hidden months present in the data
+            # (reference R19); an unpartitioned table replaces everything
+            ns, name, body = m.groups()
+            t = self.table(ns, name)
+            rows = self.sql(body)
+            if t._load().partition_month_of:
+                return self._version_df(t.overwrite_partitions(rows))
+            return self._version_df(t.overwrite(rows))
         m = re.match(
             r"(?is)^INSERT\s+INTO\s+lake\.(\w+)\.(\w+)\s*"
             r"(?:\(([^)]*)\)\s*)?(VALUES\s*\(.*)$",

@@ -1267,3 +1267,142 @@ def test_sql_call_rewrite_delete_files(spark, catalog):
     assert t._load().deletes == []
     assert t.read().count() == 40
     assert {r.rev for r in t.read().where("id = 5").collect()} == {3}
+
+
+def _pe_df(spark, year, month, n, base=0):
+    import datetime as _dt
+
+    return spark.createDataFrame(
+        [
+            (base + i, _dt.datetime(year, month, 1 + (i % 27)), i * 1.0)
+            for i in range(n)
+        ],
+        ["id", "ts", "v"],
+    )
+
+
+def test_partition_evolution_none_to_month(spark, catalog):
+    catalog.write_evolving(_pe_df(spark, 2024, 1, 10), "db", "pe")
+    t = catalog.table("db", "pe")
+    t.append(_pe_df(spark, 2024, 2, 10, base=100))
+    assert t._load().partition_month_of is None
+    t.set_partition_spec("ts")
+    t.append(_pe_df(spark, 2024, 3, 10, base=200))   # new layout
+    snap = t._load()
+    assert snap.partition_month_of == "ts"
+    assert t.read().count() == 30
+    # read(months=) stays exact across layouts: old batches row-filter
+    assert t.read(months=["2024-01"]).count() == 10
+    assert t.read(months=["2024-03"]).count() == 10
+    assert t.row_count(months=["2024-01"]) == 10
+    assert t.row_count() == 30
+    # partitions(): per-spec buckets — old rows under spec None
+    parts = {(p["spec_col"], p["month"]): p["rows"] for p in t.partitions()}
+    assert parts[("ts", "2024-03")] == 10
+    assert parts[(None, None)] == 20
+
+
+def test_partition_evolution_cow_dml_carries_foreign_rows(spark, catalog):
+    catalog.write_evolving(_pe_df(spark, 2024, 1, 10), "db", "ped")
+    t = catalog.table("db", "ped")
+    t.append(_pe_df(spark, 2024, 2, 10, base=100))   # unpartitioned too
+    t.set_partition_spec("ts")
+    # COW DELETE scoped to 2024-01: the unpartitioned batches can't be
+    # month-trimmed — their 2024-02 rows must survive via the carry path
+    t.delete_where("ts < TIMESTAMP '2024-02-01 00:00:00' AND id < 5")
+    rows = t.read()
+    assert rows.count() == 15
+    assert rows.where("ts < TIMESTAMP '2024-02-01'").count() == 5
+    assert rows.where("ts >= TIMESTAMP '2024-02-01'").count() == 10
+    # COW UPDATE after evolution: only matching rows change, all survive
+    t.update_where("id >= 100", {"v": "v + 1000"})
+    assert t.read().where("v >= 1000").count() == 10
+    assert t.read().count() == 15
+
+
+def test_partition_evolution_overwrite_keeps_foreign_out_of_scope(
+    spark, catalog
+):
+    catalog.write_evolving(_pe_df(spark, 2024, 1, 8), "db", "peo")
+    t = catalog.table("db", "peo")
+    t.append(_pe_df(spark, 2024, 2, 8, base=100))
+    t.set_partition_spec("ts")
+    # overwrite ONLY 2024-01 with 3 fresh rows; the unpartitioned
+    # batches' 2024-02 rows must survive (pre-fix they were dropped)
+    t.overwrite_partitions(_pe_df(spark, 2024, 1, 3, base=500))
+    out = t.read()
+    assert out.count() == 11
+    assert sorted(
+        r.id for r in out.where("ts < TIMESTAMP '2024-02-01'").collect()
+    ) == [500, 501, 502]
+    assert out.where("ts >= TIMESTAMP '2024-02-01'").count() == 8
+
+
+def test_partition_evolution_compact_migrates_layout(spark, catalog):
+    catalog.write_evolving(_pe_df(spark, 2024, 1, 10), "db", "pec")
+    t = catalog.table("db", "pec")
+    t.set_partition_spec("ts")
+    t.append(_pe_df(spark, 2024, 2, 10, base=100))
+    t.compact()
+    snap = t._load()
+    assert len(snap.batches) == 1
+    assert snap.batches[0]["spec_col"] == "ts"
+    assert sorted(snap.batches[0]["months"]) == ["2024-01", "2024-02"]
+    assert t.read().count() == 20
+    # after migration, pruning is metadata-only again
+    assert t.row_count(months=["2024-01"]) == 10
+
+
+def test_partition_evolution_sql_and_validation(spark, catalog):
+    catalog.write_evolving(_pe_df(spark, 2024, 1, 4), "db", "pes")
+    catalog.sql("ALTER TABLE lake.db.pes SET PARTITION SPEC MONTH(ts)")
+    t = catalog.table("db", "pes")
+    assert t._load().partition_month_of == "ts"
+    catalog.sql("ALTER TABLE lake.db.pes SET PARTITION SPEC NONE")
+    assert t._load().partition_month_of is None
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_partition_spec("nope")
+    with pytest.raises(ValueError, match="date/timestamp"):
+        t.set_partition_spec("v")
+    # no-op spec set commits nothing
+    before = t._load().version
+    assert t.set_partition_spec(None) == before
+
+
+def test_sql_insert_overwrite_and_truncate(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "bal"]),
+        "db", "ovw",
+    )
+    t = catalog.table("db", "ovw")
+    # unpartitioned: full replace in one commit
+    catalog.sql(
+        "INSERT OVERWRITE lake.db.ovw SELECT 9 AS id, 90.0 AS bal"
+    )
+    assert [(r.id, r.bal) for r in t.read().collect()] == [(9, 90.0)]
+    # time travel still sees the replaced content
+    assert catalog.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.ovw FOR VERSION AS OF 1"
+    ).collect()[0].n == 2
+    catalog.sql("TRUNCATE TABLE lake.db.ovw")
+    assert t.read().count() == 0
+    assert t.row_count() == 0
+    # partitioned: INSERT OVERWRITE is dynamic (replaces only the months
+    # present in the data)
+    import datetime as _dt
+
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(i, _dt.datetime(2024, 1 + (i % 2), 5)) for i in range(8)],
+            ["id", "ts"],
+        ),
+        "db", "ovp", partition_month_of="ts",
+    )
+    spark.createDataFrame(
+        [(100, _dt.datetime(2024, 1, 9))], ["id", "ts"]
+    ).createOrReplaceTempView("ovp_new")
+    catalog.sql("INSERT OVERWRITE lake.db.ovp SELECT * FROM ovp_new")
+    tp = catalog.table("db", "ovp")
+    out = tp.read()
+    assert out.where("ts < TIMESTAMP '2024-02-01'").count() == 1  # replaced
+    assert out.where("ts >= TIMESTAMP '2024-02-01'").count() == 4  # kept
