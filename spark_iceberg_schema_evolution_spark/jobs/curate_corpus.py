@@ -7,11 +7,16 @@ pretraining corpus actually runs:
       -> PII redaction          (email/number masking, map-only)
       -> boilerplate removal    (line doc-frequency > cap dropped
                                  corpus-wide, banned set broadcast)
+      -> paragraph dedup        (optional: corpus-level keep-first,
+                                 text never enters the dedup shuffles)
       -> exact dedup            (md5 keep-one, fixed-width shuffle keys)
       -> near-dedup             (MinHash -> LSH bands -> exact-Jaccard
                                  verify on candidates -> connected
                                  components -> keep cluster minimum)
-      -> quality filter         (heuristic score >= threshold, lang-id)
+      -> quality filter         (heuristic score >= threshold, lang-id,
+                                 optional exact-percentile length band)
+      -> mixture resample       (optional: source token-share targets
+                                 solved to epoch rates, copies re-keyed)
       -> chunking               (fixed-size overlapping token windows)
       -> sequence packing       (fixed-capacity bins, sharded by lang)
       -> train/val/test split   (md5 bucket thresholds, deterministic)
@@ -53,6 +58,21 @@ def build_parser() -> argparse.ArgumentParser:
         "(0 = stage off)",
     )
     p.add_argument("--no-redact", action="store_true")
+    p.add_argument(
+        "--paragraph-dedup", action="store_true",
+        help="corpus-level keep-first paragraph dedup before doc dedup",
+    )
+    p.add_argument(
+        "--quality-band", default=None,
+        help="lo,hi percentile trim on doc length, e.g. 0.05,0.99 "
+        "(exact percentile; off by default)",
+    )
+    p.add_argument(
+        "--mix", default=None,
+        help="target token shares per source, e.g. 'src0=0.5,src1=0.5' "
+        "(requires --mix-tokens; resamples the post-quality corpus)",
+    )
+    p.add_argument("--mix-tokens", type=float, default=None)
     return p
 
 
@@ -62,10 +82,13 @@ def curate(spark, args) -> dict:
     from spark_iceberg_schema_evolution_spark.operators import dedup
     from spark_iceberg_schema_evolution_spark.operators.text import (
         chunk_text,
+        dedup_paragraphs,
         hash_split,
         lang_id,
+        mix_corpora,
         pack_sequences,
         quality_score,
+        quantile_band_filter,
         redact_pii,
         remove_boilerplate_lines,
         token_count,
@@ -87,7 +110,12 @@ def curate(spark, args) -> dict:
             if other
             else cleaned
         )
-    if not args.no_redact or args.boilerplate_df:
+    if args.paragraph_dedup:
+        # corpus-level keep-first paragraph dedup BEFORE doc-level dedup:
+        # repeated boilerplate paragraphs would otherwise make distinct
+        # docs look like near-duplicates of each other
+        docs = dedup_paragraphs(docs, sep="\n")
+    if not args.no_redact or args.boilerplate_df or args.paragraph_dedup:
         docs.write.mode("overwrite").parquet(f"{args.output}/00_scrubbed")
         docs = spark.read.parquet(f"{args.output}/00_scrubbed")
         counts["after_scrub"] = docs.count()
@@ -120,9 +148,41 @@ def curate(spark, args) -> dict:
         "lang_detected", lang_id()
     )
     kept = scored.where(F.col("quality") >= args.min_quality)
+    if args.quality_band:
+        lo, hi = (float(x) for x in args.quality_band.split(","))
+        kept = quantile_band_filter(
+            kept.withColumn("__len", F.length("text")), "__len", lo, hi
+        ).drop("__len")
     kept.write.mode("overwrite").parquet(f"{args.output}/03_quality")
     kept = spark.read.parquet(f"{args.output}/03_quality")
     counts["after_quality"] = kept.count()
+
+    # 3b. optional training-mixture resample by source token shares
+    if args.mix:
+        if args.mix_tokens is None:
+            raise ValueError("--mix requires --mix-tokens")
+        fracs = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.mix.split(","))
+        }
+        # copies become distinct downstream examples: re-key doc_id so
+        # chunking/packing/splitting never collide two copies
+        kept = (
+            mix_corpora(
+                kept.withColumn("__tok", token_count()),
+                fracs,
+                total_tokens=args.mix_tokens,
+                tokens_col="__tok",
+            )
+            .withColumn(
+                "doc_id",
+                F.concat_ws("#", F.col("doc_id"), F.col("copy_idx")),
+            )
+            .drop("__tok", "copy_idx")
+        )
+        kept.write.mode("overwrite").parquet(f"{args.output}/03b_mixed")
+        kept = spark.read.parquet(f"{args.output}/03b_mixed")
+        counts["after_mix"] = kept.count()
 
     # 4. chunking
     chunks = chunk_text(

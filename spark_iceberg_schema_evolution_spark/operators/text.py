@@ -675,25 +675,33 @@ def quantile_band_filter(
     score_col: str,
     lo_q: float = 0.0,
     hi_q: float = 1.0,
+    approximate: bool = False,
 ) -> DataFrame:
     """Keep rows whose ``score_col`` lies inside the corpus's
-    [lo_q, hi_q] exact-percentile band — the quality-score tail trim a
+    [lo_q, hi_q] percentile band — the quality-score tail trim a
     curation pipeline runs after scoring (drop the shortest/garbage tail
     and the longest/outlier tail in one pass).
 
-    Exact ``percentile`` (linear interpolation, matching ANSI
+    Default is exact ``percentile`` (linear interpolation, matching ANSI
     PERCENTILE_CONT / DuckDB quantile_cont) so the cut is reproducible
-    across engines — approx_percentile would make the kept set
-    nondeterministic. Cost: one partial-aggregated percentile pass (tiny
-    shuffle: per-partition digests only), thresholds broadcast back via
-    a 1-row cross join, then a map-only filter; the corpus itself never
+    across engines. Exact percentile buffers a value->count map per
+    partition, so it is safe when the score has bounded cardinality
+    (lengths, integer scores — the common case) but NOT for
+    high-cardinality continuous scores at 100 TB; pass
+    ``approximate=True`` there to swap in ``approx_percentile``
+    (fixed-size sketch, same profile_stats trade — deterministic for a
+    fixed input, but not oracle-exact across engines). Either way the
+    cost shape is one partial-aggregated pass (tiny shuffle:
+    per-partition digests only), thresholds broadcast back via a 1-row
+    cross join, then a map-only filter; the corpus itself never
     shuffles."""
     from pyspark.sql.functions import broadcast
 
+    fn = "approx_percentile" if approximate else "percentile"
     bounds = broadcast(
         df.agg(
-            F.expr(f"percentile({score_col}, {lo_q})").alias("__lo"),
-            F.expr(f"percentile({score_col}, {hi_q})").alias("__hi"),
+            F.expr(f"{fn}({score_col}, {lo_q})").alias("__lo"),
+            F.expr(f"{fn}({score_col}, {hi_q})").alias("__hi"),
         )
     )
     return (

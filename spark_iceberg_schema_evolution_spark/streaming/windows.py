@@ -303,6 +303,66 @@ def stream_to_lakehouse(
         q.stop()
 
 
+def stream_to_lakehouse_gated(
+    stream_df: DataFrame,
+    catalog,
+    namespace: str,
+    table: str,
+    checkpoint_dir: str,
+    rules: list[dict],
+    partition_month_of: str | None = None,
+    on_violation: str = "skip",
+) -> dict:
+    """Quality-gated streaming ingest: every micro-batch runs the
+    single-pass :func:`~spark_iceberg_schema_evolution_spark.operators.
+    profile.validate_expectations` gate BEFORE its lakehouse commit — a
+    red rule either quarantines the batch (``on_violation='skip'``: no
+    commit, batch recorded in the report) or kills the stream
+    (``'fail'``). This is the deploy shape for the expectations gate: a
+    bad upstream deploy ships garbage for hours; the gate bounds the
+    blast radius to zero committed epochs.
+
+    Returns {"committed": n, "skipped": [(epoch, [failed rules])...]}.
+    The gate costs one extra aggregate pass per micro-batch (scalar
+    row; the batch data is already materialized for the write)."""
+    if on_violation not in ("skip", "fail"):
+        raise ValueError("on_violation must be 'skip' or 'fail'")
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        validate_expectations,
+    )
+
+    report = {"committed": 0, "skipped": []}
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        failed = [
+            r.rule
+            for r in validate_expectations(df, rules).collect()
+            if not r.passed
+        ]
+        if failed:
+            if on_violation == "fail":
+                raise ValueError(
+                    f"epoch {epoch_id} failed quality gate: {failed}"
+                )
+            report["skipped"].append((epoch_id, failed))
+            return
+        catalog.write_evolving(
+            df, namespace, table, partition_month_of=partition_month_of
+        )
+        report["committed"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return report
+
+
 def stream_stream_join(
     events: DataFrame,
     lookback: str = "1 hour",

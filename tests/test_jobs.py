@@ -98,3 +98,32 @@ def test_maintain_table_job(spark, tmp_path, capsys):
     t = cat.table("db", "m")
     p = t.plan_scan([("id", "<", 50)])
     assert p["files_scanned"] < p["files_total"]
+
+
+def test_curate_corpus_round5_stages(spark, tmp_path):
+    """The optional round-5 stages compose end-to-end: paragraph dedup
+    + quality band + mixture resample, each auditable in its stage dir."""
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import (
+        build_parser, curate,
+    )
+
+    out = str(tmp_path / "cur5")
+    args = build_parser().parse_args(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out,
+         "--paragraph-dedup",
+         "--quality-band", "0.05,0.95",
+         "--mix", "src0=0.5,src1=0.5", "--mix-tokens", "5000",
+         "--min-quality", "0.0",
+         "--chunk-tokens", "64", "--overlap", "8",
+         "--pack-capacity", "512"]
+    )
+    counts = curate(spark, args)
+    assert counts["after_mix"] > 0
+    mixed = spark.read.parquet(f"{out}/03b_mixed")
+    # mixture keeps only the targeted sources, copies re-keyed uniquely
+    assert set(
+        r.source for r in mixed.select("source").distinct().collect()
+    ) <= {"src0", "src1"}
+    assert mixed.select("doc_id").distinct().count() == mixed.count()
+    assert counts["chunks"] > 0 and counts["bins"] > 0

@@ -415,3 +415,27 @@ def test_validate_expectations_empty_frame_passes(spark):
          {"rule": "unique", "cols": ["id"]}],
     )
     assert all(r.passed for r in out.collect())  # vacuously green, not NULL
+
+
+def test_quantile_band_filter_approximate_path(spark):
+    """approximate=True swaps in approx_percentile (fixed-size sketch,
+    the 100 TB path for high-cardinality scores); on this small frame
+    the sketch is exact, so the kept set matches the exact cut."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        quantile_band_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "score"]
+    )
+    exact = sorted(
+        r.id for r in quantile_band_filter(df, "score", 0.1, 0.9).collect()
+    )
+    approx = sorted(
+        r.id
+        for r in quantile_band_filter(
+            df, "score", 0.1, 0.9, approximate=True
+        ).collect()
+    )
+    assert abs(len(approx) - len(exact)) <= 2  # sketch edge tolerance
+    assert set(approx) >= set(exact[2:-2])

@@ -319,3 +319,47 @@ def test_kafka_event_decode_offline(spark):
     assert good.ts.isoformat() == "2024-03-01T10:30:00"
     bad = next(r for r in rows if r.event_id is None)
     assert all(v is None for v in bad.asDict().values())
+
+
+def test_stream_quality_gate_quarantines_bad_epochs(spark, tmp_path):
+    """The gated sink commits only micro-batches that pass the
+    expectations gate: file 1 is clean, file 2 carries a duplicate
+    event_id — with maxFilesPerTrigger=1 the bad epoch is quarantined
+    (no commit) and the table holds exactly the clean rows."""
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    src = str(tmp_path / "gate-src")
+    os.makedirs(src)
+    _write_events(
+        spark,
+        os.path.join(src, "f1.parquet"),
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:01:00", 8)],
+    )
+    time.sleep(1.1)
+    _write_events(
+        spark,
+        os.path.join(src, "f2.parquet"),
+        [(3, "2024-01-01 10:02:00", 7), (3, "2024-01-01 10:03:00", 9)],
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    stream = SW.events_file_stream(spark, src, max_files_per_trigger=1)
+    report = SW.stream_to_lakehouse_gated(
+        stream, cat, "db", "gated", str(tmp_path / "ckpt"),
+        rules=[{"rule": "unique", "cols": ["event_id"]},
+               {"rule": "not_null", "col": "user_id"}],
+    )
+    assert report["committed"] == 1
+    assert len(report["skipped"]) == 1
+    assert report["skipped"][0][1] == ["unique(event_id)"]
+    out = cat.table("db", "gated").read()
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
+    # on_violation='fail' kills the stream instead
+    import pytest as _pytest
+
+    stream2 = SW.events_file_stream(spark, src, max_files_per_trigger=1)
+    with _pytest.raises(Exception, match="failed quality gate"):
+        SW.stream_to_lakehouse_gated(
+            stream2, cat, "db", "gated2", str(tmp_path / "ckpt2"),
+            rules=[{"rule": "unique", "cols": ["event_id"]}],
+            on_violation="fail",
+        )
