@@ -512,3 +512,219 @@ def pq_topk(
     return rerank.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+def _fit_subspace_codebooks(
+    fit_df: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int,
+    seed: int,
+    vec_col: str = "__cv",
+) -> list[list[list[float]]]:
+    """Fit the m per-sub-space KMeans codebooks on a (bounded) sample —
+    shared by pq_topk and ivfpq_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dsub = dim // m
+    out = []
+    for j in range(m):
+        km = KMeans(k=ksub, seed=seed + j, featuresCol="__feat").fit(
+            fit_df.select(
+                array_to_vector(
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                ).alias("__feat")
+            )
+        )
+        out.append([[float(x) for x in ctr] for ctr in km.clusterCenters()])
+    return out
+
+
+def _pq_code_expr(
+    codebooks: list[list[list[float]]], dim: int, vcol: Column
+) -> Column:
+    """array<int> PQ code for a vector column: per-sub-space argmin over
+    plan-literal codebooks (zero-shuffle, codegen)."""
+    m = len(codebooks)
+    dsub = dim // m
+
+    def code_for(j: int) -> Column:
+        dists = F.transform(
+            F.array(
+                *[
+                    F.struct(
+                        F.array(*[F.lit(x) for x in vec]).alias("v"),
+                        F.lit(i).alias("c"),
+                    )
+                    for i, vec in enumerate(codebooks[j])
+                ]
+            ),
+            lambda s: F.struct(
+                fold_sum(
+                    F.zip_with(
+                        F.slice(vcol, j * dsub + 1, dsub),
+                        s["v"],
+                        lambda a, b: (a - b) * (a - b),
+                    )
+                ).alias("d"),
+                s["c"].alias("c"),
+            ),
+        )
+        return F.array_min(dists)["c"]
+
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def _pq_lut_expr(
+    codebooks: list[list[list[float]]], dim: int, qcol: Column
+) -> Column:
+    """array<array<double>> ADC lookup table for a query column:
+    lut[j][c] = dot(q_sub_j, codebook_j[c]). Single-arg lambdas via a
+    factory — a two-parameter lambda would make F.transform pass the
+    element index as the second argument, shadowing j."""
+    m = len(codebooks)
+    dsub = dim // m
+
+    def lut_for(j: int) -> Column:
+        return F.transform(
+            F.array(
+                *[
+                    F.array(*[F.lit(x) for x in vec])
+                    for vec in codebooks[j]
+                ]
+            ),
+            lambda ctr: dot(F.slice(qcol, j * dsub + 1, dsub), ctr),
+        )
+
+    return F.array(*[lut_for(j) for j in range(m)])
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    max_fit_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ top-k — the classical large-scale ANN pairing: an IVF
+    coarse quantizer prunes the corpus to ``n_probe`` cells per query,
+    PQ codes + per-query ADC tables score ONLY those cell members with
+    m table lookups per row, and the top ``k*refine`` survivors re-rank
+    with exact cosine. At 100 TB this is the index you actually ship:
+    the scan touches n_probe/num_centroids of the corpus AND reads
+    one-byte-per-sub-space codes instead of full vectors; full vectors
+    surface only for the k*refine re-rank fetch.
+
+    Same bounded-sample fit, plan-literal models, and zero-shuffle
+    encode discipline as ``ivf_topk``/``pq_topk``; only fixed-width
+    (qid, id, adc) rows enter the top-k shuffle."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
+    )
+    fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
+    fit_df = fit_df.limit(max_fit_rows)
+
+    km = KMeans(
+        k=num_centroids, seed=seed, featuresCol="__feat"
+    ).fit(fit_df.withColumn("__feat", array_to_vector("__cv")).select("__feat"))
+    centroids = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(km.clusterCenters())
+    ]
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(x) for x in vec]).alias("v"),
+                F.lit(i).alias("c"),
+            )
+            for i, vec in centroids
+        ]
+    )
+
+    def cell_dists(vcol: Column) -> Column:
+        return F.transform(
+            cent_lit,
+            lambda s: F.struct(
+                fold_sum(
+                    F.zip_with(vcol, s["v"], lambda a, b: (a - b) * (a - b))
+                ).alias("d"),
+                s["c"].alias("c"),
+            ),
+        )
+
+    codebooks = _fit_subspace_codebooks(fit_df, dim, m, ksub, seed + 7)
+    encoded = c.select(
+        corpus_id,
+        F.array_min(cell_dists(F.col("__cv")))["c"].alias("__cell"),
+        _pq_code_expr(codebooks, dim, F.col("__cv")).alias("__codes"),
+        l2_norm(F.col("__cv")).alias("__xn"),
+    )
+
+    q = queries.select(
+        F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
+    )
+    q_probe = q.select(
+        query_id,
+        _pq_lut_expr(codebooks, dim, F.col("__qv")).alias("__lut"),
+        l2_norm(F.col("__qv")).alias("__qn"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(cell_dists(F.col("__qv"))), 1, n_probe
+                ),
+                lambda s: s["c"],
+            )
+        ).alias("__cell"),
+    )
+
+    adc_dot = fold_sum(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("__codes"),
+            lambda lj, cj: F.element_at(lj, cj + 1),
+        )
+    )
+    scored = encoded.join(F.broadcast(q_probe), "__cell").select(
+        query_id,
+        corpus_id,
+        (adc_dot / (F.col("__qn") * F.col("__xn"))).alias("__adc"),
+    )
+    w = Wnd.partitionBy(query_id).orderBy(
+        F.col("__adc").desc(), F.col(corpus_id).asc()
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k * refine)
+        .select(query_id, corpus_id)
+    )
+    rerank = (
+        c.join(F.broadcast(cand), corpus_id)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+        )
+    )
+    w2 = Wnd.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return rerank.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

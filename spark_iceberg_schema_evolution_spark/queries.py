@@ -1660,6 +1660,25 @@ def t2_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@q("t2_ivfpq_cosine_topk", oracle=None, tier=2)
+def t2_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN — coarse-cell pruning + compressed-domain ADC scoring
+    + exact re-rank, the classical 100 TB pairing; recall@10 >= 0.9 vs
+    exact is asserted in tests/test_llm_ops.py."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import ivfpq_topk
+
+    e = load(spark, sf, "embeddings")
+    qdf = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        e, qdf, dim=64, k=10, num_centroids=8, n_probe=6,
+        m=16, ksub=32, refine=8,
+    ).select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
 @q("t2_multimodal_features", oracle=None, tier=2)
 def t2_mm_features(spark: SparkSession, sf: str) -> DataFrame:
     from spark_iceberg_schema_evolution_spark.operators.multimodal import (

@@ -342,3 +342,28 @@ def test_pq_topk_rejects_bad_subspaces(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_topk(e, qdf, dim=64, m=7)
+
+
+def test_ivfpq_topk_recall_gate(spark):
+    """IVF-PQ (coarse cells -> ADC over cell members -> exact re-rank):
+    recall@10 >= 0.9 at a recall-matters operating point; survivor
+    scores are exact cosine."""
+    e = _emb(spark)
+    qdf = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, qdf, k=10)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap_df = similarity.ivfpq_topk(
+        e, qdf, dim=64, k=10, num_centroids=8, n_probe=6,
+        m=16, ksub=32, refine=8,
+    )
+    ap = {(r.query_id, r.vec_id) for r in ap_df.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"IVF-PQ recall@10 {recall:.3f}"
+    ex_scores = {
+        (r.query_id, r.vec_id): round(r.score, 9) for r in exact.collect()
+    }
+    for r in ap_df.collect():
+        if (r.query_id, r.vec_id) in ex_scores:
+            assert round(r.score, 9) == ex_scores[(r.query_id, r.vec_id)]
