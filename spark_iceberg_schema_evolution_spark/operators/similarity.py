@@ -393,87 +393,27 @@ def pq_topk(
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    dsub = dim // m
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(
         F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
     )
     fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
     fit_df = fit_df.limit(max_fit_rows)
 
-    def sub(col: Column, j: int) -> Column:
-        return F.slice(col, j * dsub + 1, dsub)
-
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        km = KMeans(
-            k=ksub, seed=seed + j, featuresCol="__feat"
-        ).fit(
-            fit_df.select(
-                array_to_vector(sub(F.col("__cv"), j)).alias("__feat")
-            )
-        )
-        codebooks.append(
-            [[float(x) for x in ctr] for ctr in km.clusterCenters()]
-        )
-
-    def cb_struct_lit(j: int) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(x) for x in vec]).alias("v"),
-                    F.lit(i).alias("c"),
-                )
-                for i, vec in enumerate(codebooks[j])
-            ]
-        )
-
-    def code_for(vcol: Column, j: int) -> Column:
-        dists = F.transform(
-            cb_struct_lit(j),
-            lambda s: F.struct(
-                fold_sum(
-                    F.zip_with(
-                        sub(vcol, j), s["v"], lambda a, b: (a - b) * (a - b)
-                    )
-                ).alias("d"),
-                s["c"].alias("c"),
-            ),
-        )
-        return F.array_min(dists)["c"]
-
+    codebooks = _fit_subspace_codebooks(fit_df, dim, m, ksub, seed)
     encoded = c.select(
         corpus_id,
-        F.array(
-            *[code_for(F.col("__cv"), j) for j in range(m)]
-        ).alias("__codes"),
+        _pq_code_expr(codebooks, dim, F.col("__cv")).alias("__codes"),
         l2_norm(F.col("__cv")).alias("__xn"),
     )
 
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
     )
-    # per-query ADC lookup table: lut[j][c] = dot(q_sub_j, codebook_j[c]),
-    # materialized once in the broadcast relation. NOTE the single-arg
-    # lambda via a factory: a two-parameter lambda would make F.transform
-    # pass the ELEMENT INDEX as the second arg, silently shadowing j.
-    def lut_for(j: int) -> Column:
-        return F.transform(
-            F.array(
-                *[
-                    F.array(*[F.lit(x) for x in vec])
-                    for vec in codebooks[j]
-                ]
-            ),
-            lambda ctr: dot(sub(F.col("__qv"), j), ctr),
-        )
-
-    lut = F.array(*[lut_for(j) for j in range(m)])
+    # per-query ADC lookup table, materialized once in the broadcast
+    # relation (see _pq_lut_expr for the F.transform lambda-arity trap)
     q_lut = q.select(
         query_id,
-        lut.alias("__lut"),
+        _pq_lut_expr(codebooks, dim, F.col("__qv")).alias("__lut"),
         l2_norm(F.col("__qv")).alias("__qn"),
     )
 
