@@ -42,6 +42,12 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         # tz-independent of the driver host.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # micros, not INT96: INT96 parquet carries no column stats, so
+        # lakehouse timestamp skipping/gating would silently vanish on a
+        # bare driver session
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         return fn(spark, sf_dir)
 
     return run

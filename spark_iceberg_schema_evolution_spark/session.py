@@ -42,6 +42,13 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.ui.enabled", str(cfg.ui_enabled).lower())
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # TIMESTAMP_MICROS, not the INT96 this build defaults to: INT96
+        # carries NO parquet column statistics, which silently disables
+        # footer-stats skipping (and the no-op DML gate) for every
+        # timestamp column
+        .config(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         .config("spark.sql.warehouse.dir", cfg.warehouse)
         # testdata events.ts is TIMESTAMP(NANOS) parquet, which the
         # vectorized reader rejects; read as nanos-since-epoch long and

@@ -490,21 +490,30 @@ class LakehouseTable:
                             and st.null_count == row_group.num_rows
                         ):
                             continue  # all-NULL chunk: can't match
+                        import datetime as _dt
+
                         if (
                             st is None
                             or not st.has_min_max
                             or not isinstance(
-                                st.min, (int, float, str)
+                                st.min,
+                                (int, float, str, _dt.date, _dt.datetime),
                             )
                             or isinstance(st.min, bool)
                         ):
                             if row_group.num_rows > 0:
                                 fbad.add(name)
                             continue
-                        if name not in flo or st.min < flo[name]:
-                            flo[name] = st.min
-                        if name not in fhi or st.max > fhi[name]:
-                            fhi[name] = st.max
+                        smin, smax = st.min, st.max
+                        if isinstance(smin, (_dt.date, _dt.datetime)):
+                            # temporal: canonical full-width UTC strings
+                            # (lexicographic == chronological; JSON-safe)
+                            smin = LakehouseTable._canon_temporal(smin)
+                            smax = LakehouseTable._canon_temporal(smax)
+                        if name not in flo or smin < flo[name]:
+                            flo[name] = smin
+                        if name not in fhi or smax > fhi[name]:
+                            fhi[name] = smax
                 incomplete |= fbad
                 for c in flo:
                     if c in fbad:
@@ -796,6 +805,48 @@ class LakehouseTable:
         return name
 
     @staticmethod
+    def _canon_temporal(v) -> str | None:
+        """Canonical fixed-width temporal string
+        ``YYYY-MM-DD HH:MM:SS.ffffff`` — lexicographic order equals
+        chronological order, and equal instants canonicalize to EQUAL
+        strings (a prefix-form literal like '2024-01-05' comparing
+        unequal to the full-width stat of the same midnight instant
+        would let an equality gate "prove" a false no-match). Accepts
+        datetime/date objects and ISO-ish strings; aware datetimes
+        normalize to UTC-naive (the session pins UTC). None = not
+        temporal."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if isinstance(v, _dt.date):
+            return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
+        if isinstance(v, str):
+            t = v.strip().replace("T", " ")
+            for fmt in (
+                "%Y-%m-%d %H:%M:%S.%f",
+                "%Y-%m-%d %H:%M:%S",
+                "%Y-%m-%d %H:%M",
+                "%Y-%m-%d",
+            ):
+                try:
+                    return LakehouseTable._canon_temporal(
+                        _dt.datetime.strptime(t, fmt)
+                    )
+                except ValueError:
+                    continue
+        return None
+
+    @staticmethod
+    def _is_temporal_col(col: str, snap: Snapshot) -> bool:
+        f = {f.name: f for f in snap.schema.fields}.get(col)
+        return f is not None and isinstance(
+            f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        )
+
+    @staticmethod
     def _stats_may_match(batch: dict, snap: Snapshot, filters) -> bool:
         """True unless the batch's recorded [min,max] PROVES no row can
         satisfy the conjunction. Missing stats (old manifests, unsupported
@@ -809,6 +860,17 @@ class LakehouseTable:
             if s is None:
                 continue
             lo, hi = s
+            if LakehouseTable._is_temporal_col(col, snap) and isinstance(
+                val, str
+            ):
+                # temporal stats are stored canonical full-width; the
+                # literal must canonicalize too or equal instants would
+                # compare unequal (see _canon_temporal). Unparseable
+                # literal -> no gating on this conjunct.
+                cv = LakehouseTable._canon_temporal(val)
+                if cv is None:
+                    continue
+                val = cv
             same_kind = isinstance(val, str) == isinstance(lo, str)
             if not same_kind or isinstance(val, bool):
                 continue
@@ -851,8 +913,10 @@ class LakehouseTable:
             m = re.fullmatch(
                 r"[\s(]*([A-Za-z_][A-Za-z0-9_]*)\s*"
                 r"(=|==|<=|>=|<|>)\s*"
+                r"(?:(?:TIMESTAMP|DATE)\s+)?"
                 r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?)[\s)]*",
                 term,
+                flags=re.IGNORECASE,
             )
             if not m:
                 continue
@@ -902,8 +966,10 @@ class LakehouseTable:
                 return out
             m = re.fullmatch(
                 r"(<=>|==|=|<=|>=|<|>)\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+                r"(?:(?:TIMESTAMP|DATE)\s+)?"
                 r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?)\s*\)",
                 e,
+                flags=re.IGNORECASE,
             )
             if not m:
                 return []

@@ -1406,3 +1406,82 @@ def test_sql_insert_overwrite_and_truncate(spark, catalog):
     out = tp.read()
     assert out.where("ts < TIMESTAMP '2024-02-01'").count() == 1  # replaced
     assert out.where("ts >= TIMESTAMP '2024-02-01'").count() == 4  # kept
+
+
+def test_temporal_footer_stats_and_skipping(spark, catalog):
+    import datetime as _dt
+
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [
+                (i, _dt.datetime(2024, 1, 1 + i), _dt.date(2024, 2, 1 + i))
+                for i in range(10)
+            ],
+            ["id", "ts", "d"],
+        ),
+        "db", "tstats",
+    )
+    t = catalog.table("db", "tstats")
+    stats = t._load().batches[0]["stats"]
+    # canonical full-width strings, chronological == lexicographic
+    assert stats["ts"] == [
+        "2024-01-01 00:00:00.000000", "2024-01-10 00:00:00.000000"
+    ]
+    assert stats["d"] == [
+        "2024-02-01 00:00:00.000000", "2024-02-10 00:00:00.000000"
+    ]
+    # no-op DML gate: an out-of-range ts DELETE is metadata-only
+    before = t._load().version
+    assert t.delete_where("ts > TIMESTAMP '2025-06-01 00:00:00'") == before
+    assert t.delete_where("d < DATE '2024-01-01'") == before
+    # boundary soundness: equality at exact midnight MUST NOT be skipped
+    v = t.delete_where("ts = TIMESTAMP '2024-01-03 00:00:00'")
+    assert v > before
+    assert t.read().count() == 9
+    # in-range short-form string predicate still scans (and deletes)
+    v2 = t.delete_where("d = '2024-02-05'")
+    assert v2 > v
+    assert t.read().count() == 8
+
+
+def test_temporal_file_pruning_after_sorted_compact(spark, catalog):
+    import datetime as _dt
+
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [
+                (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=i))
+                for i in range(2000)
+            ],
+            ["id", "ts"],
+        ),
+        "db", "tprune",
+    )
+    t = catalog.table("db", "tprune")
+    t.compact(sort_by=["ts"], target_files=8)
+    p = t.plan_scan(
+        [("ts", "<", "2024-01-05 00:00:00")]
+    )
+    assert p["files_scanned"] < p["files_total"]
+    # pruning changed the plan, not the answer
+    n = t.read_where(
+        [("ts", "<", "2024-01-05 00:00:00")]
+    ).count()
+    assert n == 4 * 24
+
+
+def test_temporal_gate_never_misfires_on_string_columns(spark, catalog):
+    """A STRING column holding date-shaped text keeps raw string stats;
+    the literal must NOT be canonicalized for it (a full-width rewrite
+    would lexically overshoot the raw stat and 'prove' a false no-match
+    on equality — a silently dropped DELETE)."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "2024-01-05"), (2, "2024-03-09")], ["id", "s"]
+        ),
+        "db", "tstr",
+    )
+    t = catalog.table("db", "tstr")
+    v = t.delete_where("s = '2024-01-05'")
+    assert v > 0
+    assert [r.s for r in t.read().collect()] == ["2024-03-09"]
