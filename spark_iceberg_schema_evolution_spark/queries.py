@@ -3696,6 +3696,38 @@ def t2_skip_planning(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_ts_skip_planning", oracle=None, tier=2)
+def t2_ts_skip(spark: SparkSession, sf: str) -> DataFrame:
+    """Timestamp data-skipping planning metrics: after a ts-sorted
+    compaction, a narrow time-range predicate must plan a strict file
+    subset — possible only because writes are TIMESTAMP_MICROS (INT96
+    has no parquet stats) and temporal stats are canonical strings
+    (round 5). Value equivalence is t1-gated elsewhere; this records
+    the planning metric."""
+    cat = _tmp_catalog(spark)
+    ev = load_events(spark, sf).select("event_id", "ts", "user_id")
+    cat.write_evolving(ev, "db", "tss")
+    t = cat.table("db", "tss")
+    t.compact(sort_by=["ts"], target_files=8)
+    lo = "2024-01-03 00:00:00"
+    p = t.plan_scan([("ts", "<", lo)])
+    n = t.read_where([("ts", "<", lo)]).count()
+    full = t.read().where(F.col("ts") < lo).count()
+    return spark.createDataFrame(
+        [
+            (
+                p["files_scanned"],
+                p["files_total"],
+                int(p["files_scanned"] < p["files_total"]),
+                int(n == full),
+                n,
+            )
+        ],
+        "files_scanned INT, files_total INT, subset_planned INT, "
+        "values_equal INT, n_rows BIGINT",
+    )
+
+
 @q("t2_orc_roundtrip", oracle=None, tier=2)
 def t2_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source/sink round-trip (DuckDB cannot read ORC, so rows-only):

@@ -2802,6 +2802,52 @@ class LakehouseCatalog:
             self.spark, os.path.join(self.warehouse, namespace, name)
         )
 
+    # -- views (catalog-stored SQL, resolved by inlining) -------------------
+
+    def _views_path(self, namespace: str) -> str:
+        return os.path.join(self.warehouse, namespace, "_views.json")
+
+    def _views(self, namespace: str) -> dict:
+        p = self._views_path(namespace)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def create_view(
+        self, namespace: str, name: str, sql_text: str,
+        replace: bool = False,
+    ) -> None:
+        """CREATE [OR REPLACE] VIEW: store the SQL text in the catalog;
+        every reference re-plans it against the CURRENT table snapshots
+        (a view is a saved query, not saved data). Name-shadowing a
+        table is rejected — a ref must stay unambiguous."""
+        if self.table(namespace, name).exists():
+            raise ValueError(
+                f"a table named {namespace}.{name} exists"
+            )
+        views = self._views(namespace)
+        if name in views and not replace:
+            raise FileExistsError(f"view exists: {namespace}.{name}")
+        views[name] = sql_text
+        self.create_namespace(namespace)
+        tmp = self._views_path(namespace) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f)
+        os.rename(tmp, self._views_path(namespace))
+
+    def drop_view(self, namespace: str, name: str) -> None:
+        views = self._views(namespace)
+        if name not in views:
+            raise FileNotFoundError(
+                f"view does not exist: {namespace}.{name}"
+            )
+        del views[name]
+        tmp = self._views_path(namespace) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f)
+        os.rename(tmp, self._views_path(namespace))
+
     def drop_table(self, namespace: str, name: str) -> None:
         """DROP TABLE: remove the table directory (data + manifests +
         refs). Errors on a missing table — an engine that silently
@@ -2928,6 +2974,30 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [(ns, r) for r in rows], "namespace STRING, table STRING"
             )
+        m = re.match(
+            r"(?is)^SHOW\s+VIEWS\s+IN\s+lake\.(\w+)\s*$", q
+        )
+        if m:
+            ns = m.group(1)
+            return self.spark.createDataFrame(
+                [(ns, v) for v in sorted(self._views(ns))],
+                "namespace STRING, view STRING",
+            )
+        m = re.match(
+            r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
+            r"lake\.(\w+)\.(\w+)\s+AS\s+(SELECT\b.*)$",
+            q,
+        )
+        if m:
+            replace, ns, name, body = m.groups()
+            self.create_view(ns, name, body, replace=bool(replace))
+            return self._version_df(0)
+        m = re.match(
+            r"(?is)^DROP\s+VIEW\s+lake\.(\w+)\.(\w+)\s*$", q
+        )
+        if m:
+            self.drop_view(m.group(1), m.group(2))
+            return self._version_df(-1)
         m = re.match(
             r"(?is)^SHOW\s+PARTITIONS\s+lake\.(\w+)\.(\w+)\s*$", q
         )
@@ -3064,6 +3134,10 @@ class LakehouseCatalog:
             ns, name, month_of, props_body, body = m.groups()
             if self.table(ns, name).exists():
                 raise FileExistsError(f"table exists: {ns}.{name}")
+            if name in self._views(ns):
+                raise ValueError(
+                    f"a view named {ns}.{name} exists"
+                )
             v = self.write_evolving(
                 self.sql(body), ns, name, partition_month_of=month_of
             )
@@ -3230,6 +3304,30 @@ class LakehouseCatalog:
 
         def resolve(mm: re.Match) -> str:
             ns, name, at = mm.group(1), mm.group(2), mm.group(3)
+            views = self._views(ns)
+            if name in views and not self.table(ns, name).exists():
+                if at:
+                    raise ValueError(
+                        f"views have no snapshots: {ns}.{name}{at}"
+                    )
+                key = (ns, name)
+                resolving = getattr(self, "_resolving_views", None)
+                if resolving is None:
+                    resolving = self._resolving_views = set()
+                if key in resolving:
+                    raise ValueError(
+                        f"cyclic view reference: {ns}.{name}"
+                    )
+                view = f"__lake_view_{ns}_{name}"
+                resolving.add(key)
+                try:
+                    # a view is a saved query: re-plan its SQL against
+                    # the CURRENT snapshots, recursively resolving any
+                    # nested lake refs/views
+                    self.sql(views[name]).createOrReplaceTempView(view)
+                finally:
+                    resolving.discard(key)
+                return view
             version = ref = None
             if at:
                 # @v<N> = VERSION AS OF; any other @<word> = branch/tag

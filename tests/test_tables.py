@@ -1485,3 +1485,63 @@ def test_temporal_gate_never_misfires_on_string_columns(spark, catalog):
     v = t.delete_where("s = '2024-01-05'")
     assert v > 0
     assert [r.s for r in t.read().collect()] == ["2024-03-09"]
+
+
+def test_sql_views(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0), (3, "A", 30.0)],
+            ["id", "seg", "bal"],
+        ),
+        "db", "vsrc",
+    )
+    catalog.sql(
+        "CREATE VIEW lake.db.seg_a AS "
+        "SELECT id, bal FROM lake.db.vsrc WHERE seg = 'A'"
+    )
+    got = sorted(
+        (r.id, r.bal)
+        for r in catalog.sql("SELECT * FROM lake.db.seg_a").collect()
+    )
+    assert got == [(1, 10.0), (3, 30.0)]
+    # a view is a saved query: new data appears on next reference
+    catalog.sql("INSERT INTO lake.db.vsrc VALUES (4, 'A', 40.0)")
+    assert catalog.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.seg_a"
+    ).collect()[0].n == 3
+    # views over views resolve recursively
+    catalog.sql(
+        "CREATE VIEW lake.db.seg_a_big AS "
+        "SELECT * FROM lake.db.seg_a WHERE bal > 15"
+    )
+    assert catalog.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.seg_a_big"
+    ).collect()[0].n == 2
+    # OR REPLACE; plain CREATE on an existing view errors
+    with pytest.raises(FileExistsError):
+        catalog.sql("CREATE VIEW lake.db.seg_a AS SELECT 1 AS x")
+    catalog.sql(
+        "CREATE OR REPLACE VIEW lake.db.seg_a AS "
+        "SELECT id FROM lake.db.vsrc WHERE seg = 'B'"
+    )
+    assert [r.id for r in catalog.sql(
+        "SELECT * FROM lake.db.seg_a"
+    ).collect()] == [2]
+    # name shadowing a table is rejected; views listed; drop works
+    with pytest.raises(ValueError, match="table named"):
+        catalog.sql("CREATE VIEW lake.db.vsrc AS SELECT 1 AS x")
+    shown = catalog.sql("SHOW VIEWS IN lake.db").collect()
+    assert sorted(r.view for r in shown) == ["seg_a", "seg_a_big"]
+    catalog.sql("DROP VIEW lake.db.seg_a_big")
+    with pytest.raises(FileNotFoundError):
+        catalog.sql("DROP VIEW lake.db.seg_a_big")
+    # time travel on a view is a loud error
+    with pytest.raises(ValueError, match="no snapshots"):
+        catalog.sql("SELECT * FROM lake.db.seg_a FOR VERSION AS OF 1")
+
+
+def test_sql_view_cycle_detection(spark, catalog):
+    catalog.create_view("db", "v1", "SELECT * FROM lake.db.v2")
+    catalog.create_view("db", "v2", "SELECT * FROM lake.db.v1")
+    with pytest.raises(Exception, match="cyclic view"):
+        catalog.sql("SELECT * FROM lake.db.v1").collect()
