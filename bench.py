@@ -78,6 +78,7 @@ HEADLINE = [
     "q118_paragraph_dedup",
     "q119_quantile_filter",
     "q121_corpus_mix",
+    "q122_expectations",
 ]
 
 

@@ -1545,3 +1545,46 @@ def test_sql_view_cycle_detection(spark, catalog):
     catalog.create_view("db", "v2", "SELECT * FROM lake.db.v1")
     with pytest.raises(Exception, match="cyclic view"):
         catalog.sql("SELECT * FROM lake.db.v1").collect()
+
+
+def test_partition_evolution_between_two_columns(spark, catalog):
+    """colA -> colB evolution where both specs produce identical month
+    STRINGS: colA batches must not be trimmed by colB-derived months
+    (spec_col tracking, not month-value matching, decides prunability)."""
+    import datetime as _dt
+
+    rows = [
+        # created_at in 2024-01 but updated_at in 2024-02 and vice versa
+        (1, _dt.datetime(2024, 1, 5), _dt.datetime(2024, 2, 5), 10.0),
+        (2, _dt.datetime(2024, 2, 6), _dt.datetime(2024, 1, 6), 20.0),
+    ]
+    catalog.write_evolving(
+        spark.createDataFrame(
+            rows, ["id", "created_at", "updated_at", "v"]
+        ),
+        "db", "pe2", partition_month_of="created_at",
+    )
+    t = catalog.table("db", "pe2")
+    t.set_partition_spec("updated_at")
+    t.append(
+        spark.createDataFrame(
+            [(3, _dt.datetime(2024, 1, 7), _dt.datetime(2024, 2, 7), 30.0)],
+            ["id", "created_at", "updated_at", "v"],
+        )
+    )
+    # read(months=) now means updated_at months. Row 2 (updated 2024-01)
+    # lives in a created_at-partitioned batch whose month label is
+    # "2024-02" — only the row-level filter can find it.
+    assert sorted(
+        r.id for r in t.read(months=["2024-01"]).collect()
+    ) == [2]
+    assert sorted(
+        r.id for r in t.read(months=["2024-02"]).collect()
+    ) == [1, 3]
+    # DML scoped by the new spec: old-spec rows outside scope survive
+    v = t.delete_where(
+        "updated_at < TIMESTAMP '2024-02-01 00:00:00' AND v > 15"
+    )
+    assert v > 0
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    assert t.row_count() == 2
