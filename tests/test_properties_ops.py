@@ -316,3 +316,119 @@ def test_dml_not_noop_on_stats_less_file(spark, tmp_path):
     # the optimization still exists for clearly out-of-bounds predicates
     # on a fully-covered column? id is now uncovered — but name still is
     assert t._no_batch_may_match(t._load(), "name = 'zzz'")
+
+
+# -- partition evolution: model-based sequence property ---------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.integers(min_value=1, max_value=3),  # months
+                    min_size=1,
+                    max_size=4,
+                ),
+            ),
+            st.tuples(
+                st.just("set_spec"),
+                st.sampled_from(["ts", None]),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.tuples(
+                    st.integers(min_value=1, max_value=3),  # month
+                    st.integers(min_value=0, max_value=1),  # id parity
+                ),
+            ),
+            st.tuples(
+                st.just("overwrite"),
+                st.tuples(
+                    st.integers(min_value=1, max_value=3),  # month
+                    st.integers(min_value=0, max_value=3),  # n new rows
+                ),
+            ),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_partition_evolution_sequences_match_model(spark, ops):
+    """Any interleaving of appends, spec flips, month-scoped COW deletes
+    and dynamic overwrites must leave the table equal to a pure-Python
+    row-set model — the keep/trim/carry split across mixed layouts can
+    never lose or duplicate a row."""
+    import datetime as _dt
+    import tempfile
+
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp())
+    model: dict[int, int] = {}  # id -> month
+    next_id = [0]
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            [
+                (i, _dt.datetime(2024, m, 5 + (i % 20)))
+                for i, m in rows
+            ],
+            "id BIGINT, ts TIMESTAMP",
+        )
+
+    # table always exists before ops: seed one row per month
+    seed = [(next_id[0] + j, m) for j, m in enumerate((1, 2, 3))]
+    next_id[0] += 3
+    cat.write_evolving(mk_df(seed), "db", "pemod")
+    model.update({i: m for i, m in seed})
+    t = cat.table("db", "pemod")
+
+    for op, arg in ops:
+        if op == "append":
+            rows = [(next_id[0] + j, m) for j, m in enumerate(arg)]
+            next_id[0] += len(arg)
+            t.append(mk_df(rows))
+            model.update({i: m for i, m in rows})
+        elif op == "set_spec":
+            t.set_partition_spec(arg)
+        elif op == "delete":
+            m, parity = arg
+            t.delete_where(
+                f"date_format(ts, 'yyyy-MM') = '2024-0{m}' "
+                f"AND id % 2 = {parity}"
+            )
+            model = {
+                i: mm
+                for i, mm in model.items()
+                if not (mm == m and i % 2 == parity)
+            }
+        elif op == "overwrite":
+            m, n = arg
+            if t._load().partition_month_of is None:
+                continue  # dynamic overwrite needs a spec
+            rows = [(next_id[0] + j, m) for j in range(n)]
+            next_id[0] += n
+            if not rows:
+                continue  # empty overwrite: no months to replace
+            t.overwrite_partitions(mk_df(rows))
+            model = {i: mm for i, mm in model.items() if mm != m}
+            model.update({i: m for i, m in rows})
+
+    got = {
+        (r.id, r.ts.month) for r in t.read().collect()
+    }
+    assert got == {(i, m) for i, m in model.items()}
+    assert t.row_count() == len(model)
+    if t._load().partition_month_of is not None:
+        for m in (1, 2, 3):
+            got_m = {
+                r.id for r in t.read(months=[f"2024-0{m}"]).collect()
+            }
+            assert got_m == {i for i, mm in model.items() if mm == m}
