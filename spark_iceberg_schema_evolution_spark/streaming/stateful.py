@@ -40,29 +40,38 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _accumulate(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total_cents = state.get if state.exists else (0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        total_cents += int(round(pdf["value"].astype(float).sum() * 100))
-    state.update((n, total_cents))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [total_cents / 100.0],
-        }
-    )
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Running (count, exact total) per user, one update row per user per
-    micro-batch; state persists across batches in the state store."""
+    micro-batch; state persists across batches in the state store.
+
+    The state function is a CLOSURE, deliberately: cloudpickle ships a
+    nested function by VALUE, while a module-level function pickles by
+    reference and requires every Python worker to import this package —
+    which breaks when the driver harness imports `__spark_entry__` via a
+    file-location spec from a foreign cwd (workers inherit no repo path).
+    """
+
+    def accumulate(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            total_cents += int(
+                round(pdf["value"].astype(float).sum() * 100)
+            )
+        state.update((n, total_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total_cents / 100.0],
+            }
+        )
+
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
-        _accumulate,
+        accumulate,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
