@@ -79,6 +79,7 @@ HEADLINE = [
     "q119_quantile_filter",
     "q121_corpus_mix",
     "q122_expectations",
+    "q124_bucket_pruning",
 ]
 
 

@@ -5049,6 +5049,46 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q124_bucket_pruning",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+    WHERE o_orderkey IN (1, 7, 33)
+    ORDER BY o_orderkey
+    """,
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden bucket(16, o_orderkey) partition transform (Iceberg's
+    bucket transform — no reference analogue): appends land in
+    pmod(hash(key), 16) sub-dirs, and each point lookup re-computes the
+    literal's Murmur3 bucket DRIVER-SIDE (hashing.spark_hash, the
+    planner's replica of F.hash) to plan exactly one file per batch —
+    the point-lookup skip path min/max stats can't provide on
+    hash-distributed keys. Planning counts are asserted in
+    tests/test_bucketing.py; the driver checks value equivalence of the
+    three pruned lookups against the plain IN-filter."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    cat.create_namespace("db")
+    t = cat.table("db", "bucketed")
+    t.create(o.schema, bucket_by=("o_orderkey", 16))
+    # two appends = two bucketed batches; lookups prune within each
+    t.append(o.where("o_custkey % 2 = 0"))
+    t.append(o.where("o_custkey % 2 = 1"))
+    parts = [
+        t.read_where([("o_orderkey", "=", k)]) for k in (1, 7, 33)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("o_orderkey")
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (

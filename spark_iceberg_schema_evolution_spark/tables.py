@@ -55,9 +55,49 @@ from spark_iceberg_schema_evolution_spark.operators.evolve import (
     merge_evolved_type,
     union_evolving,
 )
+from spark_iceberg_schema_evolution_spark.hashing import spark_bucket
 from spark_iceberg_schema_evolution_spark.types_map import datatype_to_str, str_to_datatype
 
 _PART_COL = "__p_month"
+_BUCKET_COL = "__p_bucket"
+# column types the bucket transform accepts: the driver-side literal
+# hasher (hashing.spark_hash) replicates F.hash for exactly these
+_BUCKETABLE = {"int", "bigint", "string"}
+
+
+def _parse_partition_spec(text: str | None) -> tuple:
+    """Parse a SQL partition-spec clause — ``MONTH(c)``, ``BUCKET(n, c)``,
+    ``(MONTH(c), BUCKET(n, c))`` in either order, or ``NONE`` — into
+    ``(month_of | None, (bucket_col, n_buckets) | None)``. Junk errors
+    loudly; a silently-dropped transform would change physical layout."""
+    if text is None:
+        return None, None
+    body = text.strip()
+    if body.upper() == "NONE":
+        return None, None
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1]
+    month_of = bucket = None
+    for item in re.split(r",(?![^(]*\))", body):
+        item = item.strip()
+        if not item:
+            continue
+        m = re.fullmatch(r"(?i)MONTH\s*\(\s*(\w+)\s*\)", item)
+        if m:
+            if month_of is not None:
+                raise ValueError("duplicate MONTH() in partition spec")
+            month_of = m.group(1)
+            continue
+        m = re.fullmatch(
+            r"(?i)BUCKET\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", item
+        )
+        if m:
+            if bucket is not None:
+                raise ValueError("duplicate BUCKET() in partition spec")
+            bucket = (m.group(2), int(m.group(1)))
+            continue
+        raise ValueError(f"unsupported partition transform: {item!r}")
+    return month_of, bucket
 
 # Iceberg-spec safe type promotions (metadata-only widening); decimal
 # precision-up-at-same-scale is checked structurally in widen_column_type.
@@ -364,9 +404,11 @@ class LakehouseTable:
         schema: T.StructType,
         partition_month_of: str | None = None,
         properties: dict | None = None,
+        bucket_by: tuple | None = None,
     ) -> None:
         """CREATE TABLE with an optional hidden months(ts) partition
-        transform and TBLPROPERTIES (reference R17/R18,
+        transform, an optional hidden bucket(n, col) transform
+        (``bucket_by=(col, n)``), and TBLPROPERTIES (reference R17/R18,
         spark_utils.py:154-173: the reference declares its OPTIMIZE /
         VACUUM thresholds as table properties at create time)."""
         if self.exists():
@@ -375,6 +417,49 @@ class LakehouseTable:
         self._commit(Snapshot(0, schema, [], partition_month_of))
         if properties:
             self.set_properties(properties)
+        if bucket_by:
+            self.set_bucket_spec(bucket_by[0], bucket_by[1])
+
+    def _bucket_spec(self) -> tuple | None:
+        """(column, n_buckets) of the table's CURRENT bucket transform, or
+        None. Stored as properties (Iceberg keeps write distribution
+        there too) because the spec governs FUTURE writes only — each
+        batch stamps the spec that physically wrote it, so read-side
+        pruning never consults this."""
+        props = self.properties()
+        col = props.get("write.bucket.column")
+        if col is None:
+            return None
+        return col, self.int_property("write.bucket.n", 0)
+
+    def set_bucket_spec(self, column: str | None, n_buckets: int = 0) -> None:
+        """Iceberg's bucket(n, col) hidden partition transform as a
+        metadata-only spec change: rows append into ``pmod(hash(col), n)``
+        sub-partitions (below the month dirs when both transforms are
+        active) and equality predicates on ``col`` prune to ONE bucket
+        file per batch at planning time — the point-lookup path a
+        min/max-stats skip can never deliver, because hash-bucketed
+        values span the full value range in every file. ``None`` drops
+        the transform. Existing batches keep their layout (their stamped
+        spec keeps pruning sound) and migrate on their next rewrite."""
+        if column is None:
+            self.unset_property("write.bucket.column")
+            self.unset_property("write.bucket.n")
+            return
+        snap = self._load()
+        field_ = {f.name: f for f in snap.schema.fields}.get(column)
+        if field_ is None:
+            raise ValueError(f"no such column: {column}")
+        if field_.dataType.simpleString() not in _BUCKETABLE:
+            raise ValueError(
+                f"bucket() needs an int/bigint/string column; "
+                f"{column} is {field_.dataType.simpleString()}"
+            )
+        if not (2 <= int(n_buckets) <= 1 << 20):
+            raise ValueError(f"n_buckets out of range: {n_buckets}")
+        self.set_properties(
+            {"write.bucket.column": column, "write.bucket.n": int(n_buckets)}
+        )
 
     def _write_batch(
         self,
@@ -387,10 +472,35 @@ class LakehouseTable:
     ) -> dict:
         batch_dir = os.path.join(self.data_dir, f"batch-{n}")
         out = align_schema(df, schema, keep_extras=False)
+        # hidden bucket(n, col) sub-partitioning: physically below the
+        # month dirs when both transforms are active (a two-field spec,
+        # like Iceberg's PARTITIONED BY (months(ts), bucket(n, id))).
+        # Rows whose batch lacks the column (pre-evolution layouts) or
+        # whose column type left the bucketable set write unbucketed —
+        # their batches carry no bucket stamp, so pruning skips them.
+        bspec = self._bucket_spec()
+        bucket_meta = None
+        part_cols = []
+        if bspec:
+            bcol, n_buckets = bspec
+            field_ = {f.name: f for f in schema.fields}.get(bcol)
+            if (
+                field_ is not None
+                and field_.dataType.simpleString() in _BUCKETABLE
+            ):
+                out = out.withColumn(
+                    _BUCKET_COL,
+                    F.pmod(F.hash(F.col(bcol)), F.lit(int(n_buckets))),
+                )
+                bucket_meta = [
+                    bcol, int(n_buckets), field_.dataType.simpleString()
+                ]
+                part_cols = [_BUCKET_COL]
         if month_of:
             out = out.withColumn(
                 _PART_COL, F.date_format(F.col(month_of), "yyyy-MM")
             )
+            part_cols = [_PART_COL] + part_cols
             # cluster rows by partition value before the partitioned write:
             # without this every upstream task writes a file into every
             # month dir (tasks x months tiny files — the classic lakehouse
@@ -399,15 +509,17 @@ class LakehouseTable:
             # AQE skew-split on the same exchange. (A sorted compaction
             # arrives pre-range-partitioned — don't destroy its clustering.)
             if not pre_arranged:
-                out = out.repartition(F.col(_PART_COL))
-            out.write.partitionBy(_PART_COL).mode("error").parquet(batch_dir)
+                out = out.repartition(*[F.col(c) for c in part_cols])
+            out.write.partitionBy(*part_cols).mode("error").parquet(
+                batch_dir
+            )
             months = sorted(
                 d.split("=", 1)[1]
                 for d in os.listdir(batch_dir)
                 if d.startswith(f"{_PART_COL}=")
             )
             stats, file_stats, file_rows = self._footer_stats(batch_dir)
-            return {
+            meta = {
                 "path": batch_dir,
                 "months": months,
                 "spec_col": month_of,
@@ -417,9 +529,22 @@ class LakehouseTable:
                 "file_stats": file_stats,
                 "file_rows": file_rows,
             }
-        out.write.mode("error").parquet(batch_dir)
+            if bucket_meta:
+                meta["bucket_spec"] = bucket_meta
+            return meta
+        if part_cols:
+            # bucket-only layout: one shuffle on the bucket expression so
+            # each bucket dir gets O(1) files (same small-files reasoning
+            # as the month path above)
+            if not pre_arranged:
+                out = out.repartition(F.col(_BUCKET_COL))
+            out.write.partitionBy(*part_cols).mode("error").parquet(
+                batch_dir
+            )
+        else:
+            out.write.mode("error").parquet(batch_dir)
         stats, file_stats, file_rows = self._footer_stats(batch_dir)
-        return {
+        meta = {
             "path": batch_dir,
             "months": None,
             "spec_col": None,
@@ -429,6 +554,9 @@ class LakehouseTable:
             "file_stats": file_stats,
             "file_rows": file_rows,
         }
+        if bucket_meta:
+            meta["bucket_spec"] = bucket_meta
+        return meta
 
     @staticmethod
     def _footer_stats(batch_dir: str) -> tuple[dict, dict]:
@@ -1004,41 +1132,87 @@ class LakehouseTable:
         self, b: dict, snap: Snapshot, filters
     ) -> dict | None:
         """File-level skipping within a surviving batch: keep only files
-        whose per-file stats may satisfy the conjunction. None = the whole
-        batch is skippable; a batch without file stats passes through
-        unchanged (batch-level granularity only)."""
-        fstats = b.get("file_stats")
-        if not fstats:
+        whose per-file stats may satisfy the conjunction AND whose hidden
+        bucket dir can hold an equality literal's hash (bucket transform
+        pruning — the point-lookup path stats can't provide, since
+        hash-bucketed key values span the full [min,max] in every file).
+        None = the whole batch is skippable; a batch without per-file
+        manifest entries passes through unchanged (batch-level
+        granularity only)."""
+        fstats = b.get("file_stats") or {}
+        universe = b.get("file_rows") or fstats
+        if not universe:
             return b
         live = (
             tuple(f"{_PART_COL}={m}/" for m in b["months"])
             if b["months"] is not None
             else None
         )
-        keep = [
-            rel
-            for rel, st in fstats.items()
+        buckets = self._bucket_allowed(b, snap, filters)
+        keep = []
+        for rel in universe:
             # a DML-trimmed batch stays live for a month SUBSET: files of
             # dropped months are dead — exclude them from the plan, not
             # just from the row filter
-            if (
-                live is None
-                or rel.replace(os.sep, "/").startswith(live)
-            )
-            and self._stats_may_match(
+            posix = rel.replace(os.sep, "/")
+            if live is not None and not posix.startswith(live):
+                continue
+            if buckets is not None:
+                k = self._rel_bucket(posix)
+                if k is not None and k not in buckets:
+                    continue
+            st = fstats.get(rel)
+            if st is not None and not self._stats_may_match(
                 {"stats": st, "renames_at": b.get("renames_at", 0)},
                 snap,
                 filters,
-            )
-        ]
+            ):
+                continue
+            keep.append(rel)
         if not keep:
             return None
-        if len(keep) == len(fstats):
+        if len(keep) == len(universe):
             return b
         return {
             **b,
             "__files": [os.path.join(b["path"], r) for r in sorted(keep)],
         }
+
+    @staticmethod
+    def _rel_bucket(posix_rel: str) -> int | None:
+        """Bucket id encoded in a file's hidden-partition path, or None
+        (no bucket dir / unparseable — callers must KEEP such files)."""
+        for seg in posix_rel.split("/")[:-1]:
+            if seg.startswith(f"{_BUCKET_COL}="):
+                try:
+                    return int(seg.split("=", 1)[1])
+                except ValueError:
+                    return None
+        return None
+
+    def _bucket_allowed(self, b: dict, snap: Snapshot, filters) -> set | None:
+        """The set of bucket ids an equality conjunction can touch in
+        batch ``b``, or None = no bucket constraint. Uses the spec the
+        batch was WRITTEN under (column name and type at write time —
+        renames are reverse-walked, and a later type widening can't
+        poison the hash because the stamped write-time type drives it).
+        A literal the driver-side hasher can't reproduce yields no
+        constraint — scanning extra is sound, skipping extra never is."""
+        bspec = b.get("bucket_spec")
+        if not bspec:
+            return None
+        bcol, n_buckets, btype = bspec
+        allowed = None
+        for col, op, val in filters:
+            if op not in ("=", "=="):
+                continue
+            if self._physical_name(col, b, snap) != bcol:
+                continue
+            k = spark_bucket(val, btype, n_buckets)
+            if k is None:
+                continue
+            allowed = {k} if allowed is None else (allowed & {k})
+        return allowed
 
     def prune_batches(
         self, filters: list[tuple], version: int | None = None
@@ -2865,6 +3039,7 @@ class LakehouseCatalog:
         namespace: str,
         name: str,
         partition_month_of: str | None = None,
+        bucket_by: tuple | None = None,
     ) -> int:
         """Create-if-absent + evolving append — the one-call ingest sink
         the reference's job wanted (job.py:125-128): distributed, no
@@ -2872,7 +3047,11 @@ class LakehouseCatalog:
         self.create_namespace(namespace)
         t = self.table(namespace, name)
         if not t.exists():
-            t.create(df.schema, partition_month_of=partition_month_of)
+            t.create(
+                df.schema,
+                partition_month_of=partition_month_of,
+                bucket_by=bucket_by,
+            )
         return t.append(df, evolve=True)
 
     def sql(self, query: str) -> DataFrame:
@@ -3067,14 +3246,17 @@ class LakehouseCatalog:
             return self._version_df(t._load().version)
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
-            r"SET\s+PARTITION\s+SPEC\s+"
-            r"(?:MONTH\s*\(\s*(\w+)\s*\)|(NONE))\s*$",
+            r"SET\s+PARTITION\s+SPEC\s+(NONE|[\w(),\s]+?)\s*$",
             q,
         )
         if m:
-            ns, name, col, none = m.groups()
-            v = self.table(ns, name).set_partition_spec(
-                None if none else col
+            ns, name, spec_text = m.groups()
+            month_of, bucket = _parse_partition_spec(spec_text)
+            t = self.table(ns, name)
+            v = t.set_partition_spec(month_of)
+            t.set_bucket_spec(
+                bucket[0] if bucket else None,
+                bucket[1] if bucket else 0,
             )
             return self._version_df(v)
         m = re.match(
@@ -3125,13 +3307,16 @@ class LakehouseCatalog:
             )
         m = re.match(
             r"(?is)^CREATE\s+TABLE\s+lake\.(\w+)\.(\w+)"
-            r"(?:\s+PARTITIONED\s+BY\s+MONTH\s*\(\s*(\w+)\s*\))?"
+            r"(?:\s+PARTITIONED\s+BY\s+"
+            r"(\(?\s*(?:MONTH|BUCKET)\s*\([^)]*\)"
+            r"(?:\s*,\s*(?:MONTH|BUCKET)\s*\([^)]*\))*\s*\)?))?"
             r"(?:\s+TBLPROPERTIES\s*\(([^)]*)\))?"
             r"\s+AS\s+(SELECT\b.*)$",
             q,
         )
         if m:
-            ns, name, month_of, props_body, body = m.groups()
+            ns, name, spec_text, props_body, body = m.groups()
+            month_of, bucket = _parse_partition_spec(spec_text)
             if self.table(ns, name).exists():
                 raise FileExistsError(f"table exists: {ns}.{name}")
             if name in self._views(ns):
@@ -3139,7 +3324,8 @@ class LakehouseCatalog:
                     f"a view named {ns}.{name} exists"
                 )
             v = self.write_evolving(
-                self.sql(body), ns, name, partition_month_of=month_of
+                self.sql(body), ns, name,
+                partition_month_of=month_of, bucket_by=bucket,
             )
             if props_body:
                 pairs = re.findall(
