@@ -80,6 +80,8 @@ HEADLINE = [
     "q121_corpus_mix",
     "q122_expectations",
     "q124_bucket_pruning",
+    "q125_url_curation",
+    "q126_term_search",
 ]
 
 

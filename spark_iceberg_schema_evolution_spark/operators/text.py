@@ -769,3 +769,76 @@ def mix_corpora(
         seed=seed,
         default_weight=0.0,
     )
+
+
+def search_terms(
+    df: DataFrame,
+    terms: list[str],
+    mode: str = "all",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword search over a corpus WITHOUT a pre-built index: keep
+    documents containing all (``mode="all"``) or any (``mode="any"``)
+    of the query terms under the corpus tokenization
+    (dedup.normalized_words — lowercase, whitespace split), adding a
+    ``score`` column with the total query-term frequency.
+
+    Scale shape: map-only — the token array, the intersect, and the
+    score all evaluate inside the scan's codegen stage; zero shuffles,
+    zero UDFs. For repeated interactive lookups over a frozen corpus,
+    build_term_index + search_index amortizes the scan."""
+    if not terms:
+        raise ValueError("need at least one search term")
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be all|any: {mode}")
+    qset = sorted({t.lower() for t in terms})
+    toks = normalized_words(text_col)
+    lits = F.array(*[F.lit(t) for t in qset])
+    n_hit = F.size(F.array_intersect(toks, lits))
+    keep = n_hit == len(qset) if mode == "all" else n_hit >= 1
+    score = F.size(F.filter(toks, lambda t: t.isin(*qset)))
+    return df.where(keep).withColumn("score", score)
+
+
+def build_term_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index as a DataFrame: one posting row per (term, doc)
+    with the term frequency. Postings stay distributed — materialize
+    them to a lakehouse table bucketed by ``term``
+    (``bucket_by=("term", n)``) and every term lookup plans one file
+    per batch via the hidden bucket transform."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(normalized_words(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def search_index(
+    index_df: DataFrame,
+    terms: list[str],
+    mode: str = "all",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Evaluate a keyword query against a build_term_index posting set:
+    returns (id, score) for matching documents. One shuffle on the doc
+    id over ONLY the query terms' postings (the IN-list prunes
+    term-bucketed storage to a few files); equivalent to search_terms
+    on the original corpus."""
+    if not terms:
+        raise ValueError("need at least one search term")
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be all|any: {mode}")
+    qset = sorted({t.lower() for t in terms})
+    hits = index_df.where(F.col("term").isin(*qset))
+    agg = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_terms"),
+        F.sum("tf").alias("score"),
+    )
+    need = len(qset) if mode == "all" else 1
+    return agg.where(F.col("__n_terms") >= need).drop("__n_terms")

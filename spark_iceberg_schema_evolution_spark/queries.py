@@ -5089,6 +5089,155 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q125_url_curation",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, n_chars,
+             'HTTP://WWW.' || source ||
+             CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80'
+                  ELSE '.site.org' END ||
+             '/docs/' || doc_id ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '/?utm_source=feed&utm_medium=rss&ref=x&page='
+                       || (doc_id % 5)
+                  ELSE '/' END ||
+             CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS u
+      FROM documents WHERE doc_id < 2000),
+    s1 AS (SELECT doc_id, n_chars,
+             regexp_replace(u, '#.*$', '', 'g') AS u FROM raw),
+    s2 AS (SELECT doc_id, n_chars,
+             lower(regexp_extract(u,
+                     '^([a-zA-Z][\\w+.-]*://[^/?#]*)', 1)) ||
+             regexp_replace(u,
+                     '^[a-zA-Z][\\w+.-]*://[^/?#]*', '') AS u FROM s1),
+    s3 AS (SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(
+               u, '([?&])utm_source=[^&#]*&', '\\1', 'g'),
+               '[?&]utm_source=[^&#]*$', '', 'g') AS u FROM s2),
+    s4 AS (SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(
+               u, '([?&])utm_medium=[^&#]*&', '\\1', 'g'),
+               '[?&]utm_medium=[^&#]*$', '', 'g') AS u FROM s3),
+    s5 AS (SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(
+               u, '([?&])ref=[^&#]*&', '\\1', 'g'),
+               '[?&]ref=[^&#]*$', '', 'g') AS u FROM s4),
+    s6 AS (SELECT doc_id, n_chars,
+             regexp_replace(u,
+               '^(http://[^/:?#]*):80($|[/?#].*)', '\\1\\2', 'g')
+             AS u FROM s5),
+    s7 AS (SELECT doc_id, n_chars,
+             regexp_replace(u, '^(https?://)www\\.', '\\1', 'g')
+             AS u FROM s6),
+    s8 AS (SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(
+               u, '^(https?://[^?#]*[^/?#])/(\\?.*)?$', '\\1\\2', 'g'),
+               '^(https?://[^/?#]+)/$', '\\1', 'g') AS u FROM s7),
+    host AS (SELECT doc_id, n_chars, u,
+             regexp_replace(lower(regexp_extract(u,
+               '^[a-zA-Z][\\w+.-]*://(?:[^@/]*@)?([^/:?#]+)', 1)),
+               '^www\\.', '', 'g') AS h FROM s8),
+    dom AS (SELECT doc_id, n_chars, u,
+             regexp_extract(h, '([^.]+\\.[^.]+)$', 1) AS d FROM host),
+    kept AS (SELECT * FROM dom WHERE d <> 'site.org'),
+    ranked AS (SELECT doc_id, u, d, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY d
+               ORDER BY n_chars DESC, doc_id ASC) AS rk FROM kept)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, u AS url, d AS domain,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rk <= 40 ORDER BY doc_id
+    """,
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """URL curation chain (RefinedWeb-style, no reference analogue):
+    deterministic crawl-ish URLs derived from the documents table run
+    through normalize_url (fragment/tracker/port/www/trailing-slash
+    canonicalization — every rule RE2-expressible so the DuckDB oracle
+    replays the byte-identical ruleset), registered-domain extraction,
+    a domain blocklist, and a per-domain document cap (rank window ->
+    WindowGroupLimit). The oracle rebuilds the same URLs in SQL and
+    re-runs every normalization pass."""
+    from spark_iceberg_schema_evolution_spark.operators.urls import (
+        cap_per_domain,
+        normalize_url,
+        registered_domain,
+    )
+
+    d = load(spark, sf, "documents").where("doc_id < 2000")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTP://WWW."),
+        F.col("source"),
+        F.when(did % 2 == 0, F.lit(".Example.COM:80")).otherwise(
+            F.lit(".site.org")
+        ),
+        F.lit("/docs/"),
+        did.cast("string"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_medium=rss&ref=x&page="),
+                (did % 5).cast("string"),
+            ),
+        ).otherwise(F.lit("/")),
+        F.when(did % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    urls = d.select(
+        "doc_id",
+        normalize_url(raw).alias("url"),
+        F.col("n_chars"),
+    ).withColumn("domain", registered_domain(F.col("url")))
+    kept = urls.where(F.col("domain") != "site.org")
+    capped = cap_per_domain(
+        kept,
+        cap=40,
+        url_col="url",
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return capped.select(
+        "doc_id", "url", "domain", "n_chars"
+    ).orderBy("doc_id")
+
+
+@q(
+    "q126_term_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents),
+    hits AS (
+      SELECT doc_id, source, n_chars,
+             CAST(length(list_filter(tk,
+               x -> x IN ('merge', 'window'))) AS INT) AS score
+      FROM toks
+      WHERE list_has_all(tk, ['merge', 'window']))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars, score
+    FROM hits ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-only keyword search (conjunctive) over the corpus: documents
+    containing ALL query terms under the corpus tokenization, scored by
+    total query-term frequency, top-20 by (score, id). The token array,
+    intersect, and score evaluate inside the scan's codegen stage —
+    zero shuffles besides the top-k (TakeOrderedAndProject). The
+    index-backed variant (build_term_index -> term-bucketed lakehouse
+    postings -> search_index) is proven equivalent in
+    tests/test_urls_search.py."""
+    from spark_iceberg_schema_evolution_spark.operators.text import search_terms
+
+    d = load(spark, sf, "documents")
+    out = search_terms(d, ["merge", "window"], mode="all")
+    return (
+        out.select("doc_id", "source", "n_chars", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@q(
     "q109_mor_pos_delete",
     oracle="""
     WITH base AS (
