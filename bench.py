@@ -82,6 +82,7 @@ HEADLINE = [
     "q124_bucket_pruning",
     "q125_url_curation",
     "q126_term_search",
+    "q127_cluster_sample",
 ]
 
 

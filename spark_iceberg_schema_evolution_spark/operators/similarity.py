@@ -668,3 +668,85 @@ def ivfpq_topk(
     return rerank.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "42",
+    centroids: list | None = None,
+    fit_fraction: float | None = None,
+    max_fit_rows: int = 100_000,
+) -> DataFrame:
+    """Diversity-balanced corpus sampling: coarse-cluster the embedding
+    space, then keep ``per_cluster`` documents per cluster by a
+    deterministic md5 rank — the "cluster then uniform quota" recipe
+    (SemDeDup-adjacent) that stops a corpus sample from collapsing onto
+    its dominant modes.
+
+    ``centroids`` (list of (cluster_id, vector)) reuses a pre-fit
+    model — the production shape: fit once on a bounded sample, ship
+    the tiny model everywhere, keep every epoch's sample reproducible.
+    Without it, KMeans fits on a bounded sample exactly like ivf_topk;
+    note the fit's sample follows partition order, so only the pre-fit
+    path is invariant under re-partitioning (the fit path is
+    rerun-deterministic on stable input layout).
+
+    Scale shape: cell assignment is the zero-shuffle literal-centroid
+    argmin (inside codegen, no join); the quota is one shuffle on the
+    cluster id with a rank window that compiles to WindowGroupLimit
+    (O(per_cluster) memory per cluster, skew-safe). The md5 rank is
+    content-independent and engine-portable, so the drawn sample
+    survives re-partitioning and is reproducible outside Spark."""
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c = df.select(as_double(F.col(vec_col)).alias("__cv"))
+        fit_df = c.sample(fit_fraction, seed=42) if fit_fraction else c
+        fit_df = fit_df.limit(max_fit_rows).withColumn(
+            "__feat", array_to_vector("__cv")
+        )
+        km = KMeans(
+            k=num_centroids, seed=42, featuresCol="__feat"
+        ).fit(fit_df.select("__feat"))
+        centroids = [
+            (i, [float(x) for x in center])
+            for i, center in enumerate(km.clusterCenters())
+        ]
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+                F.lit(int(i)).alias("c"),
+            )
+            for i, vec in centroids
+        ]
+    )
+    v = as_double(F.col(vec_col))
+    dists = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            fold_sum(
+                F.zip_with(v, s["v"], lambda a, b: (a - b) * (a - b))
+            ).alias("d"),
+            s["c"].alias("c"),
+        ),
+    )
+    assigned = df.withColumn("cluster", F.array_min(dists)["c"])
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    w = Wnd.partitionBy("cluster").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= per_cluster)
+        .drop("__rk")
+    )

@@ -1642,6 +1642,26 @@ def t2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@q("t2_cluster_sample_fit", oracle=None, tier=2)
+def t2_cluster_sample_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """cluster_balanced_sample's KMeans-FIT path (the pre-fit-centroids
+    path has the exact q127 oracle): per-cluster quotas and determinism
+    are asserted in tests/test_llm_ops.py."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    e = load(spark, sf, "embeddings")
+    out = cluster_balanced_sample(
+        e, per_cluster=10, num_centroids=8, seed="t2"
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("lo"))
+        .orderBy("cluster")
+    )
+
+
 @q("t2_pq_cosine_topk", oracle=None, tier=2)
 def t2_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (m sub-space codebooks + ADC lookups +
@@ -5197,6 +5217,73 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     return capped.select(
         "doc_id", "url", "domain", "n_chars"
     ).orderBy("doc_id")
+
+
+@q(
+    "q127_cluster_sample",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings),
+    d AS (
+      SELECT v.vec_id, v.label, cents.cid,
+             list_reduce(
+               list_transform(list_zip(ev, cv),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (a, b) -> a + b) AS dist
+      FROM v CROSS JOIN cents),
+    a AS (
+      SELECT vec_id, label, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS rn
+      FROM d),
+    asg AS (SELECT vec_id, label, cid AS cluster FROM a WHERE rn = 1),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        ORDER BY md5('div:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM asg)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS INT) AS label, CAST(cluster AS INT) AS cluster
+    FROM r WHERE rk <= 20 ORDER BY vec_id
+    """,
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-balanced sampling over the embedding space
+    (similarity.cluster_balanced_sample): assign every vector to its
+    nearest centroid with the zero-shuffle literal-centroid argmin,
+    then keep a fixed md5-ranked quota per cluster. The model here is
+    PRE-FIT (the first 8 embeddings as centroids — the bounded
+    model-reuse path), which makes the whole pipeline exact arithmetic:
+    the oracle replays the same sequential-fold squared distances,
+    argmin tie-break, and md5 quota in SQL. The KMeans-fit path is
+    covered rows-only (t2) and by pytest determinism/quota checks."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    e = load(spark, sf, "embeddings")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.where("vec_id < 8")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = cluster_balanced_sample(
+        e,
+        per_cluster=20,
+        id_col="vec_id",
+        vec_col="embedding",
+        seed="div",
+        centroids=cents,
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("int").alias("label"), "cluster"
+    ).orderBy("vec_id")
 
 
 @q(

@@ -367,3 +367,89 @@ def test_ivfpq_topk_recall_gate(spark):
     for r in ap_df.collect():
         if (r.query_id, r.vec_id) in ex_scores:
             assert round(r.score, 9) == ex_scores[(r.query_id, r.vec_id)]
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out1 = similarity.cluster_balanced_sample(
+        e, per_cluster=10, num_centroids=8, seed="t"
+    )
+    rows1 = {(r.vec_id, r.cluster) for r in out1.collect()}
+    # quota exact: every cluster contributes at most 10, and a cluster
+    # with >=10 members contributes exactly 10
+    sizes = {
+        r.cluster: r.n
+        for r in out1.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes and all(n <= 10 for n in sizes.values())
+    # rerun-deterministic (seeded fit on the same input)
+    out2 = similarity.cluster_balanced_sample(
+        e, per_cluster=10, num_centroids=8, seed="t"
+    )
+    assert rows1 == {(r.vec_id, r.cluster) for r in out2.collect()}
+    # the PRE-FIT path is additionally partitioning-invariant (the
+    # KMeans fit is not: its bounded sample follows partition order)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.where("vec_id < 4").collect()
+    ]
+    fixed1 = {
+        (r.vec_id, r.cluster)
+        for r in similarity.cluster_balanced_sample(
+            e, per_cluster=10, centroids=cents, seed="t"
+        ).collect()
+    }
+    fixed2 = {
+        (r.vec_id, r.cluster)
+        for r in similarity.cluster_balanced_sample(
+            e.repartition(13), per_cluster=10, centroids=cents, seed="t"
+        ).collect()
+    }
+    assert fixed1 == fixed2
+    # a different seed draws a different sample from full clusters
+    out3 = similarity.cluster_balanced_sample(
+        e, per_cluster=10, num_centroids=8, seed="u"
+    )
+    assert rows1 != {(r.vec_id, r.cluster) for r in out3.collect()}
+    with pytest.raises(ValueError, match="per_cluster"):
+        similarity.cluster_balanced_sample(e, per_cluster=0)
+
+
+def test_cluster_assignment_is_map_only(spark):
+    """Pre-fit centroids: the cluster column must evaluate without any
+    exchange or Python eval — pure literal-centroid argmin in codegen."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.where("vec_id < 4").collect()
+    ]
+    out = similarity.cluster_balanced_sample(
+        e, per_cluster=5, centroids=cents, seed="p"
+    )
+    # the full op has exactly the ONE quota shuffle; assignment itself
+    # adds none
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # quota hash + AQE read, no more
+    assert "EvalPython" not in plan
+    # every row assigned to its arithmetically-nearest centroid
+    import math
+
+    sample = e.limit(50).collect()
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.cluster_balanced_sample(
+            e, per_cluster=10**9, centroids=cents, seed="p"
+        ).collect()
+    }
+    for row in sample:
+        dists = [
+            (
+                sum(
+                    (float(a) - b) * (float(a) - b)
+                    for a, b in zip(row.embedding, vec)
+                ),
+                cid,
+            )
+            for cid, vec in cents
+        ]
+        assert got[row.vec_id] == min(dists)[1]
