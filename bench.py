@@ -83,6 +83,7 @@ HEADLINE = [
     "q125_url_curation",
     "q126_term_search",
     "q127_cluster_sample",
+    "q128_lm_quality_score",
 ]
 
 

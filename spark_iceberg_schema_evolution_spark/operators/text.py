@@ -842,3 +842,83 @@ def search_index(
     )
     need = len(qset) if mode == "all" else 1
     return agg.where(F.col("__n_terms") >= need).drop("__n_terms")
+
+
+def score_bigram_logprob(
+    df: DataFrame,
+    counts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet-style statistical quality score without the KenLM binary:
+    the mean add-alpha-smoothed bigram log-probability of each document
+    under a corpus bigram LM — ``ln((c(w1 w2)+a) / (c(w1 ·)+a·V))``
+    averaged over the document's bigrams. Low scores = statistically
+    surprising text (boilerplate soup, mojibake, keyword stuffing);
+    CCNet buckets the corpus by exactly this kind of LM score and
+    keeps/weights buckets (arXiv:1911.00359 §3.3 — theirs is a 5-gram
+    KenLM; the operator shape is what transfers: score against corpus
+    counts, then filter with quantile_band_filter).
+
+    ``counts`` scores against a FOREIGN model (bigram_counts output of a
+    reference corpus — the actual CCNet recipe, where Wikipedia is the
+    model and the crawl is scored); unseen bigrams/contexts degrade to
+    the smoothed floor. Default: self-scored (model = the input corpus).
+
+    Scale shape: every stage is a keyed hash aggregate or a keyed join —
+    counts (1 shuffle), context totals derived FROM the counts (tiny),
+    doc-bigram join on the bigram key (the LM lookup; counts side is
+    pre-aggregated so hot bigrams are single rows, no skew
+    amplification), context join, per-doc aggregate, and an id-keyed
+    join back so bigram-less docs keep a NULL score. No UDFs, no
+    driver-side model."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    model = counts if counts is not None else bigram_counts(df, text_col)
+    ctx = model.groupBy(
+        F.substring_index(F.col("bigram"), " ", 1).alias("__w1")
+    ).agg(F.sum("n").alias("__cw1"))
+    vocab = model.select(
+        F.substring_index(F.col("bigram"), " ", 1).alias("t")
+    ).union(
+        model.select(F.substring_index(F.col("bigram"), " ", -1))
+    ).agg(F.countDistinct("t").alias("__v"))
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    bigrams = F.when(
+        F.size(F.col("__w")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__w) - 1), "
+            "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .withColumn(
+            "__w1", F.substring_index(F.col("bigram"), " ", 1)
+        )
+    )
+    scored = (
+        pairs.join(model, "bigram", "left")
+        .join(ctx, "__w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha))
+                / (
+                    F.coalesce(F.col("__cw1"), F.lit(0))
+                    + F.lit(alpha) * F.col("__v")
+                )
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.avg("__lp").alias("logprob_avg"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    return df.join(scored, id_col, "left").withColumn(
+        "n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0))
+    )

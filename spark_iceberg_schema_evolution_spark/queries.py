@@ -5287,6 +5287,66 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q128_lm_quality_score",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 3000),
+    toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM d),
+    pairs AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS w1
+      FROM toks, UNNEST(range(1, len(tk))) AS r(i)),
+    counts AS (SELECT bigram, COUNT(*) AS n FROM pairs GROUP BY bigram),
+    ctx AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, SUM(n) AS cw1
+      FROM counts GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v FROM (
+        SELECT string_split(bigram, ' ')[1] AS t FROM counts
+        UNION
+        SELECT string_split(bigram, ' ')[2] FROM counts)),
+    lp AS (
+      SELECT p.doc_id,
+             ln((c.n + 0.4) / (x.cw1 + 0.4 * vocab.v)) AS l
+      FROM pairs p
+      JOIN counts c USING (bigram)
+      JOIN ctx x ON p.w1 = x.w1
+      CROSS JOIN vocab),
+    agg AS (
+      SELECT doc_id, AVG(l) AS s, COUNT(*) AS nb FROM lp
+      GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(ROUND(a.s, 6) AS DOUBLE) AS logprob_r,
+           CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams
+    FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical LM quality scoring (text.score_bigram_logprob — the
+    CCNet recipe's KenLM slot filled with a corpus bigram model): every
+    document's mean smoothed bigram log-probability under the corpus
+    LM, self-scored here so the oracle can re-derive the model, the
+    smoothing, and every log term from raw data. Scores round to 6dp on
+    both sides (the only FP divergence is summation order inside AVG,
+    orders of magnitude below the rounding quantum)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        score_bigram_logprob,
+    )
+
+    d = load(spark, sf, "documents").where("doc_id < 3000").select(
+        "doc_id", "text"
+    )
+    out = score_bigram_logprob(d)
+    return out.select(
+        "doc_id",
+        F.round("logprob_avg", 6).alias("logprob_r"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+    ).orderBy("doc_id")
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_iceberg_schema_evolution_spark.operators import text
@@ -181,3 +182,56 @@ def test_remove_boilerplate_lines(spark):
         for r in remove_boilerplate_lines(df, max_doc_freq=100).collect()
     }
     assert out2[0] == "COMMON HEADER\nunique body 0\nCOMMON FOOTER"
+
+
+def test_bigram_logprob_self_scored(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        score_bigram_logprob,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in score_bigram_logprob(docs).collect()}
+    # model: c(a b)=2, c(b c)=2, c(c a)=1; ctx: a->2, b->2, c->1;
+    # vocab = {a, b, c} = 3 (model vocab — 'solo' never enters a bigram)
+    a = 0.4
+    lp_ab = math.log((2 + a) / (2 + a * 3))
+    lp_bc = math.log((2 + a) / (2 + a * 3))
+    lp_ca = math.log((1 + a) / (1 + a * 3))
+    exp1 = (2 * lp_ab + lp_bc + lp_ca) / 4
+    assert abs(out[1].logprob_avg - exp1) < 1e-12
+    assert out[1].n_bigrams == 4
+    assert abs(out[2].logprob_avg - lp_bc) < 1e-12
+    # a bigram-less doc keeps a NULL score, zero bigrams
+    assert out[3].logprob_avg is None and out[3].n_bigrams == 0
+
+
+def test_bigram_logprob_foreign_model(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        bigram_counts,
+        score_bigram_logprob,
+    )
+    import math
+
+    model_corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], ["doc_id", "text"]
+    )
+    model = bigram_counts(model_corpus)
+    crawl = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zx qy vw")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in score_bigram_logprob(crawl, counts=model).collect()
+    }
+    # in-model text scores high; out-of-vocab text hits the smoothed
+    # floor ln(a / (0 + a*V)) = ln(1/V)
+    a, v = 0.4, 4  # model vocab: the, cat, sat, ran
+    floor = math.log(a / (a * v))
+    assert out[11].logprob_avg == pytest.approx(floor)
+    assert out[10].logprob_avg > out[11].logprob_avg
+    with pytest.raises(ValueError, match="alpha"):
+        score_bigram_logprob(crawl, alpha=0.0)
