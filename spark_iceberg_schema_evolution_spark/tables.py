@@ -910,10 +910,37 @@ class LakehouseTable:
         return name
 
     def _read_batch(self, b: dict) -> DataFrame:
-        """Scan a batch dir — or, when file-level skipping selected a
-        subset ("__files"), exactly those files (basePath keeps hive
-        partition-column discovery working on the subset)."""
+        """Scan exactly the files the manifest lists for a batch —
+        either the skip-scan subset ("__files") or the full recorded
+        file set (basePath keeps hive partition-column discovery
+        working either way). Planning from the manifest, never from a
+        directory listing, is an Iceberg correctness property: files a
+        crashed or speculative writer left in the dir (orphans, until
+        remove_orphan_files reclaims them) must not leak into query
+        results. Dir-scan remains only as the fallback for manifests
+        that predate per-file tracking."""
         files = b.get("__files")
+        if not files:
+            fr = b.get("file_rows")
+            if fr:
+                # the manifest's month list is authoritative (same rule
+                # as _prune_files): a DML-trimmed batch's dead-month
+                # files are not part of the plan — and may already be
+                # physically reclaimed by remove_orphan_files
+                pref = (
+                    tuple(f"{_PART_COL}={m}/" for m in b["months"])
+                    if b["months"] is not None
+                    else None
+                )
+                files = [
+                    os.path.join(b["path"], rel)
+                    for rel in sorted(fr)
+                    if pref is None
+                    or rel.replace(os.sep, "/").startswith(pref)
+                    or not rel.replace(os.sep, "/").startswith(
+                        f"{_PART_COL}="
+                    )
+                ]
         if files:
             return self.spark.read.option(
                 "basePath", b["path"]
@@ -2959,6 +2986,107 @@ class LakehouseTable:
                     shutil.rmtree(p, ignore_errors=True)
         return drop
 
+    def remove_orphan_files(
+        self, older_than_s: float = 3 * 24 * 3600
+    ) -> list[str]:
+        """Iceberg's ``remove_orphan_files``: delete data files that no
+        on-disk snapshot references. Two orphan classes expire_snapshots
+        (whole-dir granularity) cannot reach: files INSIDE a live batch
+        dir whose months were trimmed by partition-scoped DML (the batch
+        stays live for a month subset; its dead-month files linger), and
+        files from writers that crashed before committing a manifest.
+
+        Conservative by construction: sidecars (_SUCCESS, .crc) are
+        kept wherever a live data file exists in the same subtree (a
+        live file's .crc must survive) and removed only with their
+        data, a batch whose
+        manifest predates per-file tracking protects its whole dir,
+        delete-file dirs are protected wholesale, EVERY manifest still
+        on disk counts as a reference (time travel keeps working), and a
+        file younger than ``older_than_s`` survives — Iceberg's 3-day
+        default guards in-flight writes racing the cleanup."""
+        live_files: set[str] = set()
+        protected: list[str] = []
+        live_dirs: set[str] = set()
+        for v in self._versions():
+            s = self._load(v)
+            for b in s.batches:
+                live_dirs.add(os.path.abspath(b["path"]))
+                fr = b.get("file_rows")
+                if fr:
+                    # month-aware liveness: a DML-trimmed batch is live
+                    # for a month SUBSET of its physical layout (same
+                    # rule as _prune_files) — its dead-month files count
+                    # as referenced only while an OLDER manifest still
+                    # lists those months, so expire_snapshots ->
+                    # remove_orphan_files reclaims them
+                    pref = (
+                        tuple(f"{_PART_COL}={m}/" for m in b["months"])
+                        if b["months"] is not None
+                        else None
+                    )
+                    live_files.update(
+                        os.path.abspath(os.path.join(b["path"], rel))
+                        for rel in fr
+                        if pref is None
+                        or rel.replace(os.sep, "/").startswith(pref)
+                        or not rel.replace(os.sep, "/").startswith(
+                            f"{_PART_COL}="
+                        )
+                    )
+                else:
+                    protected.append(os.path.abspath(b["path"]))
+            for d in s.deletes:
+                protected.append(os.path.abspath(d["path"]))
+                live_dirs.add(os.path.abspath(d["path"]))
+        cutoff = time.time() - older_than_s
+        # dirs (and ancestors) holding at least one live data file:
+        # sidecars there (_SUCCESS, .crc) stay — removing a live file's
+        # .crc would break LocalFS checksum reads. Sidecars in subtrees
+        # with NO live data are orphans like any other file (Iceberg's
+        # remove_orphan_files removes every unreferenced file).
+        live_holding: set[str] = set()
+        stop = os.path.abspath(self.data_dir)
+        for f in live_files:
+            d = os.path.dirname(f)
+            while d and d not in live_holding:
+                live_holding.add(d)
+                if d == stop:
+                    break
+                d = os.path.dirname(d)
+        removed = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            aroot = os.path.abspath(root)
+            for fn in files:
+                full = os.path.join(aroot, fn)
+                if full in live_files:
+                    continue
+                if not fn.endswith(".parquet") and aroot in live_holding:
+                    continue
+                if any(
+                    full.startswith(p + os.sep) for p in protected
+                ):
+                    continue
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                os.remove(full)
+                removed.append(full)
+        # prune dirs the removals emptied (bottom-up; re-listdir because
+        # children removed earlier in this walk still appear in `dirs`).
+        # A LIVE batch/delete dir is never pruned even when empty — a
+        # fileless batch (empty rewrite) is valid manifest state.
+        for root, _dirs, _files in os.walk(self.data_dir, topdown=False):
+            if (
+                root != self.data_dir
+                and os.path.abspath(root) not in live_dirs
+                and not os.listdir(root)
+            ):
+                try:
+                    os.rmdir(root)
+                except OSError:  # pragma: no cover - racing writer
+                    pass
+        return removed
+
 
 class LakehouseCatalog:
     """Namespace/table factory over a warehouse directory (the engine-side
@@ -3546,6 +3674,7 @@ class LakehouseCatalog:
         Procedures: rewrite_data_files(tbl [, sort_order=>'a,b' |
         z_order=>'x,y'] [, target_files=>n]), rewrite_delete_files(tbl),
         expire_snapshots(tbl [, retain_last=>n]),
+        remove_orphan_files(tbl [, older_than_seconds=>n]),
         rollback_to_snapshot(tbl, version), fast_forward(tbl, to, from),
         create_branch(tbl, name [, at_version]),
         create_tag(tbl, name [, at_version])."""
@@ -3600,6 +3729,15 @@ class LakehouseCatalog:
             )
             return self.spark.createDataFrame(
                 [(len(dropped),)], "expired BIGINT"
+            )
+        if proc == "remove_orphan_files":
+            removed = t.remove_orphan_files(
+                older_than_s=float(
+                    named.get("older_than_seconds", 3 * 24 * 3600)
+                )
+            )
+            return self.spark.createDataFrame(
+                [(len(removed),)], "orphans_removed BIGINT"
             )
         if proc == "rollback_to_snapshot":
             return self._version_df(t.rollback_to(int(pos[1])))

@@ -1588,3 +1588,80 @@ def test_partition_evolution_between_two_columns(spark, catalog):
     assert v > 0
     assert sorted(r.id for r in t.read().collect()) == [1, 3]
     assert t.row_count() == 2
+
+
+def test_remove_orphan_files_planted_and_crashed(spark, catalog):
+    import shutil
+
+    df = spark.range(50).toDF("id")
+    catalog.write_evolving(df, "db", "orph")
+    t = catalog.table("db", "orph")
+    batch = t._load().batches[0]["path"]
+    live = next(
+        f for f in os.listdir(batch) if f.endswith(".parquet")
+    )
+    # orphan class 1: a data file no manifest lists (failed task retry)
+    planted = os.path.join(batch, "part-99999-orphan.c000.parquet")
+    shutil.copy(os.path.join(batch, live), planted)
+    # orphan class 2: a whole batch dir from a writer that crashed
+    # before committing
+    crashed = os.path.join(t.data_dir, "batch-temp-crashed")
+    shutil.copytree(batch, crashed)
+    # manifest-planned reads never see uncommitted junk, even BEFORE
+    # the cleanup runs (Iceberg plans from the manifest, not the dir)
+    before = t.read().count()
+    assert before == 50
+    removed = t.remove_orphan_files(older_than_s=0)
+    assert planted in removed
+    assert any(p.startswith(crashed) for p in removed)
+    assert not os.path.exists(crashed)  # emptied dir pruned
+    assert os.path.exists(os.path.join(batch, live))
+    assert t.read().count() == before == 50
+    # age guard: a fresh orphan survives the default 3-day threshold
+    shutil.copy(os.path.join(batch, live), planted)
+    assert t.remove_orphan_files() == []
+    assert os.path.exists(planted)
+
+
+def test_remove_orphans_after_expire_reclaims_dead_months(spark, catalog):
+    df = spark.range(100).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-15 00:00:00' "
+            "+ make_interval(0, cast(id % 2 as int))"
+        ).alias("ts"),
+    )
+    catalog.create_namespace("db")
+    t = catalog.table("db", "dm")
+    t.create(df.schema, partition_month_of="ts")
+    t.append(df)
+    t.delete_where("ts >= timestamp'2024-02-01 00:00:00'")
+    # while the pre-delete snapshot exists, the dead-month file is
+    # REFERENCED (time travel must keep working): nothing is orphan
+    assert t.remove_orphan_files(older_than_s=0) == []
+    assert t.read(version=1).count() == 100
+    t.expire_snapshots(keep_last=1)
+    removed = t.remove_orphan_files(older_than_s=0)
+    parqs = [p for p in removed if p.endswith(".parquet")]
+    assert len(parqs) == 1 and "__p_month=2024-02" in parqs[0]
+    assert all("__p_month=2024-02" in p for p in removed)
+    assert t.read().count() == 50
+    assert {r.id for r in t.read().collect()} == set(range(0, 100, 2))
+
+
+def test_remove_orphans_protects_delete_files_and_sql_call(spark, catalog):
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    catalog.write_evolving(df, "db", "mor_orph")
+    t = catalog.table("db", "mor_orph")
+    t.delete_where("k = 3", mode="mor", keys=["id"])
+    assert t._load().deletes
+    # the MOR delete file's dir is protected wholesale
+    assert t.remove_orphan_files(older_than_s=0) == []
+    assert t.read().count() == 32
+    out = catalog.sql(
+        "CALL lake.system.remove_orphan_files('db.mor_orph', "
+        "older_than_seconds => 0)"
+    ).collect()
+    assert out[0].orphans_removed == 0
