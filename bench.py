@@ -84,6 +84,7 @@ HEADLINE = [
     "q126_term_search",
     "q127_cluster_sample",
     "q128_lm_quality_score",
+    "q129_audio_framing",
 ]
 
 

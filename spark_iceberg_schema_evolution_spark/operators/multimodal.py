@@ -153,3 +153,57 @@ def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.n_bytes").alias("n_bytes"),
         ),
     )
+
+
+def frame_signal(
+    df: DataFrame,
+    frame_bytes: int,
+    hop_bytes: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Fixed-window framing over a raw byte-stream payload — the audio
+    path's first real transform (PCM frame extraction for feature
+    windows, exactly the shape torchaudio's ``frame`` / librosa's
+    ``util.frame`` applies before any DSP): one row per
+    (media, frame_idx) holding the frame's byte offset, its bytes, and
+    an engine-portable fingerprint (md5 of the uppercase hex of the
+    frame). Trailing bytes shorter than a full frame are dropped, as
+    frame-based DSP does. (Contrast ``frame_sample``: that is the VIDEO
+    shape — disjoint stride sampling, partial tail kept, Arrow-batched
+    UDF; this is the AUDIO shape — overlapping hop windows, tail
+    dropped, pure JVM.)
+
+    The byte-slicing is JVM-only (``sequence`` of offsets ->
+    ``substr`` on the binary -> ``explode``): no Python touches the
+    payload, so a 100 TB audio corpus frames inside scan codegen with
+    the payload column read ONCE. Decode (codec) stays behind
+    decode_stub — framing raw bytes needs none."""
+    if frame_bytes < 1 or hop_bytes < 1:
+        raise ValueError(
+            f"frame_bytes/hop_bytes must be >= 1: {frame_bytes}/{hop_bytes}"
+        )
+    n = F.octet_length(F.col(payload_col))
+    starts = F.when(
+        n >= frame_bytes,
+        F.sequence(
+            F.lit(1), n - frame_bytes + 1, F.lit(hop_bytes)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    frame = F.substr(
+        F.col(payload_col), F.col("__start"), F.lit(frame_bytes)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(payload_col),
+            F.posexplode(starts).alias("frame_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("frame_idx"),
+            (F.col("__start") - 1).alias("byte_offset"),
+            frame.alias("frame"),
+            F.md5(F.encode(F.hex(frame), "UTF-8")).alias("frame_fp"),
+        )
+    )

@@ -5347,6 +5347,53 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q129_audio_framing",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 200),
+    starts AS (
+      SELECT media_id, hx,
+             CASE WHEN n >= 64
+                  THEN generate_series(1, n - 64 + 1, 48)
+                  ELSE [] END AS ss
+      FROM media),
+    frames AS (
+      SELECT media_id, hx,
+             CAST((u.gs - 1) // 48 AS INT) AS frame_idx,
+             u.gs - 1 AS s1
+      FROM starts, UNNEST(ss) AS u(gs))
+    SELECT CAST(media_id AS BIGINT) AS media_id, frame_idx,
+           CAST(s1 AS BIGINT) AS byte_offset,
+           md5(substr(hx, s1 * 2 + 1, 128)) AS frame_fp
+    FROM frames ORDER BY media_id, frame_idx
+    """,
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-frame windowing over binary payloads
+    (multimodal.frame_signal): the documents fixture stands in as raw
+    PCM (utf-8 payload bytes), framed into 64-byte windows at a 48-byte
+    hop with JVM-only byte slicing — one scan, no Python on the
+    payload. The oracle re-frames the identical byte-stream through
+    DuckDB's hex-string slicing (2 hex chars per byte) and matches the
+    md5-of-hex fingerprint of every frame byte-for-byte."""
+    from spark_iceberg_schema_evolution_spark.operators.multimodal import (
+        documents_as_media,
+        frame_signal,
+    )
+
+    d = load(spark, sf, "documents").where("doc_id < 200")
+    media = documents_as_media(d)
+    out = frame_signal(media, frame_bytes=64, hop_bytes=48)
+    return out.select(
+        "media_id", "frame_idx",
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+        "frame_fp",
+    ).orderBy("media_id", "frame_idx")
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

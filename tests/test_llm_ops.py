@@ -453,3 +453,30 @@ def test_cluster_assignment_is_map_only(spark):
             for cid, vec in cents
         ]
         assert got[row.vec_id] == min(dists)[1]
+
+
+def test_frame_signal_arithmetic_and_edges(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"a" * 10)), (2, bytearray(b"xy")), (3, None)],
+        "media_id LONG, payload BINARY",
+    )
+    out = multimodal.frame_signal(
+        media, frame_bytes=4, hop_bytes=3, payload_col="payload"
+    )
+    rows = {(r.media_id, r.frame_idx): r for r in out.collect()}
+    # n=10, L=4, H=3 -> starts 0,3,6 (start 9 would overrun: dropped)
+    assert {k for k in rows} == {(1, 0), (1, 1), (1, 2)}
+    assert [rows[(1, i)].byte_offset for i in range(3)] == [0, 3, 6]
+    assert bytes(rows[(1, 0)].frame) == b"aaaa"
+    # all-identical frames fingerprint identically
+    assert rows[(1, 0)].frame_fp == rows[(1, 1)].frame_fp
+    with pytest.raises(ValueError, match="frame_bytes"):
+        multimodal.frame_signal(media, frame_bytes=0, hop_bytes=1)
+
+
+def test_frame_signal_plan_stays_jvm_side(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.frame_signal(media, frame_bytes=64, hop_bytes=48)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
