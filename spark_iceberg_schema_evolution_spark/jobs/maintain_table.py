@@ -64,6 +64,26 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--max-snapshot-age-seconds", type=float, default=None,
+        help=(
+            "with --keep-snapshots, expire only snapshots older than "
+            "this (Iceberg's older_than axis); default: the table's "
+            "vacuum_max_snapshot_age_seconds property, else no age "
+            "gate (pure count-based expiry)"
+        ),
+    )
+    p.add_argument(
+        "--remove-orphans", action="store_true",
+        help=(
+            "after expiry, reclaim files no remaining snapshot "
+            "references (crashed writers, DML-dead partition files)"
+        ),
+    )
+    p.add_argument(
+        "--orphan-age-seconds", type=float, default=3 * 24 * 3600,
+        help="minimum age before an unreferenced file is reclaimed",
+    )
+    p.add_argument(
         "--force", action="store_true",
         help="compact regardless of batch count",
     )
@@ -115,8 +135,20 @@ def maintain(spark, args) -> dict:
         # cheaper delete-only fold for tables under the batch threshold
         t.compact_deletes()
         report["deletes_folded"] = True
-    dropped = t.expire_snapshots(keep_last=keep_snapshots)
+    raw_age = (
+        args.max_snapshot_age_seconds
+        if args.max_snapshot_age_seconds is not None
+        else t.properties().get("vacuum_max_snapshot_age_seconds")
+    )
+    dropped = t.expire_snapshots(
+        keep_last=keep_snapshots,
+        max_age_s=float(raw_age) if raw_age is not None else None,
+    )
     report["snapshots_expired"] = len(dropped)
+    if args.remove_orphans:
+        report["orphans_removed"] = len(
+            t.remove_orphan_files(older_than_s=args.orphan_age_seconds)
+        )
     report["batches_after"] = len(t._load().batches)
     report["delete_files_after"] = len(t._load().deletes)
     report["files_after"] = len(t.files())

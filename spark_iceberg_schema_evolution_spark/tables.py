@@ -2957,19 +2957,35 @@ class LakehouseTable:
         )
         return version
 
-    def expire_snapshots(self, keep_last: int = 5) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 5, max_age_s: float | None = None
+    ) -> list[int]:
         """Drop old manifests and any batch dirs no live manifest
         references (Iceberg ``expire_snapshots`` / the reference's
         vacuum_min_snapshots_to_keep=5, spark_utils.py:171). Versions a
         branch or tag points at are never expired (Iceberg retains every
-        referenced snapshot)."""
+        referenced snapshot). ``max_age_s`` adds Iceberg's
+        ``older_than`` axis: beyond the keep-window, only snapshots
+        whose commit timestamp is older than the age actually expire —
+        the retention contract "time travel works for at least N
+        seconds" that count-based expiry alone can't give a
+        frequently-committing (e.g. streaming CDC) table."""
         vs = self._versions()
         r = self.refs()
         heads = set(r["branches"].values()) | set(r["tags"].values())
+        cutoff_us = (
+            (time.time() - max_age_s) * 1_000_000
+            if max_age_s is not None
+            else None
+        )
         drop = [
             v
             for v in (vs[:-keep_last] if keep_last else vs[:-1])
             if v not in heads
+            and (
+                cutoff_us is None
+                or self._load(v).committed_at_us < cutoff_us
+            )
         ]
         keep = [v for v in vs if v not in drop]
         live = set()
@@ -3253,6 +3269,48 @@ class LakehouseCatalog:
         )
         if m:
             return self._call_procedure(m.group(1), m.group(2))
+        m = re.match(r"(?is)^EXPLAIN\s+(EXTENDED\s+)?(SELECT\b.*|WITH\b.*)$", q)
+        if m:
+            extended, body = m.groups()
+            qe = self.sql(body)._jdf.queryExecution()
+            text = qe.toString() if extended else qe.simpleString()
+            return self.spark.createDataFrame(
+                [(text,)], "plan STRING"
+            )
+        m = re.match(
+            r"(?is)^SHOW\s+CREATE\s+TABLE\s+lake\.(\w+)\.(\w+)\s*$", q
+        )
+        if m:
+            ns, name = m.groups()
+            t = self.table(ns, name)
+            snap = t._load()
+            cols = ",\n  ".join(
+                f"{f.name} {datatype_to_str(f.dataType)}"
+                for f in snap.schema.fields
+            )
+            stmt = f"CREATE TABLE lake.{ns}.{name} (\n  {cols})"
+            spec = []
+            if snap.partition_month_of:
+                spec.append(f"MONTH({snap.partition_month_of})")
+            bspec = t._bucket_spec()
+            if bspec:
+                spec.append(f"BUCKET({bspec[1]}, {bspec[0]})")
+            if spec:
+                stmt += f"\nPARTITIONED BY ({', '.join(spec)})"
+            props = {
+                k: v
+                for k, v in sorted(t.properties().items())
+                # the bucket spec renders as PARTITIONED BY, not as
+                # its storage representation
+                if not k.startswith("write.bucket.")
+            }
+            if props:
+                stmt += "\nTBLPROPERTIES (%s)" % ", ".join(
+                    f"'{k}'='{v}'" for k, v in props.items()
+                )
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt STRING"
+            )
         m = re.match(r"(?is)^SHOW\s+NAMESPACES\s*$", q)
         if m:
             rows = sorted(
@@ -3327,6 +3385,15 @@ class LakehouseCatalog:
                     (
                         "# partition",
                         f"months({snap.partition_month_of})",
+                        "hidden transform",
+                    )
+                )
+            bspec = t._bucket_spec()
+            if bspec:
+                rows.append(
+                    (
+                        "# partition",
+                        f"bucket({bspec[1]}, {bspec[0]})",
                         "hidden transform",
                     )
                 )
@@ -3725,7 +3792,12 @@ class LakehouseCatalog:
             )
         if proc == "expire_snapshots":
             dropped = t.expire_snapshots(
-                keep_last=int(named.get("retain_last", 5))
+                keep_last=int(named.get("retain_last", 5)),
+                max_age_s=(
+                    float(named["older_than_seconds"])
+                    if "older_than_seconds" in named
+                    else None
+                ),
             )
             return self.spark.createDataFrame(
                 [(len(dropped),)], "expired BIGINT"

@@ -1665,3 +1665,91 @@ def test_remove_orphans_protects_delete_files_and_sql_call(spark, catalog):
         "older_than_seconds => 0)"
     ).collect()
     assert out[0].orphans_removed == 0
+
+
+def test_expire_snapshots_age_gate(spark, catalog):
+    catalog.write_evolving(spark.range(3).toDF("id"), "db", "age")
+    t = catalog.table("db", "age")
+    for i in range(4):
+        t.append(spark.range(3).toDF("id"))
+    assert len(t._versions()) == 6  # create + 5 appends
+    # every snapshot is seconds old: a 1-hour age gate expires nothing
+    # even though the count window would
+    assert t.expire_snapshots(keep_last=1, max_age_s=3600) == []
+    assert len(t._versions()) == 6
+    # age 0 restores pure count-based behavior
+    dropped = t.expire_snapshots(keep_last=2, max_age_s=0)
+    assert len(dropped) == 4 and len(t._versions()) == 2
+    out = catalog.sql(
+        "CALL lake.system.expire_snapshots('db.age', retain_last => 1, "
+        "older_than_seconds => 3600)"
+    ).collect()
+    assert out[0].expired == 0
+
+
+def test_maintenance_age_property_and_orphan_sweep(spark, catalog, tmp_path):
+    from spark_iceberg_schema_evolution_spark.jobs.maintain_table import (
+        build_parser,
+        maintain,
+    )
+
+    catalog.write_evolving(spark.range(5).toDF("id"), "db", "mt")
+    t = catalog.table("db", "mt")
+    t.append(spark.range(5, 10).toDF("id"))
+    t.set_properties({"vacuum_max_snapshot_age_seconds": "3600"})
+    args = build_parser().parse_args(
+        [
+            "--warehouse", catalog.warehouse,
+            "--namespace", "db", "--table", "mt",
+            "--keep-snapshots", "1",
+            "--remove-orphans", "--orphan-age-seconds", "0",
+        ]
+    )
+    report = maintain(spark, args)
+    # property-driven age gate kept the young snapshot alive
+    assert report["snapshots_expired"] == 0
+    assert report["orphans_removed"] == 0
+    assert report["rows_after"] == report["rows"] == 10
+    # CLI flag overrides the property: age 0 expires by count again
+    args2 = build_parser().parse_args(
+        [
+            "--warehouse", catalog.warehouse,
+            "--namespace", "db", "--table", "mt",
+            "--keep-snapshots", "1",
+            "--max-snapshot-age-seconds", "0",
+        ]
+    )
+    report2 = maintain(spark, args2)
+    assert report2["snapshots_expired"] == 2  # v0 create + v1 first append
+
+
+def test_sql_explain_and_show_create_table(spark, catalog):
+    spark.range(10).selectExpr(
+        "id", "id % 3 AS k"
+    ).createOrReplaceTempView("exp_src")
+    catalog.sql(
+        "CREATE TABLE lake.db.sct PARTITIONED BY BUCKET(4, id) "
+        "TBLPROPERTIES ('owner'='me') AS SELECT * FROM exp_src"
+    )
+    plan = catalog.sql(
+        "EXPLAIN SELECT k, COUNT(*) AS n FROM lake.db.sct GROUP BY k"
+    ).first().plan
+    assert "Physical Plan" in plan and "HashAggregate" in plan
+    ext = catalog.sql(
+        "EXPLAIN EXTENDED SELECT * FROM lake.db.sct"
+    ).first().plan
+    assert "Parsed Logical Plan" in ext
+    stmt = catalog.sql(
+        "SHOW CREATE TABLE lake.db.sct"
+    ).first().createtab_stmt
+    assert "CREATE TABLE lake.db.sct" in stmt
+    assert "id bigint" in stmt
+    assert "PARTITIONED BY (BUCKET(4, id))" in stmt
+    assert "'owner'='me'" in stmt
+    assert "write.bucket" not in stmt
+    # DESCRIBE surfaces the bucket transform
+    desc = catalog.sql("DESCRIBE TABLE lake.db.sct").collect()
+    assert any(
+        r.col_name == "# partition" and r.data_type == "bucket(4, id)"
+        for r in desc
+    )
