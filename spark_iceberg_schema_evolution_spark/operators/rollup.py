@@ -1,0 +1,128 @@
+"""Incremental materialized rollup maintenance (IVM).
+
+The hypertable-style continuous aggregate: a rollup table holding
+``GROUP BY <keys> -> COUNT(*), SUM(col)...`` over a source lakehouse
+table, refreshed INCREMENTALLY from the source's row-level CDC
+(``diff()``: I/D tagged rows) instead of recomputed from scratch. The
+delta math is the classic additive-aggregate IVM rule: each group's
+count moves by ``Σ(+1 for I, -1 for D)`` and each sum by the signed
+value total — exact for COUNT/SUM under inserts, deletes, AND updates
+(an update is one D and one I), which is why the rollup schema is
+restricted to additive aggregates. AVG derives as sum/count at query
+time; MIN/MAX are not incrementally maintainable under deletes without
+per-group history and are deliberately not offered.
+
+Scale shape: one diff (two scans of the changed snapshots' batches),
+one hash aggregate over ONLY the changed rows, and one MERGE into the
+rollup keyed on the group columns — cost tracks the delta size, not
+the source size. A 100 TB source with a 1 GB daily delta refreshes by
+scanning the delta, exactly like a TimescaleDB continuous aggregate or
+a Materialize arrangement.
+
+Consistency: the refresh bookmark (source version + expected rollup
+version) lives in the rollup's table properties and is written AFTER
+the merge commit. A crash between the two leaves the pair out of sync;
+the next refresh detects it and raises instead of double-applying a
+delta — rebuild with ``full_refresh=True``. Single-writer, like the
+lakehouse commit protocol itself (tables.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SRC_PROP = "rollup.source_version"
+_DST_PROP = "rollup.target_version"
+
+
+def _delta_agg(
+    rows: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    w = F.when(F.col("_change_type") == "I", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    aggs = [F.sum(w).alias("n_rows")] + [
+        F.sum(w * F.col(c)).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return rows.groupBy(*group_cols).agg(*aggs)
+
+
+def refresh_rollup(
+    source,
+    target,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    full_refresh: bool = False,
+) -> int:
+    """Create or incrementally refresh ``target`` as the materialized
+    ``GROUP BY group_cols -> n_rows, sum_<c>...`` of ``source`` (both
+    ``LakehouseTable``). Returns the rollup's version (unchanged when
+    the source hasn't moved). Group columns must be non-null — NULL
+    group keys would silently miss the MERGE join and duplicate
+    groups, so the delta path refuses them loudly."""
+    if not group_cols:
+        raise ValueError("need at least one group column")
+    sum_cols = sum_cols or []
+    src_v = source._load().version
+    if full_refresh or not target.exists():
+        full = _delta_agg(
+            source.read().withColumn("_change_type", F.lit("I")),
+            group_cols,
+            sum_cols,
+        )
+        if target.exists():
+            v = target.overwrite(full)
+        else:
+            target.create(full.schema)
+            v = target.append(full, evolve=False)
+        target.set_properties({_SRC_PROP: src_v, _DST_PROP: v})
+        return v
+    props = target.properties()
+    if _SRC_PROP not in props:
+        raise ValueError(
+            "target exists but is not a rollup of anything "
+            f"({_SRC_PROP} missing); pass full_refresh=True to adopt it"
+        )
+    last_src = int(props[_SRC_PROP])
+    expected_dst = int(props[_DST_PROP])
+    cur_dst = target._load().version
+    if cur_dst != expected_dst:
+        raise RuntimeError(
+            f"rollup state out of sync (rollup at v{cur_dst}, bookmark "
+            f"expects v{expected_dst}): a refresh crashed between merge "
+            "and bookmark, or someone else wrote the rollup — rebuild "
+            "with full_refresh=True"
+        )
+    if last_src == src_v:
+        return cur_dst  # nothing new
+    delta = _delta_agg(
+        source.diff(last_src, src_v), group_cols, sum_cols
+    )
+    zero = F.col("n_rows") == 0
+    for c in sum_cols:
+        zero = zero & (F.col(f"sum_{c}") == 0)
+    delta = delta.where(~zero)
+    null_keys = F.lit(False)
+    for g in group_cols:
+        null_keys = null_keys | F.col(g).isNull()
+    delta = delta.withColumn(
+        "n_rows",
+        F.when(
+            null_keys,
+            F.raise_error(
+                F.lit("NULL group key in rollup delta — not mergeable")
+            ).cast("long"),
+        ).otherwise(F.col("n_rows")),
+    )
+    updates = {"n_rows": "t.n_rows + s.n_rows"}
+    for c in sum_cols:
+        updates[f"sum_{c}"] = f"t.sum_{c} + s.sum_{c}"
+    v = target.merge_into(
+        delta,
+        on=group_cols,
+        matched_delete_where="t.n_rows + s.n_rows = 0",
+        matched_update=updates,
+        insert_unmatched=True,
+    )
+    target.set_properties({_SRC_PROP: src_v, _DST_PROP: v})
+    return v

@@ -5394,6 +5394,57 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q130_incremental_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_custkey < 1500 AND o_orderkey < 6000),
+    kept AS (SELECT * FROM base WHERE NOT (price_c > 20000000)),
+    upd AS (
+      SELECT pri,
+             CASE WHEN pri = '1-URGENT' THEN price_c + 1
+                  ELSE price_c END AS price_c
+      FROM kept)
+    SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+    FROM upd GROUP BY pri ORDER BY pri
+    """,
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized rollup (operators/rollup.py — the
+    hypertable continuous-aggregate shape): a COUNT/SUM GROUP BY
+    rollup refreshed from row-level CDC deltas through four source
+    commits — append, append, COW DELETE, COW UPDATE — each refresh
+    merging only the diff()'d rows. The oracle recomputes the final
+    aggregate from raw data in one shot: incremental maintenance must
+    be indistinguishable from a from-scratch rebuild."""
+    from spark_iceberg_schema_evolution_spark.operators.rollup import (
+        refresh_rollup,
+    )
+
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where("o_custkey < 1500").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    cat.create_namespace("db")
+    src = cat.table("db", "rsrc")
+    dst = cat.table("db", "rdst")
+    src.create(o.schema)
+    src.append(o.where("o_orderkey < 3000"))
+    refresh_rollup(src, dst, ["pri"], ["price_c"])
+    src.append(o.where("o_orderkey >= 3000 AND o_orderkey < 6000"))
+    refresh_rollup(src, dst, ["pri"], ["price_c"])
+    src.delete_where("price_c > 20000000")
+    refresh_rollup(src, dst, ["pri"], ["price_c"])
+    src.update_where("pri = '1-URGENT'", {"price_c": "price_c + 1"})
+    refresh_rollup(src, dst, ["pri"], ["price_c"])
+    return dst.read().orderBy("pri")
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (
