@@ -416,6 +416,9 @@ def stream_upsert_to_lakehouse(
     change_ts: str | None = None,
     merge_mode: str = "cow",
     max_delete_files: int | None = None,
+    rollup_table: str | None = None,
+    rollup_group_cols: list[str] | None = None,
+    rollup_sum_cols: list[str] | None = None,
 ) -> None:
     """CDC-style streaming upsert sink: each micro-batch MERGEs into the
     lakehouse table on ``on`` keys (update-matched / insert-new), so
@@ -444,7 +447,15 @@ def stream_upsert_to_lakehouse(
     it, multi-row-per-key batches raise rather than silently duplicating.
 
     Exactly-once per epoch comes from the checkpoint; the MERGE itself is
-    idempotent for a replayed batch (same keys -> same final state)."""
+    idempotent for a replayed batch (same keys -> same final state).
+
+    ``rollup_table`` adds a continuous aggregate: after each epoch's
+    merge, ``operators.rollup.refresh_rollup`` folds the commit's
+    row-level delta into ``<namespace>.<rollup_table>`` grouped by
+    ``rollup_group_cols`` (summing ``rollup_sum_cols``). Because the
+    rollup bookmarks SOURCE versions — not stream epochs — a replayed
+    micro-batch whose merge was already committed refreshes to a
+    no-op delta instead of double-counting."""
     from pyspark.sql import Window
 
     def latest_per_key(df: DataFrame) -> DataFrame:
@@ -477,6 +488,17 @@ def stream_upsert_to_lakehouse(
             and t.should_compact_deletes(max_delete_files)
         ):
             t.compact_deletes()
+        if rollup_table is not None:
+            from spark_iceberg_schema_evolution_spark.operators.rollup import (
+                refresh_rollup,
+            )
+
+            refresh_rollup(
+                t,
+                catalog.table(namespace, rollup_table),
+                rollup_group_cols or [],
+                rollup_sum_cols,
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -363,3 +363,47 @@ def test_stream_quality_gate_quarantines_bad_epochs(spark, tmp_path):
             rules=[{"rule": "unique", "cols": ["event_id"]}],
             on_violation="fail",
         )
+
+
+def test_stream_upsert_with_continuous_rollup(spark, tmp_path):
+    """The continuous-aggregate composition: the CDC upsert sink
+    maintains a COUNT/SUM rollup incrementally per epoch, and the
+    final rollup equals a from-scratch aggregate of the upserted
+    table."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+    from tests.conftest import SF_SMOKE
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    ev = SW.read_events_stream(spark, SF_SMOKE).select(
+        "user_id", "ts", "value", (F.col("user_id") % 4).alias("cohort")
+    )
+    agg = ev.groupBy("user_id", "cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+    )
+    SW.stream_upsert_to_lakehouse(
+        agg.select("user_id", "cohort", "n", "last_ts"),
+        cat,
+        "db",
+        "user_state_r",
+        on=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        rollup_table="cohort_counts",
+        rollup_group_cols=["cohort"],
+        rollup_sum_cols=["n"],
+    )
+    state = cat.table("db", "user_state_r").read()
+    rollup = {
+        r.cohort: (r.n_rows, r.sum_n)
+        for r in cat.table("db", "cohort_counts").read().collect()
+    }
+    expect = {
+        r.cohort: (r.users, r.total_n)
+        for r in state.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("n").alias("total_n"),
+        )
+        .collect()
+    }
+    assert rollup == expect and rollup
