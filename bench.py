@@ -85,6 +85,7 @@ HEADLINE = [
     "q127_cluster_sample",
     "q128_lm_quality_score",
     "q129_audio_framing",
+    "q131_contamination_stats",
 ]
 
 

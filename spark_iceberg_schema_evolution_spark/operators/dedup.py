@@ -515,3 +515,52 @@ def semantic_dedup(
     return dedup_keep_best(
         docs, pairs, quality_col=quality_col, id_col=id_col
     )
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Graded benchmark contamination: per-document distinct-shingle
+    overlap against the benchmark's shingle set — ``n_shingles``,
+    ``n_overlap``, and ``overlap_frac`` columns on every doc. Where
+    ``decontaminate`` applies the any-hit drop rule, this is the
+    measurement behind threshold policies (the GPT-3/Llama appendix
+    style: drop above X% n-gram overlap, audit the middle band):
+    filter ``overlap_frac`` at whatever cut the run calls for.
+
+    Scale shape: same as decontaminate — the benchmark's distinct
+    shingles BROADCAST; the corpus side is a map-side shingle explode +
+    broadcast hash join, then ONE aggregate shuffle on the doc id.
+    Docs whose text yields no shingles keep NULL stats (nothing to
+    measure), never a fake zero."""
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(normalized_words(text_col), n)).alias("__s"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles(normalized_words(text_col), n)).alias(
+                "__s"
+            )
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        doc_sh.join(F.broadcast(bench_sh), "__s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "n_overlap"
+            ),
+        )
+    )
+    return docs.join(per, id_col, "left").withColumn(
+        "overlap_frac",
+        F.col("n_overlap").cast("double") / F.col("n_shingles"),
+    )

@@ -5445,6 +5445,60 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q131_contamination_stats",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct(list_transform(
+                         range(0, len(w) - 5 + 1),
+                         i -> array_to_string(w[i+1:i+5], ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS ss
+      FROM tk),
+    docsh AS (
+      SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id < 400),
+    bench AS (
+      SELECT DISTINCT unnest(ss) AS s FROM sh
+      WHERE doc_id >= 400 AND doc_id < 420),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN s IN (SELECT s FROM bench)
+                      THEN 1 ELSE 0 END) AS n_overlap
+      FROM docsh GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded benchmark contamination (dedup.contamination_stats):
+    per-document distinct-5-gram overlap fraction against a benchmark
+    slice of the same corpus — the measurement behind GPT-3/Llama-style
+    threshold policies, beside q106's any-hit drop rule. Benchmark
+    shingles broadcast; corpus pays one map-side explode + one id-keyed
+    aggregate. The oracle rebuilds the shingle sets and the overlap
+    arithmetic in SQL (the division is a single IEEE op on two exact
+    ints — engine-identical, no rounding needed)."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        contamination_stats,
+    )
+
+    d = load(spark, sf, "documents")
+    docs = d.where("doc_id < 400")
+    bench = d.where("doc_id >= 400 AND doc_id < 420")
+    out = contamination_stats(docs, bench)
+    return out.select(
+        "doc_id", "n_shingles", "n_overlap", "overlap_frac"
+    ).orderBy("doc_id")
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

@@ -480,3 +480,34 @@ def test_frame_signal_plan_stays_jvm_side(spark):
     out = multimodal.frame_signal(media, frame_bytes=64, hop_bytes=48)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_contamination_stats_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # 2 shingles, both in the benchmark
+            (1, "alpha beta gamma delta epsilon zeta"),
+            # shares no 5-gram
+            (2, "one two three four five six seven"),
+            # short doc: single whole-doc shingle, no hit
+            (3, "alpha beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.contamination_stats(docs, bench).collect()
+    }
+    assert out[1].n_shingles == 2 and out[1].n_overlap == 2
+    assert out[1].overlap_frac == 1.0
+    assert out[2].n_overlap == 0 and out[2].overlap_frac == 0.0
+    assert out[3].n_shingles == 1 and out[3].n_overlap == 0
+    # threshold policy composes as a plain filter
+    kept = dedup.contamination_stats(docs, bench).where(
+        "overlap_frac < 0.5"
+    )
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
