@@ -5499,6 +5499,73 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q132_merge_by_source",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_custkey < 1200 AND o_orderkey < 4000),
+    src AS (
+      SELECT o_orderkey, o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 7 AS price_c
+      FROM orders
+      WHERE o_custkey < 1200
+        AND o_orderkey >= 2000 AND o_orderkey < 6000),
+    kept_unmatched AS (
+      SELECT t.* FROM tgt t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        AND NOT (t.price_c < 10000000)),
+    final AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT o_orderkey, pri, price_c FROM kept_unmatched)
+    SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_c) AS BIGINT) AS total_c,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM final GROUP BY pri ORDER BY pri
+    """,
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE (Spark 4 / Iceberg's
+    full-sync clause, round-5 addition to the q89 clause family):
+    matched rows update, new rows insert, and target rows ABSENT from
+    the source delete when they fail a retention condition — the
+    snapshot-sync shape that reconciles a table against an
+    authoritative feed. Routed through the SQL front door; the oracle
+    replays the set algebra relationally."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where("o_custkey < 1200").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    cat.write_evolving(o.where("o_orderkey < 4000"), "db", "sync")
+    src = o.where(
+        "o_orderkey >= 2000 AND o_orderkey < 6000"
+    ).withColumn("price_c", F.col("price_c") + 7)
+    src.createOrReplaceTempView("q132_src")
+    cat.sql(
+        "MERGE INTO lake.db.sync t USING q132_src s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.price_c < 10000000 "
+        "THEN DELETE"
+    )
+    return (
+        cat.table("db", "sync")
+        .read()
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_c").alias("total_c"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("pri")
+    )
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

@@ -1673,6 +1673,9 @@ class LakehouseTable:
         insert_unmatched: bool = True,
         evolve: bool = False,
         mode: str = "cow",
+        unmatched_source_delete_where=None,
+        unmatched_source_update: dict | None = None,
+        unmatched_source_condition=None,
     ) -> int:
         """MERGE INTO with Iceberg's clause surface — copy-on-write,
         matching keys GLOBALLY like Iceberg's COW MERGE, but rewriting
@@ -1697,6 +1700,16 @@ class LakehouseTable:
           (WHEN MATCHED AND <cond> THEN UPDATE). Matched rows failing it
           are kept unchanged.
         - ``insert_unmatched``: WHEN NOT MATCHED THEN INSERT (default on).
+        - ``unmatched_source_delete_where`` / ``unmatched_source_update``
+          / ``unmatched_source_condition``: the WHEN NOT MATCHED BY
+          SOURCE arms (Spark 4 / Iceberg MERGE) over target rows WITHOUT
+          a source match — ``True`` or a condition for THEN DELETE (the
+          full-sync "delete rows absent from the snapshot" clause), a
+          ``{column: expr}`` dict (+ optional AND gate) for THEN UPDATE.
+          Expressions see only ``t.<col>`` (no source side exists).
+          These clauses inspect EVERY target row by definition, so the
+          merge scopes to the whole table — a full rewrite on COW, like
+          Iceberg — and MOR mode refuses them loudly.
         - ``evolve``: MERGE WITH SCHEMA EVOLUTION — new source columns
           extend the table schema (extras-last, like append); existing
           target rows surface them as NULL.
@@ -1729,7 +1742,17 @@ class LakehouseTable:
                 schema = T.StructType(
                     list(snap.schema.fields) + list(new_fields)
                 )
+        by_source = (
+            unmatched_source_delete_where is not None
+            or unmatched_source_update is not None
+        )
         if mode == "mor":
+            if by_source:
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE clauses inspect every target "
+                    "row — incompatible with merge-on-read's "
+                    "O(matched-rows) commit; use mode='cow'"
+                )
             return self._merge_mor(
                 snap, source, schema, on, matched_update,
                 matched_condition, matched_delete_where, insert_unmatched,
@@ -1737,7 +1760,11 @@ class LakehouseTable:
         if mode != "cow":
             raise ValueError(f"unknown merge mode: {mode}")
         mo = snap.partition_month_of
-        if mo:
+        if mo and by_source:
+            # BY SOURCE arms evaluate the WHOLE target: no month scope
+            target_scope = self.read()
+            keep_batches, merge_carry = [], None
+        elif mo:
             month_expr = F.date_format(F.col(mo), "yyyy-MM")
             src_months = [
                 r[0]
@@ -1787,6 +1814,9 @@ class LakehouseTable:
             matched_condition,
             matched_delete_where,
             insert_unmatched,
+            unmatched_source_delete_where,
+            unmatched_source_update,
+            unmatched_source_condition,
         )
         if merge_carry is not None:
             merged = merged.unionByName(merge_carry)
@@ -1955,24 +1985,40 @@ class LakehouseTable:
         matched_condition,
         matched_delete_where,
         insert_unmatched: bool,
+        unmatched_source_delete_where=None,
+        unmatched_source_update=None,
+        unmatched_source_condition=None,
     ) -> DataFrame:
         """Evaluate MERGE clauses over the scoped target (see merge_into).
         All clause arms come from ONE target-source join; the legacy
         default (update-all + insert, no conditions) keeps its join-free
         anti-union fast path."""
         names = [f.name for f in schema.fields]
-        if isinstance(matched_update, dict):
-            bad = [k for k in matched_update if k in on]
-            if bad:
-                raise ValueError(f"cannot assign merge key columns: {bad}")
-            unknown = [k for k in matched_update if k not in names]
-            if unknown:
-                raise ValueError(f"UPDATE of unknown columns: {unknown}")
+        for upd, label in (
+            (matched_update, "UPDATE"),
+            (unmatched_source_update, "NOT MATCHED BY SOURCE UPDATE"),
+        ):
+            if isinstance(upd, dict):
+                bad = [k for k in upd if k in on]
+                if bad:
+                    raise ValueError(
+                        f"cannot assign merge key columns: {bad}"
+                    )
+                unknown = [k for k in upd if k not in names]
+                if unknown:
+                    raise ValueError(
+                        f"{label} of unknown columns: {unknown}"
+                    )
+        by_source = (
+            unmatched_source_delete_where is not None
+            or unmatched_source_update is not None
+        )
         if (
             matched_update == "all"
             and matched_condition is None
             and matched_delete_where is None
             and insert_unmatched
+            and not by_source
         ):
             return target.join(source.select(*on), on, "left_anti").unionByName(
                 align_schema(source, schema, keep_extras=False),
@@ -2020,8 +2066,58 @@ class LakehouseTable:
         else:
             upd_cols = t_cols
         survive = joined.where(~del_c)
+        # WHEN NOT MATCHED BY SOURCE arms (Spark 4 / Iceberg MERGE):
+        # evaluated over target rows without a source match. Expressions
+        # see the row as ``t.<col>`` (there is no ``s.`` side, by
+        # definition).
+        unmatched_t = target.alias("t").join(
+            source.select(*on).distinct(), on, "left_anti"
+        )
+        if by_source:
+            bs_del = (
+                F.lit(True)
+                if unmatched_source_delete_where is True
+                else (
+                    F.coalesce(
+                        as_col(unmatched_source_delete_where),
+                        F.lit(False),
+                    )
+                    if unmatched_source_delete_where is not None
+                    else F.lit(False)
+                )
+            )
+            bs_upd_c = (
+                F.coalesce(
+                    as_col(unmatched_source_condition), F.lit(False)
+                )
+                if unmatched_source_condition is not None
+                else F.lit(True)
+            )
+            bs_survive = unmatched_t.where(~bs_del)
+            if isinstance(unmatched_source_update, dict):
+                bs_exprs = {
+                    k: as_col(v)
+                    for k, v in unmatched_source_update.items()
+                }
+                bs_upd_cols = [
+                    (
+                        bs_exprs[f.name].try_cast(f.dataType)
+                        if f.name in bs_exprs
+                        else F.col(f"t.{f.name}")
+                    ).alias(f.name)
+                    for f in schema.fields
+                ]
+                unmatched_t = bs_survive.where(~bs_upd_c).select(
+                    *t_cols
+                ).unionByName(
+                    bs_survive.where(bs_upd_c).select(*bs_upd_cols)
+                )
+            else:
+                unmatched_t = bs_survive.select(*t_cols)
+        else:
+            unmatched_t = unmatched_t.select(*t_cols)
         out = (
-            target.join(source.select(*on).distinct(), on, "left_anti")
+            unmatched_t
             .unionByName(survive.where(~upd_c).select(*t_cols))
             .unionByName(survive.where(upd_c).select(*upd_cols))
         )
@@ -3927,19 +4023,65 @@ class LakehouseCatalog:
         matched_condition = None
         matched_delete_where = None
         insert_unmatched = False
+        bs_delete = None
+        bs_update = None
+        bs_condition = None
+
+        def parse_sets(sets: str) -> dict:
+            assignments = {}
+            depth, start, parts = 0, 0, []
+            for i, ch in enumerate(sets):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(sets[start:i])
+                    start = i + 1
+            parts.append(sets[start:])
+            for p in parts:
+                col, expr = p.split("=", 1)
+                col = col.strip()
+                col = re.sub(r"(?i)^\w+\.", "", col)  # strip t. prefix
+                assignments[col] = xlate(expr.strip())
+            return assignments
+
         for part in re.split(r"(?i)\bWHEN\b", clauses):
             part = part.strip()
             if not part:
                 continue
             cm = re.match(
-                r"(?is)^(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?"
-                r"\s+THEN\s+(.+)$",
+                r"(?is)^(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?"
+                r"(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$",
                 part,
             )
             if not cm:
                 raise ValueError(f"MERGE: bad WHEN clause: {part!r}")
-            neg, cond, action = cm.groups()
+            neg, bysrc, cond, action = cm.groups()
             action = action.strip()
+            if neg and bysrc:
+                # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE|UPDATE
+                if re.fullmatch(r"(?is)DELETE", action):
+                    bs_delete = (
+                        xlate(cond) if cond is not None else True
+                    )
+                    continue
+                um = re.match(r"(?is)^UPDATE\s+SET\s+(.+)$", action)
+                if not um or um.group(1).strip() == "*":
+                    raise ValueError(
+                        "MERGE: NOT MATCHED BY SOURCE supports DELETE "
+                        f"or UPDATE SET col=expr: {action!r}"
+                    )
+                bs_condition = (
+                    xlate(cond) if cond is not None else None
+                )
+                bs_update = parse_sets(um.group(1).strip())
+                continue
+            if bysrc:
+                raise ValueError(
+                    "MERGE: MATCHED BY SOURCE is not a clause "
+                    "(did you mean NOT MATCHED BY SOURCE?)"
+                )
             if neg:
                 if cond is not None:
                     raise ValueError(
@@ -3966,23 +4108,7 @@ class LakehouseCatalog:
             if sets == "*":
                 matched_update = "all"
                 continue
-            assignments = {}
-            depth, start, parts = 0, 0, []
-            for i, ch in enumerate(sets):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif ch == "," and depth == 0:
-                    parts.append(sets[start:i])
-                    start = i + 1
-            parts.append(sets[start:])
-            for p in parts:
-                col, expr = p.split("=", 1)
-                col = col.strip()
-                col = re.sub(r"(?i)^\w+\.", "", col)  # strip t. prefix
-                assignments[col] = xlate(expr.strip())
-            matched_update = assignments
+            matched_update = parse_sets(sets)
         return self.table(ns, name).merge_into(
             source,
             on=keys,
@@ -3991,6 +4117,9 @@ class LakehouseCatalog:
             matched_delete_where=matched_delete_where,
             insert_unmatched=insert_unmatched,
             mode=mode or "cow",
+            unmatched_source_delete_where=bs_delete,
+            unmatched_source_update=bs_update,
+            unmatched_source_condition=bs_condition,
         )
 
     def _version_df(self, version: int) -> DataFrame:

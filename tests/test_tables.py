@@ -1753,3 +1753,130 @@ def test_sql_explain_and_show_create_table(spark, catalog):
         r.col_name == "# partition" and r.data_type == "bucket(4, id)"
         for r in desc
     )
+
+
+def test_merge_not_matched_by_source_full_sync(spark, catalog):
+    """The snapshot-sync clause: target rows absent from the source
+    DELETE, everything else upserts -> final state == source."""
+    t0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+    )
+    catalog.write_evolving(t0, "db", "sync")
+    t = catalog.table("db", "sync")
+    src = spark.createDataFrame(
+        [(2, "B"), (4, "d")], ["id", "v"]
+    )
+    t.merge_into(
+        src, on=["id"], unmatched_source_delete_where=True
+    )
+    assert {(r.id, r.v) for r in t.read().collect()} == {
+        (2, "B"), (4, "d")
+    }
+
+
+def test_merge_by_source_conditional_delete_and_update(spark, catalog):
+    t0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (3, "c", 5)],
+        ["id", "v", "score"],
+    )
+    catalog.write_evolving(t0, "db", "bsc")
+    t = catalog.table("db", "bsc")
+    src = spark.createDataFrame([(1, "A", 11)], ["id", "v", "score"])
+    # unmatched-by-source: delete low scores, mark survivors stale
+    t.merge_into(
+        src,
+        on=["id"],
+        unmatched_source_delete_where="t.score < 50",
+        unmatched_source_update={"v": "concat(t.v, '-stale')"},
+    )
+    got = {(r.id, r.v, r.score) for r in t.read().collect()}
+    # id=1 matched-updated; id=3 deleted (score 5); id=2 kept + marked
+    assert got == {(1, "A", 11), (2, "b-stale", 99)}
+
+
+def test_merge_by_source_update_condition_gate(spark, catalog):
+    t0 = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 2)], ["id", "v", "g"]
+    )
+    catalog.write_evolving(t0, "db", "bsg")
+    t = catalog.table("db", "bsg")
+    src = spark.createDataFrame([(9, "z", 9)], ["id", "v", "g"])
+    t.merge_into(
+        src,
+        on=["id"],
+        unmatched_source_update={"v": "'flagged'"},
+        unmatched_source_condition="t.g = 1",
+    )
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(1, "flagged"), (2, "y"), (9, "z")}
+
+
+def test_merge_by_source_partitioned_and_mor_reject(spark, catalog):
+    df = spark.range(40).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-10 00:00:00' "
+            "+ make_interval(0, cast(id % 3 as int))"
+        ).alias("ts"),
+        (F.col("id") * 10).alias("v"),
+    )
+    catalog.create_namespace("db")
+    t = catalog.table("db", "bsp")
+    t.create(df.schema, partition_month_of="ts")
+    t.append(df)
+    src = df.where("id < 10").withColumn("v", F.col("v") + 1)
+    t.merge_into(
+        src, on=["id"], unmatched_source_delete_where="t.id >= 30"
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert set(got) == set(range(30))
+    assert got[5] == 51 and got[15] == 150
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        t.merge_into(
+            src, on=["id"], mode="mor",
+            unmatched_source_delete_where=True,
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge_into(
+            src, on=["id"], unmatched_source_update={"nope": "1"}
+        )
+
+
+def test_sql_merge_not_matched_by_source(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+        ),
+        "db",
+        "sqlsync",
+    )
+    spark.createDataFrame(
+        [(2, "B"), (4, "d")], ["id", "v"]
+    ).createOrReplaceTempView("sync_src")
+    catalog.sql(
+        "MERGE INTO lake.db.sqlsync t USING sync_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {
+        (r.id, r.v)
+        for r in catalog.table("db", "sqlsync").read().collect()
+    }
+    assert got == {(2, "B"), (4, "d")}
+    # conditional BY SOURCE UPDATE through SQL
+    catalog.write_evolving(
+        spark.createDataFrame([(7, "x"), (8, "y")], ["id", "v"]),
+        "db",
+        "sqlsync2",
+    )
+    catalog.sql(
+        "MERGE INTO lake.db.sqlsync2 t USING sync_src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.id = 7 "
+        "THEN UPDATE SET v = concat(t.v, '!')"
+    )
+    got2 = {
+        (r.id, r.v)
+        for r in catalog.table("db", "sqlsync2").read().collect()
+    }
+    assert got2 == {(7, "x!"), (8, "y")}
