@@ -5566,6 +5566,62 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q133_initial_default",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, 50 AS rating FROM orders
+      WHERE o_custkey < 900 AND o_orderkey < 3000),
+    newer AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 100 AS INT) END AS rating
+      FROM orders
+      WHERE o_custkey < 900
+        AND o_orderkey >= 3000 AND o_orderkey < 6000),
+    allr AS (SELECT * FROM old UNION ALL SELECT * FROM newer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(rating) AS BIGINT) AS n_rated,
+           CAST(SUM(rating) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN rating = 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_default
+    FROM allr
+    """,
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    """Initial-default column lifecycle (Iceberg v3's ADD COLUMN ...
+    DEFAULT, metadata-only): rows written BEFORE the column existed
+    read back as the default — no file rewritten — while rows written
+    after keep stored values including explicit NULLs. Routed through
+    the SQL front door; the oracle replays the two-epoch semantics
+    with a CASE over raw data."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where("o_custkey < 900").select(
+        "o_orderkey"
+    )
+    cat.write_evolving(o.where("o_orderkey < 3000"), "db", "dflt")
+    cat.sql(
+        "ALTER TABLE lake.db.dflt ADD COLUMN rating INT DEFAULT 50"
+    )
+    t = cat.table("db", "dflt")
+    t.append(
+        o.where("o_orderkey >= 3000 AND o_orderkey < 6000").withColumn(
+            "rating",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.lit(None)
+            ).otherwise((F.col("o_orderkey") % 100).cast("int")),
+        )
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("rating").alias("n_rated"),
+        F.sum("rating").alias("total"),
+        F.sum(
+            F.when(F.col("rating") == 50, 1).otherwise(0)
+        ).alias("n_default"),
+    )
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

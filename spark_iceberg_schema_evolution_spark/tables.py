@@ -352,6 +352,19 @@ class LakehouseTable:
             m = json.load(f)
         schema = str_to_datatype(f"struct<{m['schema_ddl']}>")
         assert isinstance(schema, T.StructType)
+        defaults = m.get("column_defaults") or {}
+        if defaults:
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        defaults.get(f.name),
+                    )
+                    for f in schema.fields
+                ]
+            )
         committed = m.get("committed_at_us")
         if committed is None:  # pre-field manifest: mtime approximation
             committed = int(os.path.getmtime(manifest) * 1_000_000)
@@ -377,6 +390,14 @@ class LakehouseTable:
                 f"{f.name}: {datatype_to_str(f.dataType)}"
                 for f in snap.schema.fields
             ),
+            # initial-default columns (add_column(default=)): the DDL
+            # string can't carry field metadata, so defaults persist as
+            # their own manifest key and _load re-attaches them
+            "column_defaults": {
+                f.name: dict(f.metadata)
+                for f in snap.schema.fields
+                if (f.metadata or {}).get("initial_default") is not None
+            },
             "batches": snap.batches,
             "partition_month_of": snap.partition_month_of,
             "renames": snap.renames,
@@ -694,6 +715,7 @@ class LakehouseTable:
                     if evolve and f.name in incoming
                     else f.dataType,
                     f.nullable,
+                    f.metadata,
                 )
                 for f in snap.schema.fields
             ]
@@ -803,7 +825,11 @@ class LakehouseTable:
                         F.col(snap.partition_month_of), "yyyy-MM"
                     ).isin(months)
                 )
-            parts.append(align_schema(df, target, keep_extras=False))
+            parts.append(
+                self._apply_initial_defaults(
+                    align_schema(df, target, keep_extras=False), b, snap
+                )
+            )
             seqs.append(int(b.get("seq", 0)))
         if not parts:
             return self.spark.createDataFrame([], target)
@@ -1528,7 +1554,12 @@ class LakehouseTable:
         if old == snap.partition_month_of:
             raise ValueError("cannot rename the partition source column")
         new_fields = [
-            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            T.StructField(
+                new if f.name == old else f.name,
+                f.dataType,
+                f.nullable,
+                f.metadata,
+            )
             for f in snap.schema.fields
         ]
         version = self._next_version(snap)
@@ -1544,25 +1575,47 @@ class LakehouseTable:
         )
         return version
 
-    def add_column(self, name: str, dtype, nullable: bool = True) -> int:
+    def add_column(
+        self, name: str, dtype, nullable: bool = True, default=None
+    ) -> int:
         """ALTER TABLE ... ADD COLUMN — metadata-only commit; no file is
         rewritten. Historic batches surface the new column as typed NULLs
         through align_schema on read (Iceberg's add-column semantics).
         If a column of this name existed before and was dropped, the old
         data cannot resurface: drop renames the physical column to a
-        unique tombstone (see drop_column)."""
+        unique tombstone (see drop_column).
+
+        ``default`` is Iceberg v3's INITIAL DEFAULT: rows written BEFORE
+        the column existed read back as the default instead of NULL,
+        still without rewriting a single file — the default plus the
+        add-commit's sequence number ride the schema field's metadata,
+        and the scan fills exactly the batches whose seq predates the
+        add. Rows written AFTER the add keep whatever value they stored,
+        explicit NULLs included (a write-time default is the writer's
+        job, as in Iceberg)."""
         snap = self._load()
         names = [f.name for f in snap.schema.fields]
         if name in names:
             raise ValueError(f"column exists: {name}")
         dt = str_to_datatype(dtype) if isinstance(dtype, str) else dtype
         version = self._next_version(snap)
+        meta = None
+        if default is not None:
+            if not isinstance(default, (int, float, str, bool)):
+                raise ValueError(
+                    "DEFAULT must be a scalar literal, got "
+                    f"{type(default).__name__}"
+                )
+            meta = {
+                "initial_default": default,
+                "default_added_seq": version,
+            }
         self._commit(
             Snapshot(
                 version,
                 T.StructType(
                     list(snap.schema.fields)
-                    + [T.StructField(name, dt, nullable)]
+                    + [T.StructField(name, dt, nullable, meta)]
                 ),
                 snap.batches,
                 snap.partition_month_of,
@@ -1571,6 +1624,24 @@ class LakehouseTable:
             )
         )
         return version
+
+    @staticmethod
+    def _apply_initial_defaults(
+        df: DataFrame, b: dict, snap: Snapshot
+    ) -> DataFrame:
+        """Fill initial-default columns (add_column(default=...)) for a
+        batch written before the column's add-commit. The batch physically
+        lacks the column, so align_schema null-padded it — every row of
+        an older batch takes the default; newer batches are untouched."""
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            if "initial_default" not in md:
+                continue
+            if int(b.get("seq", 0)) < int(md["default_added_seq"]):
+                df = df.withColumn(
+                    f.name, F.lit(md["initial_default"]).cast(f.dataType)
+                )
+        return df
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE ... DROP COLUMN — metadata-only. Implemented as a
@@ -1643,7 +1714,10 @@ class LakehouseTable:
             )
         new_fields = [
             T.StructField(
-                f.name, dt if f.name == name else f.dataType, f.nullable
+                f.name,
+                dt if f.name == name else f.dataType,
+                f.nullable,
+                f.metadata,
             )
             for f in snap.schema.fields
         ]
@@ -2531,7 +2605,13 @@ class LakehouseTable:
                     F.col(_PART_COL).isin(b["months"])
                 ).drop(_PART_COL)
             df = self._replay_renames(df, b, to_snap)
-            parts.append(align_schema(df, to_snap.schema, keep_extras=False))
+            parts.append(
+                self._apply_initial_defaults(
+                    align_schema(df, to_snap.schema, keep_extras=False),
+                    b,
+                    to_snap,
+                )
+            )
         return union_evolving(parts, target=to_snap.schema)
 
     def diff(
@@ -3552,12 +3632,26 @@ class LakehouseCatalog:
             return self._version_df(v)
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
-            r"ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)\s*$",
+            r"ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)"
+            r"(?:\s+DEFAULT\s+('[^']*'|-?\d+(?:\.\d+)?|true|false))?"
+            r"\s*$",
             q,
         )
         if m:
-            ns, name, col, dtype = m.groups()
-            v = self.table(ns, name).add_column(col, dtype.strip())
+            ns, name, col, dtype, dflt = m.groups()
+            default = None
+            if dflt is not None:
+                if dflt.startswith("'"):
+                    default = dflt[1:-1]
+                elif dflt.lower() in ("true", "false"):
+                    default = dflt.lower() == "true"
+                elif "." in dflt:
+                    default = float(dflt)
+                else:
+                    default = int(dflt)
+            v = self.table(ns, name).add_column(
+                col, dtype.strip(), default=default
+            )
             return self._version_df(v)
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"

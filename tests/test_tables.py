@@ -1880,3 +1880,60 @@ def test_sql_merge_not_matched_by_source(spark, catalog):
         for r in catalog.table("db", "sqlsync2").read().collect()
     }
     assert got2 == {(7, "x!"), (8, "y")}
+
+
+def test_add_column_initial_default(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1,), (2,)], ["id"]), "db", "dflt"
+    )
+    t = catalog.table("db", "dflt")
+    t.add_column("score", "int", default=7)
+    # pre-add rows surface the default, not NULL — no file rewritten
+    assert {(r.id, r.score) for r in t.read().collect()} == {
+        (1, 7), (2, 7)
+    }
+    # post-add rows keep their stored values, explicit NULL included
+    t.append(
+        spark.createDataFrame(
+            [(3, 30), (4, None)], "id LONG, score INT"
+        )
+    )
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: 7, 2: 7, 3: 30, 4: None}
+    # rename keeps the default wiring; widening keeps it too
+    t.rename_column("score", "points")
+    t.widen_column_type("points", "bigint")
+    got2 = {r.id: r.points for r in t.read().collect()}
+    assert got2 == {1: 7, 2: 7, 3: 30, 4: None}
+    # a COW rewrite materializes what reads already showed
+    t.delete_where("id = 3")
+    assert {r.id: r.points for r in t.read().collect()} == {
+        1: 7, 2: 7, 4: None
+    }
+    # incremental read applies defaults to pre-add batches too
+    # (changes pinned to a pre-add to_version correctly lacks the column)
+    ch = {r.id: r.points for r in t.changes(0).collect()}
+    assert ch[1] == 7 and ch[2] == 7
+    assert "points" not in t.changes(0, 1).columns
+    with pytest.raises(ValueError, match="scalar literal"):
+        t.add_column("bad", "int", default=[1, 2])
+
+
+def test_add_column_default_via_sql(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1,)], ["id"]), "db", "dsql"
+    )
+    catalog.sql(
+        "ALTER TABLE lake.db.dsql ADD COLUMN tag STRING DEFAULT 'new'"
+    )
+    catalog.sql(
+        "ALTER TABLE lake.db.dsql ADD COLUMN w DOUBLE DEFAULT 1.5"
+    )
+    catalog.sql(
+        "ALTER TABLE lake.db.dsql ADD COLUMN ok BOOLEAN DEFAULT true"
+    )
+    r = catalog.sql("SELECT * FROM lake.db.dsql").first()
+    assert (r.id, r.tag, r.w, r.ok) == (1, "new", 1.5, True)
+    # plain ADD COLUMN (no default) still null-pads
+    catalog.sql("ALTER TABLE lake.db.dsql ADD COLUMN z INT")
+    assert catalog.sql("SELECT z FROM lake.db.dsql").first().z is None
