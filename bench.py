@@ -86,6 +86,7 @@ HEADLINE = [
     "q128_lm_quality_score",
     "q129_audio_framing",
     "q131_contamination_stats",
+    "q134_gapfill_locf",
 ]
 
 

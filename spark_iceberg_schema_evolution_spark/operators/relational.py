@@ -152,3 +152,80 @@ def top_k_per_group(
         .where(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "rn")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    step_seconds: int,
+    value_col: str,
+    ts_tiebreak_desc: bool = True,
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    TimescaleDB's ``time_bucket_gapfill`` + ``locf`` re-expressed for
+    Spark: bucket observations to a fixed step, generate each key's
+    full bucket grid from its own [min, max] span, and carry the last
+    observed value across empty buckets. Returns one row per
+    (key, bucket) with ``bucket_s`` (epoch seconds), ``value``
+    (observed or carried), and ``is_gap``.
+
+    Per bucket the LAST observation wins (by timestamp, value as the
+    deterministic tie-break); leading buckets before a key's first
+    observation keep NULL — locf never invents data.
+
+    Scale shape: every stage is keyed on the series key — a rank
+    window picks the per-bucket winner, one aggregate derives each
+    key's span, ``sequence()`` explodes the grid JVM-side (size
+    span/step per key, never a global calendar), a keyed left join
+    attaches observations, and the carry is one ordered window per
+    key. No UDFs, no driver-side calendars; dense keys parallelize by
+    key, and a single very long series is bounded by span/step rows."""
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1: {step_seconds}")
+    if not key_cols:
+        raise ValueError("need at least one series key column")
+    bucket_s = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+        * step_seconds
+    ).cast("long")
+    order = [F.col(ts_col).desc(), F.col(value_col).desc()]
+    if not ts_tiebreak_desc:
+        order = [F.col(ts_col).asc(), F.col(value_col).asc()]
+    w_pick = W.partitionBy(*key_cols, "__b").orderBy(*order)
+    picked = (
+        df.select(
+            *key_cols, bucket_s.alias("__b"),
+            F.col(ts_col), F.col(value_col),
+        )
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(*key_cols, "__b", F.col(value_col).alias("__v"))
+    )
+    spans = picked.groupBy(*key_cols).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.lit(step_seconds)
+            )
+        ).alias("bucket_s"),
+    )
+    joined = grid.join(
+        picked.withColumnRenamed("__b", "bucket_s"),
+        [*key_cols, "bucket_s"],
+        "left",
+    )
+    w_fill = (
+        W.partitionBy(*key_cols)
+        .orderBy("bucket_s")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket_s",
+        F.last("__v", ignorenulls=True).over(w_fill).alias("value"),
+        F.col("__v").isNull().alias("is_gap"),
+    )

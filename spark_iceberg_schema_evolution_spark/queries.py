@@ -5622,6 +5622,58 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q134_gapfill_locf",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 20),
+    b AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bkt,
+             ts, value
+      FROM ev),
+    rn AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bkt
+                ORDER BY ts DESC, value DESC) AS r
+      FROM b),
+    picked AS (SELECT user_id, bkt, value FROM rn WHERE r = 1),
+    spans AS (
+      SELECT user_id, MIN(bkt) AS lo, MAX(bkt) AS hi
+      FROM picked GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_s
+      FROM spans),
+    j AS (
+      SELECT g.user_id, g.bucket_s, p.value AS v
+      FROM grid g LEFT JOIN picked p
+        ON p.user_id = g.user_id AND p.bkt = g.bucket_s)
+    SELECT CAST(user_id AS BIGINT) AS user_id, bucket_s,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket_s ROWS UNBOUNDED PRECEDING) AS value,
+           v IS NULL AS is_gap
+    FROM j ORDER BY user_id, bucket_s
+    """,
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling with carry-forward
+    (relational.gapfill_locf — TimescaleDB's time_bucket_gapfill +
+    locf): each user's event series bucketed to the hour, the full
+    hourly grid generated per key from its own span, and the last
+    observed value carried across empty buckets (leading gaps keep
+    NULL — locf never invents data). The oracle replays bucketing,
+    per-bucket winner, grid, and the IGNORE NULLS carry window in
+    SQL."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        gapfill_locf,
+    )
+
+    ev = load_events(spark, sf).where("user_id < 20")
+    out = gapfill_locf(
+        ev, "ts", ["user_id"], 3600, "value"
+    )
+    return out.orderBy("user_id", "bucket_s")
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

@@ -110,3 +110,41 @@ def test_top_k_per_group_ties(spark):
         df, ["grp"], [F.col("score").desc(), F.col("id").asc()], k=2
     )
     assert [(r.id, r.rn) for r in out.orderBy("rn").collect()] == [(1, 1), (2, 2)]
+
+
+def test_gapfill_locf_semantics(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        gapfill_locf,
+    )
+    import datetime as dt
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    obs = spark.createDataFrame(
+        [
+            ("a", t(1, 30), 10.0),
+            ("a", t(1, 45), 11.0),  # same bucket: later ts wins
+            ("a", t(4, 10), 40.0),  # buckets 2,3 are gaps
+            ("b", t(2), 5.0),
+        ],
+        "k STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    out = gapfill_locf(obs, "ts", ["k"], 3600, "v")
+    rows = {
+        (r.k, r.bucket_s): (r.value, r.is_gap) for r in out.collect()
+    }
+    h = 3600
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # key a: grid 01:00..04:00 — observed, carried, carried, observed
+    assert rows[("a", base + 1 * h)] == (11.0, False)
+    assert rows[("a", base + 2 * h)] == (11.0, True)
+    assert rows[("a", base + 3 * h)] == (11.0, True)
+    assert rows[("a", base + 4 * h)] == (40.0, False)
+    # key b: single-bucket series, no gaps
+    assert rows[("b", base + 2 * h)] == (5.0, False)
+    assert len(rows) == 5
+    with pytest.raises(ValueError, match="step_seconds"):
+        gapfill_locf(obs, "ts", ["k"], 0, "v")
+    with pytest.raises(ValueError, match="series key"):
+        gapfill_locf(obs, "ts", [], 3600, "v")
