@@ -87,6 +87,8 @@ HEADLINE = [
     "q129_audio_framing",
     "q131_contamination_stats",
     "q134_gapfill_locf",
+    "q135_clean_text",
+    "q136_histogram",
 ]
 
 

@@ -136,3 +136,62 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     return one.selectExpr(
         f"stack({len(labels)}, {stack_args}) AS (rule, n_violations)"
     ).withColumn("passed", F.col("n_violations") == 0)
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n) rows,
+    empty bins included. Bounds default to the column's observed
+    [min, max] (one bounded aggregate); values at the upper bound fall
+    in the last bin, out-of-range values clamp to the edge bins
+    (width_bucket-style, but computed with explicit FLOOR arithmetic so
+    any engine reproduces the exact same binning).
+
+    Scale shape: one pass for bounds (skipped when given), one map-side
+    bin assignment + hash aggregate for counts; the dense bin list is a
+    broadcast-sized literal frame outer-joined so empty bins surface."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    spark = df.sparkSession
+    if lo is None or hi is None:
+        b = df.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).first()
+        lo = b.lo if lo is None else lo
+        hi = b.hi if hi is None else hi
+    if lo is None or hi is None or not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins
+    bin_ = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(col).cast("double") - F.lit(lo)) / F.lit(width)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias(
+                "bin_hi"
+            ),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

@@ -922,3 +922,25 @@ def score_bigram_logprob(
     return df.join(scored, id_col, "left").withColumn(
         "n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0))
     )
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Deterministic text hygiene (the CCNet/Dolma pre-tokenization
+    cleanup, minus codec-dependent Unicode normalization): strip C0/C1
+    control characters (tab/newline treated as whitespace, not
+    stripped), collapse every whitespace run to a single space, trim,
+    and optionally lowercase. Pure JVM regex — map-only, RE2-subset
+    rules so the oracle replays them byte-identically."""
+    c = F.col(text_col)
+    c = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""
+    )
+    c = F.regexp_replace(c, "\\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(text_col, c)

@@ -5674,6 +5674,85 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q135_clean_text",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             chr(7) || ' ' || replace(text, 'a', chr(9) || 'a')
+             || '  ' || chr(31) AS t
+      FROM documents WHERE doc_id < 300),
+    cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(t,
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '\\s+', ' ', 'g')) AS t
+      FROM dirty)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(t) AS clean_md5,
+           CAST(length(t) AS BIGINT) AS n_chars
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic text hygiene (text.clean_text): control characters
+    injected into the documents fixture strip out, whitespace runs
+    collapse, edges trim — the pre-tokenization cleanup pass, entirely
+    JVM regex with RE2-subset rules so the oracle replays the exact
+    ruleset and matches the cleaned text md5 byte-for-byte."""
+    from spark_iceberg_schema_evolution_spark.operators.text import clean_text
+
+    d = load(spark, sf, "documents").where("doc_id < 300")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("\x07 "),
+            F.regexp_replace(F.col("text"), "a", "\ta"),
+            F.lit("  \x1f"),
+        ).alias("text"),
+    )
+    out = clean_text(dirty)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("clean_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q136_histogram",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS x FROM orders WHERE o_custkey < 2000),
+    b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM s),
+    w AS (SELECT lo, hi, (hi - lo) / 16 AS width FROM b),
+    binned AS (
+      SELECT LEAST(GREATEST(
+               CAST(FLOOR((x - lo) / width) AS INT), 0), 15) AS bin
+      FROM s, w),
+    counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+    grid AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin)
+    SELECT g.bin, w.lo + g.bin * w.width AS bin_lo,
+           w.lo + (g.bin + 1) * w.width AS bin_hi,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid g CROSS JOIN w LEFT JOIN counts c ON c.bin = g.bin
+    ORDER BY g.bin
+    """,
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram profiling (profile.histogram): 16 bins over
+    order totals with observed bounds, empty bins surfaced — the
+    binning uses explicit FLOOR arithmetic (not an engine's
+    width_bucket) precisely so every engine reproduces identical bin
+    assignment, including the upper-bound value clamping into the last
+    bin. One bounds pass + one map-side bin hash-aggregate."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import histogram
+
+    o = load(spark, sf, "orders").where("o_custkey < 2000")
+    return histogram(o, "o_totalprice", 16).orderBy("bin")
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

@@ -439,3 +439,37 @@ def test_quantile_band_filter_approximate_path(spark):
     )
     assert abs(len(approx) - len(exact)) <= 2  # sketch edge tolerance
     assert set(approx) >= set(exact[2:-2])
+
+
+def test_histogram_binning(spark):
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (float(x) if x is not None else None,)
+            for x in [0, 1, 2.5, 5, 9.99, 10, -3, 42, None]
+        ],
+        "x DOUBLE",
+    )
+    out = {
+        r.bin: (r.bin_lo, r.bin_hi, r.n)
+        for r in histogram(df, "x", 4, lo=0.0, hi=10.0).collect()
+    }
+    # clamping: -3 -> bin 0, 10 and 42 -> bin 3; NULL dropped
+    assert out[0] == (0.0, 2.5, 3)   # 0, 1, -3
+    assert out[1] == (2.5, 5.0, 1)   # 2.5
+    assert out[2] == (5.0, 7.5, 1)   # 5
+    assert out[3] == (7.5, 10.0, 3)  # 9.99, 10, 42
+    # empty bins surface with n=0
+    empty = histogram(
+        spark.createDataFrame([(1.0,), (9.0,)], "x DOUBLE"), "x", 8
+    ).collect()
+    assert len(empty) == 8 and sum(r.n for r in empty) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bins"):
+        histogram(df, "x", 0)
+    with _pt.raises(ValueError, match="hi > lo"):
+        histogram(df, "x", 4, lo=5.0, hi=5.0)

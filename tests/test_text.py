@@ -235,3 +235,22 @@ def test_bigram_logprob_foreign_model(spark):
     assert out[10].logprob_avg > out[11].logprob_avg
     with pytest.raises(ValueError, match="alpha"):
         score_bigram_logprob(crawl, alpha=0.0)
+
+
+def test_clean_text_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "\x07hello\x00   world\t\tagain \x1f"),
+            (2, "  already clean  "),
+            (3, "UPPER case"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in text.clean_text(docs).collect()}
+    assert out[1] == "hello world again"
+    assert out[2] == "already clean"
+    low = {
+        r.doc_id: r.text
+        for r in text.clean_text(docs, lowercase=True).collect()
+    }
+    assert low[3] == "upper case"
