@@ -63,6 +63,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="corpus-level keep-first paragraph dedup before doc dedup",
     )
     p.add_argument(
+        "--clean-text", action="store_true",
+        help="control-char strip + whitespace collapse before anything",
+    )
+    p.add_argument(
+        "--decontaminate", default=None,
+        help="benchmark parquet path; docs overlapping it beyond "
+        "--max-overlap drop after the quality stage",
+    )
+    p.add_argument(
+        "--max-overlap", type=float, default=0.1,
+        help="max benchmark shingle-overlap fraction kept (graded "
+        "policy; 0 = any-hit drop)",
+    )
+    p.add_argument(
         "--quality-band", default=None,
         help="lo,hi percentile trim on doc length, e.g. 0.05,0.99 "
         "(exact percentile; off by default)",
@@ -97,7 +111,14 @@ def curate(spark, args) -> dict:
     docs = spark.read.parquet(args.input)
     counts = {"input": docs.count()}
 
-    # 0. scrub: PII masking (map-only) + optional boilerplate lines
+    # 0. scrub: text hygiene + PII masking (map-only) + optional
+    # boilerplate lines
+    if args.clean_text:
+        from spark_iceberg_schema_evolution_spark.operators.text import (
+            clean_text,
+        )
+
+        docs = clean_text(docs)
     if not args.no_redact:
         docs = redact_pii(docs)
     if args.boilerplate_df:
@@ -115,7 +136,12 @@ def curate(spark, args) -> dict:
         # repeated boilerplate paragraphs would otherwise make distinct
         # docs look like near-duplicates of each other
         docs = dedup_paragraphs(docs, sep="\n")
-    if not args.no_redact or args.boilerplate_df or args.paragraph_dedup:
+    if (
+        not args.no_redact
+        or args.boilerplate_df
+        or args.paragraph_dedup
+        or args.clean_text
+    ):
         docs.write.mode("overwrite").parquet(f"{args.output}/00_scrubbed")
         docs = spark.read.parquet(f"{args.output}/00_scrubbed")
         counts["after_scrub"] = docs.count()
@@ -153,6 +179,19 @@ def curate(spark, args) -> dict:
         kept = quantile_band_filter(
             kept.withColumn("__len", F.length("text")), "__len", lo, hi
         ).drop("__len")
+    if args.decontaminate:
+        # graded contamination policy: drop docs whose benchmark
+        # shingle-overlap fraction exceeds the threshold (0 = any hit)
+        from spark_iceberg_schema_evolution_spark.operators.dedup import (
+            contamination_stats,
+        )
+
+        bench = spark.read.parquet(args.decontaminate)
+        stats = contamination_stats(kept, bench)
+        kept = stats.where(
+            F.coalesce(F.col("overlap_frac"), F.lit(0.0))
+            <= args.max_overlap
+        ).drop("n_shingles", "n_overlap", "overlap_frac")
     kept.write.mode("overwrite").parquet(f"{args.output}/03_quality")
     kept = spark.read.parquet(f"{args.output}/03_quality")
     counts["after_quality"] = kept.count()

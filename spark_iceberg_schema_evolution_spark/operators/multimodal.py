@@ -11,6 +11,7 @@ would have (mapInPandas over an iterator of record batches).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -206,4 +207,60 @@ def frame_signal(
             frame.alias("frame"),
             F.md5(F.encode(F.hex(frame), "UTF-8")).alias("frame_fp"),
         )
+    )
+
+
+def read_binary_media(
+    spark,
+    path: str,
+    pattern: str = "*",
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of media files as MEDIA_SCHEMA rows via
+    Spark's built-in ``binaryFile`` source — the real on-ramp for
+    image/audio corpora: each file becomes (media_id, payload, meta)
+    with the id a content-independent 64-bit hash of the RELATIVE path
+    (stable across warehouse moves and re-ingestion hosts), the mime
+    type mapped from the extension, and byte length recorded. The
+    source is distributed file ingestion: executors read the files, the
+    driver sees only the listing — and ``pathGlobFilter`` prunes at
+    listing time, so a selective ingest never opens non-matching files.
+
+    Decode stays behind decode_stub (no codecs in this image); framing,
+    fingerprinting, dedup, and lakehouse commits all operate on the
+    opaque payload."""
+    ext_mime = {
+        "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+        "gif": "image/gif", "webp": "image/webp", "bmp": "image/bmp",
+        "wav": "audio/wav", "mp3": "audio/mpeg", "flac": "audio/flac",
+        "ogg": "audio/ogg", "mp4": "video/mp4", "mkv": "video/x-matroska",
+        "webm": "video/webm", "txt": "text/plain", "bin":
+        "application/octet-stream",
+    }
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in ext_mime.items() for x in kv]
+    )
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    base = path.rstrip("/")
+    rel = F.regexp_replace(
+        F.col("path"), r"^file:.*?" + re.escape(base) + "/", ""
+    )
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.(\w+)$", 1))
+    return df.select(
+        F.xxhash64(rel).alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.coalesce(
+                mime_map[ext], F.lit("application/octet-stream")
+            ).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+        rel.alias("source_path"),
     )

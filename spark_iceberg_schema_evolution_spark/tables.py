@@ -3930,8 +3930,11 @@ class LakehouseCatalog:
 
         Procedures: rewrite_data_files(tbl [, sort_order=>'a,b' |
         z_order=>'x,y'] [, target_files=>n]), rewrite_delete_files(tbl),
-        expire_snapshots(tbl [, retain_last=>n]),
+        expire_snapshots(tbl [, retain_last=>n]
+        [, older_than_seconds=>n]),
         remove_orphan_files(tbl [, older_than_seconds=>n]),
+        refresh_rollup(src, target=>'ns.t', group_by=>'c1,c2'
+        [, sum=>'v1,v2'] [, full_refresh=>'true']),
         rollback_to_snapshot(tbl, version), fast_forward(tbl, to, from),
         create_branch(tbl, name [, at_version]),
         create_tag(tbl, name [, at_version])."""
@@ -3992,6 +3995,31 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [(len(dropped),)], "expired BIGINT"
             )
+        if proc == "refresh_rollup":
+            from spark_iceberg_schema_evolution_spark.operators.rollup import (
+                refresh_rollup,
+            )
+
+            tgt_ref = named.get("target")
+            if not tgt_ref or "." not in str(tgt_ref):
+                raise ValueError(
+                    "refresh_rollup needs target => 'ns.table'"
+                )
+            gb = cols(named.get("group_by"))
+            if not gb:
+                raise ValueError(
+                    "refresh_rollup needs group_by => 'c1,c2'"
+                )
+            tns, tname = str(tgt_ref).split(".", 1)
+            v = refresh_rollup(
+                t,
+                self.table(tns, tname),
+                gb,
+                cols(named.get("sum")),
+                full_refresh=str(named.get("full_refresh", "")).lower()
+                == "true",
+            )
+            return self._version_df(v)
         if proc == "remove_orphan_files":
             removed = t.remove_orphan_files(
                 older_than_s=float(

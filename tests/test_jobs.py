@@ -127,3 +127,34 @@ def test_curate_corpus_round5_stages(spark, tmp_path):
     ) <= {"src0", "src1"}
     assert mixed.select("doc_id").distinct().count() == mixed.count()
     assert counts["chunks"] > 0 and counts["bins"] > 0
+
+
+def test_curate_with_clean_and_decontaminate(spark, tmp_path):
+    """Round-5 stages: text hygiene first, graded decontamination after
+    quality — a benchmark slice of the corpus itself guarantees
+    overlapping docs exist, and they must drop."""
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import (
+        build_parser,
+        curate,
+    )
+
+    bench_path = str(tmp_path / "bench")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where("doc_id >= 480").write.parquet(bench_path)
+    args = build_parser().parse_args(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "curated"),
+            "--chunk-tokens", "32", "--overlap", "4",
+            "--pack-capacity", "256",
+            "--clean-text",
+            "--decontaminate", bench_path,
+            "--max-overlap", "0.2",
+        ]
+    )
+    counts = curate(spark, args)
+    assert counts["after_scrub"] == counts["input"]
+    # the benchmark docs themselves (overlap 1.0) were in the corpus:
+    # decontamination must remove at least those that survived dedup
+    assert counts["after_quality"] < counts["after_near_dedup"]

@@ -140,3 +140,30 @@ def test_rollup_validation(spark, catalog):
     plain.unset_property("rollup.source_version")
     with pytest.raises(ValueError, match="not a rollup"):
         refresh_rollup(src, plain, ["k"], ["v"])
+
+
+def test_rollup_via_sql_call(spark, catalog):
+    catalog.create_namespace("db")
+    src = catalog.table("db", "csrc")
+    df = spark.range(50).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+    )
+    src.create(df.schema)
+    src.append(df)
+    catalog.sql(
+        "CALL lake.system.refresh_rollup('db.csrc', "
+        "target => 'db.cdst', group_by => 'k', sum => 'v')"
+    )
+    dst = catalog.table("db", "cdst")
+    assert _got(dst) == _expected(src)
+    src.delete_where("v >= 40")
+    catalog.sql(
+        "CALL lake.system.refresh_rollup('db.csrc', "
+        "target => 'db.cdst', group_by => 'k', sum => 'v')"
+    )
+    assert _got(dst) == _expected(src)
+    with pytest.raises(ValueError, match="group_by"):
+        catalog.sql(
+            "CALL lake.system.refresh_rollup('db.csrc', "
+            "target => 'db.cdst')"
+        )
