@@ -89,6 +89,8 @@ HEADLINE = [
     "q134_gapfill_locf",
     "q135_clean_text",
     "q136_histogram",
+    "q137_funnel",
+    "q138_cohort_retention",
 ]
 
 

@@ -229,3 +229,111 @@ def gapfill_locf(
         F.last("__v", ignorenulls=True).over(w_fill).alias("value"),
         F.col("__v").isNull().alias("is_gap"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion over an event stream: for every user,
+    the greedy earliest chain — step 1 = first occurrence of its event
+    type, step k = first occurrence STRICTLY after step k-1 — with an
+    optional end-to-end time window. One row per user with each step's
+    timestamp (``ts_1..ts_k``, epoch micros, NULL where the funnel
+    stalled) and a ``converted`` flag. The standard product-analytics
+    funnel semantics (Amplitude/Mixpanel's "ordered funnel").
+
+    Scale shape: ONE shuffle (groupBy user); each user's events sort
+    inside codegen and a single ``aggregate()`` fold walks them once —
+    no per-step self-joins, no window cascade, so a k-step funnel costs
+    the same one pass as a 2-step funnel. Per-user memory is that
+    user's event count (cap pathological users upstream)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    k = len(steps)
+    ev = F.struct(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(type_col).alias("y"),
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(ev)).alias("__evs")
+    )
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(f"t{i+1}") for i in range(k)]
+    )
+
+    def merge(acc, e):
+        outs = []
+        for i, step in enumerate(steps):
+            cond = (
+                acc[f"t{i+1}"].isNull()
+                & (e["y"] == F.lit(step))
+            )
+            if i > 0:
+                # the OLD acc's previous slot: one event never fills
+                # two consecutive steps (strictly-later chaining)
+                cond = cond & acc[f"t{i}"].isNotNull() & (
+                    acc[f"t{i}"] < e["t"]
+                )
+            outs.append(
+                F.when(cond, e["t"])
+                .otherwise(acc[f"t{i+1}"])
+                .alias(f"t{i+1}")
+            )
+        return F.struct(*outs)
+
+    state = F.aggregate(F.col("__evs"), init, merge)
+    out = per_user.select(
+        F.col(user_col),
+        *[
+            state[f"t{i+1}"].alias(f"ts_{i+1}")
+            for i in range(k)
+        ],
+    )
+    conv = F.col(f"ts_{k}").isNotNull()
+    if within_seconds is not None:
+        conv = conv & (
+            (F.col(f"ts_{k}") - F.col("ts_1"))
+            <= within_seconds * 1_000_000
+        )
+    return out.withColumn("converted", conv)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "month",
+) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-activity period
+    (month or day), counted in every later period they were active —
+    (cohort, period_offset, n_users). Two keyed aggregates (user
+    firsts, then distinct user-periods) and a cohort×offset-sized
+    output; the classic growth-analytics rollup at any corpus size."""
+    if granularity == "month":
+        period = F.date_format(F.col(ts_col), "yyyy-MM")
+        idx = lambda c: (  # noqa: E731 — local ordinal helper
+            F.substring(c, 1, 4).cast("int") * 12
+            + F.substring(c, 6, 2).cast("int")
+        )
+    elif granularity == "day":
+        period = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+        idx = lambda c: F.datediff(  # noqa: E731
+            F.col(c).cast("date"), F.lit("1970-01-01").cast("date")
+        )
+    else:
+        raise ValueError(f"granularity must be month|day: {granularity}")
+    firsts = df.groupBy(user_col).agg(F.min(period).alias("cohort"))
+    active = df.select(
+        F.col(user_col), period.alias("__active")
+    ).distinct()
+    offset = (idx("__active") - idx("cohort")).cast("int")
+    return (
+        active.join(firsts, user_col)
+        .groupBy("cohort", offset.alias("period_offset"))
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

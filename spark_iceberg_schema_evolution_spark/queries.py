@@ -5753,6 +5753,90 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q137_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events),
+    u AS (SELECT DISTINCT user_id FROM ev),
+    s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM ev e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id)
+    SELECT CAST(u.user_id AS BIGINT) AS user_id,
+           s1.t1 AS ts_1, s2.t2 AS ts_2, s3.t3 AS ts_3,
+           COALESCE(
+             s3.t3 IS NOT NULL
+             AND s3.t3 - s1.t1 <= 7 * 86400 * CAST(1000000 AS BIGINT), FALSE)
+             AS converted
+    FROM u LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel conversion (relational.funnel): the greedy
+    earliest view -> click -> purchase chain per user within 7 days —
+    one shuffle and a single sorted-array fold per user, no per-step
+    self-joins. The oracle derives the identical chain with the
+    textbook MIN-after-previous-step subquery cascade (strictly-later
+    chaining on both sides)."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        funnel,
+    )
+
+    ev = load_events(spark, sf)
+    out = funnel(
+        ev,
+        ["view", "click", "purchase"],
+        within_seconds=7 * 86400,
+    )
+    return out.orderBy("user_id")
+
+
+@q(
+    "q138_cohort_retention",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS mo
+      FROM events),
+    firsts AS (
+      SELECT user_id, MIN(mo) AS cohort FROM m GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, mo AS active_day FROM m)
+    SELECT f.cohort,
+           CAST(
+             DATEDIFF('day', CAST(f.cohort AS DATE),
+                      CAST(a.active_day AS DATE)) AS INT)
+             AS period_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily cohort retention (relational.cohort_retention): users
+    bucketed by first-activity day, counted in each later active day —
+    two keyed aggregates, cohort-by-offset output. The oracle replays
+    firsts/actives/offset arithmetic in SQL."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    ev = load_events(spark, sf)
+    return cohort_retention(ev, granularity="day").orderBy(
+        "cohort", "period_offset"
+    )
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

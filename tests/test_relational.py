@@ -148,3 +148,76 @@ def test_gapfill_locf_semantics(spark):
         gapfill_locf(obs, "ts", ["k"], 0, "v")
     with pytest.raises(ValueError, match="series key"):
         gapfill_locf(obs, "ts", [], 3600, "v")
+
+
+def test_funnel_greedy_chaining(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        funnel,
+    )
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    ev = spark.createDataFrame(
+        [
+            # u1 converts: A(1) -> B(3) -> C(5); later As irrelevant
+            (1, t(1), "A"), (1, t(2), "A"), (1, t(3), "B"),
+            (1, t(5), "C"),
+            # u2: B before A never counts; no B after A -> stalls at A
+            (2, t(1), "B"), (2, t(2), "A"), (2, t(3), "C"),
+            # u3: same-instant A and B — strictly-later chaining skips
+            (3, t(1), "A"), (3, t(1), "B"), (3, t(2), "C"),
+            # u4: full chain but outside the window
+            (4, t(0), "A"), (4, t(1), "B"), (4, t(50), "C"),
+        ],
+        "user_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    out = {
+        r.user_id: r
+        for r in funnel(
+            ev, ["A", "B", "C"], within_seconds=600
+        ).collect()
+    }
+    assert out[1].converted and out[1].ts_3 > out[1].ts_2 > out[1].ts_1
+    assert out[2].ts_1 is not None and out[2].ts_2 is None
+    assert not out[2].converted
+    # u3: B at the same instant as A does not chain; C can't follow B
+    assert out[3].ts_2 is None and not out[3].converted
+    # u4: chain completes but violates the window
+    assert out[4].ts_3 is not None and not out[4].converted
+    with pytest.raises(ValueError, match="two steps"):
+        funnel(ev, ["A"])
+
+
+def test_cohort_retention_matrix(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        cohort_retention,
+    )
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 2, 10)),
+            (2, dt.datetime(2024, 1, 20)),
+            (3, dt.datetime(2024, 2, 1)), (3, dt.datetime(2024, 4, 1)),
+        ],
+        "user_id LONG, ts TIMESTAMP",
+    )
+    got = {
+        (r.cohort, r.period_offset): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01", 0): 2,
+        ("2024-01", 1): 1,
+        ("2024-02", 0): 1,
+        ("2024-02", 2): 1,
+    }
+    day = cohort_retention(ev, granularity="day").collect()
+    assert {(r.cohort, r.period_offset) for r in day} == {
+        ("2024-01-05", 0), ("2024-01-05", 36), ("2024-01-20", 0),
+        ("2024-02-01", 0), ("2024-02-01", 60),
+    }
+    with pytest.raises(ValueError, match="granularity"):
+        cohort_retention(ev, granularity="week")
