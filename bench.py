@@ -91,6 +91,7 @@ HEADLINE = [
     "q136_histogram",
     "q137_funnel",
     "q138_cohort_retention",
+    "q139_interval_join",
 ]
 
 

@@ -337,3 +337,71 @@ def cohort_retention(
         .groupBy("cohort", offset.alias("period_offset"))
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval-interval overlap join: pairs of rows (same equi keys)
+    whose [start, end] ranges overlap — half-open semantics
+    ``l.start < r.end AND r.start < l.end`` (genomics/occupancy/IP-range
+    workloads; ``range_join`` covers the point-in-interval case).
+
+    Scale shape — the bucketed interval-join pattern every distributed
+    engine ships: each interval explodes onto the fixed-width buckets it
+    touches (``sequence`` inside codegen), the join runs equi on
+    (keys + bucket) — a shuffled hash join, never a nested loop — the
+    exact overlap predicate filters, and a pair that shares several
+    buckets dedups by attributing it to the FIRST shared bucket (a
+    greatest(floor(start_l), floor(start_r)) equality — no distinct
+    pass, no row-id bookkeeping). ``bucket_width`` trades replication
+    (intervals span width/bucket buckets) against bucket collision
+    density; default = a driver-free heuristic is deliberately NOT
+    guessed — callers size it to their interval length scale."""
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    if bucket_width is None or bucket_width < 1:
+        raise ValueError("bucket_width must be a positive int")
+
+    def bucketed(df: DataFrame, s: str, e: str, side: str) -> DataFrame:
+        lo = F.floor(F.col(s) / bucket_width)
+        # half-open end: an interval ending exactly on a bucket edge
+        # does not enter that bucket
+        hi = F.floor(
+            (F.col(e) - F.lit(1)) / bucket_width
+        )
+        return df.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in df.columns],
+            F.explode(F.sequence(lo, hi)).alias("__bkt"),
+        )
+
+    lb = bucketed(left, ls, le, "l")
+    rb = bucketed(right, rs, re_, "r")
+    keys = [
+        (F.col(f"l_{k}") == F.col(f"r_{k}")) for k in on
+    ] + [F.lit(True)]
+    cond = keys[0]
+    for c in keys[1:-1]:
+        cond = cond & c
+    cond = cond & (F.col("__bkt") == F.col("__rbkt"))
+    rb = rb.withColumnRenamed("__bkt", "__rbkt")
+    overlap = (F.col(f"l_{ls}") < F.col(f"r_{re_}")) & (
+        F.col(f"r_{rs}") < F.col(f"l_{le}")
+    )
+    first_shared = (
+        F.greatest(
+            F.floor(F.col(f"l_{ls}") / bucket_width),
+            F.floor(F.col(f"r_{rs}") / bucket_width),
+        )
+        == F.col("__bkt")
+    )
+    return (
+        lb.join(rb, cond, "inner")
+        .where(overlap & first_shared)
+        .drop("__bkt", "__rbkt")
+    )

@@ -5837,6 +5837,76 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q139_interval_join",
+    oracle="""
+    WITH l2 AS (
+      SELECT o_orderkey AS id, o_orderkey % 4 AS k,
+             (o_orderkey * 7) % 5000 AS s,
+             (o_orderkey * 7) % 5000 + o_orderkey % 80 + 1 AS e
+      FROM orders WHERE o_custkey < 600),
+    r2 AS (
+      SELECT o_orderkey AS id, o_orderkey % 4 AS k,
+             (o_orderkey * 13) % 5000 AS s,
+             (o_orderkey * 13) % 5000 + o_orderkey % 60 + 1 AS e
+      FROM orders WHERE o_custkey >= 600 AND o_custkey < 1200),
+    pairs AS (
+      SELECT l2.k,
+             LEAST(l2.e, r2.e) - GREATEST(l2.s, r2.s) AS ov
+      FROM l2 JOIN r2
+        ON l2.k = r2.k AND l2.s < r2.e AND r2.s < l2.e)
+    SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov) AS BIGINT) AS total_overlap
+    FROM pairs GROUP BY k ORDER BY k
+    """,
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-interval overlap join
+    (relational.interval_overlap_join): synthetic half-open ranges
+    derived from order keys, joined per key by the BUCKETED pattern —
+    intervals explode onto fixed-width buckets, the join is equi on
+    (key, bucket) (shuffled hash join, never a nested loop), shared
+    buckets dedup by first-shared-bucket attribution. The oracle runs
+    the plain inequality join; results must agree pair-for-pair
+    (checked as per-key count + total overlap length)."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    o = load(spark, sf, "orders")
+    mk = lambda lo, hi, mult, mlen: (  # noqa: E731
+        o.where(
+            (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("id"),
+            (F.col("o_orderkey") % 4).alias("k"),
+            ((F.col("o_orderkey") * mult) % 5000).alias("s"),
+            (
+                (F.col("o_orderkey") * mult) % 5000
+                + F.col("o_orderkey") % mlen
+                + 1
+            ).alias("e"),
+        )
+    )
+    left = mk(0, 600, 7, 80)
+    right = mk(600, 1200, 13, 60)
+    pairs = interval_overlap_join(
+        left, right, ["k"], ("s", "e"), ("s", "e"), bucket_width=128
+    )
+    ov = F.least(F.col("l_e"), F.col("r_e")) - F.greatest(
+        F.col("l_s"), F.col("r_s")
+    )
+    return (
+        pairs.select(F.col("l_k").alias("k"), ov.alias("ov"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("ov").alias("total_overlap"),
+        )
+        .orderBy("k")
+    )
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

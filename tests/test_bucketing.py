@@ -353,3 +353,47 @@ def test_sql_ctas_and_alter_bucket_spec(spark, catalog):
         catalog.sql(
             "ALTER TABLE lake.db.bt SET PARTITION SPEC YEAR(id)"
         )
+
+
+def test_murmur3_parity_randomized_battery(spark):
+    """Seeded random battery over all three bucketable types — a much
+    wider net than the boundary table, in ONE DataFrame comparison
+    (vectorized; per-example Spark jobs would be prohibitively slow)."""
+    import random
+    import string
+
+    rng = random.Random(20240814)
+    ints = [rng.randint(-(2**31), 2**31 - 1) for _ in range(300)]
+    longs = [rng.randint(-(2**63), 2**63 - 1) for _ in range(300)]
+    alphabet = string.printable + "äöüßéñ中日√🚀"
+    strs = [
+        "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 40))
+        )
+        for _ in range(300)
+    ]
+    rows = (
+        [(i, None, None) for i in ints]
+        + [(None, lv, None) for lv in longs]
+        + [(None, None, s) for s in strs]
+    )
+    got = spark.createDataFrame(
+        rows, "i INT, l LONG, s STRING"
+    ).select(
+        "i", "l", "s",
+        F.hash("i").alias("hi"),
+        F.hash("l").alias("hl"),
+        F.hash("s").alias("hs"),
+    ).collect()
+    checked = 0
+    for r in got:
+        if r.i is not None:
+            assert spark_hash(r.i, "int") == r.hi
+            checked += 1
+        if r.l is not None:
+            assert spark_hash(r.l, "bigint") == r.hl
+            checked += 1
+        if r.s is not None:
+            assert spark_hash(r.s, "string") == r.hs
+            checked += 1
+    assert checked == 900

@@ -221,3 +221,71 @@ def test_cohort_retention_matrix(spark):
     }
     with pytest.raises(ValueError, match="granularity"):
         cohort_retention(ev, granularity="week")
+
+
+def test_interval_overlap_join_vs_bruteforce(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        interval_overlap_join,
+    )
+    import random
+
+    rng = random.Random(7)
+    lrows = [
+        (i, i % 3, rng.randrange(0, 500), 0) for i in range(80)
+    ]
+    lrows = [(i, k, s, s + rng.randrange(1, 120)) for i, k, s, _ in lrows]
+    rrows = [
+        (100 + i, i % 3, rng.randrange(0, 500), 0) for i in range(80)
+    ]
+    rrows = [(i, k, s, s + rng.randrange(1, 120)) for i, k, s, _ in rrows]
+    left = spark.createDataFrame(lrows, "id LONG, k LONG, s LONG, e LONG")
+    right = spark.createDataFrame(
+        rrows, "id LONG, k LONG, s LONG, e LONG"
+    )
+    got = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, ["k"], ("s", "e"), ("s", "e"), bucket_width=64
+        ).collect()
+    }
+    expect = {
+        (li, ri)
+        for (li, lk, ls, le) in lrows
+        for (ri, rk, rs, re_) in rrows
+        if lk == rk and ls < re_ and rs < le
+    }
+    assert got == expect and expect
+    # each overlapping pair appears exactly ONCE despite shared buckets
+    n = interval_overlap_join(
+        left, right, ["k"], ("s", "e"), ("s", "e"), bucket_width=16
+    ).count()
+    assert n == len(expect)  # smaller buckets: more sharing, same pairs
+
+
+def test_interval_overlap_join_half_open_edges(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 0, 10), (2, 0, 64, 70)], "id LONG, k LONG, s LONG, e LONG"
+    )
+    right = spark.createDataFrame(
+        [(9, 0, 10, 20), (8, 0, 5, 7), (7, 0, 60, 65)],
+        "id LONG, k LONG, s LONG, e LONG",
+    )
+    got = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, ["k"], ("s", "e"), ("s", "e"), bucket_width=64
+        ).collect()
+    }
+    # [0,10) does NOT overlap [10,20) (half-open); does overlap [5,7)
+    # [64,70) overlaps [60,65) across a bucket boundary
+    assert got == {(1, 8), (2, 7)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(
+            left, right, ["k"], ("s", "e"), ("s", "e")
+        )
