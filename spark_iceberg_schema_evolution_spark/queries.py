@@ -6231,6 +6231,13 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # percentile_approx — scheduled for the r6 window (no entry older than
 # two rounds after r6), together with the new r5 entries q113/q114
 # (green locally this round, no driver row yet).
+#
+# r6 WINDOW PLAN (for the next rotation): the never-driver-checked
+# second-half r5 entries first — q113 q114 q124-q139 (18) — then the
+# r3-stale block above (~25) and as many r1/r2 leftovers as fit
+# (q76-q85). All are green in this round's local full-corpus run
+# (tools/check_correctness.py sf0.01: 133 pass 0 fail + the 6 added
+# after it, checked individually).
 
 _DRIVER_WINDOW = [
     # new this round (never driver-checked) — these exercise the round-5
