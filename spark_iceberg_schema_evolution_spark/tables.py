@@ -65,6 +65,12 @@ _BUCKET_COL = "__p_bucket"
 _BUCKETABLE = {"int", "bigint", "string"}
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer claimed the version this commit targeted
+    (Iceberg's CommitFailedException): the caller's snapshot is stale —
+    reload and re-plan the operation."""
+
+
 def _parse_partition_spec(text: str | None) -> tuple:
     """Parse a SQL partition-spec clause — ``MONTH(c)``, ``BUCKET(n, c)``,
     ``(MONTH(c), BUCKET(n, c))`` in either order, or ``NONE`` — into
@@ -408,7 +414,23 @@ class LakehouseTable:
         tmp = os.path.join(self.meta_dir, f".v{snap.version}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(payload, f)
-        os.rename(tmp, os.path.join(self.meta_dir, f"v{snap.version}.json"))
+        # optimistic concurrency (Iceberg's commit contract): the
+        # manifest is claimed with an EXCLUSIVE link, so two writers
+        # racing to the same version number conflict loudly instead of
+        # the second silently overwriting the first's commit (lost
+        # update). Retrying is the caller's decision — their snapshot
+        # is stale and the operation must re-plan, exactly as Iceberg's
+        # CommitFailedException semantics.
+        final = os.path.join(self.meta_dir, f"v{snap.version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"version v{snap.version} was committed concurrently "
+                f"({self.path}); reload and retry the operation"
+            ) from None
+        os.unlink(tmp)
         # advance this handle's branch head. Legacy single-branch tables
         # (no refs file) skip the write on main: head == newest version.
         refs = self._refs()

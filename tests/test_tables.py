@@ -1937,3 +1937,32 @@ def test_add_column_default_via_sql(spark, catalog):
     # plain ADD COLUMN (no default) still null-pads
     catalog.sql("ALTER TABLE lake.db.dsql ADD COLUMN z INT")
     assert catalog.sql("SELECT z FROM lake.db.dsql").first().z is None
+
+
+def test_commit_conflict_is_loud_not_lost_update(spark, catalog):
+    """Optimistic concurrency: two writers racing to the same version
+    number — the second must get CommitConflict, never silently
+    overwrite the first's manifest (lost update)."""
+    from spark_iceberg_schema_evolution_spark.tables import CommitConflict
+
+    catalog.write_evolving(spark.range(5).toDF("id"), "db", "occ")
+    t = catalog.table("db", "occ")
+    # writer A plans against the current head...
+    snap_a = t._load()
+    # ...writer B commits first
+    t.append(spark.range(5, 10).toDF("id"))
+    # writer A's stale plan targets the now-taken version
+    from spark_iceberg_schema_evolution_spark.tables import Snapshot
+
+    with pytest.raises(CommitConflict, match="committed concurrently"):
+        t._commit(
+            Snapshot(
+                snap_a.version + 1, snap_a.schema, snap_a.batches,
+                snap_a.partition_month_of, snap_a.renames,
+                snap_a.deletes,
+            )
+        )
+    # writer B's commit survived intact; a fresh retry works
+    assert t.read().count() == 10
+    t.append(spark.range(10, 12).toDF("id"))
+    assert t.read().count() == 12
