@@ -397,3 +397,24 @@ def test_murmur3_parity_randomized_battery(spark):
             assert spark_hash(r.s, "string") == r.hs
             checked += 1
     assert checked == 900
+
+
+def test_bucket_pruning_under_mor_position_deletes(spark, catalog):
+    """Interplay: a bucketed table with live MOR position deletes —
+    pruned point lookups must still apply the (file, pos) anti-join and
+    never resurrect deleted rows."""
+    t, df = _mk_bucketed(catalog, n_rows=200, n_buckets=8)
+    # keyless MOR delete by arbitrary predicate -> position-delete file
+    t.delete_where("id % 10 = 3", mode="mor")
+    assert any(d.get("content") == "pos" for d in t._load().deletes)
+    # a deleted key: pruned scan still sees the delete
+    assert t.read_where([("id", "=", 13)]).count() == 0
+    # a live key in the same bucket as a deleted one still reads
+    got = t.read_where([("id", "=", 14)]).collect()
+    assert len(got) == 1 and got[0].id == 14
+    assert t.read().count() == 180
+    # folding the delete files restores pure pruned reads
+    t.compact_deletes()
+    assert not t._load().deletes
+    assert t.read_where([("id", "=", 13)]).count() == 0
+    assert t.read().count() == 180
