@@ -3467,6 +3467,47 @@ class LakehouseCatalog:
         )
         if m:
             return self._call_procedure(m.group(1), m.group(2))
+        m = re.match(
+            r"(?is)^OPTIMIZE\s+lake\.(\w+)\.(\w+)\s+"
+            r"REWRITE\s+DATA\s+USING\s+BIN_PACK\s*$",
+            q,
+        )
+        if m:
+            # Athena's Iceberg OPTIMIZE statement (the operation the
+            # reference's optimize_rewrite_* TBLPROPERTIES tune,
+            # spark_utils.py:169-170): bin-pack compaction, target file
+            # count from the table's own properties
+            t = self.table(m.group(1), m.group(2))
+            v = t.compact(
+                target_files=t.int_property(
+                    "optimize_rewrite_data_file_threshold", 8
+                )
+            )
+            return self._version_df(v)
+        m = re.match(r"(?is)^VACUUM\s+lake\.(\w+)\.(\w+)\s*$", q)
+        if m:
+            # Athena's VACUUM: expire snapshots per the table's
+            # vacuum_* properties (spark_utils.py:171), then reclaim
+            # unreferenced files
+            t = self.table(m.group(1), m.group(2))
+            age = t.properties().get("vacuum_max_snapshot_age_seconds")
+            dropped = t.expire_snapshots(
+                keep_last=t.int_property(
+                    "vacuum_min_snapshots_to_keep", 5
+                ),
+                max_age_s=float(age) if age is not None else None,
+            )
+            removed = t.remove_orphan_files(
+                older_than_s=float(
+                    t.properties().get(
+                        "vacuum_orphan_file_age_seconds", 3 * 24 * 3600
+                    )
+                )
+            )
+            return self.spark.createDataFrame(
+                [(len(dropped), len(removed))],
+                "expired BIGINT, orphans_removed BIGINT",
+            )
         m = re.match(r"(?is)^EXPLAIN\s+(EXTENDED\s+)?(SELECT\b.*|WITH\b.*)$", q)
         if m:
             extended, body = m.groups()

@@ -1966,3 +1966,31 @@ def test_commit_conflict_is_loud_not_lost_update(spark, catalog):
     assert t.read().count() == 10
     t.append(spark.range(10, 12).toDF("id"))
     assert t.read().count() == 12
+
+
+def test_sql_optimize_and_vacuum_statements(spark, catalog):
+    """Athena's OPTIMIZE / VACUUM statements (the operations the
+    reference's TBLPROPERTIES thresholds tune) routed through the
+    front door, property-driven."""
+    catalog.write_evolving(spark.range(10).toDF("id"), "db", "av")
+    t = catalog.table("db", "av")
+    for i in range(1, 6):
+        t.append(spark.range(i * 10, i * 10 + 10).toDF("id"))
+    t.set_properties(
+        {
+            "optimize_rewrite_data_file_threshold": "2",
+            "vacuum_min_snapshots_to_keep": "2",
+        }
+    )
+    assert len(t._load().batches) == 6
+    catalog.sql("OPTIMIZE lake.db.av REWRITE DATA USING BIN_PACK")
+    assert len(t._load().batches) <= 2
+    assert t.read().count() == 60
+    before = len(t._versions())
+    out = catalog.sql("VACUUM lake.db.av").collect()[0]
+    assert out.expired == before - 2
+    assert len(t._versions()) == 2
+    assert t.read().count() == 60
+    # second vacuum: nothing left to do
+    out2 = catalog.sql("VACUUM lake.db.av").collect()[0]
+    assert out2.expired == 0 and out2.orphans_removed == 0
