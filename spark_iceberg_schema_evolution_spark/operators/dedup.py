@@ -564,3 +564,35 @@ def contamination_stats(
         "overlap_frac",
         F.col("n_overlap").cast("double") / F.col("n_shingles"),
     )
+
+
+def ingest_dedup_exact(
+    table,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> int:
+    """Incremental exact dedup at ingest: append only the new batch's
+    documents whose content does not already exist in the corpus table
+    (nor earlier in the batch itself — within-batch keep-one runs
+    first). The continuous-ingestion shape: the corpus never rewrites,
+    each increment pays one within-batch dedup plus one anti-join of
+    the (small) batch against the corpus' content hashes.
+
+    Scale shape: the corpus side projects to the md5 content hash only
+    (column-pruned scan — no text moves), and the join keys are
+    fixed-width hashes; the batch side is the small one, so Spark
+    broadcasts it when it fits. Returns the committed version (or the
+    current version when everything was duplicate — a no-op increment
+    commits nothing)."""
+    batch = exact_dedup(new_docs, text_col=text_col)
+    existing = table.read().select(
+        F.md5(F.col(text_col)).alias("__h")
+    )
+    fresh = (
+        batch.withColumn("__h", F.md5(F.col(text_col)))
+        .join(existing, "__h", "left_anti")
+        .drop("__h")
+    )
+    if fresh.limit(1).count() == 0:
+        return table._load().version
+    return table.append(fresh)

@@ -5907,6 +5907,66 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q140_ingest_dedup",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 200),
+    b2 AS (
+      SELECT doc_id + 10000 AS doc_id, text, n_chars
+      FROM documents WHERE doc_id >= 100 AND doc_id < 300),
+    ranked2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rk
+      FROM b2),
+    fresh AS (
+      SELECT doc_id, text, n_chars FROM ranked2
+      WHERE rk = 1
+        AND md5(text) NOT IN (SELECT md5(text) FROM b1)),
+    final AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM fresh)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM final
+    """,
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup at ingest (dedup.ingest_dedup_exact):
+    a second batch overlapping the committed corpus appends ONLY its
+    genuinely new documents — the corpus never rewrites, the increment
+    pays a within-batch keep-one plus a hash anti-join against the
+    column-pruned corpus scan. After the increment, the table holds
+    exactly one copy per distinct content. The oracle replays
+    keep-first set algebra over the same two batches."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        ingest_dedup_exact,
+    )
+
+    cat = _tmp_catalog(spark)
+    d = load(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    b1 = d.where("doc_id < 200")
+    b2 = d.where("doc_id >= 100 AND doc_id < 300").withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    cat.create_namespace("db")
+    t = cat.table("db", "corpus")
+    t.create(b1.schema)
+    t.append(b1)
+    ingest_dedup_exact(t, b2)
+    # a fully-duplicate third increment is a committed no-op
+    v = ingest_dedup_exact(t, b1.limit(50))
+    assert v == t._load().version
+    # n_chars is content-derived, so the checksum is independent of
+    # WHICH duplicate won a keep-one tie (drift-robust vs future
+    # testdata with intra-batch duplicate texts)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (

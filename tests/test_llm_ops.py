@@ -543,3 +543,29 @@ def test_read_binary_media_ingest(spark, tmp_path):
         only_wav, frame_bytes=32, hop_bytes=32
     )
     assert frames.count() == 3  # 104 bytes -> 3 full 32-byte frames
+
+
+def test_ingest_dedup_exact_semantics(spark, tmp_path):
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("db")
+    t = cat.table("db", "c")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    t.create(b1.schema)
+    t.append(b1)
+    v1 = t._load().version
+    # batch 2: one corpus dup, one intra-batch dup pair, one new
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    v2 = dedup.ingest_dedup_exact(t, b2)
+    assert v2 > v1
+    texts = sorted(r.text for r in t.read().collect())
+    assert texts == ["alpha", "beta", "delta", "gamma"]
+    # fully-duplicate increment: no commit at all
+    v3 = dedup.ingest_dedup_exact(t, b2)
+    assert v3 == v2 == t._load().version
