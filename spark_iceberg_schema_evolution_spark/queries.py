@@ -5967,6 +5967,51 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q141_copy_into",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders WHERE o_custkey < 800
+    """,
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """COPY INTO idempotent incremental ingestion
+    (sources/copy_into.py — Delta's COPY INTO semantics): two landing
+    increments load exactly once each, and re-running the second load
+    commits nothing — the loaded-file log, not a content diff, carries
+    the idempotence. Table content must equal the plain union the
+    oracle computes, proving no file loaded twice and none missed."""
+    import tempfile
+
+    from spark_iceberg_schema_evolution_spark.sources.copy_into import (
+        copy_into,
+    )
+
+    cat = _tmp_catalog(spark)
+    landing = tempfile.mkdtemp(prefix="landing-q141-")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("c")
+    )
+    o.where("o_custkey < 500").coalesce(1).write.parquet(
+        f"{landing}/f1"
+    )
+    copy_into(cat, "db", "landed", landing)
+    o.where("o_custkey >= 500 AND o_custkey < 800").coalesce(
+        1
+    ).write.parquet(f"{landing}/f2")
+    copy_into(cat, "db", "landed", landing)
+    r = copy_into(cat, "db", "landed", landing)  # idempotent re-run
+    assert r["loaded_files"] == 0
+    return cat.table("db", "landed").read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("total_c"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (
