@@ -92,6 +92,7 @@ HEADLINE = [
     "q137_funnel",
     "q138_cohort_retention",
     "q139_interval_join",
+    "q143_lateral_topk",
 ]
 
 

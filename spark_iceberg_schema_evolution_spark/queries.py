@@ -6012,6 +6012,86 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q142_recursive_cte",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 1000),
+    walk(id, depth) AS (
+      SELECT id, 0 FROM nodes
+      WHERE id // 2 = id
+         OR id // 2 NOT IN (SELECT id FROM nodes)
+      UNION ALL
+      SELECT n.id, w.depth + 1
+      FROM nodes n JOIN walk w ON n.id // 2 = w.id
+      WHERE n.id > 0)
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive CTE — SQL-family coverage
+    beside q63's decorrelated subqueries): order keys form an implicit
+    binary forest (parent = id // 2 when that key exists); the
+    recursion walks every root-to-leaf chain and aggregates node count
+    and key mass per depth. Same statement text runs on both engines —
+    what's checked is that Spark's recursive execution reaches the
+    identical fixpoint."""
+    register_views(spark, sf, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE nodes AS (
+          SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 1000),
+        walk(id, depth) AS (
+          SELECT id, 0 FROM nodes
+          WHERE id DIV 2 = id
+             OR NOT (id DIV 2) IN (SELECT id FROM nodes)
+          UNION ALL
+          SELECT n.id, w.depth + 1
+          FROM nodes n JOIN walk w ON n.id DIV 2 = w.id
+          WHERE n.id > 0)
+        SELECT CAST(depth AS INT) AS depth,
+               COUNT(*) AS n, SUM(id) AS id_sum
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@q(
+    "q143_lateral_topk",
+    oracle="""
+    SELECT n.n_name,
+           CAST(t.c_custkey AS BIGINT) AS c_custkey,
+           CAST(ROUND(t.c_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    ORDER BY n.n_name, acctbal_c DESC, c_custkey
+    """,
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark's LATERAL join): top-3
+    customers per nation via a per-row dependent subquery — the SQL
+    shape Catalyst rewrites into a ranked join (the DataFrame twin is
+    q18's WindowGroupLimit). Same statement both engines."""
+    register_views(spark, sf, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               t.c_custkey,
+               CAST(ROUND(t.c_acctbal * 100) AS BIGINT) AS acctbal_c
+        FROM nation n,
+             LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        ORDER BY n.n_name, acctbal_c DESC, c_custkey
+        """
+    )
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (
