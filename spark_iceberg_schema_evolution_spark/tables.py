@@ -3523,9 +3523,22 @@ class LakehouseCatalog:
             ns, name = m.groups()
             t = self.table(ns, name)
             snap = t._load()
+            def col_ddl(f: T.StructField) -> str:
+                ddl = f"{f.name} {datatype_to_str(f.dataType)}"
+                dv = (f.metadata or {}).get("initial_default")
+                if dv is not None:
+                    lit = (
+                        f"'{dv}'"
+                        if isinstance(dv, str)
+                        else str(dv).lower()
+                        if isinstance(dv, bool)
+                        else str(dv)
+                    )
+                    ddl += f" DEFAULT {lit}"
+                return ddl
+
             cols = ",\n  ".join(
-                f"{f.name} {datatype_to_str(f.dataType)}"
-                for f in snap.schema.fields
+                col_ddl(f) for f in snap.schema.fields
             )
             stmt = f"CREATE TABLE lake.{ns}.{name} (\n  {cols})"
             spec = []
@@ -3616,7 +3629,17 @@ class LakehouseCatalog:
             t = self.table(m.group(1), m.group(2))
             snap = t._load()
             rows = [
-                (f.name, datatype_to_str(f.dataType), None)
+                (
+                    f.name,
+                    datatype_to_str(f.dataType),
+                    (
+                        "default: "
+                        f"{(f.metadata or {}).get('initial_default')!r}"
+                        if (f.metadata or {}).get("initial_default")
+                        is not None
+                        else None
+                    ),
+                )
                 for f in snap.schema.fields
             ]
             if snap.partition_month_of:

@@ -1994,3 +1994,25 @@ def test_sql_optimize_and_vacuum_statements(spark, catalog):
     # second vacuum: nothing left to do
     out2 = catalog.sql("VACUUM lake.db.av").collect()[0]
     assert out2.expired == 0 and out2.orphans_removed == 0
+
+
+def test_defaults_surface_in_describe_and_show_create(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(1,)], ["id"]), "db", "ddl"
+    )
+    catalog.sql(
+        "ALTER TABLE lake.db.ddl ADD COLUMN tag STRING DEFAULT 'x'"
+    )
+    catalog.sql("ALTER TABLE lake.db.ddl ADD COLUMN n INT DEFAULT 5")
+    stmt = catalog.sql(
+        "SHOW CREATE TABLE lake.db.ddl"
+    ).first().createtab_stmt
+    assert "tag string DEFAULT 'x'" in stmt
+    assert "n int DEFAULT 5" in stmt
+    desc = {
+        r.col_name: r.comment
+        for r in catalog.sql("DESCRIBE TABLE lake.db.ddl").collect()
+    }
+    assert desc["tag"] == "default: 'x'"
+    assert desc["n"] == "default: 5"
+    assert desc["id"] is None
