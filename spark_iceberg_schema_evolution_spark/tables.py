@@ -1063,6 +1063,33 @@ class LakehouseTable:
             if s is None:
                 continue
             lo, hi = s
+            if op == "in":
+                # skip the batch only when EVERY listed value is
+                # provably outside [lo, hi]; any unjudgeable value
+                # (wrong kind, unparseable temporal) forces a scan
+                vals = list(val)
+                if not vals:
+                    return False  # empty IN-list matches nothing
+                provably_out = True
+                for v in vals:
+                    if LakehouseTable._is_temporal_col(
+                        col, snap
+                    ) and isinstance(v, str):
+                        cv = LakehouseTable._canon_temporal(v)
+                        if cv is None:
+                            provably_out = False
+                            break
+                        v = cv
+                    if (
+                        isinstance(v, bool)
+                        or isinstance(v, str) != isinstance(lo, str)
+                        or lo <= v <= hi
+                    ):
+                        provably_out = False
+                        break
+                if provably_out:
+                    return False
+                continue
             if LakehouseTable._is_temporal_col(col, snap) and isinstance(
                 val, str
             ):
@@ -1279,14 +1306,23 @@ class LakehouseTable:
         bcol, n_buckets, btype = bspec
         allowed = None
         for col, op, val in filters:
-            if op not in ("=", "=="):
-                continue
             if self._physical_name(col, b, snap) != bcol:
                 continue
-            k = spark_bucket(val, btype, n_buckets)
-            if k is None:
+            if op in ("=", "=="):
+                k = spark_bucket(val, btype, n_buckets)
+                if k is None:
+                    continue
+                s = {k}
+            elif op == "in":
+                ks = [
+                    spark_bucket(v, btype, n_buckets) for v in val
+                ]
+                if any(k is None for k in ks):
+                    continue  # one unhashable value: no constraint
+                s = set(ks)
+            else:
                 continue
-            allowed = {k} if allowed is None else (allowed & {k})
+            allowed = s if allowed is None else (allowed & s)
         return allowed
 
     def prune_batches(
@@ -1341,16 +1377,24 @@ class LakehouseTable:
     ) -> DataFrame:
         """Scan with manifest-stats batch skipping. ``filters`` is a
         conjunction of ``(column, op, literal)`` with op in
-        ``= < <= > >=``: batches whose footer-harvested [min,max] cannot
+        ``= < <= > >= in`` (``in`` takes a list of literals — a batch
+        skips when every value is provably out of range, and on a
+        bucketed column the plan keeps only the values' buckets):
+        batches whose footer-harvested [min,max] cannot
         satisfy it are dropped at PLANNING time (no file listing, no scan
         node), and the exact predicate is applied to the survivors — so
         the result always equals ``read().where(...)``, it just plans
         fewer inputs. The 100 TB path for key-range and category lookups
         on append-mostly tables."""
-        ops = {"=", "<", "<=", ">", ">="}
+        ops = {"=", "<", "<=", ">", ">=", "in"}
         bad = [f for f in filters if f[1] not in ops]
         if bad:
             raise ValueError(f"unsupported skip ops: {bad}")
+        for col, op, val in filters:
+            if op == "in" and not isinstance(val, (list, tuple, set)):
+                raise ValueError(
+                    f"'in' expects a list of literals for {col!r}"
+                )
         snap = self._load(version)
         keep = []
         for b in snap.batches:
@@ -1363,6 +1407,11 @@ class LakehouseTable:
         cond = F.lit(True)
         for col, op, val in filters:
             c = F.col(col)
+            if op == "in":
+                cond = cond & (
+                    c.isin(*list(val)) if val else F.lit(False)
+                )
+                continue
             cond = cond & {
                 "=": c == F.lit(val),
                 "<": c < F.lit(val),

@@ -418,3 +418,47 @@ def test_bucket_pruning_under_mor_position_deletes(spark, catalog):
     assert not t._load().deletes
     assert t.read_where([("id", "=", 13)]).count() == 0
     assert t.read().count() == 180
+
+
+def test_in_list_prunes_buckets_and_batches(spark, catalog):
+    t, df = _mk_bucketed(catalog, n_rows=400, n_buckets=8)
+    t.append(df.withColumn("id", F.col("id") + 1000))
+    keys = [3, 44, 137]
+    plan = t.plan_scan([("id", "in", keys)])
+    # at most one file per listed key per batch
+    assert plan["files_scanned"] <= len(keys) * 2
+    assert plan["files_total"] == 16
+    got = sorted(
+        r.id for r in t.read_where([("id", "in", keys)]).collect()
+    )
+    assert got == [3, 44, 137]
+    # IN + range conjunction composes
+    got2 = sorted(
+        r.id
+        for r in t.read_where(
+            [("id", "in", keys), ("id", ">", 40)]
+        ).collect()
+    )
+    assert got2 == [44, 137]
+    # empty IN matches nothing and plans nothing
+    assert t.plan_scan([("id", "in", [])])["files_scanned"] == 0
+    assert t.read_where([("id", "in", [])]).count() == 0
+    with pytest.raises(ValueError, match="list of literals"):
+        t.read_where([("id", "in", 5)])
+
+
+def test_in_list_stats_skipping_unbucketed(spark, catalog):
+    spark_ = catalog.spark
+    catalog.create_namespace("db")
+    t = catalog.table("db", "instats")
+    df = spark_.range(0, 100).toDF("id")
+    t.create(df.schema)
+    t.append(df)                                  # [0, 99]
+    t.append(spark_.range(1000, 1100).toDF("id"))  # [1000, 1099]
+    # all listed keys provably outside batch 2 -> one batch planned
+    plan = t.plan_scan([("id", "in", [5, 50])])
+    assert plan["batches_scanned"] == 1
+    got = sorted(
+        r.id for r in t.read_where([("id", "in", [5, 1050])]).collect()
+    )
+    assert got == [5, 1050]
