@@ -6092,6 +6092,38 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q144_in_list_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+    WHERE o_orderkey IN (1, 7, 33, 4000) AND o_orderkey > 5
+    ORDER BY o_orderkey
+    """,
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key point lookup through the IN-list skip path (q124's
+    single-key bucket pruning generalized): one ``read_where`` with an
+    IN-list plus a composed range conjunct plans at most one file per
+    listed key per batch — the batched point-get a feature-store or id
+    backfill issues constantly. Plan counts asserted in
+    tests/test_bucketing.py; the driver checks value equivalence."""
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    cat.create_namespace("db")
+    t = cat.table("db", "bucketed_in")
+    t.create(o.schema, bucket_by=("o_orderkey", 16))
+    t.append(o.where("o_custkey % 2 = 0"))
+    t.append(o.where("o_custkey % 2 = 1"))
+    return t.read_where(
+        [("o_orderkey", "in", [1, 7, 33, 4000]), ("o_orderkey", ">", 5)]
+    ).orderBy("o_orderkey")
+
+
+@q(
     "q126_term_search",
     oracle="""
     WITH toks AS (
