@@ -102,6 +102,12 @@ def refresh_rollup(
     for c in sum_cols:
         zero = zero & (F.col(f"sum_{c}") == 0)
     delta = delta.where(~zero)
+    if delta.limit(1).count() == 0:
+        # the source moved without changing rows (metadata-only commit:
+        # spec change, rename, property) or the changes cancelled out —
+        # advance the bookmark WITHOUT rewriting the rollup
+        target.set_properties({_SRC_PROP: src_v, _DST_PROP: cur_dst})
+        return cur_dst
     null_keys = F.lit(False)
     for g in group_cols:
         null_keys = null_keys | F.col(g).isNull()

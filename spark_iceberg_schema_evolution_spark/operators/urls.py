@@ -42,6 +42,10 @@ def normalize_url(url: Column | str) -> Column:
     and a trailing ``/`` on the path. Pure expression composition —
     whole-stage-codegen keeps this in the scan stage."""
     c = F.col(url) if isinstance(url, str) else url
+    # Known simplification: the scheme://authority lowercase (step 2)
+    # also lowercases any userinfo (user@host). RFC 3986 makes userinfo
+    # case-sensitive, but crawl-dedup canonicalization treats URL-embedded
+    # credentials as junk anyway; the ruleset stays internally consistent.
     # 1. fragment off
     c = F.regexp_replace(c, r"#.*$", "")
     # 2. scheme+host lowercased (group 1 = scheme://host[:port])

@@ -167,3 +167,27 @@ def test_rollup_via_sql_call(spark, catalog):
             "CALL lake.system.refresh_rollup('db.csrc', "
             "target => 'db.cdst')"
         )
+
+
+def test_metadata_only_source_commit_skips_rollup_rewrite(spark, catalog):
+    catalog.create_namespace("db")
+    src = catalog.table("db", "msrc")
+    dst = catalog.table("db", "mdst")
+    df = spark.range(30).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    src.create(df.schema)
+    src.append(df)
+    refresh_rollup(src, dst, ["k"], ["v"])
+    v_before = dst._load().version
+    # metadata-only source commits: rename + rename-back moves the
+    # version without changing a row
+    src.rename_column("v", "val")
+    src.rename_column("val", "v")
+    v = refresh_rollup(src, dst, ["k"], ["v"])
+    assert v == v_before  # bookmark advanced, rollup untouched
+    assert _got(dst) == _expected(src)
+    # and the NEXT real change still refreshes incrementally
+    src.append(spark.createDataFrame([(0, 100)], "k LONG, v LONG"))
+    refresh_rollup(src, dst, ["k"], ["v"])
+    assert _got(dst) == _expected(src)
