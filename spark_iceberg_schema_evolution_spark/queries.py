@@ -6449,76 +6449,73 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # two rounds after r6), together with the new r5 entries q113/q114
 # (green locally this round, no driver row yet).
 #
-# r6 WINDOW PLAN (for the next rotation): the never-driver-checked
-# second-half r5 entries first — q113 q114 q124-q139 (18) — then the
-# r3-stale block above (~25) and as many r1/r2 leftovers as fit
-# (q76-q85). All are green in this round's local full-corpus run
-# (tools/check_correctness.py sf0.01: 133 pass 0 fail + the 6 added
-# after it, checked individually).
+# Round-6 window (r5 VERDICT item 1): the 23 entries that have NEVER
+# produced a driver CORRECTNESS row (q113, q114, q124-q144 — the whole
+# round-5 second half: bucket transform, URL curation, IVM rollup, COPY
+# INTO, MERGE BY SOURCE, initial defaults, recursive CTE/LATERAL,
+# IN-list lookups), then the r2/r3-stale block (q01 q05 q27 q73-q75
+# q87 q88 q90-q92 q96 q97 q101 q105-q108), then the 9 deferred r2
+# leftovers (q76-q83, q85). After this window lands green, every tier-1
+# entry has a driver row from r4 or later except the r4-green tail
+# (q02-q04, q06-q11, q19, q24-q32, q34-q35, q39-q43, q49-q52, q66,
+# q69, q84, q86, q94-q95, q98-q100, q102-q104, q109-q111) — scheduled
+# for the r7 window, which retires the rotation debt entirely.
 
 _DRIVER_WINDOW = [
-    # new this round (never driver-checked) — these exercise the round-5
-    # code: SQL front door growth, commit-log/time-travel, new LLM ops
-    "q112_sql_merge",
-    "q115_semantic_dedup",
-    "q116_metadata_sql",
-    "q117_sql_time_travel",
-    "q118_paragraph_dedup",
-    "q119_quantile_filter",
-    "q120_sql_procedures",
-    "q121_corpus_mix",
-    "q122_expectations",
-    "q123_partition_evolution",
-    # changed this round: merge_into restructure
-    "q89_merge_clauses",
-    "q93_merge_evolution",
-    # r1/r2-stale rotation: aggregation + window family
-    "q12_tpch_q1",
-    "q13_count_distinct",
-    "q14_multi_distinct",
-    "q15_rollup",
-    "q16_having",
-    "q17_collect_sorted",
-    "q18_window_topk",
-    "q20_window_frame",
-    "q21_sort_nulls",
-    "q22_topk_revenue",
-    "q23_union_distinct",
-    "q33_cast_matrix",
-    # r1/r2-stale: dedup/similarity heads
-    "q36_dedup_exact",
-    "q37_ngram_jaccard",
-    "q38_cosine_topk",
-    # r1/r2-stale: UDF + lakehouse lifecycle heads
-    "q44_pandas_udf_tokens",
-    "q45_evolving_ingest",
-    "q46_merge_upsert",
-    "q47_time_travel",
-    "q48_overwrite_partitions",
-    # r1/r2-stale: SQL surface block
-    "q53_pivot",
-    "q54_cube",
-    "q55_intersect",
-    "q56_date_arith",
-    "q57_udtf_tokens",
-    "q58_array_hofs",
-    "q59_evolution_type_conflict",
-    "q60_grouping_sets",
-    "q61_ranking_family",
-    "q62_range_frame",
-    "q63_subqueries",
-    "q64_grouped_agg_udf",
-    "q65_str_to_map",
-    "q67_null_safe_join",
-    "q68_scd2_dimension",
-    "q70_profile_stats",
-    "q71_text_chunking",
-    "q72_sequence_packing",
-    # deferred to head r6's window (r2-green + local-green, lowest risk):
-    # q76_group_by_all_qualify q77_except_all q78_unpivot
-    # q79_percentile_cont q80_string_funcs2 q81_try_cast
-    # q82_ignore_nulls_stringagg q83_bit_bool_aggs
-    # q85_salted_join_equivalence
+    # never driver-checked: round-5 second half (23)
+    "q113_deterministic_sample",
+    "q114_token_budget_batches",
+    "q124_bucket_pruning",
+    "q125_url_curation",
+    "q126_term_search",
+    "q127_cluster_sample",
+    "q128_lm_quality_score",
+    "q129_audio_framing",
+    "q130_incremental_rollup",
+    "q131_contamination_stats",
+    "q132_merge_by_source",
+    "q133_initial_default",
+    "q134_gapfill_locf",
+    "q135_clean_text",
+    "q136_histogram",
+    "q137_funnel",
+    "q138_cohort_retention",
+    "q139_interval_join",
+    "q140_ingest_dedup",
+    "q141_copy_into",
+    "q142_recursive_cte",
+    "q143_lateral_topk",
+    "q144_in_list_lookup",
+    # r2-stale (driver rows from r2 only)
+    "q01_scan_counts",
+    "q05_join_inner_agg",
+    # r3-stale block
+    "q27_date_funcs",
+    "q73_delete_update",
+    "q74_dedup_clusters",
+    "q75_incremental_changes",
+    "q87_rename_drop_evolution",
+    "q88_jsonl_scan",
+    "q90_type_widening",
+    "q91_data_skipping",
+    "q92_sorted_compact_skip",
+    "q96_stratified_sample",
+    "q97_zorder_box_query",
+    "q101_nested_evolution",
+    "q105_wap_branch_publish",
+    "q106_decontamination",
+    "q107_repetition_filters",
+    "q108_shuffle_shards",
+    # deferred r2 leftovers (9)
+    "q76_group_by_all_qualify",
+    "q77_except_all",
+    "q78_unpivot",
+    "q79_percentile_cont",
+    "q80_string_funcs2",
+    "q81_try_cast",
+    "q82_ignore_nulls_stringagg",
+    "q83_bit_bool_aggs",
+    "q85_salted_join_equivalence",
 ]
 
 
