@@ -71,6 +71,17 @@ class CommitConflict(RuntimeError):
     reload and re-plan the operation."""
 
 
+class MergeCardinalityError(ValueError):
+    """A MERGE source holds multiple rows for an ``on``-key that also
+    matches a target row — applying the UPDATE/DELETE arms would operate
+    on that target row more than once, so the merge refuses instead of
+    silently duplicating state. This is the same contract Iceberg,
+    Delta, and Spark SQL enforce (Spark's MERGE_CARDINALITY_VIOLATION).
+    Deduplicate the feed first, or — for CDC streams carrying a change
+    timestamp — pass ``dedup_source=<ts column>`` to keep only the
+    latest source row per key."""
+
+
 def _parse_partition_spec(text: str | None) -> tuple:
     """Parse a SQL partition-spec clause — ``MONTH(c)``, ``BUCKET(n, c)``,
     ``(MONTH(c), BUCKET(n, c))`` in either order, or ``NONE`` — into
@@ -104,6 +115,21 @@ def _parse_partition_spec(text: str | None) -> tuple:
             continue
         raise ValueError(f"unsupported partition transform: {item!r}")
     return month_of, bucket
+
+def _latest_per_key(df: DataFrame, on: list[str], ts_col: str) -> DataFrame:
+    """Keep one row per ``on``-key: the greatest ``ts_col`` value (the
+    CDC "latest change wins" shape). One shuffle on the merge keys; ties
+    broken arbitrarily within a key, so callers should feed a unique
+    ordinal (change LSN / event timestamp)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*on).orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
 
 # Iceberg-spec safe type promotions (metadata-only widening); decimal
 # precision-up-at-same-scale is checked structurally in widen_column_type.
@@ -1807,6 +1833,37 @@ class LakehouseTable:
 
     # -- DML ----------------------------------------------------------------
 
+    def _check_merge_cardinality(
+        self, source: DataFrame, on: list[str]
+    ) -> None:
+        """Enforce the MERGE cardinality contract (Iceberg/Delta/Spark:
+        one source row per matched target row). Cheap by construction:
+        one aggregation over the source finds duplicate keys; only if any
+        exist does a key-column-pruned semi-probe of the target run to
+        see whether a duplicate key actually matches a target row —
+        duplicate keys that match nothing are legal NOT MATCHED inserts
+        and pass. Raises :class:`MergeCardinalityError` with an example
+        key."""
+        dup_keys = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .drop("__n")
+        )
+        if dup_keys.isEmpty():
+            return
+        hit = dup_keys.join(
+            self.read().select(*on), on, "left_semi"
+        ).take(1)
+        if hit:
+            key = {k: hit[0][k] for k in on}
+            raise MergeCardinalityError(
+                f"MERGE source has multiple rows for key {key}, which "
+                "matches a target row: the UPDATE/DELETE arm would apply "
+                "more than once. Deduplicate the source, or pass "
+                "dedup_source=<ts column> to keep the latest row per key."
+            )
+
     def merge_into(
         self,
         source: DataFrame,
@@ -1821,6 +1878,7 @@ class LakehouseTable:
         unmatched_source_delete_where=None,
         unmatched_source_update: dict | None = None,
         unmatched_source_condition=None,
+        dedup_source: str | None = None,
     ) -> int:
         """MERGE INTO with Iceberg's clause surface — copy-on-write,
         matching keys GLOBALLY like Iceberg's COW MERGE, but rewriting
@@ -1859,9 +1917,18 @@ class LakehouseTable:
           extend the table schema (extras-last, like append); existing
           target rows surface them as NULL.
 
-        Source rows are expected unique per key (Iceberg errors on
-        multi-match; use ``streaming.stream_upsert_to_lakehouse``'s
-        ``change_ts`` dedup for CDC feeds).
+        Source rows must be unique per ``on``-key wherever they touch a
+        matched target row: like Iceberg/Delta/Spark MERGE, a source key
+        matching a target row more than once raises
+        :class:`MergeCardinalityError` (checked whenever an UPDATE or
+        DELETE arm exists — the probe is one aggregation over the source,
+        and touches the target's key columns only if duplicates exist).
+        ``dedup_source=<column>`` opts out by keeping only the latest
+        source row per key (greatest value of that column — the CDC
+        change-timestamp shape; ties broken arbitrarily, so use a unique
+        ordinal). Duplicate source keys that match NO target row are
+        legal and insert one row each, exactly as two NOT MATCHED clause
+        firings would.
 
         ``mode="mor"`` switches to merge-on-read writes (Iceberg v2's
         ``write.merge.mode=merge-on-read``): see ``_merge_mor``.
@@ -1891,6 +1958,10 @@ class LakehouseTable:
             unmatched_source_delete_where is not None
             or unmatched_source_update is not None
         )
+        if dedup_source is not None:
+            source = _latest_per_key(source, on, dedup_source)
+        elif matched_update is not None or matched_delete_where is not None:
+            self._check_merge_cardinality(source, on)
         if mode == "mor":
             if by_source:
                 raise ValueError(
@@ -2210,6 +2281,21 @@ class LakehouseTable:
             ]
         else:
             upd_cols = t_cols
+        if matched_update is None and matched_delete_where is None:
+            # No matched arm: matched target rows pass through UNCHANGED.
+            # They must come from a semi-join, not the inner join — with a
+            # duplicate-key source the inner join emits one copy per
+            # source match, and the cardinality guard deliberately skips
+            # merges without an update/delete arm (Spark raises
+            # MERGE_CARDINALITY_VIOLATION only for those).
+            joined = (
+                target.alias("t")
+                .join(source.select(*on).distinct(), on, "left_semi")
+                .alias("t")
+            )
+            # no source side exists post-semi-join: neutralize any
+            # matched_condition (it gates an UPDATE arm that isn't there)
+            upd_c = F.lit(True)
         survive = joined.where(~del_c)
         # WHEN NOT MATCHED BY SOURCE arms (Spark 4 / Iceberg MERGE):
         # evaluated over target rows without a source match. Expressions

@@ -482,6 +482,110 @@ def test_merge_clause_variants_partitioned(spark, catalog):
     assert rows == {2: 20, 3: 30}
 
 
+def test_merge_dup_source_matched_raises(spark, catalog):
+    """Iceberg/Delta/Spark MERGE cardinality contract: a source key with
+    multiple rows that matches a target row must raise, not silently
+    duplicate state (fast path: would insert both copies)."""
+    from spark_iceberg_schema_evolution_spark.tables import (
+        MergeCardinalityError,
+    )
+
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "old"), (2, "old")], ["id", "v"]),
+        "db", "dup",
+    )
+    t = catalog.table("db", "dup")
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (3, "c")], ["id", "v"]
+    )
+    with pytest.raises(MergeCardinalityError, match="multiple rows"):
+        t.merge_into(src, on=["id"])
+    # clause path (conditional update) hits the same guard
+    with pytest.raises(MergeCardinalityError, match="multiple rows"):
+        t.merge_into(
+            src, on=["id"],
+            matched_update={"v": "s.v"}, matched_condition="s.v = 'a'",
+        )
+    # delete-only arm is still an operate-on-target arm
+    with pytest.raises(MergeCardinalityError, match="multiple rows"):
+        t.merge_into(
+            src, on=["id"],
+            matched_update=None, matched_delete_where=F.lit(True),
+        )
+    # table unchanged by the refused merges
+    assert {r.v for r in t.read().collect()} == {"old"}
+
+
+def test_merge_dup_source_unmatched_keys_legal(spark, catalog):
+    """Duplicate source keys that match NO target row are legal: each
+    fires NOT MATCHED INSERT independently (Spark/Iceberg semantics)."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "old")], ["id", "v"]), "db", "dupu"
+    )
+    t = catalog.table("db", "dupu")
+    t.merge_into(
+        spark.createDataFrame(
+            [(1, "new"), (9, "x"), (9, "y")], ["id", "v"]
+        ),
+        on=["id"],
+    )
+    rows = sorted((r.id, r.v) for r in t.read().collect())
+    assert rows == [(1, "new"), (9, "x"), (9, "y")]
+
+
+def test_merge_mor_dup_source_raises(spark, catalog):
+    from spark_iceberg_schema_evolution_spark.tables import (
+        MergeCardinalityError,
+    )
+
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "old")], ["id", "v"]), "db", "dupm"
+    )
+    t = catalog.table("db", "dupm")
+    with pytest.raises(MergeCardinalityError, match="multiple rows"):
+        t.merge_into(
+            spark.createDataFrame([(1, "a"), (1, "b")], ["id", "v"]),
+            on=["id"], mode="mor",
+        )
+
+
+def test_merge_insert_only_skips_cardinality_guard(spark, catalog):
+    """No UPDATE/DELETE arm -> multi-match cannot corrupt a target row,
+    so insert-only MERGE accepts duplicate matched keys (like Spark,
+    which raises MERGE_CARDINALITY_VIOLATION only for update/delete)."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "keep")], ["id", "v"]), "db", "dupi"
+    )
+    t = catalog.table("db", "dupi")
+    t.merge_into(
+        spark.createDataFrame([(1, "a"), (1, "b")], ["id", "v"]),
+        on=["id"], matched_update=None,
+    )
+    rows = sorted((r.id, r.v) for r in t.read().collect())
+    assert rows == [(1, "keep")]  # both source copies matched: no insert
+
+
+def test_merge_dedup_source_keeps_latest(spark, catalog):
+    """dedup_source=<ts> opts out of the guard by keeping the greatest-ts
+    row per key before the merge — the CDC change-feed shape."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, "old", 0)], ["id", "v", "ts"]),
+        "db", "dupd",
+    )
+    t = catalog.table("db", "dupd")
+    t.merge_into(
+        spark.createDataFrame(
+            [(1, "stale", 5), (1, "latest", 9), (2, "stale2", 1),
+             (2, "latest2", 3)],
+            ["id", "v", "ts"],
+        ),
+        on=["id"],
+        dedup_source="ts",
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {1: "latest", 2: "latest2"}
+
+
 def test_merge_rejects_key_assignment(spark, catalog):
     catalog.write_evolving(
         spark.createDataFrame([(1, "a")], ["id", "x"]), "db", "ka"
