@@ -98,11 +98,20 @@ def lsh_candidate_pairs(
     num_bands: int = 8,
     max_bucket_size: int = 1000,
     sig_len: int | None = None,
-) -> DataFrame:
+    return_drop_stats: bool = False,
+):
     """LSH banding over MinHash signatures -> distinct candidate pairs
     (a < b). Buckets larger than ``max_bucket_size`` are dropped (skew
-    guard); count them via the ``__bucket_size`` column before the drop if
-    auditing. Pass ``sig_len`` to avoid a driver probe job."""
+    guard: a bucket of b members costs b^2/2 pairs, so one degenerate
+    bucket — empty docs, boilerplate collapse — would go quadratic).
+
+    The drop is never silent: with ``return_drop_stats=True`` the result
+    is ``(pairs, drops)`` where ``drops`` is a one-row DataFrame
+    ``(dropped_buckets, dropped_entries)`` — how many oversize buckets
+    were discarded and how many (doc, band) memberships they held. At
+    100 TB a hot bucket silently deleting recall is an audit failure;
+    wire ``drops`` into the run's metrics. Pass ``sig_len`` to avoid a
+    driver probe job."""
     n = num_bands
     if sig_len is None:
         sig_len = signatures.select(F.size("signature")).first()[0]
@@ -148,7 +157,17 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
-    return pairs
+    if not return_drop_stats:
+        return pairs
+    drops = bucket_sizes.where(
+        F.col("__bucket_size") > max_bucket_size
+    ).agg(
+        F.count(F.lit(1)).alias("dropped_buckets"),
+        F.coalesce(F.sum("__bucket_size"), F.lit(0)).alias(
+            "dropped_entries"
+        ),
+    )
+    return pairs, drops
 
 
 def jaccard_pairs(
@@ -483,8 +502,9 @@ def semantic_dedup(
     id_col: str = "doc_id",
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_drop_stats: bool = False,
     **near_dup_kwargs,
-) -> DataFrame:
+):
     """Embedding-based semantic dedup, keep-best: LSH-bucketed cosine
     near-dup pairs over the embedding table, clustered and resolved to
     the highest-``quality_col`` member per cluster — the SemDeDup-style
@@ -497,12 +517,19 @@ def semantic_dedup(
     (same anti-join shape as keep-best's unpaired bulk). All scale
     properties are inherited: subquadratic candidate generation with the
     bucket-size skew guard, O(log d) clustering rounds, and a corpus
-    that never reshuffles except for cluster members."""
+    that never reshuffles except for cluster members.
+
+    ``return_drop_stats=True`` threads the LSH skew guard's audit
+    through: returns ``(kept_docs, drops)`` where ``drops`` is
+    :func:`cosine_near_dups`'s one-row
+    ``(dropped_buckets, dropped_entries)`` DataFrame — members of a
+    dropped hot bucket silently survive dedup, so production runs
+    should record it."""
     from spark_iceberg_schema_evolution_spark.operators.similarity import (
         cosine_near_dups,
     )
 
-    pairs = cosine_near_dups(
+    out = cosine_near_dups(
         embeddings.select(
             F.col(emb_id_col), F.col(vec_col)
         ),
@@ -510,11 +537,16 @@ def semantic_dedup(
         threshold=threshold,
         id_col=emb_id_col,
         vec_col=vec_col,
+        return_drop_stats=return_drop_stats,
         **near_dup_kwargs,
     )
-    return dedup_keep_best(
+    pairs, drops = out if return_drop_stats else (out, None)
+    kept = dedup_keep_best(
         docs, pairs, quality_col=quality_col, id_col=id_col
     )
+    if return_drop_stats:
+        return kept, drops
+    return kept
 
 
 def contamination_stats(

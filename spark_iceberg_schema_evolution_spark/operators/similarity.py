@@ -211,7 +211,8 @@ def cosine_near_dups(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1000,
-) -> DataFrame:
+    return_drop_stats: bool = False,
+):
     """Embedding-cosine near-duplicate pairs: candidates from shared
     hyperplane-LSH buckets (any of ``num_tables`` tables), verified with
     exact cosine >= ``threshold``. The dedup-by-embedding variant of the
@@ -221,8 +222,13 @@ def cosine_near_dups(
     ``max_bucket_size`` mirrors the text-LSH skew guard: a bucket holding
     b vectors costs b^2/2 pairs, so one degenerate bucket (e.g. the
     all-zeros signature a constant embedding region collapses into) would
-    otherwise go quadratic; oversize buckets are dropped, observably, not
-    silently paid for."""
+    otherwise go quadratic. The drop is never silent: pass
+    ``return_drop_stats=True`` to get ``(pairs, drops)``, where ``drops``
+    is a one-row DataFrame ``(dropped_buckets, dropped_entries)`` —
+    oversize (table, signature) buckets discarded and the vector
+    memberships they held. A dropped hot bucket deletes recall for its
+    members; at scale that count belongs in the run's metrics, not a
+    docstring."""
     base = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     )
@@ -242,11 +248,10 @@ def cosine_near_dups(
             )
         ).alias("__ts"),
     ).select(id_col, "__v", "__ts.__table", "__ts.__sig")
-    small = (
-        with_sig.groupBy("__table", "__sig")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") <= max_bucket_size)
+    sizes = with_sig.groupBy("__table", "__sig").agg(
+        F.count(F.lit(1)).alias("__n")
     )
+    small = sizes.where(F.col("__n") <= max_bucket_size)
     with_sig = with_sig.join(small, ["__table", "__sig"], "left_semi")
     a = with_sig.alias("a")
     b = with_sig.alias("b")
@@ -265,7 +270,13 @@ def cosine_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cos") >= threshold)
     )
-    return pairs
+    if not return_drop_stats:
+        return pairs
+    drops = sizes.where(F.col("__n") > max_bucket_size).agg(
+        F.count(F.lit(1)).alias("dropped_buckets"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("dropped_entries"),
+    )
+    return pairs, drops
 
 
 def hyperplane_signature(

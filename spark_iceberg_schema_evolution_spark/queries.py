@@ -1595,11 +1595,19 @@ def t2_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     sigs = minhash_signature(d, num_hashes=16)
-    cands = lsh_candidate_pairs(sigs, num_bands=4, sig_len=16)
+    cands, drops = lsh_candidate_pairs(
+        sigs, num_bands=4, sig_len=16, return_drop_stats=True
+    )
     verified = jaccard_pairs(d, pairs=cands)
-    return verified.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    return (
+        verified.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+        # skew-guard audit: the one-row drop stats ride every result row
+        # (no-silent-caps rule — a dropped hot bucket deletes recall)
+        .crossJoin(F.broadcast(drops))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @q("t2_simhash", oracle=None, tier=2)
@@ -2537,9 +2545,14 @@ def t2_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     # 0.4 ~= 3.2 sigma for random 64-dim unit vectors: rare but non-empty,
     # so the candidate->verify path is exercised end-to-end.
-    return cosine_near_dups(e, dim=64, threshold=0.4).select(
-        "id_a", "id_b", F.round("cos", 6).alias("cos_r")
-    ).orderBy("id_a", "id_b")
+    pairs, drops = cosine_near_dups(
+        e, dim=64, threshold=0.4, return_drop_stats=True
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+        .crossJoin(F.broadcast(drops))  # skew-guard audit columns
+        .orderBy("id_a", "id_b")
+    )
 
 
 @q("t2_spark_hashes", oracle=None, tier=2)

@@ -49,6 +49,45 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert j[(0, 99999)] > 0.7
 
 
+def test_lsh_drop_stats_surface_planted_hot_bucket(spark):
+    """Plant a hot bucket (many identical docs) past max_bucket_size and
+    require the skew guard's drop to be SURFACED, not just applied —
+    the no-silent-caps rule: dropped buckets delete recall."""
+    d = _docs(spark).where("doc_id < 20")
+    clones = spark.range(1000, 1040).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated verbatim").alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+        F.lit("clone").alias("source"),
+        F.lit(44).alias("n_chars"),
+    )
+    sigs = dedup.minhash_signature(
+        d.unionByName(clones), num_hashes=32
+    )
+    pairs, drops = dedup.lsh_candidate_pairs(
+        sigs,
+        num_bands=8,
+        sig_len=32,
+        max_bucket_size=10,
+        return_drop_stats=True,
+    )
+    stats = drops.collect()
+    assert len(stats) == 1
+    # the 40 clones share every band -> all 8 of their buckets oversize
+    assert stats[0].dropped_buckets >= 8
+    assert stats[0].dropped_entries >= 8 * 40
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert not any(a >= 1000 and b >= 1000 for a, b in got)
+    # no drops when the guard doesn't fire -> explicit zeros, not nulls
+    _, clean = dedup.lsh_candidate_pairs(
+        sigs, num_bands=8, sig_len=32, return_drop_stats=True
+    )
+    row = clean.collect()[0]
+    assert (row.dropped_buckets, row.dropped_entries) == (0, 0)
+
+
 def test_simhash_near_dup_close_hamming(spark):
     d = _docs(spark).where("doc_id < 20")
     planted = d.where("doc_id = 0").select(
@@ -112,6 +151,54 @@ def test_cosine_near_dups_finds_planted(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 88888) in got  # identical vectors share every bucket
+
+
+def test_cosine_near_dups_drop_stats_hot_bucket(spark):
+    """Identical vectors collapse into one LSH bucket per table; past
+    max_bucket_size the guard drops them and the drop must be surfaced."""
+    e = _emb(spark).where("vec_id < 10").select("vec_id", "embedding")
+    clones = (
+        spark.range(500, 540)
+        .crossJoin(e.where("vec_id = 0").select("embedding"))
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    pairs, drops = similarity.cosine_near_dups(
+        e.unionByName(clones),
+        dim=64,
+        threshold=0.99,
+        max_bucket_size=10,
+        return_drop_stats=True,
+    )
+    row = drops.collect()[0]
+    # 41 identical vectors (vec 0 + 40 clones) share one bucket in each
+    # of the 4 tables -> at least 4 oversize buckets of >= 41 members
+    assert row.dropped_buckets >= 4
+    assert row.dropped_entries >= 4 * 41
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert not any(a >= 500 and b >= 500 for a, b in got)
+
+
+def test_semantic_dedup_threads_drop_stats(spark):
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", float(i)) for i in range(5)],
+        ["doc_id", "text", "quality"],
+    )
+    emb = _emb(spark).where("vec_id < 5").select("vec_id", "embedding")
+    kept, drops = semantic_dedup(
+        docs,
+        emb,
+        quality_col="quality",
+        dim=64,
+        threshold=0.99,
+        return_drop_stats=True,
+    )
+    assert kept.count() == 5  # random vectors: nothing near-dup
+    row = drops.collect()[0]
+    assert (row.dropped_buckets, row.dropped_entries) == (0, 0)
 
 
 def test_cosine_topk_self_is_rank1(spark):
