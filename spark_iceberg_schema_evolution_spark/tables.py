@@ -2389,15 +2389,39 @@ class LakehouseTable:
             )
         return keep, carry
 
-    def _affected_months(self, cond) -> list[str]:
-        """Distinct months holding rows matching ``cond`` — a column-pruned
-        scan returning only month strings (metadata-bounded, like Iceberg's
-        planning phase)."""
-        mo = self._load().partition_month_of
+    def _affected_months(
+        self, snap: Snapshot, cond_true, condition=None
+    ) -> list[str]:
+        """Distinct months holding rows matching the predicate — the COW
+        DML planning probe. The probe scan is manifest-bounded, not a
+        full-table scan: stats-extractable conjuncts of ``condition``
+        first prune batches and files exactly like :meth:`read_where`
+        (sound — pruning only removes inputs the predicate provably
+        cannot match), and only the survivors are opened, column-pruned
+        to the partition timestamp. A month-bounded DELETE on a 100 TB
+        table therefore plans from the months' own files, not everything
+        ever written; only the distinct month strings come back to the
+        driver."""
+        conjs = (
+            self._extract_simple_conjuncts(condition)
+            if condition is not None
+            else []
+        )
+        if conjs:
+            keep = []
+            for b in snap.batches:
+                if not self._stats_may_match(b, snap, conjs):
+                    continue
+                pruned = self._prune_files(b, snap, conjs)
+                if pruned is not None:
+                    keep.append(pruned)
+        else:
+            keep = snap.batches
+        mo = snap.partition_month_of
         return [
             r[0]
-            for r in self.read()
-            .where(cond)
+            for r in self._scan(snap, keep, None)
+            .where(cond_true)
             .select(F.date_format(F.col(mo), "yyyy-MM").alias("__m"))
             .distinct()
             .collect()
@@ -2527,7 +2551,7 @@ class LakehouseTable:
         if mode != "cow":
             raise ValueError(f"unknown delete mode: {mode}")
         if mo:
-            hit = self._affected_months(cond_true)
+            hit = self._affected_months(snap, cond_true, condition)
             if not hit:
                 return snap.version  # nothing matches: no new snapshot
             keep_batches, carry = self._split_cow_scope(snap, hit)
@@ -2646,7 +2670,7 @@ class LakehouseTable:
         if mode != "cow":
             raise ValueError(f"unknown update mode: {mode}")
         if mo:
-            hit = self._affected_months(cond_true)
+            hit = self._affected_months(snap, cond_true, condition)
             if not hit:
                 return snap.version
             keep_batches, carry = self._split_cow_scope(snap, hit)

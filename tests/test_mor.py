@@ -303,6 +303,43 @@ def test_noop_update_is_metadata_only(spark, catalog):
     assert t._load().version == 1
 
 
+def test_cow_dml_planning_probe_is_stats_bounded(spark, catalog):
+    """A matching COW DELETE's month-planning probe must scan only the
+    batches/files surviving manifest-stats pruning — not the whole
+    table (VERDICT r5 #3: planning a month-bounded DELETE on a 100 TB
+    table must not pay a full column-pruned scan)."""
+
+    def mk(lo, month):
+        return spark.createDataFrame(
+            [(i, f"{month}-05", float(i)) for i in range(lo, lo + 10)],
+            ["id", "ts", "v"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    catalog.write_evolving(
+        mk(0, "2024-01"), "db", "plan", partition_month_of="ts"
+    )
+    t = catalog.table("db", "plan")
+    t.append(mk(100, "2024-02"))
+    t.append(mk(200, "2024-03"))
+
+    probes = []
+    orig = t._scan
+
+    def spy(snap, batches, months, **kw):
+        probes.append(list(batches))
+        return orig(snap, batches, months, **kw)
+
+    t._scan = spy
+    assert t.delete_where("id >= 200 AND id < 210") == 4
+    # first _scan call is the _affected_months probe: the id-range stats
+    # keep exactly the third batch
+    probe = probes[0]
+    assert len(probe) == 1
+    assert probe[0]["months"] == ["2024-03"]
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == list(range(0, 10)) + list(range(100, 110))
+
+
 def test_stats_gate_is_conservative(spark, catalog):
     """Predicates the conjunct extractor can't prove no-op (ORs, UDF-ish,
     in-bounds) must still execute correctly — gating is an optimization,
