@@ -125,24 +125,16 @@ def ivf_topk(
     - Only the (small) query side expands: ``array_sort`` + ``slice`` +
       ``explode`` yields the ``n_probe`` nearest cells per query.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(
         F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
     )
     fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
-    fit_df = fit_df.limit(max_fit_rows).withColumn(
-        "__feat", array_to_vector("__cv")
+    fit_df = fit_df.limit(max_fit_rows)
+    centroids = list(
+        enumerate(
+            _kmeans_np(_collect_fit_sample(fit_df), num_centroids, seed)
+        )
     )
-    km = (
-        KMeans(k=num_centroids, seed=seed, featuresCol="__feat")
-        .fit(fit_df.select("__feat"))
-    )
-    centroids = [
-        (i, [float(x) for x in center])
-        for i, center in enumerate(km.clusterCenters())
-    ]
 
     # plan-time literal: array<struct<v: array<double>, c: int>>
     cent_lit = F.array(
@@ -410,7 +402,9 @@ def pq_topk(
     fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
     fit_df = fit_df.limit(max_fit_rows)
 
-    codebooks = _fit_subspace_codebooks(fit_df, dim, m, ksub, seed)
+    codebooks = _fit_subspace_codebooks(
+        _collect_fit_sample(fit_df), dim, m, ksub, seed
+    )
     encoded = c.select(
         corpus_id,
         _pq_code_expr(codebooks, dim, F.col("__cv")).alias("__codes"),
@@ -465,31 +459,72 @@ def pq_topk(
     )
 
 
+def _collect_fit_sample(fit_df: DataFrame, vec_col: str = "__cv"):
+    """ONE Spark job collecting the (already driver-bounded) model-fit
+    sample as an ndarray. Every KMeans-style fit in this module is
+    capped by ``max_fit_rows`` regardless of corpus size, so a
+    distributed fit would pay per-job cluster overheads to process data
+    that fits in driver memory — the fits run in numpy instead, and at
+    100 TB the fit stays fixed-cost while the corpus-sized stages
+    (encode / assign) remain zero-shuffle literal-model maps."""
+    import numpy as np
+
+    rows = fit_df.select(vec_col).collect()
+    if not rows:
+        raise ValueError("model fit sample is empty")
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
 def _fit_subspace_codebooks(
-    fit_df: DataFrame,
+    X,
     dim: int,
     m: int,
     ksub: int,
     seed: int,
-    vec_col: str = "__cv",
 ) -> list[list[list[float]]]:
-    """Fit the m per-sub-space KMeans codebooks on a (bounded) sample —
-    shared by pq_topk and ivfpq_topk."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    """Fit the m per-sub-space KMeans codebooks on the collected sample
+    (see :func:`_collect_fit_sample`) — shared by pq_topk and
+    ivfpq_topk. Replaces the previous m sequential MLlib jobs."""
     dsub = dim // m
-    out = []
-    for j in range(m):
-        km = KMeans(k=ksub, seed=seed + j, featuresCol="__feat").fit(
-            fit_df.select(
-                array_to_vector(
-                    F.slice(F.col(vec_col), j * dsub + 1, dsub)
-                ).alias("__feat")
-            )
+    return [
+        _kmeans_np(X[:, j * dsub:(j + 1) * dsub], ksub, seed + j)
+        for j in range(m)
+    ]
+
+
+def _kmeans_np(X, k: int, seed: int, iters: int = 25):
+    """Deterministic in-memory KMeans (k-means++ init, Lloyd's updates)
+    for the driver-bounded codebook fits. Distances use the
+    ||x||^2 + ||c||^2 - 2xC' expansion: O(n*k) memory, BLAS matmul."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = d2.sum()
+        idx = rng.choice(n, p=d2 / tot) if tot > 0 else rng.randint(n)
+        centers.append(X[idx])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+    C = np.asarray(centers)
+    xsq = (X ** 2).sum(axis=1)[:, None]
+    for _ in range(iters):
+        dists = xsq + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = dists.argmin(axis=1)
+        newC = np.vstack(
+            [
+                X[assign == i].mean(axis=0) if (assign == i).any() else C[i]
+                for i in range(k)
+            ]
         )
-        out.append([[float(x) for x in ctr] for ctr in km.clusterCenters()])
-    return out
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return [[float(x) for x in ctr] for ctr in C]
 
 
 def _pq_code_expr(
@@ -582,22 +617,15 @@ def ivfpq_topk(
     (qid, id, adc) rows enter the top-k shuffle."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(
         F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
     )
     fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
     fit_df = fit_df.limit(max_fit_rows)
 
-    km = KMeans(
-        k=num_centroids, seed=seed, featuresCol="__feat"
-    ).fit(fit_df.withColumn("__feat", array_to_vector("__cv")).select("__feat"))
-    centroids = [
-        (i, [float(x) for x in ctr])
-        for i, ctr in enumerate(km.clusterCenters())
-    ]
+    # ONE sample collect feeds BOTH fits (coarse quantizer + codebooks)
+    X = _collect_fit_sample(fit_df)
+    centroids = list(enumerate(_kmeans_np(X, num_centroids, seed)))
     cent_lit = F.array(
         *[
             F.struct(
@@ -619,7 +647,7 @@ def ivfpq_topk(
             ),
         )
 
-    codebooks = _fit_subspace_codebooks(fit_df, dim, m, ksub, seed + 7)
+    codebooks = _fit_subspace_codebooks(X, dim, m, ksub, seed + 7)
     encoded = c.select(
         corpus_id,
         F.array_min(cell_dists(F.col("__cv")))["c"].alias("__cell"),
@@ -715,21 +743,12 @@ def cluster_balanced_sample(
     if per_cluster < 1:
         raise ValueError("per_cluster must be >= 1")
     if centroids is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         c = df.select(as_double(F.col(vec_col)).alias("__cv"))
         fit_df = c.sample(fit_fraction, seed=42) if fit_fraction else c
-        fit_df = fit_df.limit(max_fit_rows).withColumn(
-            "__feat", array_to_vector("__cv")
+        fit_df = fit_df.limit(max_fit_rows)
+        centroids = list(
+            enumerate(_kmeans_np(_collect_fit_sample(fit_df), num_centroids, 42))
         )
-        km = KMeans(
-            k=num_centroids, seed=42, featuresCol="__feat"
-        ).fit(fit_df.select("__feat"))
-        centroids = [
-            (i, [float(x) for x in center])
-            for i, center in enumerate(km.clusterCenters())
-        ]
     cent_lit = F.array(
         *[
             F.struct(
