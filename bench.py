@@ -93,6 +93,11 @@ HEADLINE = [
     "q138_cohort_retention",
     "q139_interval_join",
     "q143_lateral_topk",
+    # round-6: the continuous-ingestion shapes a 100 TB corpus runs
+    # daily (IVM rollup refresh, incremental ingest dedup, COPY INTO)
+    "q130_incremental_rollup",
+    "q140_ingest_dedup",
+    "q141_copy_into",
 ]
 
 

@@ -549,6 +549,54 @@ def semantic_dedup(
     return kept
 
 
+def span_duplication_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span measurement at shingle granularity — the
+    signal behind substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": long
+    verbatim spans repeated across documents, licenses, disclaimers,
+    templated boilerplate). For every document: ``n_shingles`` (its
+    distinct word n-grams), ``n_dup`` (those appearing in at least
+    ``min_docs`` documents corpus-wide), and ``dup_frac`` — filter or
+    route docs above a duplication cut, or feed the heavy tail to a
+    span-stripping pass.
+
+    Scale shape: shingles travel as ``xxhash64`` keys (fixed-width, the
+    module discipline — never multi-word strings through a shuffle).
+    One aggregate finds hot shingles, one hash join attributes them
+    back, one id-keyed aggregate folds per document: three bounded
+    shuffles, no self-join, nothing quadratic (contrast the all-pairs
+    Jaccard relation — this measures span sharing without materializing
+    pairs)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(normalized_words(text_col), n)).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    hot = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__h", F.lit(1).alias("__hot"))
+    )
+    per_doc = (
+        sh.join(hot, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hot"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        "dup_frac",
+        F.col("n_dup") / F.col("n_shingles"),
+    )
+
+
 def contamination_stats(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -18,7 +18,13 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window as W,
+    functions as F,
+)
 
 
 def asof_join(
@@ -139,6 +145,59 @@ def salted_join(
     )
     out = l.join(r, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist a DataFrame as a Spark bucketed (and bucket-sorted)
+    parquet table — the co-location contract for repeated large-scale
+    joins: every row lands in ``hash(keys) % n_buckets``, so two tables
+    bucketed the same way join WITHOUT either side shuffling, forever
+    after. At 100 TB, paying one bucketed write to delete the shuffle
+    from every subsequent fact-fact join is the classic trade (Hive/
+    Spark bucketing; Iceberg's bucket transform is the same idea, which
+    this engine's ``tables.create(bucket_by=...)`` uses for scan
+    pruning — THIS path feeds Spark's join planner instead).
+
+    The table is external (data at ``path``): nothing is written under
+    the session's warehouse directory, so bare driver sessions in a
+    foreign cwd stay clean. ``sort`` adds SORTED BY, letting the
+    sort-merge join read buckets pre-sorted (one file per bucket)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+    )
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table_name)
+
+
+def bucketed_cojoin(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed tables (see :func:`write_bucketed`)
+    shuffle-free: both scans report ``HashPartitioning(keys, n)``, so
+    the sort-merge join's distribution requirement is already satisfied
+    and the plan carries NO Exchange on either side (asserted in
+    tests/test_bucketed_join.py). The merge hint pins SMJ — a broadcast
+    join would be correct but would bypass the co-location this
+    operator exists to exploit."""
+    left = spark.table(left_table).hint("merge")
+    return left.join(spark.table(right_table), on, how)
 
 
 def top_k_per_group(

@@ -57,6 +57,34 @@ def avg_pool(arrs: Column) -> Column:
     return F.transform(summed, lambda x: x / n)
 
 
+def linear_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    vec_col: str = "embedding",
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Apply a trained linear classifier head to an embedding column:
+    ``sigmoid(w . x + b)`` — the model-based quality-filter shape
+    (fastText-style language/quality models, the "educational value"
+    classifiers of phi/FineWeb-Edu-style curation: train offline on a
+    bounded labeled set, score the whole corpus with the frozen head).
+
+    Scale shape: the weight vector ships as a plan-time literal array,
+    so scoring is a zero-shuffle map inside whole-stage codegen — no
+    broadcast join, no UDF, no model server. Rows with a NULL or
+    wrong-length vector score NULL (never a fake 0.5). Compose with
+    ``quantile_band_filter`` or a plain threshold for the keep
+    decision."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    z = dot(as_double(F.col(vec_col)), w) + F.lit(float(bias))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ok = F.col(vec_col).isNotNull() & (
+        F.size(F.col(vec_col)) == len(weights)
+    )
+    return df.withColumn(out_col, F.when(ok, score))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

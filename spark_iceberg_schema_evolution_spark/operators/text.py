@@ -800,6 +800,98 @@ def search_terms(
     return df.where(keep).withColumn("score", score)
 
 
+def search_terms_bm25(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked keyword search (Robertson/Lucene idf form):
+
+        score = sum_t  ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+                       * tf_t * (k1 + 1)
+                       / (tf_t + k1 * (1 - b + b * dl / avgdl))
+
+    over the query terms, under the corpus tokenization
+    (``normalized_words``). Returns matching rows (>= 1 query-term hit)
+    with a ``score`` column; ``search_terms`` is the boolean/raw-tf
+    variant, this is the ranked-retrieval one.
+
+    Scale shape: ONE map-only pass computes each document's length and
+    its per-query-term tf as fixed-width columns (no posting explode —
+    the query list is a literal); one global aggregate folds N / avgdl /
+    df_t into a single stats row that broadcasts back (1-row
+    BroadcastNestedLoopJoin, the module's compute-scalar-apply-map-side
+    pattern); scoring is codegen arithmetic. Two passes over the corpus
+    total, nothing keyed by term ever shuffles."""
+    if not terms:
+        raise ValueError("need at least one search term")
+    qset = sorted({t.lower() for t in terms})
+    toks = F.filter(normalized_words(text_col), lambda t: t != "")
+
+    def tf_of(term: str):
+        # single-arg lambda via a factory: a defaulted second parameter
+        # would make F.filter pass the element INDEX into it (the
+        # _pq_lut_expr trap)
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per = df.select(
+        "*",
+        F.size(toks).alias("__dl"),
+        *[tf_of(q).alias(f"__tf{i}") for i, q in enumerate(qset)],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias(
+            "__avgdl"
+        ),
+        *[
+            F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0)).alias(
+                f"__df{i}"
+            )
+            for i in range(len(qset))
+        ],
+    )
+    score = None
+    for i in range(len(qset)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfreq = F.col(f"__df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        part = (
+            idf
+            * (tf * F.lit(k1 + 1))
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            )
+        )
+        score = part if score is None else score + part
+    hit = None
+    for i in range(len(qset)):
+        h = F.col(f"__tf{i}") > 0
+        hit = h if hit is None else hit | h
+    out = (
+        per.crossJoin(F.broadcast(stats))
+        .where(hit)
+        .withColumn("score", score)
+    )
+    drop = (
+        ["__dl", "__n", "__avgdl"]
+        + [f"__tf{i}" for i in range(len(qset))]
+        + [f"__df{i}" for i in range(len(qset))]
+    )
+    return out.drop(*drop)
+
+
 def build_term_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

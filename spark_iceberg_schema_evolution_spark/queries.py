@@ -6445,6 +6445,248 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 operators
+# ---------------------------------------------------------------------------
+
+# deterministic classifier head for q145 (stands in for offline-trained
+# weights; both engines parse the identical decimal literals)
+_CLF_W = [((i * 37) % 19 - 9) / 10 for i in range(64)]
+_CLF_B = 0.1
+
+
+@q(
+    "q145_classifier_filter",
+    oracle=f"""
+    WITH z AS (
+      SELECT vec_id,
+             list_reduce(
+               list_transform(generate_series(1, 64),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * ([{", ".join(repr(w) for w in _CLF_W)}])[i]),
+               (a, b) -> a + b) + {_CLF_B!r} AS z
+      FROM embeddings)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           SUM(CAST(ROUND(z * 1000000) AS BIGINT)) AS z_sum_micros
+    FROM z
+    """,
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering with a frozen linear head
+    (fastText/FineWeb-Edu shape): sigmoid(w.x + b) over the embedding
+    column as a zero-shuffle codegen map — no UDF, no broadcast, no
+    model server. The oracle recomputes the identical left-fold dot
+    product in DuckDB; the checksum compares the pre-sigmoid logit
+    (pure IEEE arithmetic, engine-exact) while n_pass exercises the
+    sigmoid threshold (sigmoid(z) > 0.5 <=> z > 0, exactly)."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        as_double,
+        dot,
+        linear_classifier_score,
+    )
+
+    e = load(spark, sf, "embeddings")
+    scored = linear_classifier_score(e, _CLF_W, bias=_CLF_B)
+    z = dot(
+        as_double(F.col("embedding")),
+        F.array(*[F.lit(w) for w in _CLF_W]),
+    ) + F.lit(_CLF_B)
+    return scored.withColumn("__z", z).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("clf_score") > 0.5, 1).otherwise(0)
+        ).cast("long").alias("n_pass"),
+        F.sum(F.round(F.col("__z") * 1e6).cast("long")).alias(
+            "z_sum_micros"
+        ),
+    )
+
+
+@q(
+    "q146_dup_spans",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s FROM documents),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT sh.doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN hot.s IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM sh LEFT JOIN hot ON sh.s = hot.s
+      GROUP BY sh.doc_id)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_dup,
+           CAST(SUM(n_dup) AS BIGINT) AS total_dup_shingles,
+           CAST(SUM(CASE WHEN n_dup * 2 >= n_shingles THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_heavy
+    FROM per
+    """,
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span profile (substring-dedup signal, Lee et al.
+    2022): per-document fraction of word 5-gram shingles shared with
+    other documents, aggregated to corpus counts — including the
+    "heavy" tail (>= half the document's spans duplicated), the set a
+    span-stripping or drop pass would target. The >= 1/2 cut compares
+    integers (n_dup*2 >= n_shingles), keeping the oracle float-free."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        span_duplication_profile,
+    )
+
+    d = load(spark, sf, "documents")
+    prof = span_duplication_profile(d)
+    return prof.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_dup") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_dup"),
+        F.sum("n_dup").cast("long").alias("total_dup_shingles"),
+        F.sum(
+            F.when(F.col("n_dup") * 2 >= F.col("n_shingles"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_heavy"),
+    )
+
+
+@q(
+    "q147_bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS tk
+      FROM documents),
+    per AS (
+      SELECT doc_id, len(tk) AS dl,
+             len(list_filter(tk, x -> x = 'merge')) AS tf1,
+             len(list_filter(tk, x -> x = 'window')) AS tf2
+      FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM per),
+    scored AS (
+      SELECT doc_id,
+             ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * (1.2 + 1))
+               / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * (1.2 + 1))
+               / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+               AS score
+      FROM per, stats
+      WHERE tf1 > 0 OR tf2 > 0)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(score, 4) AS score_r
+    FROM scored ORDER BY score_r DESC, doc_id LIMIT 20
+    """,
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (disjunctive two-term
+    query): per-doc tf/length in one map-only pass, corpus stats
+    (N, avgdl, df) folded once and broadcast back, Lucene-form idf —
+    the ranked complement to q126's boolean search. The oracle
+    replicates the identical arithmetic expression tree; scores are
+    compared at 4 decimals."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        search_terms_bm25,
+    )
+
+    d = load(spark, sf, "documents")
+    out = search_terms_bm25(d, ["merge", "window"])
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@q(
+    "q148_bucketed_cojoin",
+    oracle="""
+    SELECT c.c_mktsegment AS seg,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY seg
+    """,
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-located bucketed join: both sides persisted with
+    write_bucketed on the customer key (8 buckets), then sort-merge
+    joined with ZERO Exchange on either side (plan-gated in
+    tests/test_bucketed_join.py) — the pay-one-write, shuffle-free-
+    forever contract for repeated fact-dimension joins at scale."""
+    import tempfile
+
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        bucketed_cojoin,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="bucketed-q148-")
+    o = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    write_bucketed(o, "q148_orders_b", ["custkey"], 8, f"{base}/o")
+    write_bucketed(c, "q148_customer_b", ["custkey"], 8, f"{base}/c")
+    joined = bucketed_cojoin(
+        spark, "q148_orders_b", "q148_customer_b", ["custkey"]
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("price_c").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("seg")
+    )
+
+
+@q(
+    "q149_change_consumer",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey < 800)
+             AS n_first,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey >= 800)
+             AS n_second,
+           0 AS n_drained
+    """,
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpointed incremental consumption (consumer-group cursor over
+    table commits): the first poll delivers the initial load, the acked
+    second poll delivers exactly the new commit's rows, and a third
+    poll after ack drains to zero — at-least-once delivery with durable
+    offsets, the daily-ETL shape over a continuously ingested table."""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    cat.write_evolving(c.where("c_custkey < 800"), "db", "feed")
+    t = cat.table("db", "feed")
+    d1, v1 = t.consume_changes("etl")
+    n_first = d1.count()
+    t.commit_offset("etl", v1)
+    t.append(c.where("c_custkey >= 800"))
+    d2, v2 = t.consume_changes("etl")
+    n_second = d2.count()
+    t.commit_offset("etl", v2)
+    d3, _ = t.consume_changes("etl")
+    return spark.createDataFrame(
+        [(n_first, n_second, d3.count())],
+        "n_first BIGINT, n_second BIGINT, n_drained INT",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.
 #
 # The correctness driver oracle-checks the FIRST 50 registry entries in

@@ -2795,6 +2795,66 @@ class LakehouseTable:
             )
         return union_evolving(parts, target=to_snap.schema)
 
+    # -- checkpointed incremental consumption -------------------------------
+
+    def _consumer_path(self, consumer_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", consumer_id):
+            raise ValueError(f"bad consumer id: {consumer_id!r}")
+        return os.path.join(self.meta_dir, "consumers", f"{consumer_id}.json")
+
+    def consumer_offset(self, consumer_id: str) -> int | None:
+        """The last committed offset (snapshot version) for a consumer,
+        or None if it has never committed one."""
+        p = self._consumer_path(consumer_id)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def consume_changes(self, consumer_id: str):
+        """At-least-once incremental consumption with a durable
+        checkpoint — the consumer-group shape for table changes (Delta's
+        ``startingVersion`` readers, Kafka offsets, Iceberg incremental
+        scans with an external cursor): returns ``(df, version)`` where
+        ``df`` holds the rows added since this consumer's last committed
+        offset (the full table on first poll) and ``version`` is the
+        snapshot to pass to :meth:`commit_offset` once downstream
+        processing has landed.
+
+        A crash between poll and commit re-delivers the same rows, never
+        skips (at-least-once) — pair with an idempotent downstream write
+        (COPY INTO's file ledger, or MERGE on a key). The planning cost
+        is Iceberg-style: only manifests newer than the offset are
+        consulted; at 100 TB a daily consumer reads the day's batches,
+        not the table."""
+        v = self._load().version
+        frm = self.consumer_offset(consumer_id)
+        if frm is None:
+            return self.read(version=v), v
+        return self.changes(frm, v), v
+
+    def commit_offset(self, consumer_id: str, version: int) -> None:
+        """Durably advance a consumer's checkpoint (atomic tmp+rename).
+        Offsets only move forward: committing behind the stored offset
+        raises instead of silently rewinding another worker's progress."""
+        cur = self.consumer_offset(consumer_id)
+        if cur is not None and version < cur:
+            raise ValueError(
+                f"offset for {consumer_id!r} would rewind: {version} < {cur}"
+            )
+        p = self._consumer_path(consumer_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "committed_at_us": int(time.time() * 1_000_000),
+                },
+                f,
+            )
+        os.replace(tmp, p)
+
     def diff(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

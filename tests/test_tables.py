@@ -482,6 +482,35 @@ def test_merge_clause_variants_partitioned(spark, catalog):
     assert rows == {2: 20, 3: 30}
 
 
+def test_consume_changes_checkpointed(spark, catalog):
+    """Checkpointed incremental consumption: first poll sees the whole
+    table, an un-acked poll re-delivers (at-least-once), an acked poll
+    sees only newer commits, and offsets never rewind."""
+    catalog.write_evolving(
+        spark.createDataFrame([(i,) for i in range(5)], ["id"]), "db", "cc"
+    )
+    t = catalog.table("db", "cc")
+    df, v1 = t.consume_changes("etl")
+    assert df.count() == 5
+    # crash before ack: the same rows come again
+    df2, v1b = t.consume_changes("etl")
+    assert v1b == v1 and df2.count() == 5
+    t.commit_offset("etl", v1)
+    df3, v2 = t.consume_changes("etl")
+    assert df3.count() == 0 and v2 == v1
+    t.append(spark.createDataFrame([(10,), (11,)], ["id"]))
+    df4, v3 = t.consume_changes("etl")
+    assert sorted(r.id for r in df4.collect()) == [10, 11]
+    t.commit_offset("etl", v3)
+    # a second consumer has its own cursor
+    dfo, _ = t.consume_changes("other")
+    assert dfo.count() == 7
+    with pytest.raises(ValueError, match="rewind"):
+        t.commit_offset("etl", v1)
+    with pytest.raises(ValueError, match="bad consumer id"):
+        t.consume_changes("../escape")
+
+
 def test_merge_dup_source_matched_raises(spark, catalog):
     """Iceberg/Delta/Spark MERGE cardinality contract: a source key with
     multiple rows that matches a target row must raise, not silently
