@@ -195,3 +195,48 @@ def histogram(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pre-aggregated distinct-count sketches (Apache DataSketches HLL,
+    Spark's ``hll_sketch_agg``): one pass over the base data yields a
+    MERGEABLE binary sketch per group plus exact row counts — the
+    sketch-column rollup every large warehouse keeps. Distinct counts
+    are the one aggregate a plain rollup cannot coarsen (distincts
+    don't add); sketches restore that: any coarser grain is a
+    ``hll_union_agg`` over stored sketch rows. At 100 TB,
+    "distinct users per month, per quarter, overall" reads the rollup's
+    few hundred sketch bytes per group instead of rescanning the fact
+    table — same error bound (~1.6%/sqrt(2^lg_k)) at every grain.
+
+    Store the result in a lakehouse table and refresh it incrementally
+    (``operators.rollup`` / ``consume_changes``): sketches from new
+    batches union into the stored ones without reading old data."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias(
+            "hll_sketch"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_coarsen(
+    rollup: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Re-aggregate a sketch rollup to a coarser grain (possibly global:
+    ``group_cols=[]``): union the sketches, estimate the distinct count,
+    sum the exact row counts. Never touches base data."""
+    aggs = [
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias(
+            "approx_distinct"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    if group_cols:
+        return rollup.groupBy(*group_cols).agg(*aggs)
+    return rollup.agg(*aggs)

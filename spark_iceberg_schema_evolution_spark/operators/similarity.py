@@ -85,6 +85,74 @@ def linear_classifier_score(
     return df.withColumn(out_col, F.when(ok, score))
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) of a per-query candidate list: greedily pick
+    ``argmax  lambda * relevance - (1 - lambda) * max cosine to the
+    already-picked set`` until ``k`` results — the standard RAG-retrieval
+    re-rank that stops near-duplicate passages from crowding out
+    coverage.
+
+    Scale shape: ``candidates`` is an ANN top-N per query (tens of rows
+    per group by construction), so the inherently sequential greedy
+    argmax runs per query group in ``applyInPandas`` — the justified
+    Pandas-UDF case (no DataFrame composition expresses a loop whose
+    step depends on the picked set). Everything corpus-sized stays in
+    the join that fetches candidate vectors; the Python stage only ever
+    sees k-ish rows per query. Deterministic: candidates sort by
+    (score desc, id asc) before the greedy pass, ties pick the first."""
+    import pandas as pd
+
+    joined = candidates.select(query_id, corpus_id, score_col).join(
+        corpus.select(
+            F.col(corpus_id), as_double(F.col(vec_col)).alias("__v")
+        ),
+        corpus_id,
+    )
+    out_schema = (
+        joined.select(query_id, corpus_id, score_col)
+        .withColumn("mmr_rank", F.lit(1))
+        .schema
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            [score_col, corpus_id], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        max_sim = np.zeros(n)
+        picked: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lambda_ * rel - (1 - lambda_) * max_sim
+            mmr[~avail] = -np.inf
+            i = int(mmr.argmax())
+            picked.append(i)
+            avail[i] = False
+            max_sim = np.maximum(max_sim, Vn @ Vn[i])
+        sel = pdf.iloc[picked][[query_id, corpus_id, score_col]].copy()
+        sel["mmr_rank"] = range(1, len(picked) + 1)
+        return sel
+
+    return joined.groupBy(query_id).applyInPandas(pick, out_schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -6686,6 +6686,56 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_hll_rollup", oracle=None, tier=2)
+def t2_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (DataSketches): per-month customer
+    sketches coarsened to one global estimate without rescanning —
+    deterministic (register state is order-independent), bracketed
+    against exact distinct in tests/test_text_pipeline.py; rows-only
+    here (DuckDB's approx sketch differs)."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        hll_coarsen,
+        hll_rollup,
+    )
+
+    o = load(spark, sf, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_custkey",
+    )
+    roll = hll_rollup(o, ["month"], "o_custkey")
+    per_month = roll.select(
+        "month",
+        F.hll_sketch_estimate("hll_sketch").alias("approx_distinct"),
+        "n_rows",
+    )
+    global_ = hll_coarsen(roll, []).select(
+        F.lit("ALL").alias("month"), "approx_distinct", "n_rows"
+    )
+    return per_month.unionByName(global_).orderBy("month")
+
+
+@q("t2_mmr_rerank", oracle=None, tier=2)
+def t2_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR-diversified retrieval: exact cosine top-20 candidates per
+    query re-ranked to a diverse top-5 (lambda=0.7). Deterministic
+    (sorted greedy), but the iterative argmax has no SQL equivalent —
+    rows-only; diversification semantics pinned in tests/test_llm_ops."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    e = load(spark, sf, "embeddings")
+    qdf = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = cosine_topk(e, qdf, k=20)
+    out = mmr_rerank(cands, e, k=5, lambda_=0.7)
+    return out.select(
+        "query_id", "mmr_rank", "vec_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "mmr_rank")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -656,3 +656,40 @@ def test_ingest_dedup_exact_semantics(spark, tmp_path):
     # fully-duplicate increment: no commit at all
     v3 = dedup.ingest_dedup_exact(t, b2)
     assert v3 == v2 == t._load().version
+
+
+def test_mmr_rerank_diversifies_planted_duplicates(spark):
+    """Two identical top-scoring candidates: plain top-2 keeps both,
+    MMR keeps one and promotes a diverse lower-scored candidate."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),     # exact dup of 1
+            (3, [0.0, 1.0, 0.0]),     # orthogonal
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    cands = spark.createDataFrame(
+        [(0, 1, 0.99), (0, 2, 0.98), (0, 3, 0.50), (0, 4, 0.40)],
+        ["query_id", "vec_id", "score"],
+    )
+    out = similarity.mmr_rerank(cands, corpus, k=2, lambda_=0.5)
+    got = [(r.mmr_rank, r.vec_id) for r in out.orderBy("mmr_rank").collect()]
+    # rank 1 = highest relevance; rank 2 skips the duplicate (sim=1.0
+    # penalty) for the orthogonal doc
+    assert got == [(1, 1), (2, 3)]
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    cands = spark.createDataFrame(
+        [(7, i, 1.0 - 0.1 * i) for i in range(4)],
+        ["query_id", "vec_id", "score"],
+    )
+    out = similarity.mmr_rerank(cands, corpus, k=3, lambda_=1.0)
+    got = [r.vec_id for r in out.orderBy("mmr_rank").collect()]
+    assert got == [0, 1, 2]  # top-3 by score, diversity ignored

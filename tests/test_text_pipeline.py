@@ -156,3 +156,31 @@ def test_profile_approx_brackets_exact(spark):
     }
     for c in exact:
         assert abs(approx[c] - exact[c]) <= max(0.1 * exact[c], 2)
+
+
+def test_hll_rollup_mergeable_and_brackets_exact(spark):
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        hll_coarsen,
+        hll_rollup,
+    )
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 4).alias("g"),
+        # ~5k distinct values per group, overlapping across groups
+        (F.col("id") % 7_001).alias("v"),
+    )
+    roll = hll_rollup(df, ["g"], "v", lg_k=12)
+    assert roll.count() == 4
+    # coarsen to global: estimate brackets the exact distinct within the
+    # sketch's error bound (~1.6% at lg_k=12; allow 5%)
+    est = hll_coarsen(roll, []).collect()[0]
+    exact = df.select("v").distinct().count()
+    assert abs(est.approx_distinct - exact) / exact < 0.05
+    assert est.n_rows == 20_000
+    # mergeable: sketches of two disjoint halves union to the same
+    # estimate as one sketch over the whole (identical register state)
+    a = hll_rollup(df.where("id < 10000"), [], "v")
+    b = hll_rollup(df.where("id >= 10000"), [], "v")
+    merged = hll_coarsen(a.unionByName(b), []).collect()[0]
+    whole = hll_coarsen(hll_rollup(df, [], "v"), []).collect()[0]
+    assert merged.approx_distinct == whole.approx_distinct
