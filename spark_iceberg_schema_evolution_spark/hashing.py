@@ -82,25 +82,31 @@ def hash_bytes(data: bytes, seed: int = _SEED) -> int:
     return _signed32(_fmix(h1, n))
 
 
-def spark_hash(value, type_str: str) -> int | None:
+def spark_hash(value, type_str: str, seed: int = _SEED) -> int | None:
     """``F.hash(lit)`` for a Python literal typed by a Spark
     ``simpleString`` type name. None = this (value, type) combination
     is not safely hashable driver-side — callers must treat that as
-    "cannot prune", never as a bucket id."""
+    "cannot prune", never as a bucket id.
+
+    ``seed`` replicates Spark's multi-argument fold: ``F.hash(a, b)``
+    hashes ``b`` with ``hash(a)`` as the seed, so
+    ``spark_hash(v, t, spark_hash(v, t))`` equals ``F.hash(col, col)``
+    — the second independent hash the bloom index uses for double
+    hashing."""
     if value is None or isinstance(value, bool):
         return None
     if type_str == "int":
         if not isinstance(value, int) or not (-(1 << 31) <= value < (1 << 31)):
             return None
-        return hash_int32(value)
+        return hash_int32(value, seed)
     if type_str == "bigint":
         if not isinstance(value, int) or not (-(1 << 63) <= value < (1 << 63)):
             return None
-        return hash_int64(value)
+        return hash_int64(value, seed)
     if type_str == "string":
         if not isinstance(value, str):
             return None
-        return hash_bytes(value.encode("utf-8"))
+        return hash_bytes(value.encode("utf-8"), seed)
     return None
 
 
@@ -112,3 +118,30 @@ def spark_bucket(value, type_str: str, n_buckets: int) -> int | None:
     if h is None:
         return None
     return h % n_buckets
+
+
+def bloom_positions(
+    value, type_str: str, m_bits: int, k: int
+) -> list[int] | None:
+    """The k bloom bit positions of a literal under the engine's bloom
+    scheme — double hashing (Kirsch-Mitzenmotter):
+    ``pos_i = pmod(h1 + i*h2, m)`` with ``h1 = hash(v)`` and
+    ``h2 = hash(v, v)`` (Spark's seed-fold, see :func:`spark_hash`).
+    None = literal not driver-hashable -> caller must NOT prune."""
+    h1 = spark_hash(value, type_str)
+    if h1 is None:
+        return None
+    h2 = spark_hash(value, type_str, h1)
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def bloom_may_contain(
+    bitmap: bytes, m_bits: int, k: int, value, type_str: str
+) -> bool:
+    """Membership test against a bloom bitmap assembled from the
+    engine's 64-bit-word little-endian layout. True = maybe present
+    (or unprovable); False = PROVABLY absent, safe to skip the file."""
+    pos = bloom_positions(value, type_str, m_bits, k)
+    if pos is None:
+        return True
+    return all((bitmap[p >> 3] >> (p & 7)) & 1 for p in pos)

@@ -6736,6 +6736,42 @@ def t2_mmr(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
+@q(
+    "q150_bloom_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_orderkey IN (11, 4033)
+    ORDER BY o_orderkey
+    """,
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-indexed point lookup: rows land hash-ordered so every file
+    spans ~the full key range (footer min/max stats structurally cannot
+    prune a point get — the high-cardinality-id case), then
+    build_bloom_index attaches per-file bloom sidecars and the IN-list
+    lookup plans only the files actually holding the keys
+    (pruning counts asserted in tests/test_bloom_index.py; the driver
+    checks value equivalence here)."""
+    cat = _tmp_catalog(spark)
+    o = (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey", cents(F.col("o_totalprice")).alias("price_c")
+        )
+        # hash order -> overlapping per-file ranges
+        .orderBy(F.pmod(F.hash("o_orderkey"), F.lit(4096)))
+    )
+    cat.create_namespace("db")
+    cat.write_evolving(o.where("o_orderkey % 2 = 0"), "db", "bloomed")
+    t = cat.table("db", "bloomed")
+    t.append(o.where("o_orderkey % 2 = 1"))
+    t.build_bloom_index("o_orderkey")
+    return t.read_where(
+        [("o_orderkey", "in", [11, 4033])]
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

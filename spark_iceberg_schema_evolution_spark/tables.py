@@ -55,7 +55,10 @@ from spark_iceberg_schema_evolution_spark.operators.evolve import (
     merge_evolved_type,
     union_evolving,
 )
-from spark_iceberg_schema_evolution_spark.hashing import spark_bucket
+from spark_iceberg_schema_evolution_spark.hashing import (
+    bloom_may_contain,
+    spark_bucket,
+)
 from spark_iceberg_schema_evolution_spark.types_map import datatype_to_str, str_to_datatype
 
 _PART_COL = "__p_month"
@@ -181,6 +184,9 @@ class LakehouseTable:
         self.data_dir = os.path.join(path, "data")
         # every read/commit on this handle targets this branch's head
         self._branch = branch
+        # decoded bloom-index sidecars, keyed by sidecar path (sidecars
+        # are immutable once written, so the cache never invalidates)
+        self._bloom_cache: dict[str, dict] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -1277,6 +1283,7 @@ class LakehouseTable:
             else None
         )
         buckets = self._bucket_allowed(b, snap, filters)
+        bloom_tests = self._bloom_tests(b, snap, filters)
         keep = []
         for rel in universe:
             # a DML-trimmed batch stays live for a month SUBSET: files of
@@ -1296,6 +1303,21 @@ class LakehouseTable:
                 filters,
             ):
                 continue
+            if any(
+                meta["files"].get(posix) is not None
+                and all(
+                    not bloom_may_contain(
+                        meta["files"][posix],
+                        meta["m"],
+                        meta["k"],
+                        v,
+                        meta["type"],
+                    )
+                    for v in vals
+                )
+                for meta, vals in bloom_tests
+            ):
+                continue  # bloom proves every sought value absent here
             keep.append(rel)
         if not keep:
             return None
@@ -1350,6 +1372,183 @@ class LakehouseTable:
                 continue
             allowed = s if allowed is None else (allowed & s)
         return allowed
+
+    def build_bloom_index(
+        self, col: str, m_bits: int = 1 << 17, k: int = 7
+    ) -> int:
+        """Build a per-file bloom-filter index for point lookups on a
+        high-cardinality column — the stats sidecar pattern (Iceberg's
+        Puffin stat files / Delta's bloom index / Parquet footer blooms):
+        min/max footer stats cannot prune an ``id = v`` lookup when ids
+        are spread across the full range in every file, but a 16 KiB
+        bloom per file proves absence and skips it. ``read_where``,
+        ``plan_scan``, and the no-op DML gate all consult the index
+        automatically for ``=`` / ``in`` conjuncts.
+
+        Scale shape: ONE distributed pass per batch computes the k bit
+        positions of every value inside codegen (``F.hash`` double
+        hashing — the same driver-replicable Murmur3 the bucket
+        transform uses, ``hashing.bloom_positions``), folds them into
+        64-bit words with a ``bit_or`` aggregate keyed on (file, word) —
+        at most ``m/64`` fixed-width rows per file reach the driver —
+        and writes one immutable sidecar JSON per (batch, column) under
+        the table's metadata dir. The manifest itself only grows by a
+        path reference, so ``_load`` stays cheap; sidecars load lazily
+        at planning time and only when an eligible conjunct exists.
+
+        The commit is metadata-only (a new snapshot whose batch entries
+        carry the sidecar refs — Iceberg's ANALYZE-writes-Puffin shape).
+        Rewritten partitions (COW DML, compaction) produce new batches
+        WITHOUT blooms, so stale bitmaps die with their batch; re-run
+        after major rewrites. A rename or type widening after the build
+        disables (never corrupts) the index: lookups check the recorded
+        rename epoch and column type before trusting it.
+
+        Sizing: ``m_bits`` is per file; with k=7 the false-positive rate
+        is ~1% at m/n ≈ 10 (n = distinct values per file). FPP only
+        costs a wasted scan, never correctness."""
+        if m_bits <= 0 or m_bits % 64:
+            raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
+        snap = self._load()
+        types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+        t = types.get(col)
+        if t is None:
+            raise ValueError(f"no such column: {col!r}")
+        if t not in _BUCKETABLE:
+            raise ValueError(
+                f"bloom index needs an int/bigint/string column, got {t}"
+            )
+        version = self._next_version(snap)
+        bloom_dir = os.path.join(self.meta_dir, "blooms")
+        os.makedirs(bloom_dir, exist_ok=True)
+        h1 = F.hash("__val").cast("long")
+        h2 = F.hash("__val", "__val").cast("long")
+        pos_arr = F.array(
+            *[
+                F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+        new_batches = []
+        for bi, b in enumerate(snap.batches):
+            universe = b.get("file_rows") or b.get("file_stats") or {}
+            if not universe:
+                new_batches.append(b)  # no per-file manifest: no index
+                continue
+            rows = (
+                self._scan(snap, [b], None, with_pos=True)
+                .select(F.col(col).alias("__val"), "__file_path")
+                .where(F.col("__val").isNotNull())
+                .select("__file_path", F.explode(pos_arr).alias("__pos"))
+                .select(
+                    "__file_path",
+                    F.shiftright(F.col("__pos"), 6).alias("__w"),
+                    F.expr(
+                        "shiftleft(1L, CAST(pmod(__pos, 64) AS INT))"
+                    ).alias("__m"),
+                )
+                .groupBy("__file_path", "__w")
+                .agg(F.bit_or("__m").alias("__bits"))
+                .collect()
+            )
+            buf: dict[str, bytearray] = {}
+            for r in rows:
+                rel = self._rel_of(r["__file_path"], b["path"])
+                if rel is None:
+                    continue
+                bm = buf.setdefault(rel, bytearray(m_bits // 8))
+                w = int(r["__w"])
+                bm[w * 8:(w + 1) * 8] = (
+                    int(r["__bits"]) & 0xFFFFFFFFFFFFFFFF
+                ).to_bytes(8, "little")
+            import base64 as _b64
+
+            sidecar = {
+                "col": col,
+                "type": t,
+                "renames_at": len(snap.renames),
+                "m": m_bits,
+                "k": k,
+                "files": {
+                    rel: _b64.b64encode(bytes(bm)).decode()
+                    for rel, bm in buf.items()
+                },
+            }
+            sc_path = os.path.join(
+                bloom_dir, f"v{version}-b{bi}-{col}.json"
+            )
+            with open(sc_path, "w") as f:
+                json.dump(sidecar, f)
+            new_batches.append(
+                {**b, "blooms": {**(b.get("blooms") or {}), col: sc_path}}
+            )
+        self._commit(
+            Snapshot(
+                version, snap.schema, new_batches,
+                snap.partition_month_of, snap.renames, snap.deletes,
+            )
+        )
+        return version
+
+    @staticmethod
+    def _rel_of(file_path: str, batch_path: str) -> str | None:
+        """Map a scan's ``_metadata.file_path`` (possibly a file: URI)
+        back to the manifest's batch-relative key."""
+        idx = file_path.find(batch_path)
+        if idx < 0:
+            return None
+        return file_path[idx + len(batch_path):].lstrip("/")
+
+    def _load_bloom(self, path: str) -> dict | None:
+        meta = self._bloom_cache.get(path)
+        if meta is not None:
+            return meta
+        import base64 as _b64
+
+        try:
+            with open(path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return None  # missing/corrupt sidecar: index silently off
+        meta["files"] = {
+            r: _b64.b64decode(v) for r, v in meta["files"].items()
+        }
+        self._bloom_cache[path] = meta
+        return meta
+
+    def _bloom_tests(
+        self, b: dict, snap: Snapshot, filters
+    ) -> list[tuple]:
+        """(sidecar, literal-list) pairs applicable to this batch under
+        this filter conjunction — empty unless an ``=``/``in`` conjunct
+        targets an indexed column AND the index is still trustworthy
+        (no rename since build — a later rename could alias the name to
+        a different column — and the recorded type still matches, since
+        widening changes the hash of the same logical value)."""
+        refs = b.get("blooms") or {}
+        if not refs:
+            return []
+        types = {
+            f.name: f.dataType.simpleString() for f in snap.schema.fields
+        }
+        out = []
+        for col, op, val in filters:
+            if op not in ("=", "==", "in"):
+                continue
+            ref = refs.get(col)
+            if ref is None:
+                continue
+            meta = self._load_bloom(ref)
+            if meta is None:
+                continue
+            if meta.get("renames_at") != len(snap.renames):
+                continue
+            if types.get(col) != meta["type"]:
+                continue
+            vals = list(val) if op == "in" else [val]
+            if vals:
+                out.append((meta, vals))
+        return out
 
     def prune_batches(
         self, filters: list[tuple], version: int | None = None
