@@ -98,6 +98,14 @@ HEADLINE = [
     "q130_incremental_rollup",
     "q140_ingest_dedup",
     "q141_copy_into",
+    # round-6 corpus operators. q149/q150 (change consumer, bloom
+    # lookup) are excluded as table-setup-dominated, same rationale as
+    # q103/q112 above; q148 includes its two bucketed writes — that IS
+    # the operator's amortized cost story.
+    "q145_classifier_filter",
+    "q146_dup_spans",
+    "q147_bm25_search",
+    "q148_bucketed_cojoin",
 ]
 
 

@@ -3228,7 +3228,9 @@ class LakehouseTable:
         ``snapshots`` (version, parent_version, committed_at_us,
         n_batches, n_delete_files, columns), ``files`` (file, batch,
         rows, content), ``history`` (version, parent_version,
-        committed_at_us)."""
+        committed_at_us), ``consumers`` (per-consumer committed offset
+        and lag in versions), ``blooms`` (per-batch bloom-index
+        coverage)."""
         if kind == "partitions":
             return self.spark.createDataFrame(
                 [
@@ -3278,9 +3280,49 @@ class LakehouseTable:
                 "version BIGINT, parent_version BIGINT, "
                 "committed_at_us BIGINT",
             )
+        if kind == "consumers":
+            cdir = os.path.join(self.meta_dir, "consumers")
+            rows = []
+            if os.path.isdir(cdir):
+                for f in sorted(os.listdir(cdir)):
+                    if not f.endswith(".json"):
+                        continue
+                    with open(os.path.join(cdir, f)) as fh:
+                        st = json.load(fh)
+                    rows.append(
+                        (f[:-5], st["version"], st["committed_at_us"])
+                    )
+            head = self._load().version
+            return self.spark.createDataFrame(
+                [(c, v, head - v, ts) for c, v, ts in rows],
+                "consumer STRING, committed_version BIGINT, "
+                "versions_behind BIGINT, committed_at_us BIGINT",
+            )
+        if kind == "blooms":
+            rows = []
+            for b in self._load().batches:
+                for col, ref in (b.get("blooms") or {}).items():
+                    meta = self._load_bloom(ref)
+                    if meta is None:
+                        continue
+                    rows.append(
+                        (
+                            os.path.basename(b["path"]),
+                            col,
+                            meta["type"],
+                            meta["m"],
+                            meta["k"],
+                            len(meta["files"]),
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows,
+                "batch STRING, col STRING, col_type STRING, "
+                "m_bits BIGINT, k INT, n_files BIGINT",
+            )
         raise ValueError(
             f"unknown metadata table {kind!r}; "
-            "have partitions, snapshots, files, history"
+            "have partitions, snapshots, files, history, consumers, blooms"
         )
 
     def rollback_to(self, version: int) -> int:
@@ -4372,7 +4414,7 @@ class LakehouseCatalog:
 
         q = re.sub(
             r"\blake\.(\w+)\.(\w+)\."
-            r"(partitions|snapshots|files|history)\b",
+            r"(partitions|snapshots|files|history|consumers|blooms)\b",
             resolve_meta,
             q,
         )
@@ -4441,7 +4483,9 @@ class LakehouseCatalog:
         [, sum=>'v1,v2'] [, full_refresh=>'true']),
         rollback_to_snapshot(tbl, version), fast_forward(tbl, to, from),
         create_branch(tbl, name [, at_version]),
-        create_tag(tbl, name [, at_version])."""
+        create_tag(tbl, name [, at_version]),
+        build_bloom_index(tbl, 'col' [, m_bits=>n] [, k=>n]),
+        commit_consumer_offset(tbl, 'consumer', version)."""
         import re
 
         pos: list = []
@@ -4548,6 +4592,24 @@ class LakehouseCatalog:
             return self._version_df(
                 t.create_tag(str(pos[1]), at_version=at)
             )
+        if proc == "build_bloom_index":
+            if len(pos) < 2:
+                raise ValueError(
+                    "build_bloom_index needs (tbl, 'column')"
+                )
+            v = t.build_bloom_index(
+                str(pos[1]),
+                m_bits=int(named.get("m_bits", 1 << 17)),
+                k=int(named.get("k", 7)),
+            )
+            return self._version_df(v)
+        if proc == "commit_consumer_offset":
+            if len(pos) < 3:
+                raise ValueError(
+                    "commit_consumer_offset needs (tbl, 'consumer', version)"
+                )
+            t.commit_offset(str(pos[1]), int(pos[2]))
+            return self._version_df(int(pos[2]))
         raise ValueError(f"unknown procedure: lake.system.{proc}")
 
     def _merge_sql(

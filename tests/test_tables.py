@@ -511,6 +511,37 @@ def test_consume_changes_checkpointed(spark, catalog):
         t.consume_changes("../escape")
 
 
+def test_sql_bloom_and_consumer_surface(spark, catalog):
+    """SQL front door for the round-6 features: CALL build_bloom_index /
+    commit_consumer_offset and the consumers/blooms metadata tables."""
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(50)], ["id", "v"]),
+        "db", "sqlb",
+    )
+    t = catalog.table("db", "sqlb")
+    catalog.sql("CALL lake.system.build_bloom_index('db.sqlb', 'id')")
+    bl = catalog.sql(
+        "SELECT col, n_files FROM lake.db.sqlb.blooms"
+    ).collect()
+    assert bl and bl[0].col == "id" and bl[0].n_files >= 1
+    _, v = t.consume_changes("nightly")
+    catalog.sql(
+        f"CALL lake.system.commit_consumer_offset('db.sqlb', 'nightly', {v})"
+    )
+    rows = catalog.sql(
+        "SELECT consumer, committed_version, versions_behind "
+        "FROM lake.db.sqlb.consumers"
+    ).collect()
+    assert [(r.consumer, r.versions_behind) for r in rows] == [
+        ("nightly", 0)
+    ]
+    t.append(spark.createDataFrame([(99, 99)], ["id", "v"]))
+    lag = catalog.sql(
+        "SELECT versions_behind FROM lake.db.sqlb.consumers"
+    ).collect()[0]
+    assert lag.versions_behind == 1
+
+
 def test_merge_dup_source_matched_raises(spark, catalog):
     """Iceberg/Delta/Spark MERGE cardinality contract: a source key with
     multiple rows that matches a target row must raise, not silently
