@@ -228,6 +228,54 @@ def hash_split(
     )
 
 
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test assignment that can never separate duplicates:
+    every member of a duplicate cluster receives the SAME split, so a
+    document and its (near-)copy cannot sit in train and test at once —
+    the evaluation-leakage failure mode plain per-document hashing has
+    (hash_split over a corpus with duplicates leaks by construction:
+    two copies of one text hash to their own ids).
+
+    Cluster identity: with ``pairs`` (a near-dup pair list from
+    MinHash-LSH / cosine near-dups), clusters come from
+    :func:`~spark_iceberg_schema_evolution_spark.operators.dedup.connected_components`
+    and unpaired docs are their own cluster; without, exact-text
+    clusters (md5). The split key is the cluster's representative (min
+    member id), routed through hash_split's md5 bucketing — so the
+    assignment stays content-independent, reproducible, and stable
+    under appends, and the only cost over hash_split is the cluster
+    attribution join (one id-keyed shuffle; the md5 grouping shuffles
+    fixed-width hashes, never text)."""
+    if pairs is not None:
+        from spark_iceberg_schema_evolution_spark.operators.dedup import (
+            connected_components,
+        )
+
+        comp = connected_components(pairs)
+        rep = df.join(comp, on=df[id_col] == comp["id"], how="left").select(
+            df["*"],
+            F.coalesce(comp["cluster_id"], df[id_col]).alias("__rep"),
+        )
+    else:
+        groups = (
+            df.select(F.col(id_col), F.md5(text_col).alias("__h"))
+            .groupBy("__h")
+            .agg(F.min(id_col).alias("__rep"))
+        )
+        rep = df.withColumn("__h", F.md5(text_col)).join(
+            groups, "__h"
+        ).drop("__h")
+    out = hash_split(rep, id_col="__rep", weights=weights, salt=salt)
+    return out.drop("__rep")
+
+
 def weighted_resample(
     df: DataFrame,
     weights: dict[str, float],

@@ -6772,6 +6772,95 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@q(
+    "q151_leakage_free_split",
+    oracle="""
+    WITH c AS (SELECT doc_id, MD5(text) AS h FROM documents),
+    rep AS (SELECT h, MIN(doc_id) AS r FROM c GROUP BY h),
+    lab AS (
+      SELECT c.doc_id, rep.r,
+             CASE WHEN substr(md5(CAST(rep.r AS VARCHAR)), 1, 4) < 'fae1'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(rep.r AS VARCHAR)), 1, 4) < 'fd70'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM c JOIN rep ON c.h = rep.h)
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT r) AS n_clusters
+    FROM lab GROUP BY split ORDER BY split
+    """,
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/val/test split: duplicate clusters (exact-text
+    here; the near-dup pair variant is pinned in tests) are assigned as
+    a UNIT by hashing the cluster representative — a doc and its copy
+    can never land in train and test simultaneously. The oracle replays
+    the md5 bucketing byte-identically (98/1/1 thresholds 0xfae1 /
+    0xfd70)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        leakage_free_split,
+    )
+
+    d = load(spark, sf, "documents")
+    out = leakage_free_split(d.select("doc_id", "text"))
+    rep = F.md5("text")  # re-derive cluster key for the count
+    return (
+        out.withColumn("__h", rep)
+        .join(
+            out.withColumn("__h", rep)
+            .groupBy("__h")
+            .agg(F.min("doc_id").alias("__r")),
+            "__h",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__r").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
+    "q152_schema_log",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'added', 'c_custkey', 'bigint'),
+      (0, 'added', 'c_name', 'string'),
+      (2, 'added', 'c_acctbal', 'double'),
+      (3, 'renamed', 'customer_name', 'from c_name'),
+      (4, 'dropped', 'c_acctbal', 'double')
+    ) AS t(version, change, col, detail)
+    ORDER BY version, change, col
+    """,
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution audit log: a table lives through an evolving
+    append (new column), a rename, and a drop; schema_changes() reports
+    each as its own change kind at the version it happened — the
+    metadata query that replaces commit archaeology on a long-lived
+    evolving table. (The oracle's VALUES list is the contract.)"""
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 100").select("c_custkey", "c_name"),
+        "db", "audit",
+    )
+    t = cat.table("db", "audit")
+    t.append(
+        c.where("c_custkey >= 100 AND c_custkey < 200").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+    )
+    t.rename_column("c_name", "customer_name")
+    t.drop_column("c_acctbal")
+    return (
+        t.schema_changes()
+        .select("version", "change", F.col("column").alias("col"), "detail")
+        .orderBy("version", "change", "col")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

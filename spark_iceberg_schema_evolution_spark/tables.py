@@ -3280,6 +3280,8 @@ class LakehouseTable:
                 "version BIGINT, parent_version BIGINT, "
                 "committed_at_us BIGINT",
             )
+        if kind == "schema_log":
+            return self.schema_changes()
         if kind == "consumers":
             cdir = os.path.join(self.meta_dir, "consumers")
             rows = []
@@ -3322,7 +3324,61 @@ class LakehouseTable:
             )
         raise ValueError(
             f"unknown metadata table {kind!r}; "
-            "have partitions, snapshots, files, history, consumers, blooms"
+            "have partitions, snapshots, files, history, consumers, "
+            "blooms, schema_log"
+        )
+
+    def schema_changes(self) -> DataFrame:
+        """Schema-evolution audit across the whole commit history: one
+        row per (version, change, column, detail) with change in
+        ``added`` / ``dropped`` / ``renamed`` / ``type_changed`` —
+        derived by diffing consecutive snapshots' schemas plus the
+        rename log (so a rename reports as a rename, not an add+drop).
+        The observability face of the engine's core feature: after a
+        year of evolving ingestion, "when did this column appear, and
+        as what type" is one metadata query, not an archaeology dig.
+        Driver-side manifest walking only (O(versions) JSON reads, like
+        the other metadata tables); no data file is touched."""
+        rows = []
+        prev: dict | None = None
+        prev_renames = 0
+        for v in self._versions():
+            snap = self._load(v)
+            cur = {
+                f.name: f.dataType.simpleString()
+                for f in snap.schema.fields
+            }
+            if prev is None:
+                for c, t in cur.items():
+                    rows.append((v, "added", c, t))
+            else:
+                delta = snap.renames[prev_renames:]
+                renamed_old = {old for old, new in delta}
+                renamed_new = {new for old, new in delta}
+                for old, new in delta:
+                    if new not in cur:
+                        # drop_column's tombstone rename: the "new" name
+                        # never enters the schema — report the drop, not
+                        # the implementation detail
+                        rows.append((v, "dropped", old, prev.get(old, "")))
+                    else:
+                        rows.append((v, "renamed", new, f"from {old}"))
+                for c, t in cur.items():
+                    if c not in prev and c not in renamed_new:
+                        rows.append((v, "added", c, t))
+                for c, t in prev.items():
+                    if c not in cur and c not in renamed_old:
+                        rows.append((v, "dropped", c, t))
+                for c, t in cur.items():
+                    if c in prev and prev[c] != t:
+                        rows.append(
+                            (v, "type_changed", c, f"{prev[c]} -> {t}")
+                        )
+            prev = cur
+            prev_renames = len(snap.renames)
+        return self.spark.createDataFrame(
+            rows,
+            "version BIGINT, change STRING, column STRING, detail STRING",
         )
 
     def rollback_to(self, version: int) -> int:
@@ -4414,7 +4470,8 @@ class LakehouseCatalog:
 
         q = re.sub(
             r"\blake\.(\w+)\.(\w+)\."
-            r"(partitions|snapshots|files|history|consumers|blooms)\b",
+            r"(partitions|snapshots|files|history|consumers|blooms"
+            r"|schema_log)\b",
             resolve_meta,
             q,
         )

@@ -2180,3 +2180,33 @@ def test_defaults_surface_in_describe_and_show_create(spark, catalog):
     assert desc["tag"] == "default: 'x'"
     assert desc["n"] == "default: 5"
     assert desc["id"] is None
+
+
+def test_schema_changes_audit(spark, catalog):
+    """schema_changes reports add/rename/widen/drop at their versions,
+    including a type widening and a post-rename re-add."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10)], "id INT, v INT"), "db", "aud"
+    )
+    t = catalog.table("db", "aud")
+    t.widen_column_type("v", "bigint")
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(2, 5, "x")], "id INT, w BIGINT, v STRING"))
+    t.drop_column("v")
+    got = [
+        (r.version, r.change, r.column, r.detail)
+        for r in t.schema_changes().orderBy("version", "change", "column").collect()
+    ]
+    assert (0, "added", "id", "int") in got
+    assert (0, "added", "v", "int") in got
+    widen = [g for g in got if g[1] == "type_changed"]
+    assert widen and widen[0][2] == "v" and widen[0][3] == "int -> bigint"
+    assert any(g[1] == "renamed" and g[2] == "w" and g[3] == "from v" for g in got)
+    # re-added v (string) after the rename, then dropped
+    assert any(g[1] == "added" and g[2] == "v" and g[3] == "string" for g in got)
+    assert got[-1][1] == "dropped" and got[-1][2] == "v"
+    # SQL metadata-table face
+    n = catalog.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.aud.schema_log"
+    ).collect()[0].n
+    assert n == len(got)

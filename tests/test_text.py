@@ -254,3 +254,50 @@ def test_clean_text_rules(spark):
         for r in text.clean_text(docs, lowercase=True).collect()
     }
     assert low[3] == "upper case"
+
+
+def test_leakage_free_split_exact_clusters(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        hash_split,
+        leakage_free_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i % 50}") for i in range(200)], ["doc_id", "text"]
+    )  # 4 copies of each of 50 texts
+    out = leakage_free_split(
+        df, weights={"train": 2, "val": 1, "test": 1}
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r.text, set()).add(r.split)
+    # every duplicate cluster lands in exactly one split
+    assert all(len(s) == 1 for s in by_text.values())
+    # and a plain per-doc hash_split DOES leak on this corpus
+    leaky = hash_split(df, weights={"train": 2, "val": 1, "test": 1})
+    by_text2 = {}
+    for r in leaky.collect():
+        by_text2.setdefault(r.text, set()).add(r.split)
+    assert any(len(s) > 1 for s in by_text2.values())
+
+
+def test_leakage_free_split_with_near_dup_pairs(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        leakage_free_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    # near-dup chain 0-1-2 plus pair 7-8: clusters {0,1,2}, {7,8}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 8)], ["id_a", "id_b"]
+    )
+    out = leakage_free_split(df, pairs=pairs)
+    s = {r.doc_id: r.split for r in out.collect()}
+    assert s[0] == s[1] == s[2]
+    assert s[7] == s[8]
+    assert len(s) == 10
