@@ -464,3 +464,42 @@ def interval_overlap_join(
         .where(overlap & first_shared)
         .drop("__bkt", "__rbkt")
     )
+
+
+def dedup_bursts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap: str | Column,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Event-stream burst collapse: within each key, an event closer
+    than ``gap`` to its predecessor belongs to the same burst, and only
+    the burst's FIRST event survives — double-click suppression, retry
+    storms, sensor chatter, the at-least-once-delivery cleanup every
+    event pipeline needs before aggregation.
+
+    ``gap`` is an interval expression (e.g. ``"INTERVAL 1 HOUR"``) or
+    Column. Two window passes over ONE shuffle on the keys: lag marks
+    burst starts, a running sum numbers bursts, row_number keeps the
+    first of each — no self-join, no sessionize detour. Deterministic:
+    pass ``tiebreak`` (a unique column) to pin the order of equal
+    timestamps."""
+    g = F.expr(gap) if isinstance(gap, str) else gap
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = W.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_burst = (
+        prev.isNull() | (F.col(ts_col) > prev + g)
+    ).cast("int")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    burst = F.sum(new_burst).over(wsum)
+    wb = W.partitionBy(*keys, "__burst").orderBy(*order)
+    return (
+        df.withColumn("__burst", burst)
+        .withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") == 1)
+        .drop("__burst", "__rn")
+    )

@@ -1084,3 +1084,32 @@ def clean_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(text_col, c)
+
+
+def percentile_normalize(
+    df: DataFrame,
+    col: str,
+    by: list[str],
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Rank-based feature normalization: per-group ``percent_rank`` of a
+    numeric column onto [0, 1] — the scale-free transform for
+    heavy-tailed quality signals (doc length, LM score, link counts)
+    before band filtering or mixing; equal values share a rank, so the
+    output is deterministic without a tiebreak.
+
+    ``by`` is required: a global percentile would sort the corpus into
+    ONE window partition (the classic Window-without-PARTITION-BY scale
+    trap). Per-group it is one shuffle on the group keys with a
+    streaming sorted window; for a corpus-global normalization use
+    quantile_band_filter's approx-quantile thresholds instead."""
+    if not by:
+        raise ValueError(
+            "percentile_normalize needs group keys; a global window "
+            "would funnel the corpus into one partition — use "
+            "quantile_band_filter for corpus-global cuts"
+        )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*by).orderBy(F.col(col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))

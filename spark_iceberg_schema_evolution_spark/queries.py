@@ -6861,6 +6861,99 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q153_burst_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev
+      FROM events),
+    b AS (
+      SELECT *,
+             SUM(CASE WHEN prev IS NULL
+                        OR ts > prev + INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS burst
+      FROM t),
+    k AS (
+      SELECT event_type FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type, burst
+                 ORDER BY ts, event_id) AS rn
+        FROM b) WHERE rn = 1)
+    SELECT event_type, COUNT(*) AS n_kept
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-burst collapse: within (user, event_type), events closer
+    than 1 hour to their predecessor join the running burst and only
+    the burst's first survives — retry-storm / double-fire cleanup as
+    lag + running-sum burst numbering over ONE key shuffle (no
+    self-join, no sessionize detour). Oracle replays the identical
+    window algebra."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        dedup_bursts,
+    )
+
+    e = load_events(spark, sf)
+    kept = dedup_bursts(
+        e,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        gap="INTERVAL 1 HOUR",
+        tiebreak="event_id",
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q154_percentile_bands",
+    oracle="""
+    WITH p AS (
+      SELECT source,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars) AS pct
+      FROM documents)
+    SELECT source,
+           CAST(LEAST(FLOOR(pct * 4), 3) AS INT) AS band,
+           COUNT(*) AS n_docs
+    FROM p GROUP BY source, band ORDER BY source, band
+    """,
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-based quality normalization: per-source percent_rank of doc
+    length onto [0,1], bucketed into quartile bands — the scale-free
+    transform for heavy-tailed signals before band filtering/mixing
+    (a global window would be a one-partition trap; the operator
+    REQUIRES group keys and points corpus-global cuts at
+    quantile_band_filter)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        percentile_normalize,
+    )
+
+    d = load(spark, sf, "documents")
+    out = percentile_normalize(d, "n_chars", by=["source"])
+    return (
+        out.select(
+            "source",
+            F.least(F.floor(F.col("pct_rank") * 4), F.lit(3))
+            .cast("int")
+            .alias("band"),
+        )
+        .groupBy("source", "band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -289,3 +289,54 @@ def test_interval_overlap_join_half_open_edges(spark):
         interval_overlap_join(
             left, right, ["k"], ("s", "e"), ("s", "e")
         )
+
+
+def test_dedup_bursts_keeps_first_per_burst(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        dedup_bursts,
+    )
+
+    rows = [
+        # user 1, type a: burst (0s, 10s, 50s), gap, burst (200s)
+        (1, 1, "a", 0), (2, 1, "a", 10), (3, 1, "a", 50), (4, 1, "a", 200),
+        # user 2: single events far apart
+        (5, 2, "a", 0), (6, 2, "a", 1000),
+        # exact-gap boundary: 60s later is NOT a new burst (> not >=)
+        (7, 3, "a", 0), (8, 3, "a", 60), (9, 3, "a", 121),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "s"]
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("s").alias("ts"),
+    )
+    out = dedup_bursts(
+        df, ["user_id", "event_type"], "ts",
+        "INTERVAL 60 SECONDS", tiebreak="event_id",
+    )
+    kept = sorted(r.event_id for r in out.collect())
+    # user1: 1 (burst head), 4 (new burst); user2: both; user3: 7 (60s is
+    # within <=gap), 9 (121 > 60+60)
+    assert kept == [1, 4, 5, 6, 7, 9]
+
+
+def test_percentile_normalize_groups_and_rejects_global(spark):
+    import pytest as _pytest
+
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        percentile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 5)], ["g", "v"]
+    )
+    out = {
+        (r.g, r.v): r.pct_rank
+        for r in percentile_normalize(df, "v", by=["g"]).collect()
+    }
+    assert out[("a", 10)] == 0.0
+    assert out[("a", 20)] == 0.5
+    assert out[("a", 30)] == 1.0
+    assert out[("b", 5)] == 0.0  # singleton group
+    with _pytest.raises(ValueError, match="group keys"):
+        percentile_normalize(df, "v", by=[])
