@@ -1374,7 +1374,11 @@ class LakehouseTable:
         return allowed
 
     def build_bloom_index(
-        self, col: str, m_bits: int = 1 << 17, k: int = 7
+        self,
+        col: str,
+        m_bits: int = 1 << 17,
+        k: int = 7,
+        incremental: bool = True,
     ) -> int:
         """Build a per-file bloom-filter index for point lookups on a
         high-cardinality column — the stats sidecar pattern (Iceberg's
@@ -1406,7 +1410,14 @@ class LakehouseTable:
 
         Sizing: ``m_bits`` is per file; with k=7 the false-positive rate
         is ~1% at m/n ≈ 10 (n = distinct values per file). FPP only
-        costs a wasted scan, never correctness."""
+        costs a wasted scan, never correctness.
+
+        ``incremental`` (default): batches already carrying a valid
+        bloom for this column under the same (m, k, type, rename epoch)
+        keep their sidecar untouched — the daily run after COPY INTO /
+        append indexes only the new batches, O(new data) not O(table).
+        Pass ``incremental=False`` to force a full rebuild (e.g. after
+        retuning m_bits)."""
         if m_bits <= 0 or m_bits % 64:
             raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
         snap = self._load()
@@ -1435,6 +1446,17 @@ class LakehouseTable:
             if not universe:
                 new_batches.append(b)  # no per-file manifest: no index
                 continue
+            if incremental:
+                old = self._load_bloom((b.get("blooms") or {}).get(col, ""))
+                if (
+                    old is not None
+                    and old["m"] == m_bits
+                    and old["k"] == k
+                    and old["type"] == t
+                    and old.get("renames_at") == len(snap.renames)
+                ):
+                    new_batches.append(b)  # still-valid sidecar: keep
+                    continue
             rows = (
                 self._scan(snap, [b], None, with_pos=True)
                 .select(F.col(col).alias("__val"), "__file_path")

@@ -166,3 +166,23 @@ def test_bloom_rejects_bad_columns(spark, catalog):
         t.build_bloom_index("x")
     with pytest.raises(ValueError, match="multiple of 64"):
         t.build_bloom_index("id", m_bits=100)
+
+
+def test_bloom_incremental_indexes_only_new_batches(spark, catalog):
+    catalog.write_evolving(
+        spark.createDataFrame([(i, i) for i in range(100)], ["id", "v"]),
+        "db", "binc",
+    )
+    t = catalog.table("db", "binc")
+    t.build_bloom_index("id")
+    ref0 = t._load().batches[0]["blooms"]["id"]
+    t.append(spark.createDataFrame([(1000 + i, i) for i in range(50)], ["id", "v"]))
+    t.build_bloom_index("id")  # incremental default
+    snap = t._load()
+    assert snap.batches[0]["blooms"]["id"] == ref0  # untouched sidecar
+    assert "id" in (snap.batches[1].get("blooms") or {})  # new batch indexed
+    assert t.plan_scan([("id", "=", 1049)])["files_scanned"] >= 1
+    assert t.read_where([("id", "=", 1049)]).count() == 1
+    # full rebuild replaces every sidecar
+    t.build_bloom_index("id", incremental=False)
+    assert t._load().batches[0]["blooms"]["id"] != ref0
