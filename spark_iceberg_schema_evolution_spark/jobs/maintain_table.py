@@ -87,6 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--force", action="store_true",
         help="compact regardless of batch count",
     )
+    p.add_argument(
+        "--bloom-columns", default=None,
+        help=(
+            "comma-separated columns to (incrementally) bloom-index "
+            "after maintenance — compaction rewrites batches, which "
+            "drops their sidecars, so the nightly job re-indexes only "
+            "the rewritten/new batches"
+        ),
+    )
     return p
 
 
@@ -149,6 +158,10 @@ def maintain(spark, args) -> dict:
         report["orphans_removed"] = len(
             t.remove_orphan_files(older_than_s=args.orphan_age_seconds)
         )
+    if args.bloom_columns:
+        for c in args.bloom_columns.split(","):
+            t.build_bloom_index(c.strip())
+        report["bloom_columns"] = args.bloom_columns
     report["batches_after"] = len(t._load().batches)
     report["delete_files_after"] = len(t._load().deletes)
     report["files_after"] = len(t.files())

@@ -6972,19 +6972,31 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
 # two rounds after r6), together with the new r5 entries q113/q114
 # (green locally this round, no driver row yet).
 #
-# Round-6 window (r5 VERDICT item 1): the 23 entries that have NEVER
-# produced a driver CORRECTNESS row (q113, q114, q124-q144 — the whole
-# round-5 second half: bucket transform, URL curation, IVM rollup, COPY
-# INTO, MERGE BY SOURCE, initial defaults, recursive CTE/LATERAL,
-# IN-list lookups), then the r2/r3-stale block (q01 q05 q27 q73-q75
-# q87 q88 q90-q92 q96 q97 q101 q105-q108), then the 9 deferred r2
-# leftovers (q76-q83, q85). After this window lands green, every tier-1
-# entry has a driver row from r4 or later except the r4-green tail
-# (q02-q04, q06-q11, q19, q24-q32, q34-q35, q39-q43, q49-q52, q66,
-# q69, q84, q86, q94-q95, q98-q100, q102-q104, q109-q111) — scheduled
-# for the r7 window, which retires the rotation debt entirely.
+# Round-6 window (r5 VERDICT item 1 + the r5 precedent of fronting the
+# current round's new entries): first the 10 NEW round-6 entries
+# (classifier filter, dup spans, BM25, bucketed join, change consumer,
+# bloom lookup, leakage-free split, schema log, burst dedup, percentile
+# bands), then the 23 entries that have NEVER produced a driver
+# CORRECTNESS row (q113, q114, q124-q144 — the round-5 second half),
+# then the r2/r3-stale block (q01 q05 q73-q75 q87 q88 q90-q92 q96 q97
+# q101 q105-q108). Deferred to the r7 window: q27 (r3-green, pure
+# functions — lowest risk), the 9 r2-leftovers q76-q83/q85, and the
+# r4-green tail (q02-q04, q06-q11, q19, q24-q32, q34-q35, q39-q43,
+# q49-q52, q66, q69, q84, q86, q94-q95, q98-q100, q102-q104,
+# q109-q111) — ~46 entries, one more rotation retires the debt.
 
 _DRIVER_WINDOW = [
+    # new this round (never driver-checked): round-6 operators
+    "q145_classifier_filter",
+    "q146_dup_spans",
+    "q147_bm25_search",
+    "q148_bucketed_cojoin",
+    "q149_change_consumer",
+    "q150_bloom_lookup",
+    "q151_leakage_free_split",
+    "q152_schema_log",
+    "q153_burst_dedup",
+    "q154_percentile_bands",
     # never driver-checked: round-5 second half (23)
     "q113_deterministic_sample",
     "q114_token_budget_batches",
@@ -7012,8 +7024,7 @@ _DRIVER_WINDOW = [
     # r2-stale (driver rows from r2 only)
     "q01_scan_counts",
     "q05_join_inner_agg",
-    # r3-stale block
-    "q27_date_funcs",
+    # r3-stale block (q27 deferred to r7 — lowest risk)
     "q73_delete_update",
     "q74_dedup_clusters",
     "q75_incremental_changes",
@@ -7029,16 +7040,6 @@ _DRIVER_WINDOW = [
     "q106_decontamination",
     "q107_repetition_filters",
     "q108_shuffle_shards",
-    # deferred r2 leftovers (9)
-    "q76_group_by_all_qualify",
-    "q77_except_all",
-    "q78_unpivot",
-    "q79_percentile_cont",
-    "q80_string_funcs2",
-    "q81_try_cast",
-    "q82_ignore_nulls_stringagg",
-    "q83_bit_bool_aggs",
-    "q85_salted_join_equivalence",
 ]
 
 

@@ -158,3 +158,29 @@ def test_curate_with_clean_and_decontaminate(spark, tmp_path):
     # the benchmark docs themselves (overlap 1.0) were in the corpus:
     # decontamination must remove at least those that survived dedup
     assert counts["after_quality"] < counts["after_near_dedup"]
+
+
+def test_maintain_table_job_bloom_columns(spark, tmp_path, capsys):
+    from spark_iceberg_schema_evolution_spark.jobs.maintain_table import main
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "whb"))
+    ids = sorted(range(200), key=lambda x: (x * 2654435761) % 256)
+    cat.write_evolving(
+        spark.createDataFrame([(i, i) for i in ids], ["id", "v"]),
+        "db", "mb",
+    )
+    rc = main(
+        [
+            "--warehouse", str(tmp_path / "whb"),
+            "--namespace", "db", "--table", "mb",
+            "--bloom-columns", "id",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bloom_columns: id" in out
+    t = cat.table("db", "mb")
+    # absent in-range id: only the bloom can prove it (every file spans
+    # the full range under the shuffled write order)
+    assert t.plan_scan([("id", "=", 1000)])["files_scanned"] == 0
