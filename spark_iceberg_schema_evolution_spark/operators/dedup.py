@@ -92,6 +92,40 @@ def minhash_signature(
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
+def _band_hashes(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows from MinHash signatures — the LSH
+    banding step shared by the self-join (lsh_candidate_pairs) and the
+    cross-corpus (incremental_near_dedup) paths."""
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "signature",
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -117,27 +151,7 @@ def lsh_candidate_pairs(
         sig_len = signatures.select(F.size("signature")).first()[0]
     rows_per_band = max(1, sig_len // n)
 
-    bands = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "signature", b * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    )
-                    for b in range(n)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = _band_hashes(signatures, id_col, n, rows_per_band)
     bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("__bucket_size")
     )
@@ -168,6 +182,114 @@ def lsh_candidate_pairs(
         ),
     )
     return pairs, drops
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_sigs: DataFrame | None = None,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_size: int = 5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+):
+    """Near-dedup a NEW ingest batch against an EXISTING corpus without
+    reprocessing the corpus — the fuzzy twin of the exact
+    ``incremental_ingest_dedup``: continuous crawling re-collects
+    lightly-edited copies of pages the corpus already holds, which an
+    exact hash anti-join misses.
+
+    The corpus cost model is the point: ``corpus_sigs`` is the
+    MATERIALIZED signature store (``minhash_signature`` output,
+    persisted once and appended per ingest — fixed-width rows, a tiny
+    fraction of the text payload). Candidate generation LSH-bands the
+    new batch and joins it against the corpus band hashes (band-keyed
+    equi-join; oversize corpus buckets dropped by the same skew guard
+    as lsh_candidate_pairs); verification computes exact shingle
+    Jaccard ONLY for candidate pairs, fetching corpus text for just the
+    candidate ids via an id join. Per ingest: O(new batch) map work +
+    joins keyed on bands/ids — the corpus is never rescanned when sigs
+    are provided (they are computed from ``corpus_docs`` on a first
+    run).
+
+    Returns ``(kept_new_docs, dropped)`` where ``dropped`` holds
+    (new id, matched corpus id, jaccard) for every verified match —
+    the audit trail, per the no-silent-drops rule."""
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signature(
+            corpus_docs, id_col, text_col, num_hashes, shingle_size, seed
+        )
+    new_sigs = minhash_signature(
+        new_docs, id_col, text_col, num_hashes, shingle_size, seed
+    )
+    rows_per_band = max(1, num_hashes // num_bands)
+    nb = _band_hashes(new_sigs, id_col, num_bands, rows_per_band)
+    cb = _band_hashes(corpus_sigs, id_col, num_bands, rows_per_band)
+    small = (
+        cb.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_bucket_size)
+    )
+    cb = cb.join(small, ["band_idx", "band_hash"], "left_semi")
+    cand = (
+        nb.alias("n")
+        .join(cb.alias("c"), ["band_idx", "band_hash"])
+        .select(
+            F.col(f"n.{id_col}").alias("__new_id"),
+            F.col(f"c.{id_col}").alias("__corpus_id"),
+        )
+        .distinct()
+    )
+
+    def sh_set(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.array_sort(
+                F.transform(
+                    shingles(normalized_words(text_col), shingle_size),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias(f"{out_id}_sh"),
+        )
+
+    new_sh = sh_set(new_docs, "__new_id")
+    corp_ids = cand.select(F.col("__corpus_id").alias(id_col)).distinct()
+    corp_sh = sh_set(
+        corpus_docs.join(corp_ids, id_col, "left_semi"), "__corpus_id"
+    )
+    n_common = F.size(
+        F.array_intersect(F.col("__new_id_sh"), F.col("__corpus_id_sh"))
+    )
+    verified = (
+        cand.join(new_sh, "__new_id")
+        .join(corp_sh, "__corpus_id")
+        .select(
+            "__new_id",
+            "__corpus_id",
+            (
+                n_common
+                / (
+                    F.size("__new_id_sh")
+                    + F.size("__corpus_id_sh")
+                    - n_common
+                )
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    dropped = verified.select(
+        F.col("__new_id").alias(id_col),
+        F.col("__corpus_id").alias("matched_corpus_id"),
+        "jaccard",
+    )
+    kept = new_docs.join(
+        dropped.select(id_col).distinct(), id_col, "left_anti"
+    )
+    return kept, dropped
 
 
 def jaccard_pairs(

@@ -876,3 +876,104 @@ def cluster_balanced_sample(
         .where(F.col("__rk") <= per_cluster)
         .drop("__rk")
     )
+
+
+def sq8_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantize an embedding column to int8 (SQ8): per-vector
+    affine codes ``c_i = round((x_i - lo) / scale) - 128`` with the
+    (lo, scale) pair kept alongside — a 4x scan-payload cut with ~0.4%
+    per-dimension error, the lighter sibling of PQ (no codebook fit, no
+    training pass; decode is exact-affine, so re-ranking can run on
+    decoded values without fetching originals).
+
+    Zero-shuffle map in codegen; returns (id, sq8_codes, sq8_lo,
+    sq8_scale). Constant vectors get scale 0 and decode exactly."""
+    v = as_double(F.col(vec_col))
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = F.when(hi > lo, (hi - lo) / F.lit(255.0)).otherwise(F.lit(0.0))
+    codes = F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0, F.round((x - lo) / scale).cast("int") - 128
+        )
+        .otherwise(F.lit(-128))
+        .cast("tinyint"),
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("sq8_codes"),
+        lo.alias("sq8_lo"),
+        scale.alias("sq8_scale"),
+    )
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over SQ8-compressed vectors with exact re-rank: the
+    approximate pass decodes codes on the fly inside ``zip_with``
+    (``x_i ≈ lo + (c_i + 128) * scale``) against the full-precision
+    broadcast query — the corpus scan reads 1 byte/dim instead of 4 —
+    then the top ``k*refine`` survivors re-rank with exact cosine
+    against the original vectors (the only stage touching them,
+    ~k*refine rows per query). Same shape as pq_topk's ADC path but
+    with an affine decode instead of codebook lookups — no fit stage
+    at all."""
+    q = queries.select(
+        F.col(query_id), as_double(F.col(vec_col)).alias("__qv"),
+        l2_norm(as_double(F.col(vec_col))).alias("__qn"),
+    )
+    dec = F.zip_with(
+        F.col("sq8_codes"),
+        F.col("__qv"),
+        lambda c, qv: qv
+        * (F.col("sq8_lo") + (c.cast("double") + 128.0) * F.col("sq8_scale")),
+    )
+    xdec = F.transform(
+        F.col("sq8_codes"),
+        lambda c: F.col("sq8_lo")
+        + (c.cast("double") + 128.0) * F.col("sq8_scale"),
+    )
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        (fold_sum(dec) / (F.col("__qn") * l2_norm(xdec))).alias("__approx"),
+    )
+    w = Wnd.partitionBy(query_id).orderBy(
+        F.col("__approx").desc(), F.col(corpus_id).asc()
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k * refine)
+        .select(query_id, corpus_id)
+    )
+    c = corpus.select(
+        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
+    )
+    rerank = (
+        c.join(F.broadcast(cand), corpus_id)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+        )
+    )
+    w2 = Wnd.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return rerank.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

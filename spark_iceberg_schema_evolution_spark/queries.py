@@ -6954,6 +6954,66 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_sq8_cosine_topk", oracle=None, tier=2)
+def t2_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (int8 codes + affine decode + exact
+    re-rank): the fit-free 4x-compression tier beside PQ. Deterministic;
+    recall >= 0.9 gated in tests/test_llm_ops.py; rows-only here."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+    )
+
+    e = load(spark, sf, "embeddings")
+    enc = sq8_encode(e)
+    qdf = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk(enc, e, qdf, k=10).select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
+@q("t2_incremental_near_dedup", oracle=None, tier=2)
+def t2_inc_near(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus near-dedup at ingest: a new batch (100 verbatim-ish
+    edited copies of corpus docs + the untouched tail) deduped against
+    the corpus signature store; candidates from LSH band joins, exact
+    Jaccard verification. LSH banding has no SQL replica -> rows-only;
+    planted-edit semantics pinned in tests/test_llm_ops.py."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_signature,
+    )
+
+    d = load(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    batch = (
+        d.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 200))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text")
+            .limit(100)
+        )
+    )
+    sigs = minhash_signature(corpus, num_hashes=16)
+    kept, dropped = incremental_near_dedup(
+        batch,
+        corpus,
+        corpus_sigs=sigs,
+        num_hashes=16,
+        num_bands=4,
+        threshold=0.6,
+    )
+    return dropped.select(
+        "doc_id", "matched_corpus_id", F.round("jaccard", 6).alias("j_r")
+    ).orderBy("doc_id", "matched_corpus_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

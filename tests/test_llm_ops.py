@@ -693,3 +693,67 @@ def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
     out = similarity.mmr_rerank(cands, corpus, k=3, lambda_=1.0)
     got = [r.vec_id for r in out.orderBy("mmr_rank").collect()]
     assert got == [0, 1, 2]  # top-3 by score, diversity ignored
+
+
+def test_sq8_recall_vs_exact(spark):
+    e = _emb(spark)
+    enc = similarity.sq8_encode(e)
+    qdf = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, qdf, k=5)
+    approx = similarity.sq8_topk(enc, e, qdf, k=5)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert all((q, q) in ap for q in range(10))  # self survives SQ8
+    assert len(ex & ap) / len(ex) >= 0.9  # 8-bit affine: near-lossless
+
+
+def test_sq8_encode_shapes_and_constant_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.5]), (2, [-1.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in similarity.sq8_encode(df).collect()}
+    assert rows[1].sq8_scale == 0.0  # constant vector: exact decode
+    assert rows[1].sq8_codes == [-128, -128, -128]
+    r2 = rows[2]
+    # decode error bounded by scale/2 per dimension
+    dec = [r2.sq8_lo + (c + 128) * r2.sq8_scale for c in r2.sq8_codes]
+    assert all(abs(d - x) <= r2.sq8_scale / 2 + 1e-12
+               for d, x in zip(dec, [-1.0, 0.0, 1.0]))
+
+
+def test_incremental_near_dedup_drops_planted_edit(spark):
+    """A lightly edited copy of a corpus doc in the new batch is caught
+    (exact hash would miss it); genuinely new docs pass; the corpus
+    signature store path gives the same answer as the from-docs path."""
+    corpus = _docs(spark).where("doc_id < 100")
+    edited = corpus.where("doc_id = 3").select(
+        F.lit(50001).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" smalledit")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    fresh = spark.createDataFrame(
+        [(50002, "entirely novel content " + "x " * 40, "en", "new", 60)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    batch = edited.unionByName(fresh)
+    kept, dropped = dedup.incremental_near_dedup(
+        batch, corpus, num_hashes=32, num_bands=8, threshold=0.6
+    )
+    kept_ids = {r.doc_id for r in kept.collect()}
+    drops = {(r.doc_id, r.matched_corpus_id) for r in dropped.collect()}
+    assert kept_ids == {50002}
+    assert (50001, 3) in drops
+    # materialized signature store: identical outcome, corpus text only
+    # consulted for candidates
+    sigs = dedup.minhash_signature(corpus, num_hashes=32)
+    kept2, dropped2 = dedup.incremental_near_dedup(
+        batch, corpus, corpus_sigs=sigs,
+        num_hashes=32, num_bands=8, threshold=0.6,
+    )
+    assert {r.doc_id for r in kept2.collect()} == {50002}
+    assert (50001, 3) in {
+        (r.doc_id, r.matched_corpus_id) for r in dropped2.collect()
+    }
