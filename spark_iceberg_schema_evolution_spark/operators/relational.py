@@ -466,6 +466,55 @@ def interval_overlap_join(
     )
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    max_distance: int = 2,
+    block_chars: int = 2,
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Blocked fuzzy (Levenshtein) join — entity resolution's workhorse:
+    rows pair only within a BLOCKING key (the lowercased first
+    ``block_chars`` characters), then the exact edit-distance predicate
+    filters inside the block. The blocking join is a plain equi-join
+    Catalyst shuffles on a short fixed-width key, so the quadratic
+    explosion is bounded per block — the all-pairs cross join that a
+    naive ``levenshtein(a, b) <= d`` theta-join would plan never exists.
+
+    Standard trade, stated loudly: matches whose first ``block_chars``
+    characters differ are NOT found (e.g. a typo in character 1). Use
+    multiple passes with different blocking functions (prefix, reversed
+    prefix, soundex) and union when that recall matters; each pass
+    stays an equi-join.
+
+    Returns pairs with all columns prefixed ``l_``/``r_`` plus
+    ``distance``."""
+    if max_distance < 0 or block_chars < 1:
+        raise ValueError("need max_distance >= 0 and block_chars >= 1")
+
+    def keyed(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            *[F.col(c).alias(f"{p}{c}") for c in df.columns],
+            F.lower(F.substring(F.col(col), 1, block_chars)).alias(
+                "__blk"
+            ),
+        )
+
+    lk = keyed(left, l_prefix)
+    rk = keyed(right, r_prefix)
+    dist = F.levenshtein(
+        F.col(f"{l_prefix}{col}"), F.col(f"{r_prefix}{col}")
+    )
+    return (
+        lk.join(rk, "__blk")
+        .where(dist <= max_distance)
+        .withColumn("distance", dist)
+        .drop("__blk")
+    )
+
+
 def dedup_bursts(
     df: DataFrame,
     keys: list[str],

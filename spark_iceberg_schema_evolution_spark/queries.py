@@ -7014,6 +7014,46 @@ def t2_inc_near(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "matched_corpus_id")
 
 
+@q(
+    "q155_fuzzy_join",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey, p_name,
+             lower(substr(p_name, 1, 2)) AS blk
+      FROM part)
+    SELECT CAST(a.p_partkey AS BIGINT) AS id_a,
+           CAST(b.p_partkey AS BIGINT) AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM k a JOIN k b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY id_a, id_b LIMIT 50
+    """,
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): near-identical part
+    names found by Levenshtein <= 2 WITHIN 2-char prefix blocks — the
+    equi-join-on-blocking-key shape that avoids the all-pairs
+    nested-loop a raw edit-distance theta-join would plan. Oracle runs
+    the identical blocking + metric in DuckDB."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        fuzzy_join,
+    )
+
+    p = load(spark, sf, "part").select("p_partkey", "p_name")
+    pairs = fuzzy_join(p, p, "p_name", max_distance=2, block_chars=2)
+    return (
+        pairs.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+        .select(
+            F.col("l_p_partkey").alias("id_a"),
+            F.col("r_p_partkey").alias("id_b"),
+            F.col("distance").alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

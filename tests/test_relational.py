@@ -340,3 +340,24 @@ def test_percentile_normalize_groups_and_rejects_global(spark):
     assert out[("b", 5)] == 0.0  # singleton group
     with _pytest.raises(ValueError, match="group keys"):
         percentile_normalize(df, "v", by=[])
+
+
+def test_fuzzy_join_blocked_matching(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        fuzzy_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "Johnson"), (2, "Smith"), (3, "Zephyr")], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [(10, "Jonson"), (11, "Smyth"), (12, "Aephyr")], ["id", "name"]
+    )
+    out = fuzzy_join(left, right, "name", max_distance=2)
+    got = {(r.l_id, r.r_id, r.distance) for r in out.collect()}
+    assert (1, 10, 1) in got   # Johnson ~ Jonson, same "jo" block
+    assert (2, 11, 1) in got   # Smith ~ Smyth: one substitution
+    # Zephyr ~ Aephyr has distance 1 BUT first chars differ: blocked out
+    assert not any(l == 3 for l, _, _ in got)
+    with __import__("pytest").raises(ValueError):
+        fuzzy_join(left, right, "name", max_distance=-1)
