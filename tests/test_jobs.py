@@ -184,3 +184,74 @@ def test_maintain_table_job_bloom_columns(spark, tmp_path, capsys):
     # absent in-range id: only the bloom can prove it (every file spans
     # the full range under the shuffled write order)
     assert t.plan_scan([("id", "=", 1000)])["files_scanned"] == 0
+
+
+def test_ingest_incremental_job_end_to_end(spark, tmp_path):
+    """The nightly loop: run 1 loads the seed files; run 2 with no new
+    files no-ops; run 3 ingests only the genuinely-new docs from a drop
+    containing exact dups, a near-dup, and fresh content — with the
+    signature store, bloom index, and rollup all advancing
+    incrementally."""
+    import argparse
+
+    from spark_iceberg_schema_evolution_spark.jobs.ingest_incremental import (
+        build_parser,
+        ingest_increment,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    def drop_file(name, rows):
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "source"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(incoming / f"{name}.parquet"))
+
+    base = [
+        (i, f"seed document number {i} with body text {i}", "web")
+        for i in range(20)
+    ]
+    drop_file("day1", base)
+    argv = [
+        "--warehouse", str(tmp_path / "wh"), "--namespace", "db",
+        "--corpus", "docs", "--input", str(incoming),
+        "--near-dedup", "0.6",
+        "--bloom-columns", "doc_id",
+        "--rollup-target", "docs_by_source",
+        "--rollup-group-by", "source",
+    ]
+    args = build_parser().parse_args(argv)
+    r1 = ingest_increment(spark, args)
+    assert r1["ingested"] == 20 and r1["corpus_rows"] == 20
+
+    r2 = ingest_increment(spark, args)  # nothing new
+    assert r2["copy_loaded_files"] == 0 and r2["ingested"] == 0
+
+    day2 = (
+        [(100, "seed document number 3 with body text 3", "web")]   # exact dup
+        + [(101, "seed document number 7 with body text 7 edited", "web")]  # near dup
+        + [(102, "completely fresh material " + "y " * 30, "books")]
+    )
+    drop_file("day2", day2)
+    r3 = ingest_increment(spark, args)
+    assert r3["ingested"] == 1
+    assert r3["near_dup_dropped"] == 1
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    corpus = cat.table("db", "docs")
+    assert corpus.row_count() == 21
+    assert cat.table("db", "docs_sigs").row_count() == 21
+    roll = {
+        r.source: r.n_rows
+        for r in cat.table("db", "docs_by_source").read().collect()
+    }
+    assert roll == {"web": 20, "books": 1}
+    # bloom survives incrementally: absent id proven without a scan
+    assert corpus.plan_scan([("doc_id", "=", 99999)])["files_scanned"] == 0
