@@ -79,16 +79,22 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-document MinHash signature: for each of ``num_hashes`` seeded
     hash functions, the min ``xxhash64`` over the doc's shingle set.
-    Deterministic for a fixed seed. Entirely JVM-side expressions."""
+    Deterministic for a fixed seed. Entirely JVM-side expressions.
+
+    The per-function seed binds through a FACTORY closure: a defaulted
+    second lambda parameter (``lambda s, i=i``) would make F.transform
+    pass the element INDEX into it, collapsing all num_hashes functions
+    into one position-dependent hash — the signature then violates the
+    MinHash property entirely (P[sig_i equal] = jaccard is what banding's
+    S-curve is built on; tests/test_llm_ops.py pins it)."""
     sh = shingles(normalized_words(text_col), shingle_size)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+
+    def min_hash(i: int) -> F.Column:
+        return F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i)))
+        )
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
     return df.select(F.col(id_col), sig.alias("signature"))
 
 

@@ -363,6 +363,107 @@ def stream_to_lakehouse_gated(
     return report
 
 
+def stream_dedup_ingest_to_lakehouse(
+    stream_df: DataFrame,
+    catalog,
+    namespace: str,
+    table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_threshold: float | None = None,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> dict:
+    """Streaming corpus ingestion with per-micro-batch dedup — the
+    streaming face of ``jobs/ingest_incremental``: each epoch exact-
+    dedups within itself, anti-joins the corpus' content hashes, and
+    (optionally) near-dedups against the materialized signature store
+    before committing; survivors append to the corpus and their
+    signatures to the ``<table>_sigs`` store, so every epoch's cost is
+    O(epoch), never O(corpus).
+
+    foreachBatch + the engine's batch operators is deliberately the
+    implementation: dedup-against-all-history is unbounded state no
+    watermarked stateful operator can hold, but the lakehouse tables
+    ARE the state, incrementally maintained. Exactly-once per epoch
+    comes from the checkpoint; a replayed epoch re-dedups to zero.
+
+    Returns {"committed_epochs": n, "rows_ingested": n,
+    "near_dropped": n}."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        exact_dedup,
+        incremental_near_dedup,
+        minhash_signature,
+    )
+
+    report = {"committed_epochs": 0, "rows_ingested": 0, "near_dropped": 0}
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        corpus = catalog.table(namespace, table)
+        sigs_t = catalog.table(namespace, f"{table}_sigs")
+        batch = exact_dedup(df, text_col=text_col)
+        if corpus.exists():
+            existing = corpus.read().select(
+                F.md5(F.col(text_col)).alias("__h")
+            )
+            batch = (
+                batch.withColumn("__h", F.md5(F.col(text_col)))
+                .join(existing, "__h", "left_anti")
+                .drop("__h")
+            )
+        if near_threshold is not None and corpus.exists():
+            batch, dropped = incremental_near_dedup(
+                batch,
+                corpus.read(),
+                corpus_sigs=sigs_t.read() if sigs_t.exists() else None,
+                threshold=near_threshold,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                num_bands=num_bands,
+            )
+            report["near_dropped"] += (
+                dropped.select(id_col).distinct().count()
+            )
+        batch = batch.persist()
+        try:
+            n = batch.count()
+            if n:
+                if corpus.exists():
+                    corpus.append(batch)
+                else:
+                    catalog.write_evolving(batch, namespace, table)
+                if near_threshold is not None:
+                    sg = minhash_signature(
+                        batch,
+                        id_col=id_col,
+                        text_col=text_col,
+                        num_hashes=num_hashes,
+                    )
+                    if sigs_t.exists():
+                        sigs_t.append(sg)
+                    else:
+                        catalog.write_evolving(
+                            sg, namespace, f"{table}_sigs"
+                        )
+                report["rows_ingested"] += n
+                report["committed_epochs"] += 1
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return report
+
+
 def stream_stream_join(
     events: DataFrame,
     lookback: str = "1 hour",

@@ -757,3 +757,32 @@ def test_incremental_near_dedup_drops_planted_edit(spark):
     assert (50001, 3) in {
         (r.doc_id, r.matched_corpus_id) for r in dropped2.collect()
     }
+
+
+def test_minhash_property_per_hash_agreement_tracks_jaccard(spark):
+    """The MinHash contract itself: P[sig_i(A) == sig_i(B)] = J(A, B).
+    Regression for the F.transform two-arg-lambda trap, which silently
+    collapsed all num_hashes functions into ONE position-dependent hash
+    (agreement then reads ~0 even at J = 0.9, and LSH banding loses its
+    S-curve)."""
+    a = spark.createDataFrame(
+        [(1, "stream seed doc six with plenty of body words for "
+             "stable shingles number six")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(2, "stream seed doc six with plenty of body words for "
+             "stable shingles number six edited")],
+        ["doc_id", "text"],
+    )
+    sa = dedup.minhash_signature(a, num_hashes=64).collect()[0].signature
+    sb = dedup.minhash_signature(b, num_hashes=64).collect()[0].signature
+    # distinct hash functions: the signature is not one value repeated
+    assert len(set(sa)) > 32
+    agree = sum(x == y for x, y in zip(sa, sb)) / 64
+    # true jaccard = 10/11 ~ 0.909; 64 Bernoulli trials: [0.7, 1.0]
+    assert 0.7 <= agree <= 1.0
+    # and banding now finds the pair
+    sigs = dedup.minhash_signature(a.unionByName(b), num_hashes=32)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_bands=8, sig_len=32)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}

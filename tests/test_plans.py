@@ -326,3 +326,45 @@ def test_quantile_band_filter_corpus_is_map_only(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "partial_percentile" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_classifier_score_is_map_only(spark):
+    """The frozen linear head must be a zero-shuffle, zero-Python map:
+    literal weights, codegen sigmoid — the whole point of the
+    plan-literal design."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        linear_classifier_score,
+    )
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    out = linear_classifier_score(e, [0.1] * 64, bias=0.5)
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_corpus_never_repartitions(spark):
+    """BM25's only exchange is the one-row stats fold; the corpus-sized
+    side joins it back via broadcast and is never hash-repartitioned."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        search_terms_bm25,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = search_terms_bm25(d, ["merge", "window"])
+    plan = explain.physical_plan(out)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_duplication_bounded_shuffles_no_python(spark):
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        span_duplication_profile,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = span_duplication_profile(d)
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

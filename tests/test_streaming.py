@@ -407,3 +407,76 @@ def test_stream_upsert_with_continuous_rollup(spark, tmp_path):
         .collect()
     }
     assert rollup == expect and rollup
+
+
+def test_stream_dedup_ingest_epochs(spark, tmp_path):
+    """Streaming corpus ingestion: epoch 1 seeds the corpus; epoch 2
+    (one file per trigger) carries an exact dup, a near dup, and fresh
+    content — only the fresh doc commits, the signature store tracks
+    the corpus, and every epoch's dedup cost is O(epoch)."""
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    src = str(tmp_path / "ddsrc")
+    os.makedirs(src)
+
+    def write_docs(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, source STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        import glob
+        import shutil
+
+        part = glob.glob(
+            str(tmp_path / "stage" / name / "part-*.parquet")
+        )[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    write_docs(
+        "e1",
+        [
+            (
+                i,
+                f"stream seed doc {i} with plenty of body words "
+                f"for stable shingles number {i}",
+                "web",
+            )
+            for i in range(10)
+        ],
+    )
+    time.sleep(1.1)
+    write_docs(
+        "e2",
+        [
+            (  # exact dup of seed 4
+                100,
+                "stream seed doc 4 with plenty of body words "
+                "for stable shingles number 4",
+                "web",
+            ),
+            (  # near dup of seed 6: one appended word
+                101,
+                "stream seed doc 6 with plenty of body words "
+                "for stable shingles number 6 edited",
+                "web",
+            ),
+            (102, "novel streaming material " + "z " * 30, "books"),
+        ],
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, source STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    report = SW.stream_dedup_ingest_to_lakehouse(
+        stream, cat, "db", "corpus", str(tmp_path / "ck"),
+        near_threshold=0.6,
+    )
+    assert report["rows_ingested"] == 11
+    assert report["near_dropped"] == 1
+    corpus = cat.table("db", "corpus").read()
+    ids = sorted(r.doc_id for r in corpus.collect())
+    assert ids == list(range(10)) + [102]
+    assert cat.table("db", "corpus_sigs").row_count() == 11
