@@ -7054,6 +7054,73 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q156_regex_family",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           len(regexp_extract_all(text, '[a-z]+ing')) AS n_ing,
+           COALESCE(regexp_extract(text, '([a-z]{4,}) merge', 1), '')
+             AS before_merge,
+           CASE WHEN regexp_matches(text, 'window|stream')
+                THEN 1 ELSE 0 END AS has_kw,
+           regexp_replace(text, '[0-9]+', '#', 'g') LIKE '%#%'
+             AS digit_masked
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex function family over the corpus: extract-all counts,
+    group capture, boolean match, global replace — RE2-subset patterns
+    only (both engines agree on the dialect; lookarounds are banned by
+    the module's oracle rules)."""
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+ing"))).alias(
+            "n_ing"
+        ),
+        F.regexp_extract("text", "([a-z]{4,}) merge", 1).alias(
+            "before_merge"
+        ),
+        F.when(
+            F.col("text").rlike("window|stream"), 1
+        ).otherwise(0).alias("has_kw"),
+        F.regexp_replace("text", "[0-9]+", "#").like("%#%").alias(
+            "digit_masked"
+        ),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q157_string_format_family",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat,
+           repeat('-', CAST(c_custkey % 5 AS INT)) AS dashes,
+           reverse(c_name) AS rname,
+           concat_ws('|', c_mktsegment, c_name) AS joined
+    FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+    """,
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """String formatting family: lpad, translate, repeat, reverse,
+    concat_ws — byte-identical across engines by construction."""
+    c = load(spark, sf, "customer").where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias(
+            "padded"
+        ),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("xlat"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 5).cast("int")).alias(
+            "dashes"
+        ),
+        F.reverse("c_name").alias("rname"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+    ).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
