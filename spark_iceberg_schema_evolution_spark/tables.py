@@ -3492,6 +3492,7 @@ class LakehouseTable:
         sort_by: list[str] | None = None,
         z_order: list[str] | None = None,
         target_files: int | None = None,
+        months: list[str] | None = None,
     ) -> int:
         """Rewrite the live file set into one batch (Iceberg
         ``rewrite_data_files``, the native replacement for the reference's
@@ -3509,11 +3510,31 @@ class LakehouseTable:
         ``z_order`` = Iceberg's z-order rewrite: cluster by the Morton
         interleaving of 2+ numeric columns so file skipping bites on ANY
         of them (a linear sort only tightens its leading column).
-        Mutually exclusive with ``sort_by``."""
+        Mutually exclusive with ``sort_by``.
+
+        ``months`` scopes the rewrite to the named partitions (Iceberg's
+        ``rewrite_data_files(where => ...)``): only those months' rows
+        rewrite — the nightly "compact the accumulating current month"
+        shape, O(hot partition) instead of O(table). Other batches keep
+        their untouched months by manifest trim (metadata only); live
+        delete files are RETAINED (they may touch unscoped months) —
+        run ``compact_deletes`` to fold those."""
         if sort_by and z_order:
             raise ValueError("sort_by and z_order are mutually exclusive")
         snap = self._load()
-        current = self.read()
+        if months:
+            if not snap.partition_month_of:
+                raise ValueError(
+                    "months= scoping needs a partitioned table"
+                )
+            keep_batches, carry = self._split_cow_scope(snap, months)
+            current = self.read(months=months)
+            if carry is not None:
+                current = current.unionByName(carry)
+            keep_deletes = snap.deletes
+        else:
+            keep_batches, keep_deletes = [], []
+            current = self.read()
         pre_arranged = False
         if z_order:
             if len(z_order) < 2:
@@ -3564,8 +3585,8 @@ class LakehouseTable:
         )
         self._commit(
             Snapshot(
-                version, snap.schema, [batch], snap.partition_month_of,
-                snap.renames, [],
+                version, snap.schema, keep_batches + [batch],
+                snap.partition_month_of, snap.renames, keep_deletes,
             )
         )
         return version
@@ -4603,6 +4624,7 @@ class LakehouseCatalog:
                     if "target_files" in named
                     else None
                 ),
+                months=cols(named.get("months")),
             )
             return self._version_df(v)
         if proc == "rewrite_delete_files":

@@ -2210,3 +2210,41 @@ def test_schema_changes_audit(spark, catalog):
         "SELECT COUNT(*) AS n FROM lake.db.aud.schema_log"
     ).collect()[0].n
     assert n == len(got)
+
+
+def test_compact_scoped_to_months(spark, catalog):
+    """months= rewrites only the named partitions: the cold month's
+    batch files survive untouched (same paths), the hot month's many
+    small batches fold into one, and row content is unchanged."""
+
+    def mk(lo, month, n=20):
+        return spark.createDataFrame(
+            [(i, f"{month}-05", float(i)) for i in range(lo, lo + n)],
+            ["id", "ts", "v"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    catalog.write_evolving(
+        mk(0, "2024-01"), "db", "csc", partition_month_of="ts"
+    )
+    t = catalog.table("db", "csc")
+    for k in range(3):  # hot month accumulates small appends
+        t.append(mk(100 + 20 * k, "2024-02"))
+    before = t._load()
+    jan_paths = {
+        b["path"] for b in before.batches if b["months"] == ["2024-01"]
+    }
+    assert len(before.batches) == 4
+    t.compact(months=["2024-02"])
+    after = t._load()
+    # january's batch rides through untouched; february folded to one
+    assert jan_paths <= {b["path"] for b in after.batches}
+    feb = [b for b in after.batches if "2024-02" in b["months"]]
+    assert len(feb) == 1
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == list(range(0, 20)) + list(range(100, 160))
+    assert t.read(months=["2024-01"]).count() == 20
+    with pytest.raises(ValueError, match="partitioned"):
+        catalog.write_evolving(
+            spark.createDataFrame([(1,)], ["x"]), "db", "cscu"
+        )
+        catalog.table("db", "cscu").compact(months=["2024-01"])
