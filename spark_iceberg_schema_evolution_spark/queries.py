@@ -7146,11 +7146,18 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
 # bands), then the 23 entries that have NEVER produced a driver
 # CORRECTNESS row (q113, q114, q124-q144 — the round-5 second half),
 # then the r2/r3-stale block (q01 q05 q73-q75 q87 q88 q90-q92 q96 q97
-# q101 q105-q108). Deferred to the r7 window: q27 (r3-green, pure
-# functions — lowest risk), the 9 r2-leftovers q76-q83/q85, and the
-# r4-green tail (q02-q04, q06-q11, q19, q24-q32, q34-q35, q39-q43,
-# q49-q52, q66, q69, q84, q86, q94-q95, q98-q100, q102-q104,
-# q109-q111) — ~46 entries, one more rotation retires the debt.
+# q101 q105-q108). Deferred to the r7 window, in priority order:
+# (a) q155-q157 (added after this window filled — fuzzy join, regex +
+# string-format families: never driver-checked), (b) q27 (r3-green,
+# pure functions — lowest risk deferral), the 9 r2-leftovers
+# q76-q83/q85, and (c) the r4-green tail (q02-q04, q06-q11, q19,
+# q24-q32, q34-q35, q39-q43, q49-q52, q66, q69, q84, q86, q94-q95,
+# q98-q100, q102-q104, q109-q111) — ~49 entries, one more rotation
+# retires the debt. ALSO re-window q37/q115/q118 + the dedup block in
+# r7 if anything LSH-adjacent changes again: the round-6 MinHash fix
+# (factory-closure seeds) changed signature values, and while every
+# oracle entry re-verified green this round, those entries are the
+# canary for that code path.
 
 _DRIVER_WINDOW = [
     # new this round (never driver-checked): round-6 operators

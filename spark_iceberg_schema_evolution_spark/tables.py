@@ -3054,6 +3054,27 @@ class LakehouseTable:
             return self.read(version=v), v
         return self.changes(frm, v), v
 
+    def consume_diff(self, consumer_id: str):
+        """Row-level CDC consumption: :meth:`consume_changes`' sibling
+        whose payload is :meth:`diff`'s ``_change_type`` D/I rows — it
+        sees through rewrites (COW DELETE/UPDATE/MERGE surface as D+I
+        pairs) where the append-level consumer only sees new batches.
+        First poll delivers the whole table as inserts. Same cursor
+        namespace and at-least-once contract as consume_changes; the
+        ack is :meth:`commit_offset`. Use this cursor for sinks that
+        must mirror deletes (a downstream index, a serving store);
+        the cheaper append cursor for grow-only corpora."""
+        v = self._load().version
+        frm = self.consumer_offset(consumer_id)
+        if frm is None:
+            return (
+                self.read(version=v).withColumn(
+                    "_change_type", F.lit("I")
+                ),
+                v,
+            )
+        return self.diff(frm, v), v
+
     def commit_offset(self, consumer_id: str, version: int) -> None:
         """Durably advance a consumer's checkpoint (atomic tmp+rename).
         Offsets only move forward: committing behind the stored offset

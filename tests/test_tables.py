@@ -2248,3 +2248,32 @@ def test_compact_scoped_to_months(spark, catalog):
             spark.createDataFrame([(1,)], ["x"]), "db", "cscu"
         )
         catalog.table("db", "cscu").compact(months=["2024-01"])
+
+
+def test_consume_diff_sees_through_rewrites(spark, catalog):
+    """The row-level CDC cursor mirrors deletes/updates as D/I pairs
+    where the append cursor sees only new batches."""
+    catalog.write_evolving(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+        ),
+        "db", "cdiff",
+    )
+    t = catalog.table("db", "cdiff")
+    df, v0 = t.consume_diff("mirror")
+    assert {(r.id, r._change_type) for r in df.collect()} == {
+        (1, "I"), (2, "I"), (3, "I")
+    }
+    t.commit_offset("mirror", v0)
+    t.delete_where("id = 2")
+    t.update_where("id = 3", {"v": F.lit("C")})
+    df2, v1 = t.consume_diff("mirror")
+    got = {(r.id, r.v, r._change_type) for r in df2.collect()}
+    assert got == {
+        (2, "b", "D"),
+        (3, "c", "D"),
+        (3, "C", "I"),
+    }
+    t.commit_offset("mirror", v1)
+    df3, _ = t.consume_diff("mirror")
+    assert df3.count() == 0
