@@ -240,3 +240,36 @@ def hll_coarsen(
     if group_cols:
         return rollup.groupBy(*group_cols).agg(*aggs)
     return rollup.agg(*aggs)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Join/aggregation skew diagnostics: the ``top`` hottest key
+    tuples with row counts and corpus share — the numbers that decide
+    between a plain shuffle, AQE's skew split, and an explicit
+    ``salted_join``. One hash aggregate + a tiny top-k; the share
+    denominator folds in the same pass (grouping-sets style via a
+    window over the aggregated, already-small key counts)."""
+    if not keys:
+        raise ValueError("need at least one key column")
+    from pyspark.sql import Window as _W
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    # scale discipline, practiced on ourselves: a global window over the
+    # key counts would single-partition a possibly-huge distinct-key
+    # set. The top-k is TakeOrdered (per-partition heaps), the
+    # denominator a one-row aggregate broadcast back, and the rank
+    # window runs over only the <=top surviving rows.
+    order = [F.col("n_rows").desc()] + [F.col(k).asc() for k in keys]
+    top_rows = counts.orderBy(*order).limit(top)
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    w = _W.partitionBy().orderBy(*order)
+    return (
+        top_rows.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_rows") / F.col("__total"))
+        .withColumn("rank", F.row_number().over(w))
+        .drop("__total")
+    )

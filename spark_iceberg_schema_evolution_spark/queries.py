@@ -7121,6 +7121,126 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+@q(
+    "q158_argmin_argmax",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_big,
+           CAST(max_by(o_orderkey, o_totalprice) AS BIGINT)
+             AS key_of_max,
+           CAST(min_by(o_orderkey, o_totalprice) AS BIGINT)
+             AS key_of_min,
+           CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS max_c
+    FROM orders GROUP BY o_orderpriority ORDER BY pri
+    """,
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional/argument aggregation family: count_if (FILTER
+    clause), max_by/min_by (per-group argmax/argmin WITHOUT a window
+    pass — one hash aggregate instead of a sort+row_number). Prices are
+    unique per group in this data, so the arg row is well-defined."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.max_by("o_orderkey", "o_totalprice").alias("key_of_max"),
+            F.min_by("o_orderkey", "o_totalprice").alias("key_of_min"),
+            cents(F.max("o_totalprice")).alias("max_c"),
+        )
+        .orderBy("pri")
+    )
+
+
+@q(
+    "q159_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             CAST(epoch(ts) AS BIGINT) // 86400 AS day
+      FROM events),
+    isl AS (
+      SELECT user_id, day - rn AS grp, COUNT(*) AS len
+      FROM (SELECT DISTINCT user_id,
+                   day,
+                   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
+                     AS rn
+            FROM seq) d
+      GROUP BY user_id, grp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest,
+           CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_streaks_3plus
+    FROM isl
+    """,
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the classic day - dense_rank grouping constant — retention
+    streaks/contiguity analysis in two window-free-of-self-join passes
+    (one shuffle on the user key)."""
+    e = load_events(spark, sf)
+    days = (
+        e.select(
+            "user_id",
+            (F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias(
+                "day"
+            ),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = (
+        days.withColumn("rn", F.dense_rank().over(w))
+        .withColumn("grp", F.col("day") - F.col("rn"))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return isl.agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("len").alias("longest"),
+        F.sum(F.when(F.col("len") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_streaks_3plus"),
+    )
+
+
+@q(
+    "q160_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem
+      GROUP BY l_orderkey),
+    t AS (SELECT SUM(n_rows) AS total FROM c)
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS share_r,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_orderkey)
+             AS INT) AS rank
+    FROM c, t ORDER BY rank LIMIT 5
+    """,
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew diagnostics: the hottest join keys with row counts and
+    corpus share — the numbers that pick between a plain shuffle,
+    AQE's skew split, and an explicit salted join. One hash aggregate;
+    the share window runs over the already-aggregated key counts."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        skew_report,
+    )
+
+    li = load(spark, sf, "lineitem")
+    return skew_report(li, ["l_orderkey"], top=5).select(
+        "l_orderkey",
+        "n_rows",
+        F.round("share", 6).alias("share_r"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -473,3 +473,24 @@ def test_histogram_binning(spark):
         histogram(df, "x", 0)
     with _pt.raises(ValueError, match="hi > lo"):
         histogram(df, "x", 4, lo=5.0, hi=5.0)
+
+
+def test_skew_report_identifies_hot_keys(spark):
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        skew_report,
+    )
+
+    rows = (
+        [("hot", i) for i in range(80)]
+        + [("warm", i) for i in range(15)]
+        + [("cold", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = skew_report(df, ["k"], top=2).collect()
+    assert [(r.k, r.n_rows, r.rank) for r in out] == [
+        ("hot", 80, 1), ("warm", 15, 2)
+    ]
+    assert abs(out[0].share - 0.8) < 1e-12
+    import pytest as _p
+    with _p.raises(ValueError):
+        skew_report(df, [])
