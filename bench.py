@@ -106,6 +106,15 @@ HEADLINE = [
     "q146_dup_spans",
     "q147_bm25_search",
     "q148_bucketed_cojoin",
+    "q151_leakage_free_split",
+    "q153_burst_dedup",
+    "q154_percentile_bands",
+    "q155_fuzzy_join",
+    "q156_regex_family",
+    "q157_string_format_family",
+    "q158_argmin_argmax",
+    "q159_gaps_islands",
+    "q160_skew_report",
 ]
 
 

@@ -7241,6 +7241,55 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q161_embedding_pooling",
+    oracle="""
+    WITH g AS (
+      SELECT vec_id % 50 AS grp, vec_id, embedding FROM embeddings),
+    flat AS (
+      SELECT grp, t.i,
+             list_reduce(
+               list(CAST(embedding[t.i] AS DOUBLE) ORDER BY vec_id),
+               (a, b) -> a + b) / COUNT(*) AS m
+      FROM g CROSS JOIN range(1, 65) t(i)
+      GROUP BY grp, t.i),
+    pooled AS (
+      SELECT grp, list(m ORDER BY i) AS vec FROM flat GROUP BY grp)
+    SELECT CAST(grp AS BIGINT) AS grp,
+           ROUND(vec[1], 6) AS e1,
+           ROUND(list_reduce(vec, (a, b) -> a + b), 6) AS esum
+    FROM pooled ORDER BY grp
+    """,
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped mean-pooling of embeddings (the chunk-embeddings ->
+    document-embedding step): vectors collect in SORTED member order so
+    the element-wise fold is a deterministic left fold — the oracle
+    replays the identical (order, arithmetic) sequence via DuckDB
+    list_reduce, making float pooling hash-exact across engines."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        as_double,
+        avg_pool,
+        fold_sum,
+    )
+
+    e = load(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 50).alias("grp"), "vec_id", "embedding"
+    )
+    grouped = e.groupBy("grp").agg(
+        F.sort_array(
+            F.collect_list(F.struct("vec_id", "embedding"))
+        ).alias("vs")
+    )
+    arrs = F.transform(F.col("vs"), lambda s: as_double(s["embedding"]))
+    pooled = avg_pool(arrs)
+    return grouped.select(
+        "grp",
+        F.round(F.element_at(pooled, 1), 6).alias("e1"),
+        F.round(fold_sum(pooled), 6).alias("esum"),
+    ).orderBy("grp")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7267,8 +7316,9 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS row (q113, q114, q124-q144 — the round-5 second half),
 # then the r2/r3-stale block (q01 q05 q73-q75 q87 q88 q90-q92 q96 q97
 # q101 q105-q108). Deferred to the r7 window, in priority order:
-# (a) q155-q157 (added after this window filled — fuzzy join, regex +
-# string-format families: never driver-checked), (b) q27 (r3-green,
+# (a) q155-q160 (added after this window filled — fuzzy join, regex +
+# string-format families, argmin/argmax, gaps-and-islands, skew
+# report: never driver-checked), (b) q27 (r3-green,
 # pure functions — lowest risk deferral), the 9 r2-leftovers
 # q76-q83/q85, and (c) the r4-green tail (q02-q04, q06-q11, q19,
 # q24-q32, q34-q35, q39-q43, q49-q52, q66, q69, q84, q86, q94-q95,
