@@ -7290,6 +7290,75 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("grp")
 
 
+@q(
+    "q162_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value, event_id,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events),
+    seg AS (
+      SELECT user_id,
+             epoch_us(nxt) - epoch_us(ts) AS dt_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      FROM seq WHERE nxt IS NOT NULL)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(dt_us * v_c) AS BIGINT) AS weighted_c,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(dt_us * v_c) AS DOUBLE) / 100
+                 / CAST(SUM(dt_us) AS DOUBLE), 4) AS twap
+    FROM seg GROUP BY user_id
+    HAVING SUM(dt_us) > 0
+    ORDER BY user_id LIMIT 100
+    """,
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB's time_weight, the TWAP of
+    financial series): each observation holds until the next one, so
+    the mean weights values by their holding duration — computed in
+    exact integer (seconds x cents) space so the per-user sums are
+    shuffle-order-independent and hash-exact; only the final quotient
+    is floating."""
+    e = load_events(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.select(
+            "user_id", "ts", "event_id",
+            cents(F.col("value")).alias("v_c"),
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .withColumn("nxt_us", F.lead(F.unix_micros("ts")).over(w))
+        .where(F.col("nxt_us").isNotNull())
+        .select(
+            "user_id",
+            (F.col("nxt_us") - F.col("t_us")).alias("dt_us"),
+            "v_c",
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("dt_us") * F.col("v_c")).alias("weighted_c"),
+            F.sum("dt_us").alias("total_us"),
+        )
+        .where(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "weighted_c",
+            "total_us",
+            F.round(
+                F.col("weighted_c").cast("double")
+                / 100
+                / F.col("total_us").cast("double"),
+                4,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
