@@ -115,6 +115,8 @@ HEADLINE = [
     "q158_argmin_argmax",
     "q159_gaps_islands",
     "q160_skew_report",
+    "q161_embedding_pooling",
+    "q162_time_weighted_avg",
 ]
 
 

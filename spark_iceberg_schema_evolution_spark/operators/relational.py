@@ -504,12 +504,16 @@ def fuzzy_join(
 
     lk = keyed(left, l_prefix)
     rk = keyed(right, r_prefix)
-    dist = F.levenshtein(
-        F.col(f"{l_prefix}{col}"), F.col(f"{r_prefix}{col}")
-    )
+    lc = F.col(f"{l_prefix}{col}")
+    rc = F.col(f"{r_prefix}{col}")
+    dist = F.levenshtein(lc, rc)
+    # length band FIRST: |len(a) - len(b)| > d already proves dist > d,
+    # and the int compare short-circuits the And before the O(n*m)
+    # levenshtein evaluates — inside a block most pairs die here
+    band = F.abs(F.length(lc) - F.length(rc)) <= max_distance
     return (
         lk.join(rk, "__blk")
-        .where(dist <= max_distance)
+        .where(band & (dist <= max_distance))
         .withColumn("distance", dist)
         .drop("__blk")
     )

@@ -7020,7 +7020,7 @@ def t2_inc_near(spark: SparkSession, sf: str) -> DataFrame:
     WITH k AS (
       SELECT p_partkey, p_name,
              lower(substr(p_name, 1, 2)) AS blk
-      FROM part)
+      FROM part WHERE p_partkey <= 4000)
     SELECT CAST(a.p_partkey AS BIGINT) AS id_a,
            CAST(b.p_partkey AS BIGINT) AS id_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
@@ -7040,7 +7040,11 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
         fuzzy_join,
     )
 
-    p = load(spark, sf, "part").select("p_partkey", "p_name")
+    p = (
+        load(spark, sf, "part")
+        .where(F.col("p_partkey") <= 4000)
+        .select("p_partkey", "p_name")
+    )
     pairs = fuzzy_join(p, p, "p_name", max_distance=2, block_chars=2)
     return (
         pairs.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
@@ -7385,9 +7389,9 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS row (q113, q114, q124-q144 — the round-5 second half),
 # then the r2/r3-stale block (q01 q05 q73-q75 q87 q88 q90-q92 q96 q97
 # q101 q105-q108). Deferred to the r7 window, in priority order:
-# (a) q155-q160 (added after this window filled — fuzzy join, regex +
+# (a) q155-q162 (added after this window filled — fuzzy join, regex +
 # string-format families, argmin/argmax, gaps-and-islands, skew
-# report: never driver-checked), (b) q27 (r3-green,
+# report, embedding pooling, TWAP: never driver-checked), (b) q27 (r3-green,
 # pure functions — lowest risk deferral), the 9 r2-leftovers
 # q76-q83/q85, and (c) the r4-green tail (q02-q04, q06-q11, q19,
 # q24-q32, q34-q35, q39-q43, q49-q52, q66, q69, q84, q86, q94-q95,
