@@ -308,7 +308,12 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs (or all co-shingled
     pairs when ``pairs`` is None): explode distinct shingles, self-join on
     shingle, count intersections, divide by union sizes. Returns
-    (id_a, id_b, n_common, n_a, n_b, jaccard).
+    (id_a, id_b, n_common, n_a, n_b, jaccard, containment) —
+    ``containment`` is the overlap coefficient n_common/min(n_a, n_b),
+    the asymmetric signal that catches a small document embedded
+    verbatim inside a big one (jaccard stays low there because the big
+    doc's extra shingles inflate the union; quote-heavy and
+    concatenated-page corpora dedup on containment, not jaccard).
 
     Shingles are keyed on ``xxhash64(shingle)``, not the shingle string —
     fixed-width shuffle keys (multi-word shingles are long); a 64-bit
@@ -366,6 +371,11 @@ def jaccard_pairs(
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
             )
+            .withColumn(
+                "containment",
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b"),
+            )
         )
 
     sh = df.select(
@@ -410,6 +420,10 @@ def jaccard_pairs(
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("containment"),
         )
     )
 

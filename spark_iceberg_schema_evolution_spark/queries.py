@@ -1297,7 +1297,8 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY 1, 2)
     SELECT id_a, id_b, n_common,
            sa.n_sh AS n_a, sb.n_sh AS n_b,
-           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
+           CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -7360,6 +7361,55 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
         .limit(100)
+    )
+
+
+@q(
+    "q163_containment_dedup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             CAST(n_common AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - n_common) AS jac,
+             CAST(n_common AS DOUBLE)
+               / LEAST(sa.n_sh, sb.n_sh) AS cont
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_contained,
+           CAST(SUM(CASE WHEN jac < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_jaccard_misses,
+           CAST(MIN(id_a) AS BIGINT) AS first_a
+    FROM scored WHERE cont >= 0.8
+    """,
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment (overlap-coefficient) dedup signal: pairs where one
+    doc's shingles sit >= 80% inside the other — n_jaccard_misses
+    counts how many of them plain Jaccard-at-0.5 would MISS (the
+    small-doc-embedded-in-big-doc case: quotes, concatenated pages),
+    which is why dedup pipelines threshold containment separately."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    d = load(spark, sf, "documents")
+    scored = jaccard_pairs(d)
+    hits = scored.where(F.col("containment") >= 0.8)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_contained"),
+        F.sum(F.when(F.col("jaccard") < 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_jaccard_misses"),
+        F.min("id_a").alias("first_a"),
     )
 
 
