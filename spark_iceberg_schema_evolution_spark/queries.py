@@ -7439,9 +7439,9 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS row (q113, q114, q124-q144 — the round-5 second half),
 # then the r2/r3-stale block (q01 q05 q73-q75 q87 q88 q90-q92 q96 q97
 # q101 q105-q108). Deferred to the r7 window, in priority order:
-# (a) q155-q162 (added after this window filled — fuzzy join, regex +
+# (a) q155-q163 (added after this window filled — fuzzy join, regex +
 # string-format families, argmin/argmax, gaps-and-islands, skew
-# report, embedding pooling, TWAP: never driver-checked), (b) q27 (r3-green,
+# report, embedding pooling, TWAP, containment: never driver-checked), (b) q27 (r3-green,
 # pure functions — lowest risk deferral), the 9 r2-leftovers
 # q76-q83/q85, and (c) the r4-green tail (q02-q04, q06-q11, q19,
 # q24-q32, q34-q35, q39-q43, q49-q52, q66, q69, q84, q86, q94-q95,
