@@ -7413,6 +7413,36 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q164_date_trunc_family",
+    oracle="""
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT date_trunc('week', o_orderdate))
+             AS BIGINT) AS n_weeks,
+           CAST(MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+             AS DATE) AS first_month
+    FROM orders GROUP BY qtr ORDER BY qtr
+    """,
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar bucketing family: quarter/week/month date_trunc
+    rollups — both engines anchor weeks on Monday and quarters on the
+    calendar, so the buckets align exactly."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(F.trunc("o_orderdate", "quarter").alias("qtr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct(F.trunc("o_orderdate", "week")).alias(
+                "n_weeks"
+            ),
+            F.min(F.trunc("o_orderdate", "month")).alias("first_month"),
+        )
+        .orderBy("qtr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7441,7 +7471,8 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 # q101 q105-q108). Deferred to the r7 window, in priority order:
 # (a) q155-q163 (added after this window filled — fuzzy join, regex +
 # string-format families, argmin/argmax, gaps-and-islands, skew
-# report, embedding pooling, TWAP, containment: never driver-checked), (b) q27 (r3-green,
+# report, embedding pooling, TWAP, containment, date_trunc: never
+# driver-checked), (b) q27 (r3-green,
 # pure functions — lowest risk deferral), the 9 r2-leftovers
 # q76-q83/q85, and (c) the r4-green tail (q02-q04, q06-q11, q19,
 # q24-q32, q34-q35, q39-q43, q49-q52, q66, q69, q84, q86, q94-q95,
