@@ -1,12 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints the full metric JSON line first, then — because a tail-capture of
+stdout truncated the full line in round 6 (only 66/83 queries reached the
+driver, and the total was lost) — a compact, tail-capture-proof summary as
+the FINAL line, and writes the full dict to BENCH_full.json beside this
+file:
+
+  {"metric": "headline_queries_wall_clock", "value": <total sec>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "headline_queries_wall_clock", "value": <total sec>,
+   "unit": "sec", "sf": <sf>, "n_queries": N, "queries_sha256_12":
+   "<hash of the full queries dict>", "full_json": "<path>"}
+
+Consumers should parse the LAST parseable JSON line; the hash ties it to
+the on-disk full dict.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -150,17 +162,41 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_line = json.dumps(full)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    with open(full_path, "w") as fh:
+        fh.write(full_line + "\n")
+    print(full_line)
+    # tail-capture-proof final line: short enough (~200 bytes) to survive
+    # any tail truncation, carries the headline number + a hash tying it
+    # to the full per-query dict written above.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_sha256_12": hashlib.sha256(
+                    json.dumps(timings, sort_keys=True).encode()
+                ).hexdigest()[:12],
+                "full_json": full_path,
             }
         )
     )
+    sys.stdout.flush()
     spark.stop()
 
 

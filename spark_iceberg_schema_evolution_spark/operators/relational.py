@@ -474,7 +474,9 @@ def fuzzy_join(
     block_chars: int = 2,
     l_prefix: str = "l_",
     r_prefix: str = "r_",
-) -> DataFrame:
+    max_block_pairs: int | None = 1_000_000,
+    return_drop_stats: bool = False,
+):
     """Blocked fuzzy (Levenshtein) join — entity resolution's workhorse:
     rows pair only within a BLOCKING key (the lowercased first
     ``block_chars`` characters), then the exact edit-distance predicate
@@ -483,14 +485,37 @@ def fuzzy_join(
     explosion is bounded per block — the all-pairs cross join that a
     naive ``levenshtein(a, b) <= d`` theta-join would plan never exists.
 
-    Standard trade, stated loudly: matches whose first ``block_chars``
-    characters differ are NOT found (e.g. a typo in character 1). Use
-    multiple passes with different blocking functions (prefix, reversed
-    prefix, soundex) and union when that recall matters; each pass
-    stays an equi-join.
+    Hot-block guard (the LSH ``max_bucket_size`` discipline applied to
+    blocking): within a block the work is |L_blk| x |R_blk| candidate
+    tests, so ONE degenerate key — empty strings, a boilerplate prefix,
+    the default 2-char blocker's ~1.4k-key ceiling meeting a skewed
+    corpus — can go quadratic while every other block is tiny. Blocks
+    whose candidate-pair product exceeds ``max_block_pairs`` are
+    dropped before the join (pass ``None`` to disable). The drop is
+    never silent: with ``return_drop_stats=True`` the result is
+    ``(pairs, drops)`` where ``drops`` is a one-row DataFrame
+    ``(dropped_blocks, dropped_candidate_pairs, dropped_left_rows,
+    dropped_right_rows)`` — wire it into the run's metrics; at 100 TB a
+    hot block silently deleting recall is an audit failure.
+
+    Recall trade, stated loudly: matches whose first ``block_chars``
+    characters differ are NOT found (a typo in character 1), and
+    dropped hot blocks lose their matches too. Recover recall with
+    multiple passes under DIFFERENT blockers and union — each pass
+    stays an equi-join, and a key that is hot under one blocker is
+    almost never hot under another::
+
+        p1 = fuzzy_join(l, r, "name")                       # prefix
+        p2 = fuzzy_join(
+            l.withColumn("name", F.reverse("name")),        # suffix
+            r.withColumn("name", F.reverse("name")), "name")
+        pairs = p1.unionByName(
+            p2.select(*(F.reverse(c).alias(c) if c.endswith("name")
+                        else F.col(c) for c in p2.columns))
+        ).distinct()
 
     Returns pairs with all columns prefixed ``l_``/``r_`` plus
-    ``distance``."""
+    ``distance`` (or ``(pairs, drops)``)."""
     if max_distance < 0 or block_chars < 1:
         raise ValueError("need max_distance >= 0 and block_chars >= 1")
 
@@ -504,6 +529,27 @@ def fuzzy_join(
 
     lk = keyed(left, l_prefix)
     rk = keyed(right, r_prefix)
+    drops = None
+    if max_block_pairs is not None:
+        # one count row per block per side — tiny relative to the data,
+        # and the ok-block set semi-joins back broadcast-sized.
+        lcnt = lk.groupBy("__blk").agg(F.count(F.lit(1)).alias("__lc"))
+        rcnt = rk.groupBy("__blk").agg(F.count(F.lit(1)).alias("__rc"))
+        sizes = lcnt.join(rcnt, "__blk").withColumn(
+            "__pairs", F.col("__lc") * F.col("__rc")
+        )
+        ok = sizes.where(F.col("__pairs") <= max_block_pairs)
+        lk = lk.join(F.broadcast(ok.select("__blk")), "__blk", "left_semi")
+        rk = rk.join(F.broadcast(ok.select("__blk")), "__blk", "left_semi")
+        hot = sizes.where(F.col("__pairs") > max_block_pairs)
+        drops = hot.agg(
+            F.count(F.lit(1)).alias("dropped_blocks"),
+            F.coalesce(F.sum("__pairs"), F.lit(0)).alias(
+                "dropped_candidate_pairs"
+            ),
+            F.coalesce(F.sum("__lc"), F.lit(0)).alias("dropped_left_rows"),
+            F.coalesce(F.sum("__rc"), F.lit(0)).alias("dropped_right_rows"),
+        )
     lc = F.col(f"{l_prefix}{col}")
     rc = F.col(f"{r_prefix}{col}")
     dist = F.levenshtein(lc, rc)
@@ -511,12 +557,22 @@ def fuzzy_join(
     # and the int compare short-circuits the And before the O(n*m)
     # levenshtein evaluates — inside a block most pairs die here
     band = F.abs(F.length(lc) - F.length(rc)) <= max_distance
-    return (
+    pairs = (
         lk.join(rk, "__blk")
         .where(band & (dist <= max_distance))
         .withColumn("distance", dist)
         .drop("__blk")
     )
+    if not return_drop_stats:
+        return pairs
+    if drops is None:
+        spark = left.sparkSession
+        drops = spark.createDataFrame(
+            [(0, 0, 0, 0)],
+            "dropped_blocks long, dropped_candidate_pairs long, "
+            "dropped_left_rows long, dropped_right_rows long",
+        )
+    return pairs, drops
 
 
 def dedup_bursts(

@@ -6455,21 +6455,34 @@ _CLF_W = [((i * 37) % 19 - 9) / 10 for i in range(64)]
 _CLF_B = 0.1
 
 
+# VALUES-table form of the classifier weights: the one portable way to
+# give the oracle a 1-indexed (i, weight) lookup. Indexing a
+# parenthesized literal list inside a lambda — q145's original oracle —
+# is the single list form that diverged on the round-6 driver DuckDB
+# while every other lambda/comprehension oracle (q127, q146) stayed
+# green in the same run; the ban on it is now a corpus rule.
+_CLF_W_VALUES = ", ".join(
+    f"({j}, {w!r})" for j, w in enumerate(_CLF_W, 1)
+)
+
+
 @q(
     "q145_classifier_filter",
     oracle=f"""
-    WITH z AS (
+    WITH w(i, wt) AS (VALUES {_CLF_W_VALUES}),
+    e AS (
       SELECT vec_id,
-             list_reduce(
-               list_transform(generate_series(1, 64),
-                 i -> CAST(embedding[i] AS DOUBLE)
-                      * ([{", ".join(repr(w) for w in _CLF_W)}])[i]),
-               (a, b) -> a + b) + {_CLF_B!r} AS z
-      FROM embeddings)
+             UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+             UNNEST(generate_series(1, 64)) AS i
+      FROM embeddings),
+    z AS (
+      SELECT e.vec_id, SUM(e.x * w.wt) + {_CLF_B!r} AS z
+      FROM e JOIN w ON e.i = w.i
+      GROUP BY e.vec_id)
     SELECT COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pass,
-           SUM(CAST(ROUND(z * 1000000) AS BIGINT)) AS z_sum_micros
+           SUM(CAST(ROUND(z * 10000) AS BIGINT)) AS z_sum_e4
     FROM z
     """,
 )
@@ -6477,10 +6490,12 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     """Model-based quality filtering with a frozen linear head
     (fastText/FineWeb-Edu shape): sigmoid(w.x + b) over the embedding
     column as a zero-shuffle codegen map — no UDF, no broadcast, no
-    model server. The oracle recomputes the identical left-fold dot
-    product in DuckDB; the checksum compares the pre-sigmoid logit
-    (pure IEEE arithmetic, engine-exact) while n_pass exercises the
-    sigmoid threshold (sigmoid(z) > 0.5 <=> z > 0, exactly)."""
+    model server. The oracle recomputes the dot product via a plain
+    UNNEST-zip + VALUES weight join (no lambda forms, no literal-list
+    indexing — the round-6 driver-red lesson) and checksums the
+    pre-sigmoid logit at the corpus ROUND(,4) scaled-int convention;
+    n_pass exercises the sigmoid threshold (sigmoid(z) > 0.5 <=> z > 0,
+    exactly). q165 is the decomposed per-element probe for this head."""
     from spark_iceberg_schema_evolution_spark.operators.similarity import (
         as_double,
         dot,
@@ -6498,10 +6513,50 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(
             F.when(F.col("clf_score") > 0.5, 1).otherwise(0)
         ).cast("long").alias("n_pass"),
-        F.sum(F.round(F.col("__z") * 1e6).cast("long")).alias(
-            "z_sum_micros"
+        F.sum(F.round(F.col("__z") * 1e4).cast("long")).alias(
+            "z_sum_e4"
         ),
     )
+
+
+@q(
+    "q165_classifier_probe",
+    oracle=f"""
+    WITH w(i, wt) AS (VALUES {_CLF_W_VALUES}),
+    e AS (
+      SELECT vec_id,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+             UNNEST(generate_series(1, 64)) AS i
+      FROM embeddings WHERE vec_id < 4)
+    SELECT e.vec_id, e.i AS elem,
+           CAST(ROUND(e.x * w.wt * 10000) AS BIGINT) AS prod_e4
+    FROM e JOIN w ON e.i = w.i
+    ORDER BY e.vec_id, e.i
+    """,
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Decomposed probe for the q145 classifier head: one row per
+    (vector, element) with the weighted product as a 4dp scaled int —
+    no fold anywhere, so any cross-engine divergence localizes to
+    element indexing, element values, or rounding rather than hiding
+    inside a single summed checksum. Spark side is posexplode +
+    element_at on the same weight literals; both sides are map-only."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        as_double,
+    )
+
+    e = load(spark, sf, "embeddings").where("vec_id < 4")
+    w = F.array(*[F.lit(wv) for wv in _CLF_W])
+    exploded = e.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    return exploded.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("elem"),
+        F.round(
+            F.col("x") * F.element_at(w, F.col("pos") + 1) * 1e4
+        ).cast("long").alias("prod_e4"),
+    ).orderBy("vec_id", "elem")
 
 
 @q(
@@ -7483,61 +7538,70 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 # oracle entry re-verified green this round, those entries are the
 # canary for that code path.
 
+# Round-7 window (r6 VERDICT items 1+2, executed as pinned): q145 (the
+# one red row, oracle restated without literal-list indexing) with its
+# new decomposed probe q165, the ten never-driver-checked round-6 tail
+# entries q155–q164, the r3-stale block (q02, q27, q76–q83, q85), then
+# the 27 oldest r4-stale rows (q03–q11 minus the r6-checked q05, q19,
+# q24–q32 minus the r5-checked q27-dup, q34–q35, q39–q43, q49–q51).
+# Deferred to the r8 window (one more rotation retires all driver
+# staleness): q52, q66, q69, q84, q86, q94, q95, q98–q100, q102–q104,
+# q109–q111 (~16 r4 rows) plus whatever r7 adds.
 _DRIVER_WINDOW = [
-    # new this round (never driver-checked): round-6 operators
+    # the only red row in the corpus + its decomposed probe (new)
     "q145_classifier_filter",
-    "q146_dup_spans",
-    "q147_bm25_search",
-    "q148_bucketed_cojoin",
-    "q149_change_consumer",
-    "q150_bloom_lookup",
-    "q151_leakage_free_split",
-    "q152_schema_log",
-    "q153_burst_dedup",
-    "q154_percentile_bands",
-    # never driver-checked: round-5 second half (23)
-    "q113_deterministic_sample",
-    "q114_token_budget_batches",
-    "q124_bucket_pruning",
-    "q125_url_curation",
-    "q126_term_search",
-    "q127_cluster_sample",
-    "q128_lm_quality_score",
-    "q129_audio_framing",
-    "q130_incremental_rollup",
-    "q131_contamination_stats",
-    "q132_merge_by_source",
-    "q133_initial_default",
-    "q134_gapfill_locf",
-    "q135_clean_text",
-    "q136_histogram",
-    "q137_funnel",
-    "q138_cohort_retention",
-    "q139_interval_join",
-    "q140_ingest_dedup",
-    "q141_copy_into",
-    "q142_recursive_cte",
-    "q143_lateral_topk",
-    "q144_in_list_lookup",
-    # r2-stale (driver rows from r2 only)
-    "q01_scan_counts",
-    "q05_join_inner_agg",
-    # r3-stale block (q27 deferred to r7 — lowest risk)
-    "q73_delete_update",
-    "q74_dedup_clusters",
-    "q75_incremental_changes",
-    "q87_rename_drop_evolution",
-    "q88_jsonl_scan",
-    "q90_type_widening",
-    "q91_data_skipping",
-    "q92_sorted_compact_skip",
-    "q96_stratified_sample",
-    "q97_zorder_box_query",
-    "q101_nested_evolution",
-    "q105_wap_branch_publish",
-    "q106_decontamination",
-    "q107_repetition_filters",
-    "q108_shuffle_shards",
+    "q165_classifier_probe",
+    # never driver-checked: round-6 post-freeze tail
+    "q155_fuzzy_join",
+    "q156_regex_family",
+    "q157_string_format_family",
+    "q158_argmin_argmax",
+    "q159_gaps_islands",
+    "q160_skew_report",
+    "q161_embedding_pooling",
+    "q162_time_weighted_avg",
+    "q163_containment_dedup",
+    "q164_date_trunc_family",
+    # r3-stale block
+    "q02_csv_scan_schema",
+    "q27_date_funcs",
+    "q76_group_by_all_qualify",
+    "q77_except_all",
+    "q78_unpivot",
+    "q79_percentile_cont",
+    "q80_string_funcs2",
+    "q81_try_cast",
+    "q82_ignore_nulls_stringagg",
+    "q83_bit_bool_aggs",
+    "q85_salted_join_equivalence",
+    # oldest r4-stale rows (27)
+    "q03_json_extract",
+    "q04_filter_case",
+    "q06_join_broadcast",
+    "q07_join_left_outer",
+    "q08_join_semi_anti",
+    "q09_cross_join",
+    "q10_range_join",
+    "q11_asof_join",
+    "q19_window_lag",
+    "q24_except",
+    "q25_union_byname",
+    "q26_string_funcs",
+    "q28_math_funcs",
+    "q29_null_cond",
+    "q30_array_explode",
+    "q31_map_funcs",
+    "q32_hash_md5",
+    "q34_tumbling_hour",
+    "q35_sessionize",
+    "q39_text_stats",
+    "q40_embedding_norms",
+    "q41_lang_id",
+    "q42_quality_fingerprint",
+    "q43_multimodal_meta",
+    "q49_stream_tumbling",
+    "q50_stream_sliding",
+    "q51_stream_session",
 ]
 
 

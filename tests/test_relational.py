@@ -361,3 +361,40 @@ def test_fuzzy_join_blocked_matching(spark):
     assert not any(l == 3 for l, _, _ in got)
     with __import__("pytest").raises(ValueError):
         fuzzy_join(left, right, "name", max_distance=-1)
+
+
+def test_fuzzy_join_hot_block_guard(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        fuzzy_join,
+    )
+
+    # planted hot block: 40x40 = 1600 candidate pairs under "aa", one
+    # cold block ("sm") that must survive the guard untouched.
+    left = spark.createDataFrame(
+        [(i, f"aaron{i:03d}") for i in range(40)] + [(900, "Smith")],
+        ["id", "name"],
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, f"aaron{i:03d}x") for i in range(40)]
+        + [(1900, "Smyth")],
+        ["id", "name"],
+    )
+    pairs, drops = fuzzy_join(
+        left, right, "name",
+        max_distance=2, max_block_pairs=100, return_drop_stats=True,
+    )
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    assert (900, 1900) in got                 # cold block intact
+    assert not any(l < 100 for l, _ in got)   # hot block dropped
+    d = drops.collect()[0]
+    assert d.dropped_blocks == 1
+    assert d.dropped_candidate_pairs == 1600
+    assert d.dropped_left_rows == 40 and d.dropped_right_rows == 40
+
+    # guard off -> hot block pairs come back, audit frame reads zero
+    pairs2, drops2 = fuzzy_join(
+        left, right, "name",
+        max_distance=2, max_block_pairs=None, return_drop_stats=True,
+    )
+    assert pairs2.where("l_id < 100").count() > 0
+    assert drops2.collect()[0].dropped_blocks == 0
