@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--rollup-group-by", default=None, help="comma-separated"
     )
+    p.add_argument(
+        "--ann-index", default=None, metavar="NAME",
+        help="maintain a materialized ANN index of this name over "
+        "--ann-vec-col (built on first run, incrementally synced after)",
+    )
+    p.add_argument("--ann-vec-col", default="embedding")
+    p.add_argument("--ann-kind", default="sq8", choices=["sq8", "pq"])
+    p.add_argument("--ann-dim", type=int, default=64)
     return p
 
 
@@ -72,6 +80,7 @@ def ingest_increment(spark, args) -> dict:
         exact_dedup,
         incremental_near_dedup,
         minhash_signature,
+        reconcile_signature_store,
     )
     from spark_iceberg_schema_evolution_spark.sources.copy_into import (
         copy_into,
@@ -104,10 +113,22 @@ def ingest_increment(spark, args) -> dict:
         )
     kept = batch
     if args.near_dedup is not None and corpus.exists():
+        # heal the signature store FIRST (bootstrap backfill on a
+        # pre-existing corpus; crash-gap re-sign) so candidate
+        # generation always sees a complete, parameter-checked store.
+        report["sigs_backfilled"] = reconcile_signature_store(
+            cat,
+            ns,
+            args.corpus,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            num_hashes=args.num_hashes,
+            num_bands=args.num_bands,
+        )
         kept, dropped = incremental_near_dedup(
             batch,
             corpus.read(),
-            corpus_sigs=sigs_t.read() if sigs_t.exists() else None,
+            corpus_sigs=sigs_t.read(),
             threshold=args.near_dedup,
             id_col=args.id_col,
             text_col=args.text_col,
@@ -143,6 +164,30 @@ def ingest_increment(spark, args) -> dict:
                 for c in args.bloom_columns.split(","):
                     corpus.build_bloom_index(c.strip())
                 report["bloom_columns"] = args.bloom_columns
+            if args.ann_index:
+                from spark_iceberg_schema_evolution_spark.operators.ann_index import (
+                    build_ann_index,
+                    sync_ann_index,
+                )
+
+                vecs = corpus.read().where(
+                    F.col(args.ann_vec_col).isNotNull()
+                )
+                if cat.table(ns, f"{args.ann_index}_codes").exists():
+                    # sync against the WHOLE corpus, not just the
+                    # batch: heals any crash gap between the corpus
+                    # append and the code append (same reconcile
+                    # discipline as the signature store)
+                    report["ann_encoded"] = sync_ann_index(
+                        cat, ns, args.ann_index, vecs,
+                        vec_col=args.ann_vec_col,
+                    )
+                else:
+                    report["ann_encoded"] = build_ann_index(
+                        cat, ns, args.ann_index, vecs,
+                        dim=args.ann_dim, kind=args.ann_kind,
+                        id_col=args.id_col, vec_col=args.ann_vec_col,
+                    )
             if args.rollup_target and args.rollup_group_by:
                 from spark_iceberg_schema_evolution_spark.operators.rollup import (
                     refresh_rollup,

@@ -229,6 +229,19 @@ def incremental_near_dedup(
         corpus_sigs = minhash_signature(
             corpus_docs, id_col, text_col, num_hashes, shingle_size, seed
         )
+    else:
+        # a store built with different num_hashes bands differently and
+        # yields ZERO candidates silently — a no-op near-dedup pass is
+        # worse than an error. One-row limit probe, not a corpus scan.
+        probe = corpus_sigs.select(F.size("signature")).first()
+        if probe is not None and probe[0] != num_hashes:
+            raise ValueError(
+                f"corpus_sigs signature length {probe[0]} != "
+                f"num_hashes {num_hashes}: the store was built with "
+                "different MinHash parameters and would band "
+                "incompatibly (see reconcile_signature_store, which "
+                "records parameters as table properties)"
+            )
     new_sigs = minhash_signature(
         new_docs, id_col, text_col, num_hashes, shingle_size, seed
     )
@@ -296,6 +309,92 @@ def incremental_near_dedup(
         dropped.select(id_col).distinct(), id_col, "left_anti"
     )
     return kept, dropped
+
+
+_SIG_PROPS = (
+    "minhash.num_hashes",
+    "minhash.num_bands",
+    "minhash.shingle_size",
+    "minhash.seed",
+)
+
+
+def reconcile_signature_store(
+    catalog,
+    namespace: str,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> int:
+    """Make the ``<table>_sigs`` MinHash signature store complete and
+    parameter-consistent with the corpus — run this BEFORE every
+    incremental near-dedup pass. Closes two silent-recall holes in the
+    append-only store discipline:
+
+    1. Bootstrap: enabling near-dedup on a PRE-EXISTING corpus with no
+       store used to compute corpus signatures on the fly but persist
+       only the new batch's — every later run then read a partial
+       store and missed near-dups against all pre-existing docs,
+       forever. Here the first call backfills the whole corpus.
+    2. Crash gap: a failure between ``corpus.append(kept)`` and the
+       signature append leaves those docs absent from the store (the
+       exact-hash anti-join drops them on replay before signatures are
+       written). Each call re-signs exactly the corpus ids missing
+       from the store, so the gap heals on the next run.
+
+    Parameters are recorded as table properties on the store at
+    creation; a later call with different parameters raises instead of
+    banding incompatibly (which would yield zero candidates,
+    silently). Cost per run: one column-pruned id anti-join over the
+    corpus (fixed-width keys) + signature work proportional to the
+    MISSING rows only — O(corpus ids) scan, O(gap) compute.
+
+    Returns the number of backfilled rows."""
+    corpus = catalog.table(namespace, table)
+    if not corpus.exists():
+        return 0
+    sigs_name = f"{table}_sigs"
+    sigs_t = catalog.table(namespace, sigs_name)
+    want = dict(
+        zip(_SIG_PROPS, map(str, (num_hashes, num_bands, shingle_size, seed)))
+    )
+    if sigs_t.exists():
+        props = sigs_t.properties()
+        recorded = {k: props[k] for k in _SIG_PROPS if k in props}
+        bad = {k: (v, want[k]) for k, v in recorded.items() if v != want[k]}
+        if bad:
+            raise ValueError(
+                f"signature store {namespace}.{sigs_name} was built "
+                f"with different MinHash parameters: {bad} "
+                "(stored != requested); rebuild the store or match "
+                "the parameters"
+            )
+        if not recorded:  # pre-r7 store: stamp the params now
+            sigs_t.set_properties(want)
+        missing = corpus.read().join(
+            sigs_t.read().select(id_col), id_col, "left_anti"
+        )
+    else:
+        missing = corpus.read()
+    missing = missing.select(id_col, text_col)
+    new_sigs = minhash_signature(
+        missing, id_col, text_col, num_hashes, shingle_size, seed
+    ).persist()
+    try:
+        n = new_sigs.count()
+        if n:
+            if sigs_t.exists():
+                sigs_t.append(new_sigs)
+            else:
+                catalog.write_evolving(new_sigs, namespace, sigs_name)
+                catalog.table(namespace, sigs_name).set_properties(want)
+    finally:
+        new_sigs.unpersist()
+    return n
 
 
 def jaccard_pairs(

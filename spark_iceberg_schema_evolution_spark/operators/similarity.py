@@ -506,7 +506,30 @@ def pq_topk(
         _pq_code_expr(codebooks, dim, F.col("__cv")).alias("__codes"),
         l2_norm(F.col("__cv")).alias("__xn"),
     )
+    return _pq_score_topk(
+        encoded, codebooks, dim, c, queries,
+        k=k, refine=refine, corpus_id=corpus_id, query_id=query_id,
+        vec_col=vec_col,
+    )
 
+
+def _pq_score_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    corpus_vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    refine: int,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared PQ ADC scoring + exact re-rank: ``encoded`` carries
+    (corpus_id, __codes, __xn) — from a fresh in-plan encode
+    (:func:`pq_topk`) or from a MATERIALIZED index table
+    (:func:`ann_index.ann_index_topk`); ``corpus_vecs`` carries
+    (corpus_id, __cv) full vectors for the re-rank stage only."""
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
     )
@@ -539,7 +562,7 @@ def pq_topk(
         .select(query_id, corpus_id)
     )
     rerank = (
-        c.join(F.broadcast(cand), corpus_id)
+        corpus_vecs.join(F.broadcast(cand), corpus_id)
         .join(F.broadcast(q), query_id)
         .select(
             query_id,

@@ -1708,6 +1708,39 @@ def t2_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@q("t2_ann_index_lifecycle", oracle=None, tier=2)
+def t2_ann_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized ANN index lifecycle (r6 VERDICT item 5): build a PQ
+    index over half the corpus (bounded fit -> codebook + codes
+    lakehouse tables), incrementally sync the other half with the
+    STORED codebook (no re-fit, no corpus re-encode — the
+    signature-store pattern applied to similarity search), then answer
+    top-k from the codes table with exact re-rank. recall@10 >= 0.9 and
+    index==fresh-encode equivalence are pinned in
+    tests/test_ann_index.py."""
+    from spark_iceberg_schema_evolution_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+        sync_ann_index,
+    )
+
+    cat = _tmp_catalog(spark)
+    e = load(spark, sf, "embeddings")
+    build_ann_index(
+        cat, "db", "emb", e.where("vec_id % 2 = 0"),
+        dim=64, kind="pq", m=16, ksub=32,
+    )
+    sync_ann_index(cat, "db", "emb", e)  # encode the odd half only
+    qdf = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_topk(
+        cat, "db", "emb", qdf, e, k=10, refine=8
+    ).select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
 @q("t2_multimodal_features", oracle=None, tier=2)
 def t2_mm_features(spark: SparkSession, sf: str) -> DataFrame:
     from spark_iceberg_schema_evolution_spark.operators.multimodal import (

@@ -395,6 +395,7 @@ def stream_dedup_ingest_to_lakehouse(
         exact_dedup,
         incremental_near_dedup,
         minhash_signature,
+        reconcile_signature_store,
     )
 
     report = {"committed_epochs": 0, "rows_ingested": 0, "near_dropped": 0}
@@ -413,10 +414,21 @@ def stream_dedup_ingest_to_lakehouse(
                 .drop("__h")
             )
         if near_threshold is not None and corpus.exists():
+            # heal the store first: bootstrap backfill on a pre-existing
+            # corpus, crash-gap re-sign (see reconcile_signature_store)
+            reconcile_signature_store(
+                catalog,
+                namespace,
+                table,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                num_bands=num_bands,
+            )
             batch, dropped = incremental_near_dedup(
                 batch,
                 corpus.read(),
-                corpus_sigs=sigs_t.read() if sigs_t.exists() else None,
+                corpus_sigs=sigs_t.read(),
                 threshold=near_threshold,
                 id_col=id_col,
                 text_col=text_col,

@@ -255,3 +255,160 @@ def test_ingest_incremental_job_end_to_end(spark, tmp_path):
     assert roll == {"web": 20, "books": 1}
     # bloom survives incrementally: absent id proven without a scan
     assert corpus.plan_scan([("doc_id", "=", 99999)])["files_scanned"] == 0
+
+
+def test_ingest_incremental_sig_store_bootstrap_and_heal(spark, tmp_path):
+    """The two silent-recall holes reconcile_signature_store closes:
+    (1) enabling --near-dedup on a PRE-EXISTING corpus with no store
+    backfills ALL corpus signatures (not just the new batch's), so the
+    near-dup of a pre-existing doc is caught; (2) docs that reached the
+    corpus without signatures (the crash-gap between corpus.append and
+    the sig append) are re-signed on the next run; (3) a store built
+    with different MinHash parameters raises instead of silently
+    yielding zero candidates."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from spark_iceberg_schema_evolution_spark.jobs.ingest_incremental import (
+        build_parser,
+        ingest_increment,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    def drop_file(name, rows):
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "source"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        src = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(incoming / f"{name}.parquet"))
+
+    base_argv = [
+        "--warehouse", str(tmp_path / "wh"), "--namespace", "db",
+        "--corpus", "docs", "--input", str(incoming),
+    ]
+    # day 1: corpus bootstraps WITHOUT near-dedup -> no signature store
+    drop_file(
+        "day1",
+        [(i, f"seed document number {i} with body text {i}", "web")
+         for i in range(10)],
+    )
+    r1 = ingest_increment(spark, build_parser().parse_args(base_argv))
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    assert r1["ingested"] == 10
+    assert not cat.table("db", "docs_sigs").exists()
+
+    # day 2: near-dedup turned ON against the pre-existing corpus.
+    # Without the bootstrap backfill the store would hold only day-2
+    # signatures and this near-dup of a DAY-1 doc would slip through.
+    drop_file(
+        "day2",
+        [(100, "seed document number 4 with body text 4 edited", "web"),
+         (101, "entirely new material " + "z " * 30, "books")],
+    )
+    nd_argv = base_argv + ["--near-dedup", "0.6"]
+    r2 = ingest_increment(spark, build_parser().parse_args(nd_argv))
+    assert r2["sigs_backfilled"] == 10          # the whole day-1 corpus
+    assert r2["near_dup_dropped"] == 1
+    assert r2["ingested"] == 1
+    sigs = cat.table("db", "docs_sigs")
+    assert sigs.row_count() == 11               # 10 backfilled + 1 new
+    assert sigs.properties()["minhash.num_hashes"] == "32"
+
+    # crash-gap: a doc lands in the corpus with NO signature (append
+    # crashed before the sig append). The next run re-signs it and the
+    # near-dup of THAT doc is caught.
+    corpus = cat.table("db", "docs")
+    orphan_text = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank while morning fog lifts slowly"
+    )
+    corpus.append(
+        spark.createDataFrame(
+            [(200, orphan_text, "web")],
+            ["doc_id", "text", "source"],
+        )
+    )
+    drop_file("day3", [(201, orphan_text + " today", "web")])
+    r3 = ingest_increment(spark, build_parser().parse_args(nd_argv))
+    assert r3["sigs_backfilled"] == 1           # the orphan healed
+    assert r3["near_dup_dropped"] == 1
+    assert sigs.row_count() == 12               # 11 + healed orphan
+
+    # parameter drift: a different num_hashes must refuse the store
+    drop_file("day4", [(300, "more fresh text " + "w " * 25, "web")])
+    bad_argv = nd_argv + ["--num-hashes", "16"]
+    with pytest.raises(ValueError, match="different MinHash parameters"):
+        ingest_increment(spark, build_parser().parse_args(bad_argv))
+
+
+def test_ingest_incremental_maintains_ann_index(spark, tmp_path):
+    """--ann-index: first run builds the codes table over the corpus'
+    embedding column; later runs incrementally encode only the new
+    docs (whole-corpus sync = crash-gap heal, idempotent by id)."""
+    import glob
+    import shutil
+
+    from spark_iceberg_schema_evolution_spark.jobs.ingest_incremental import (
+        build_parser,
+        ingest_increment,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    def drop_file(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        src = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(incoming / f"{name}.parquet"))
+
+    def rows(lo, hi):
+        return [
+            (i, f"document body number {i} distinct words {i}",
+             [float((i * 7 + j) % 13) for j in range(8)])
+            for i in range(lo, hi)
+        ]
+
+    argv = [
+        "--warehouse", str(tmp_path / "wh"), "--namespace", "db",
+        "--corpus", "docs", "--input", str(incoming),
+        "--ann-index", "docs_ann", "--ann-kind", "sq8", "--ann-dim", "8",
+    ]
+    drop_file("day1", rows(0, 12))
+    r1 = ingest_increment(spark, build_parser().parse_args(argv))
+    assert r1["ingested"] == 12 and r1["ann_encoded"] == 12
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    codes = cat.table("db", "docs_ann_codes")
+    assert codes.row_count() == 12
+    assert codes.properties()["ann.kind"] == "sq8"
+
+    drop_file("day2", rows(12, 15))
+    r2 = ingest_increment(spark, build_parser().parse_args(argv))
+    assert r2["ingested"] == 3 and r2["ann_encoded"] == 3
+    assert codes.row_count() == 15
+
+
+def test_incremental_near_dedup_rejects_mismatched_store(spark):
+    import pytest
+
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    store16 = dedup.minhash_signature(docs, num_hashes=16)
+    with pytest.raises(ValueError, match="signature length 16"):
+        dedup.incremental_near_dedup(
+            docs, docs, corpus_sigs=store16, num_hashes=32
+        )
