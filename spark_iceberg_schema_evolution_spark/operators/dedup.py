@@ -527,13 +527,13 @@ def jaccard_pairs(
     )
 
 
-def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
-) -> DataFrame:
-    """64-bit SimHash over word tokens via a vectorized Pandas UDF: Spark
-    computes the per-token xxhash64 JVM-side; numpy folds token hashes into
-    the signature (bit-majority), which built-in expressions cannot express
-    without 64 parallel aggregates."""
+def simhash_fold(bits: int = 64):
+    """Vectorized SimHash bit-majority fold: array<token xxhash64> ->
+    one signed 64-bit signature. Shared by text :func:`simhash` and the
+    codec-free media fingerprint (``multimodal.perceptual_fingerprint``)
+    — the token hashing stays JVM-side in both; only the 64-way bit
+    vote runs in numpy (built-in expressions cannot express it without
+    64 parallel aggregates)."""
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
@@ -557,6 +557,17 @@ def simhash(
             out.append(np.int64(sig))
         return pd.Series(out)
 
+    return fold
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word tokens via a vectorized Pandas UDF: Spark
+    computes the per-token xxhash64 JVM-side; numpy folds token hashes into
+    the signature (bit-majority), which built-in expressions cannot express
+    without 64 parallel aggregates."""
+    fold = simhash_fold(bits)
     token_hashes = F.transform(
         normalized_words(text_col), lambda w: F.xxhash64(w)
     )

@@ -210,6 +210,140 @@ def frame_signal(
     )
 
 
+def perceptual_fingerprint(
+    media: DataFrame,
+    n_blocks: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Codec-free perceptual fingerprint: blockwise byte SimHash
+    (blockhash.org's shape applied to raw bytes). Each payload splits
+    into ``n_blocks`` equal-width byte blocks — JVM ``sequence`` +
+    ``substr``, the payload column read once, same plumbing as
+    :func:`frame_signal` — each block tokens as
+    ``xxhash64(block_idx, block_bytes)``, and the shared SimHash
+    bit-majority fold (``dedup.simhash_fold``) collapses the tokens to
+    one 64-bit fingerprint. A LOCALIZED edit (re-encode jitter, a
+    changed region, metadata rewrite) flips ~1 of ``n_blocks`` tokens
+    -> a few fingerprint bits, so near-identical payloads sit within a
+    small Hamming radius; byte-exact dedup sees them as distinct.
+
+    Honest boundary, stated loudly: blocks are POSITIONAL, so a byte
+    INSERTION shifts every later block (fine for fixed-layout rasters
+    and PCM, weak for containers that re-mux). When codec libraries
+    exist, a decoded-pixel/spectrogram featurizer replaces the block
+    tokenizer and the fold, banding, and clustering below are reused
+    unchanged.
+
+    Returns (id, n_bytes, fingerprint long)."""
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1: {n_blocks}")
+    n = F.octet_length(F.col(payload_col))
+    width = F.greatest(F.lit(1), F.ceil(n / n_blocks)).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, width)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # two-parameter transform lambda: (element, index) — the index is
+    # WANTED here (positional block tokens), unlike the loop-var trap
+    # this codebase pins tests against.
+    tokens = F.transform(
+        starts,
+        lambda s, i: F.xxhash64(
+            i, F.substr(F.col(payload_col), s, width)
+        ),
+    )
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        simhash_fold,
+    )
+
+    fold = simhash_fold(64)
+    return media.select(
+        F.col(id_col),
+        n.cast("long").alias("n_bytes"),
+        fold(tokens).alias("fingerprint"),
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    n_blocks: int = 64,
+    max_hamming: int = 7,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_bucket_size: int = 1000,
+    return_drop_stats: bool = False,
+):
+    """Visual/byte near-duplicate candidate pairs over the codec-free
+    fingerprint, feeding the same downstream machinery as text
+    near-dedup (``dedup.connected_components`` clusters the pairs; an
+    anti-join keeps one representative).
+
+    Banding, not all-pairs: the 64-bit fingerprint splits into 8
+    disjoint 8-bit bands; two fingerprints within Hamming distance
+    ``max_hamming <= 7`` MUST agree exactly on at least one band
+    (pigeonhole), so candidates come from 8 band-keyed equi-joins —
+    the LSH shape, never a quadratic comparison. Verification is exact:
+    ``bit_count(a XOR b) <= max_hamming`` in codegen. Degenerate-band
+    hot buckets (all-zero payloads, constant headers) are dropped by
+    the same ``max_bucket_size`` + surfaced-drop-stats discipline as
+    ``lsh_candidate_pairs``; with ``return_drop_stats=True`` returns
+    ``(pairs, drops)``.
+
+    Returns pairs (id_a, id_b, hamming) with id_a < id_b."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming must be in [0, 7] for 8-band pigeonhole "
+            f"capture: {max_hamming}"
+        )
+    fps = perceptual_fingerprint(
+        media, n_blocks=n_blocks, payload_col=payload_col, id_col=id_col
+    )
+    bands = fps.select(
+        F.col(id_col),
+        F.col("fingerprint"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fingerprint"), b * 8)
+                    .bitwiseAND(F.lit(255))
+                    for b in range(8)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ok = sizes.where(F.col("__n") <= max_bucket_size)
+    bands_ok = bands.join(ok, ["band_idx", "band_val"], "left_semi")
+    a, b = bands_ok.alias("a"), bands_ok.alias("b")
+    hamming = F.bit_count(
+        F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(hamming <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+    if not return_drop_stats:
+        return pairs
+    drops = sizes.where(F.col("__n") > max_bucket_size).agg(
+        F.count(F.lit(1)).alias("dropped_buckets"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("dropped_entries"),
+    )
+    return pairs, drops
+
+
 def read_binary_media(
     spark,
     path: str,

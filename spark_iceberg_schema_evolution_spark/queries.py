@@ -3874,6 +3874,48 @@ def t2_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id", "frame_idx")
 
 
+@q("t2_media_near_dup", oracle=None, tier=2)
+def t2_media_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Codec-free media near-dedup (r6 VERDICT item 7): blockwise byte
+    SimHash fingerprints over binary payloads, 8-band pigeonhole
+    candidate generation, exact Hamming verify — the visual near-dup
+    representative that byte-exact dedup cannot provide. A planted
+    same-length localized edit of media 0 must pair with it; the
+    summary row carries corpus size, pair count, and the planted hit
+    (asserted in tests/test_llm_ops.py with connected-components
+    clustering)."""
+    from spark_iceberg_schema_evolution_spark.operators.multimodal import (
+        documents_as_media,
+        media_near_dup_pairs,
+    )
+
+    media = documents_as_media(
+        load(spark, sf, "documents").where(F.col("doc_id") < 200)
+    )
+    n = F.octet_length("payload")
+    planted = media.where("media_id = 0").select(
+        F.lit(990001).cast("long").alias("media_id"),
+        # same-length localized edit: 4 bytes replaced mid-payload
+        F.concat(
+            F.substr(F.col("payload"), F.lit(1), F.lit(16)),
+            F.encode(F.lit("XXXX"), "UTF-8"),
+            F.substr(F.col("payload"), F.lit(21), n - 20),
+        ).alias("payload"),
+        "meta",
+    )
+    pairs = media_near_dup_pairs(
+        media.unionByName(planted), max_hamming=7
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(
+                (F.col("id_a") == 0) & (F.col("id_b") == 990001), 1
+            ).otherwise(0)
+        ).cast("long").alias("planted_found"),
+    )
+
+
 @q("t2_stats_moments", oracle=None, tier=2)
 def t2_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
     """stddev/variance/corr/covar/skewness/kurtosis — tier-2: double

@@ -786,3 +786,57 @@ def test_minhash_property_per_hash_agreement_tracks_jaccard(spark):
     sigs = dedup.minhash_signature(a.unionByName(b), num_hashes=32)
     pairs = dedup.lsh_candidate_pairs(sigs, num_bands=8, sig_len=32)
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_perceptual_fingerprint_near_dup_detection(spark):
+    """The codec-free media near-dup family: a payload with a few bytes
+    changed in ONE block lands within a small Hamming radius of the
+    original (byte-exact dedup sees them as distinct), unrelated
+    payloads stay far, and the banded pair generation surfaces exactly
+    the planted pair — which connected_components then clusters."""
+    import random
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    # localized edit: 20 bytes inside one 64-byte block
+    edited = base[:1000] + bytes(rng.randrange(256) for _ in range(20)) + base[1020:]
+    other = bytes(rng.randrange(256) for _ in range(4096))
+    media = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)],
+        "media_id long, payload binary",
+    )
+    fps = {
+        r.media_id: r.fingerprint
+        for r in multimodal.perceptual_fingerprint(media).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(fps[1], fps[2]) <= 7          # planted near-dup: close
+    assert ham(fps[1], fps[3]) > 7           # unrelated: far
+    assert base != edited                    # exact dedup would miss it
+
+    pairs = multimodal.media_near_dup_pairs(media, max_hamming=7)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+    comps = dedup.connected_components(pairs.select("id_a", "id_b"))
+    cl = {r[0]: r[1] for r in comps.collect()}
+    assert cl[1] == cl[2]
+
+
+def test_media_near_dup_hot_bucket_guard(spark):
+    """All-zero payloads collapse to one fingerprint -> one degenerate
+    band bucket; the guard drops it with surfaced stats instead of
+    going quadratic, and the audit frame reports the drop."""
+    zeros = [(i, b"\x00" * 512) for i in range(30)]
+    media = spark.createDataFrame(
+        zeros + [(100, bytes(range(256)) * 2)],
+        "media_id long, payload binary",
+    )
+    pairs, drops = multimodal.media_near_dup_pairs(
+        media, max_bucket_size=10, return_drop_stats=True
+    )
+    assert pairs.count() == 0                # everything hot was dropped
+    d = drops.collect()[0]
+    assert d.dropped_buckets >= 8            # all 8 bands of the zero fp
+    with pytest.raises(ValueError, match="max_hamming"):
+        multimodal.media_near_dup_pairs(media, max_hamming=9)
