@@ -129,6 +129,11 @@ HEADLINE = [
     "q160_skew_report",
     "q161_embedding_pooling",
     "q162_time_weighted_avg",
+    # round-7 operators (tracked from this round)
+    "q166_ohlc_bars",
+    "q167_corr_regression",
+    "q168_mad_outliers",
+    "q169_rolling_zscore",
 ]
 
 

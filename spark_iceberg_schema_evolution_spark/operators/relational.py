@@ -575,6 +575,50 @@ def fuzzy_join(
     return pairs, drops
 
 
+def ohlc_bars(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-bucketed OHLC bars (TimescaleDB ``candlestick_agg`` /
+    kdb-style bars): per (keys, date_trunc bucket) the OPEN (value at
+    the earliest row), HIGH, LOW, CLOSE (value at the latest row) and
+    volume count. The canonical first/last-in-bucket aggregation —
+    attribution (first-touch/last-touch), sensor snapshots, financial
+    bars — in ONE shuffle on (keys, bucket): two row_numbers over the
+    same window ordering (asc for open, desc picked via max filter)
+    plus the min/max/count fold, no self-join back to the bucket.
+    ``tiebreak`` (a unique column) pins equal-timestamp order so the
+    bars are deterministic — the same discipline as dedup_bursts."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = W.partitionBy(*keys, F.date_trunc(bucket, F.col(ts_col))).orderBy(
+        *order
+    )
+    rn = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(w.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    ))
+    marked = df.select(
+        *keys, b, F.col(value_col).alias("__v"),
+        rn.alias("__rn"), cnt.alias("__n"),
+    )
+    return marked.groupBy(*keys, "bucket").agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max(
+            F.when(F.col("__rn") == F.col("__n"), F.col("__v"))
+        ).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
 def dedup_bursts(
     df: DataFrame,
     keys: list[str],

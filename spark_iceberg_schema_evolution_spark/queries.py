@@ -7573,6 +7573,226 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q166_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY user_id, date_trunc('day', ts)) AS n
+      FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user_id, bucket,
+           MAX(CASE WHEN rn = 1 THEN v_c END) AS open_c,
+           MAX(v_c) AS high_c,
+           MIN(v_c) AS low_c,
+           MAX(CASE WHEN rn = n THEN v_c END) AS close_c,
+           COUNT(*) AS n_obs
+    FROM b GROUP BY user_id, bucket
+    ORDER BY user_id, bucket LIMIT 200
+    """,
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bucketed OHLC bars (TimescaleDB candlestick_agg shape) —
+    the canonical first/last-in-bucket aggregation, also the
+    first-touch/last-touch attribution primitive: ONE shuffle on
+    (user, day), open/close picked by row_number against the same
+    window, values in exact cents so every bar column is
+    integer-exact; event_id tiebreak pins equal timestamps."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        ohlc_bars,
+    )
+
+    e = load_events(spark, sf).select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("v_c")
+    )
+    bars = ohlc_bars(
+        e, keys=["user_id"], ts_col="ts", value_col="v_c",
+        bucket="day", tiebreak="event_id",
+    )
+    return bars.select(
+        "user_id",
+        F.col("bucket").cast("date").alias("bucket"),
+        F.col("open").alias("open_c"),
+        F.col("high").alias("high_c"),
+        F.col("low").alias("low_c"),
+        F.col("close").alias("close_c"),
+        "n_obs",
+    ).orderBy("user_id", "bucket").limit(200)
+
+
+@q(
+    "q167_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_r,
+           ROUND(covar_samp(l_extendedprice, l_quantity) / 1000, 4)
+             AS covar_k,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_r,
+           ROUND(regr_intercept(l_extendedprice, l_quantity) / 1000, 4)
+             AS icept_k,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2_r
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate statistics family: corr / covar_samp / OLS regression
+    (slope, intercept, R^2) per group in ONE hash aggregate — Spark's
+    regr_* aggregates are single-pass moment folds, no per-group
+    collect, no second scan. Floats compared at the 4dp corpus
+    convention (large-magnitude covariance/intercept scaled to /1000
+    first so rounding granularity is commensurate)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.corr("l_extendedprice", "l_quantity"), 4
+            ).alias("corr_r"),
+            F.round(
+                F.covar_samp("l_extendedprice", "l_quantity") / 1000, 4
+            ).alias("covar_k"),
+            F.round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+            ).alias("slope_r"),
+            F.round(
+                F.expr("regr_intercept(l_extendedprice, l_quantity)")
+                / 1000,
+                4,
+            ).alias("icept_k"),
+            F.round(
+                F.expr("regr_r2(l_extendedprice, l_quantity)"), 4
+            ).alias("r2_r"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q168_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY source),
+    dev AS (
+      SELECT d.source, d.n_chars, med.med,
+             ABS(d.n_chars - med.med) AS adev
+      FROM documents d JOIN med USING (source)),
+    mad AS (
+      SELECT source, ANY_VALUE(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY source)
+    SELECT dev.source,
+           COUNT(*) AS n_docs,
+           ANY_VALUE(mad.med) AS med_chars,
+           ANY_VALUE(mad.mad) AS mad_chars,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.source = mad.source
+    GROUP BY dev.source ORDER BY dev.source
+    """,
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier profiling via Median Absolute Deviation — the
+    quality-signal trim step a heavy-tailed corpus needs where
+    mean/stddev are themselves dragged by the outliers. Two exact
+    interpolated medians (integer inputs, so every median and
+    deviation is an exact x.0/x.5 double — no float-compare hazard on
+    the 3*MAD fence) with the thresholds joined back broadcast-sized;
+    the corpus is scanned, never collected."""
+    d = load(spark, sf, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    out = dev.drop("med").join(F.broadcast(mad), "source")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("med").alias("med_chars"),
+            F.first("mad").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q169_rolling_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd,
+             COUNT(*) OVER w AS n_win
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT user_id, (value - mu) / sd AS z
+      FROM s WHERE n_win >= 5 AND sd > 0)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           SUM(CAST(ROUND(z * 10000) AS BIGINT)) AS z_sum_e4
+    FROM z GROUP BY user_id ORDER BY user_id LIMIT 100
+    """,
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly flags — the streaming-adjacent
+    change-detection primitive computed batch-side: per-user trailing
+    10-row mean/stddev window (one shuffle, rows frame inside it),
+    z only where the window has >= 5 observations and variance is
+    positive. The z checksum follows the 4dp scaled-int convention;
+    boundary margins (|z| vs the 2.0 fence and the rounding grid)
+    verified non-adversarial at driver scale."""
+    e = load_events(spark, sf)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    s = e.select(
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).where("n_win >= 5 AND sd > 0")
+    z = s.select(
+        "user_id", ((F.col("value") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    return (
+        z.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(
+                F.when(F.abs("z") > 2, 1).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+            F.sum(F.round(F.col("z") * 1e4).cast("long")).alias(
+                "z_sum_e4"
+            ),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7620,8 +7840,11 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 # the 27 oldest r4-stale rows (q03–q11 minus the r6-checked q05, q19,
 # q24–q32 minus the r5-checked q27-dup, q34–q35, q39–q43, q49–q51).
 # Deferred to the r8 window (one more rotation retires all driver
-# staleness): q52, q66, q69, q84, q86, q94, q95, q98–q100, q102–q104,
-# q109–q111 (~16 r4 rows) plus whatever r7 adds.
+# staleness): the entries ADDED this round after the window froze
+# (q166_ohlc_bars, q167_corr_regression, q168_mad_outliers,
+# q169_rolling_zscore — never driver-checked, green in the local
+# replica; front these per the r6 precedent), then q52, q66, q69, q84,
+# q86, q94, q95, q98–q100, q102–q104, q109–q111 (~16 r4 rows).
 _DRIVER_WINDOW = [
     # the only red row in the corpus + its decomposed probe (new)
     "q145_classifier_filter",

@@ -398,3 +398,33 @@ def test_fuzzy_join_hot_block_guard(spark):
     )
     assert pairs2.where("l_id < 100").count() > 0
     assert drops2.collect()[0].dropped_blocks == 0
+
+
+def test_ohlc_bars_semantics(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        ohlc_bars,
+    )
+
+    rows = [
+        # key 1, one bucket: open=10 (earliest), close=7 (latest),
+        # high=30, low=5; equal-ts tie at 09:00 pinned by event_id
+        (1, "2024-01-01 09:00:00", 1, 10.0),
+        (1, "2024-01-01 09:00:00", 2, 30.0),
+        (1, "2024-01-01 12:00:00", 3, 5.0),
+        (1, "2024-01-01 23:00:00", 4, 7.0),
+        # key 1, next day: singleton bar -> all four prices equal
+        (1, "2024-01-02 01:00:00", 5, 42.0),
+        (2, "2024-01-01 10:00:00", 6, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "v"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.user_id, str(r.bucket)[:10]): (r.open, r.high, r.low, r.close, r.n_obs)
+        for r in ohlc_bars(
+            df, ["user_id"], "ts", "v", bucket="day", tiebreak="event_id"
+        ).collect()
+    }
+    assert out[(1, "2024-01-01")] == (10.0, 30.0, 5.0, 7.0, 4)
+    assert out[(1, "2024-01-02")] == (42.0, 42.0, 42.0, 42.0, 1)
+    assert out[(2, "2024-01-01")] == (3.0, 3.0, 3.0, 3.0, 1)
