@@ -593,19 +593,21 @@ def ohlc_bars(
     plus the min/max/count fold, no self-join back to the bucket.
     ``tiebreak`` (a unique column) pins equal-timestamp order so the
     bars are deterministic — the same discipline as dedup_bursts."""
-    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
     order = [F.col(ts_col).asc()] + (
         [F.col(tiebreak).asc()] if tiebreak else []
     )
-    w = W.partitionBy(*keys, F.date_trunc(bucket, F.col(ts_col))).orderBy(
-        *order
-    )
+    # bucket becomes a real attribute BEFORE the window so the window's
+    # hash partitioning on it is preserved into the groupBy below (an
+    # expression-partitioned window whose input column is later dropped
+    # loses its partitioning and costs a second exchange)
+    pre = df.withColumn("bucket", F.date_trunc(bucket, F.col(ts_col)))
+    w = W.partitionBy(*keys, "bucket").orderBy(*order)
     rn = F.row_number().over(w)
     cnt = F.count(F.lit(1)).over(w.rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     ))
-    marked = df.select(
-        *keys, b, F.col(value_col).alias("__v"),
+    marked = pre.select(
+        *keys, "bucket", F.col(value_col).alias("__v"),
         rn.alias("__rn"), cnt.alias("__n"),
     )
     return marked.groupBy(*keys, "bucket").agg(

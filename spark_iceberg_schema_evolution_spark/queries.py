@@ -7574,6 +7574,67 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q170_clone_constraints",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey < 400)
+             AS src_rows,
+           (SELECT COUNT(*) FROM customer
+             WHERE c_custkey >= 100 AND c_custkey < 300) AS clone_rows,
+           CAST(1 AS BIGINT) AS violations_blocked,
+           'c_acctbal >= -1000' AS clone_constraint
+    """,
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-copy shallow clone + CHECK constraints lifecycle: a table
+    with a CHECK constraint clones without moving data (the clone's
+    manifest references the source's files), the two sides then
+    diverge independently (append to source, DELETE on the clone), and
+    a violating append to the clone is refused WHOLE by the inherited
+    constraint — the clone's count proves no partial state landed. The
+    oracle recomputes both final counts from the base table."""
+    from spark_iceberg_schema_evolution_spark.tables import (
+        ConstraintViolation,
+    )
+
+    cat = _tmp_catalog(spark)
+    c = load(spark, sf, "customer")
+    cat.write_evolving(
+        c.where("c_custkey < 300").select("c_custkey", "c_acctbal"),
+        "db", "src",
+    )
+    src = cat.table("db", "src")
+    src.add_constraint("bal_floor", "c_acctbal >= -1000")
+    src.clone_to(cat.table("db", "dup"))
+    dup = cat.table("db", "dup")
+    # diverge: source grows, clone shrinks — neither sees the other
+    src.append(
+        c.where("c_custkey >= 300 AND c_custkey < 400").select(
+            "c_custkey", "c_acctbal"
+        )
+    )
+    dup.delete_where(F.col("c_custkey") < 100)
+    blocked = 0
+    try:
+        dup.append(
+            spark.createDataFrame(
+                [(999999, -5000.0)], "c_custkey long, c_acctbal double"
+            )
+        )
+    except ConstraintViolation:
+        blocked = 1
+    return spark.createDataFrame(
+        [(
+            src.row_count(),
+            dup.row_count(),
+            blocked,
+            dup.constraints()["bal_floor"],
+        )],
+        "src_rows long, clone_rows long, violations_blocked long, "
+        "clone_constraint string",
+    )
+
+
+@q(
     "q166_ohlc_bars",
     oracle="""
     WITH b AS (
@@ -7842,8 +7903,9 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
 # Deferred to the r8 window (one more rotation retires all driver
 # staleness): the entries ADDED this round after the window froze
 # (q166_ohlc_bars, q167_corr_regression, q168_mad_outliers,
-# q169_rolling_zscore — never driver-checked, green in the local
-# replica; front these per the r6 precedent), then q52, q66, q69, q84,
+# q169_rolling_zscore, q170_clone_constraints — never driver-checked,
+# green in the local replica; front these per the r6 precedent), then
+# q52, q66, q69, q84,
 # q86, q94, q95, q98–q100, q102–q104, q109–q111 (~16 r4 rows).
 _DRIVER_WINDOW = [
     # the only red row in the corpus + its decomposed probe (new)

@@ -74,6 +74,13 @@ class CommitConflict(RuntimeError):
     reload and re-plan the operation."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows that evaluate a table CHECK constraint to
+    FALSE (Delta's InvariantViolationException / the SQL-standard CHECK
+    contract: NULL passes, FALSE rejects). The commit is refused whole
+    — no partial state lands."""
+
+
 class MergeCardinalityError(ValueError):
     """A MERGE source holds multiple rows for an ``on``-key that also
     matches a target row — applying the UPDATE/DELETE arms would operate
@@ -378,6 +385,49 @@ class LakehouseTable:
         self._save_refs(refs)
         return src
 
+    def clone_to(
+        self, dst: "LakehouseTable", version: int | None = None
+    ) -> int:
+        """Zero-copy shallow clone (Delta SHALLOW CLONE / BigQuery table
+        clone): ``dst``'s first manifest references THIS table's data,
+        delete-file, and bloom-sidecar paths in place — no data moves,
+        O(manifest) driver work regardless of table size. Batch paths
+        are absolute, so the two tables then evolve independently:
+        dst's appends/DML/compaction land in dst's own data_dir and
+        never touch the source, and vice versa. The clone commits at
+        the SOURCE's version number so dst's later commit sequence
+        numbers stay strictly above every inherited batch/delete seq
+        (the MOR ordering rule survives cloning). Properties (bucket
+        spec, maintenance knobs, constraints) copy too.
+
+        Stated caveat — exactly Delta's: PHYSICAL deletion on the
+        source (expire_snapshots, remove_orphan_files, DROP TABLE)
+        can remove files a clone still references. Pin the cloned
+        version with a tag on the source for the clone's lifetime, or
+        deep-copy (CTAS) when the lifetimes decouple.
+
+        Returns the source version that was cloned."""
+        snap = self._load(
+            version if version is not None else self._head(self._branch)
+        )
+        if dst.exists():
+            raise FileExistsError(f"table exists: {dst.path}")
+        os.makedirs(dst.data_dir, exist_ok=True)
+        dst._commit(
+            Snapshot(
+                max(snap.version, 1),
+                snap.schema,
+                list(snap.batches),
+                snap.partition_month_of,
+                list(snap.renames),
+                list(snap.deletes),
+            )
+        )
+        props = self.properties()
+        if props:
+            dst.set_properties(props)
+        return snap.version
+
     def _load(self, version: int | None = None) -> Snapshot:
         vs = self._versions()
         if not vs:
@@ -536,6 +586,83 @@ class LakehouseTable:
             {"write.bucket.column": column, "write.bucket.n": int(n_buckets)}
         )
 
+    # -- CHECK constraints (Delta CONSTRAINT ... CHECK) ---------------------
+
+    def constraints(self) -> dict:
+        """Active CHECK constraints: {name: sql_expr}. Stored as
+        ``constraint.<name>`` table properties so they ride every
+        property mechanism (clone, SHOW TBLPROPERTIES) for free."""
+        return {
+            k[len("constraint."):]: v
+            for k, v in self.properties().items()
+            if k.startswith("constraint.")
+        }
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>) — Delta's
+        contract: EXISTING rows must already satisfy the expression
+        (audited here with one column-pruned scan; rejecting up front
+        is what lets every later write check only its own batch), and
+        every subsequent write batch is verified before its commit
+        (enforced centrally in ``_write_batch``, so append, MERGE, COW
+        DML rewrites and compaction all pass through the same gate).
+        NULL results pass, FALSE rejects — SQL-standard CHECK."""
+        if not name or "." in name:
+            raise ValueError(f"bad constraint name: {name!r}")
+        if self.exists():
+            bad = (
+                self.read()
+                .where(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r}: {bad} existing "
+                    f"row(s) violate CHECK ({expr})"
+                )
+        self.set_properties({f"constraint.{name}": expr})
+
+    def drop_constraint(self, name: str) -> None:
+        """ALTER TABLE DROP CONSTRAINT — missing names are a no-op
+        (IF EXISTS semantics, same as unset_property)."""
+        self.unset_property(f"constraint.{name}")
+
+    def _check_constraints(self, out: DataFrame) -> None:
+        """Verify one write batch against every CHECK constraint in a
+        SINGLE aggregate pass (one violation counter per constraint,
+        fused); raises ConstraintViolation naming each violated
+        constraint with its row count. Skipped entirely when the table
+        has no constraints — the property read is one local file."""
+        cons = self.constraints()
+        if not cons:
+            return
+        counters = []
+        for cname, expr in cons.items():
+            try:
+                cond = F.expr(expr)
+            except Exception as e:  # noqa: BLE001
+                raise ConstraintViolation(
+                    f"constraint {cname!r} expression does not parse: "
+                    f"{expr!r} ({e})"
+                ) from None
+            counters.append(
+                F.sum(
+                    F.when(~F.coalesce(cond, F.lit(True)), 1).otherwise(0)
+                ).alias(cname)
+            )
+        row = out.agg(*counters).first()
+        bad = {
+            cname: int(n_) for cname, n_ in row.asDict().items() if n_
+        }
+        if bad:
+            raise ConstraintViolation(
+                "write rejected; CHECK constraint violations "
+                + ", ".join(
+                    f"{cname}: {n_} row(s) [CHECK ({cons[cname]})]"
+                    for cname, n_ in bad.items()
+                )
+            )
+
     def _write_batch(
         self,
         df: DataFrame,
@@ -547,6 +674,7 @@ class LakehouseTable:
     ) -> dict:
         batch_dir = os.path.join(self.data_dir, f"batch-{n}")
         out = align_schema(df, schema, keep_extras=False)
+        self._check_constraints(out)
         # hidden bucket(n, col) sub-partitioning: physically below the
         # month dirs when both transforms are active (a two-field spec,
         # like Iceberg's PARTITIONED BY (months(ts), bucket(n, id))).

@@ -368,3 +368,36 @@ def test_span_duplication_bounded_shuffles_no_python(spark):
     plan = explain.physical_plan(out)
     assert explain.count_exchanges(out) <= 3, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ohlc_bars_single_shuffle(spark):
+    """OHLC bars: the window pass and the bucket aggregate share the
+    (keys, bucket) partitioning, so the whole operator costs exactly
+    ONE hash exchange — no self-join back to the bucket."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        ohlc_bars,
+    )
+
+    e = load_events(spark, SF_SMOKE)
+    out = ohlc_bars(
+        e, ["user_id"], "ts", "value", bucket="day", tiebreak="event_id"
+    )
+    assert explain.count_exchanges(out) == 1
+    plan = explain.physical_plan(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_media_near_dup_banded_no_cartesian(spark):
+    """The perceptual-fingerprint pair generation must be band-keyed
+    equi-joins — no CartesianProduct, no nested-loop self-join, and
+    the SimHash fold is the only Python stage."""
+    from spark_iceberg_schema_evolution_spark.operators import multimodal
+    from spark_iceberg_schema_evolution_spark.queries import load
+
+    media = multimodal.documents_as_media(
+        load(spark, SF_SMOKE, "documents").where("doc_id < 100")
+    )
+    pairs = multimodal.media_near_dup_pairs(media)
+    plan = explain.physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2277,3 +2277,106 @@ def test_consume_diff_sees_through_rewrites(spark, catalog):
     t.commit_offset("mirror", v1)
     df3, _ = t.consume_diff("mirror")
     assert df3.count() == 0
+
+
+def test_shallow_clone_zero_copy(spark, catalog):
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseTable
+
+    src_df = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(10)], ["id", "name"]
+    )
+    catalog.write_evolving(src_df, "db", "src")
+    src = catalog.table("db", "src")
+    src.set_properties({"custom.knob": "7"})
+    v = src.clone_to(catalog.table("db", "dup"))
+    dup = catalog.table("db", "dup")
+
+    # same data, ZERO files copied: the clone's data_dir is empty
+    assert sorted(map(tuple, dup.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+    assert os.listdir(dup.data_dir) == []
+    assert dup.properties()["custom.knob"] == "7"
+
+    # independent evolution: appends on either side stay invisible to
+    # the other; the clone's new data lands in ITS OWN data_dir
+    dup.append(spark.createDataFrame([(100, "dup-only")], ["id", "name"]))
+    src.append(spark.createDataFrame([(200, "src-only")], ["id", "name"]))
+    dup_ids = {r.id for r in dup.read().collect()}
+    src_ids = {r.id for r in src.read().collect()}
+    assert 100 in dup_ids and 100 not in src_ids
+    assert 200 in src_ids and 200 not in dup_ids
+    assert len(os.listdir(dup.data_dir)) == 1
+
+    # DML on the clone never rewrites source files
+    before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(src.data_dir) for f in fs
+    }
+    dup.delete_where(F.col("id") < 5)
+    after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(src.data_dir) for f in fs
+    }
+    assert before == after
+    assert src.row_count() == 11 and dup.row_count() == 6
+
+    # clone of a PAST version (time-travel clone)
+    src.clone_to(catalog.table("db", "dup_v"), version=v)
+    assert {r.id for r in catalog.table("db", "dup_v").read().collect()} == set(
+        range(10)
+    )
+
+    # refuses to overwrite an existing table
+    with pytest.raises(FileExistsError):
+        src.clone_to(catalog.table("db", "dup"))
+    assert isinstance(dup, LakehouseTable)
+
+
+def test_check_constraints_enforced_on_writes(spark, catalog):
+    from spark_iceberg_schema_evolution_spark.tables import (
+        ConstraintViolation,
+    )
+
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"]), "db", "c"
+    )
+    t = catalog.table("db", "c")
+    t.add_constraint("v_pos", "v > 0")
+    assert t.constraints() == {"v_pos": "v > 0"}
+
+    # violating append is refused WHOLE; version and rows unchanged
+    v_before = t.history()[-1]["version"] if t.history() else None
+    with pytest.raises(ConstraintViolation, match="v_pos: 1 row"):
+        t.append(spark.createDataFrame([(3, 30), (4, -1)], ["id", "v"]))
+    assert t.row_count() == 2
+    if v_before is not None:
+        assert t.history()[-1]["version"] == v_before
+
+    # NULL passes (SQL-standard CHECK), conforming rows commit
+    t.append(
+        spark.createDataFrame(
+            [(5, None), (6, 60)], "id long, v long"
+        )
+    )
+    assert t.row_count() == 4
+
+    # MERGE routes through the same gate
+    with pytest.raises(ConstraintViolation):
+        t.merge_into(
+            spark.createDataFrame([(6, -5)], ["id", "v"]), on=["id"]
+        )
+
+    # adding a constraint the EXISTING data violates is refused
+    with pytest.raises(ConstraintViolation, match="existing"):
+        t.add_constraint("v_small", "v < 50")
+
+    # dropped constraint stops gating; constraints ride along on clone
+    t.clone_to(catalog.table("db", "c2"))
+    t.drop_constraint("v_pos")
+    t.append(spark.createDataFrame([(7, -7)], ["id", "v"]))
+    assert t.row_count() == 5
+    c2 = catalog.table("db", "c2")
+    assert c2.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ConstraintViolation):
+        c2.append(spark.createDataFrame([(8, -8)], ["id", "v"]))
