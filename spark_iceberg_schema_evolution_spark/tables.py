@@ -4163,6 +4163,10 @@ class LakehouseCatalog:
             ALTER TABLE lake.db.t DROP COLUMN c           -> drop_column
             ALTER TABLE lake.db.t RENAME COLUMN a TO b    -> rename_column
             ALTER TABLE lake.db.t ALTER COLUMN c TYPE <t> -> widen_column_type
+            ALTER TABLE lake.db.t ADD CONSTRAINT n CHECK (expr)
+            ALTER TABLE lake.db.t DROP CONSTRAINT n
+            CREATE TABLE lake.db.dst SHALLOW CLONE lake.db.src
+              [FOR VERSION AS OF <v>]                     -> clone_to
 
         Each DML/DDL returns a 1-row DataFrame with the new snapshot
         version.
@@ -4378,6 +4382,40 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 sorted(props.items()), "key STRING, value STRING"
             )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$",
+            q,
+        )
+        if m:
+            ns, name, cname, expr = m.groups()
+            t = self.table(ns, name)
+            t.add_constraint(cname, expr.strip())
+            return self._version_df(t._load().version)
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"DROP\s+CONSTRAINT\s+(\w+)\s*$",
+            q,
+        )
+        if m:
+            ns, name, cname = m.groups()
+            t = self.table(ns, name)
+            t.drop_constraint(cname)
+            return self._version_df(t._load().version)
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
+            r"SHALLOW\s+CLONE\s+lake\.(\w+)\.(\w+)"
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+            q,
+        )
+        if m:
+            dns, dname, sns, sname, ver = m.groups()
+            src = self.table(sns, sname)
+            v = src.clone_to(
+                self.table(dns, dname),
+                version=int(ver) if ver else None,
+            )
+            return self._version_df(v)
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+lake\.(\w+)\.(\w+)\s+"
             r"SET\s+TBLPROPERTIES\s*\((.*)\)\s*$",

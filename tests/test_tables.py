@@ -2380,3 +2380,33 @@ def test_check_constraints_enforced_on_writes(spark, catalog):
     assert c2.constraints() == {"v_pos": "v > 0"}
     with pytest.raises(ConstraintViolation):
         c2.append(spark.createDataFrame([(8, -8)], ["id", "v"]))
+
+
+def test_sql_constraint_and_clone_faces(spark, catalog):
+    from spark_iceberg_schema_evolution_spark.tables import (
+        ConstraintViolation,
+    )
+
+    catalog.write_evolving(
+        spark.createDataFrame([(1, 5), (2, 9)], ["id", "v"]), "db", "s"
+    )
+    catalog.sql("ALTER TABLE lake.db.s ADD CONSTRAINT v_pos CHECK (v > 0)")
+    t = catalog.table("db", "s")
+    assert t.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ConstraintViolation):
+        catalog.sql("INSERT INTO lake.db.s VALUES (3, -1)")
+    catalog.sql(
+        "CREATE TABLE lake.db.s2 SHALLOW CLONE lake.db.s"
+    )
+    s2 = catalog.table("db", "s2")
+    assert s2.row_count() == 2 and os.listdir(s2.data_dir) == []
+    assert s2.constraints() == {"v_pos": "v > 0"}
+    catalog.sql("ALTER TABLE lake.db.s DROP CONSTRAINT v_pos")
+    catalog.sql("INSERT INTO lake.db.s VALUES (3, -1)")
+    assert t.row_count() == 3
+    # versioned clone face
+    catalog.sql(
+        "CREATE TABLE lake.db.s3 SHALLOW CLONE lake.db.s "
+        "FOR VERSION AS OF 1"
+    )
+    assert catalog.table("db", "s3").row_count() == 2
