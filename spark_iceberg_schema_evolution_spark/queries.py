@@ -7635,6 +7635,68 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q171_scd2_incremental",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS id, MIN(o_orderpriority) AS seg,
+             STRFTIME(o_orderdate, '%Y-%m-%d') AS ts
+      FROM orders WHERE o_custkey < 300
+      GROUP BY o_custkey, STRFTIME(o_orderdate, '%Y-%m-%d')),
+    all_open AS (
+      SELECT c_custkey AS id, c_mktsegment AS seg,
+             '1990-01-01' AS valid_from
+      FROM customer WHERE c_custkey < 300
+      UNION ALL
+      SELECT id, seg, ts AS valid_from FROM changes),
+    rebuilt AS (
+      SELECT id, seg, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from)
+               AS valid_to
+      FROM all_open)
+    SELECT id, seg, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM rebuilt ORDER BY id, valid_from, seg
+    """,
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL SCD2 on a lakehouse dimension (scd2_merge, the
+    O(changes) sibling of q68's full-rebuild scd2_apply): the seed
+    batch bootstraps the table, the change batch closes open rows via
+    COW MERGE and appends its chained versions — closed history is
+    never rewritten. The oracle chains BOTH batches at once: the
+    incremental path must land exactly where the one-shot rebuild
+    lands."""
+    from spark_iceberg_schema_evolution_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    cat = _tmp_catalog(spark)
+    dim = cat.table("db", "dim")
+    c = load(spark, sf, "customer").where("c_custkey < 300")
+    seed = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1990-01-01").alias("ts"),
+    )
+    scd2_merge(dim, seed, keys=["id"], change_ts="ts")
+    changes = (
+        load(spark, sf, "orders")
+        .where("o_custkey < 300")
+        .groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("ts"),
+        )
+        .agg(F.min("o_orderpriority").alias("seg"))
+        .select(F.col("o_custkey").alias("id"), "seg", "ts")
+    )
+    scd2_merge(dim, changes, keys=["id"], change_ts="ts")
+    return dim.read().select(
+        "id", "seg", "valid_from", "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("id", "valid_from", "seg")
+
+
+@q(
     "q166_ohlc_bars",
     oracle="""
     WITH b AS (
@@ -7903,7 +7965,8 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
 # Deferred to the r8 window (one more rotation retires all driver
 # staleness): the entries ADDED this round after the window froze
 # (q166_ohlc_bars, q167_corr_regression, q168_mad_outliers,
-# q169_rolling_zscore, q170_clone_constraints — never driver-checked,
+# q169_rolling_zscore, q170_clone_constraints, q171_scd2_incremental —
+# never driver-checked,
 # green in the local replica; front these per the r6 precedent), then
 # q52, q66, q69, q84,
 # q86, q94, q95, q98–q100, q102–q104, q109–q111 (~16 r4 rows).

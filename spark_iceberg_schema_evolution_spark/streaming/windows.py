@@ -363,6 +363,55 @@ def stream_to_lakehouse_gated(
     return report
 
 
+def stream_scd2_to_lakehouse(
+    stream_df: DataFrame,
+    catalog,
+    namespace: str,
+    table: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    change_ts: str,
+) -> dict:
+    """Streaming CDC -> SCD Type-2 dimension sink: each micro-batch of
+    keyed changes applies via :func:`operators.scd.scd2_merge` —
+    O(batch) per epoch (MERGE closes the changed keys' open rows,
+    chained new versions append), never the O(dimension) full rebuild
+    of ``scd2_apply``. foreachBatch is deliberate for the same reason
+    as the dedup-ingest sink: the dimension's full history is
+    unbounded state the lakehouse table itself holds. Replayed epochs
+    converge (scd2_merge's anti-join + no-op close); late changes are
+    refused with their count surfaced, not mis-chained.
+
+    Returns {"committed_epochs", "rows_applied", "late_dropped"}."""
+    from spark_iceberg_schema_evolution_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    report = {
+        "committed_epochs": 0, "rows_applied": 0, "late_dropped": 0,
+    }
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        r = scd2_merge(
+            catalog.table(namespace, table), df, keys, change_ts
+        )
+        report["rows_applied"] += r["applied"]
+        report["late_dropped"] += r["late_dropped"]
+        if r["applied"]:
+            report["committed_epochs"] += 1
+
+    q_ = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q_.processAllAvailable()
+    finally:
+        q_.stop()
+    return report
+
+
 def stream_dedup_ingest_to_lakehouse(
     stream_df: DataFrame,
     catalog,

@@ -480,3 +480,58 @@ def test_stream_dedup_ingest_epochs(spark, tmp_path):
     ids = sorted(r.doc_id for r in corpus.collect())
     assert ids == list(range(10)) + [102]
     assert cat.table("db", "corpus_sigs").row_count() == 11
+
+
+def test_stream_scd2_sink(spark, tmp_path):
+    """CDC stream -> SCD2 dimension: epoch 1 seeds keys, epoch 2
+    changes one key (its open row closes, a new current opens) and
+    carries a late change that is refused — O(batch) per epoch, never
+    a dimension rebuild."""
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    src = str(tmp_path / "scdsrc")
+    os.makedirs(src)
+
+    def write_changes(name, rows):
+        spark.createDataFrame(
+            rows, "id LONG, seg STRING, ts STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        import glob
+        import shutil
+
+        part = glob.glob(
+            str(tmp_path / "stage" / name / "part-*.parquet")
+        )[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    write_changes(
+        "e1", [(1, "A", "2024-01-01"), (2, "X", "2024-01-15")]
+    )
+    time.sleep(1.1)
+    write_changes(
+        "e2",
+        [(1, "B", "2024-02-01"), (2, "OLD", "2024-01-01")],  # late
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema("id LONG, seg STRING, ts STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    report = SW.stream_scd2_to_lakehouse(
+        stream, cat, "db", "dim",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=["id"], change_ts="ts",
+    )
+    assert report["rows_applied"] == 3
+    assert report["late_dropped"] == 1
+    rows = {
+        (r.id, r.valid_from): (r.seg, r.is_current)
+        for r in cat.table("db", "dim").read().collect()
+    }
+    assert rows[(1, "2024-01-01")] == ("A", False)
+    assert rows[(1, "2024-02-01")] == ("B", True)
+    assert rows[(2, "2024-01-15")] == ("X", True)
