@@ -134,6 +134,7 @@ HEADLINE = [
     "q167_corr_regression",
     "q168_mad_outliers",
     "q169_rolling_zscore",
+    "q172_counter_agg",
 ]
 
 

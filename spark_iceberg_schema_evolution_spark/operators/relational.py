@@ -36,24 +36,41 @@ def asof_join(
     right_cols: list[str],
     how: str = "inner",
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key (ASOF JOIN).
+    """For each left row, attach the matching right row within the same
+    ``on`` key (ASOF JOIN), by ``direction``:
+
+    - ``backward`` (default, pandas merge_asof's default): the LATEST
+      right row with ``right.ts <= left.ts``.
+    - ``forward``: the EARLIEST right row with ``right.ts >= left.ts``.
+    - ``nearest``: whichever of the two is closer in time; exact-middle
+      ties resolve backward (pandas semantics).
 
     Union-and-window: tag both sides, sort each key by (ts, tag, match
     struct) so right rows precede left rows at equal timestamps (inclusive
-    <= semantics). A tie between right rows at the same (key, ts) resolves
-    DETERMINISTICALLY to the greatest ``(right_ts, *right_cols)`` struct —
-    the window order includes the match payload itself, so the result does
-    not depend on physical row order or partitioning (q11's oracle pins the
-    same tie with ORDER BY ts DESC, event_id DESC).
+    semantics both directions). ``nearest`` runs the backward and forward
+    passes as two Window operators over the SAME key partitioning — still
+    exactly ONE shuffle, two sorts. A tie between right rows at the same
+    (key, ts) resolves DETERMINISTICALLY to the greatest
+    ``(right_ts, *right_cols)`` struct — the window order includes the
+    match payload itself, so the result does not depend on physical row
+    order or partitioning (q11's oracle pins the same tie with ORDER BY
+    ts DESC, event_id DESC).
 
-    ``tolerance``: optional max age (a Column interval or duration in
-    seconds as lit) — matches older than ``left.ts - tolerance`` are
-    dropped (match set to NULL / row dropped for how='inner').
+    ``tolerance``: optional max distance (a Column interval or duration
+    in seconds as lit) — backward matches older than
+    ``left.ts - tolerance`` and forward matches beyond
+    ``left.ts + tolerance`` are dropped (match set to NULL / row dropped
+    for how='inner').
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be inner|left, got {how}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward|forward|nearest, "
+            f"got {direction}"
+        )
 
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
@@ -74,27 +91,64 @@ def asof_join(
     )
     r = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType))
 
-    w = (
+    # __match last in the ordering: equal-(ts,tag) right rows order by
+    # their payload struct, so last() picks the greatest — a
+    # deterministic tie-break independent of physical row order (NULL
+    # __match only occurs on left rows, which __tag already separates).
+    # Forward mirrors by traversing ts DESC: the frame then holds rows
+    # with ts >= the current left row, and last() picks the nearest.
+    frame = (W.unboundedPreceding, W.currentRow)
+    w_b = (
         W.partitionBy(*on)
-        # __match last: equal-(ts,tag) right rows order by their payload
-        # struct, so last() picks the greatest — a deterministic tie-break
-        # independent of physical row order (NULL __match only occurs on
-        # left rows, which __tag already separates).
         .orderBy("__ts", "__tag", "__match")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        .rowsBetween(*frame)
     )
-    joined = (
-        l.unionByName(r)
-        .withColumn("__m", F.last("__match", ignorenulls=True).over(w))
-        .where(F.col("__tag") == 1)
+    w_f = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), "__tag", "__match")
+        .rowsBetween(*frame)
     )
-    if tolerance is not None:
+    u = l.unionByName(r)
+    if direction == "backward":
+        joined = u.withColumn(
+            "__m", F.last("__match", ignorenulls=True).over(w_b)
+        )
+    elif direction == "forward":
+        joined = u.withColumn(
+            "__m", F.last("__match", ignorenulls=True).over(w_f)
+        )
+    else:  # nearest: both passes share the one key shuffle
+        mb = F.last("__match", ignorenulls=True).over(w_b)
+        mf = F.last("__match", ignorenulls=True).over(w_f)
+        joined = u.withColumn("__mb", mb).withColumn("__mf", mf)
+    joined = joined.where(F.col("__tag") == 1)
+
+    def within(m: Column, forward: bool) -> Column:
+        if tolerance is None:
+            return m
+        ts = F.col("__ts").cast("timestamp")
+        ok = (
+            (m["__rts"] <= ts + tolerance)
+            if forward
+            else (m["__rts"] >= ts - tolerance)
+        )
+        return F.when(ok, m)
+
+    if direction == "nearest":
+        b = within(F.col("__mb"), False)
+        f_ = within(F.col("__mf"), True)
+        ts = F.col("__ts")
         joined = joined.withColumn(
             "__m",
-            F.when(
-                F.col("__m.__rts") >= F.col("__ts").cast("timestamp") - tolerance,
-                F.col("__m"),
-            ),
+            F.when(b.isNull(), f_)
+            .when(f_.isNull(), b)
+            # exact-middle ties go backward (<=), pandas semantics
+            .when((ts - b["__rts"]) <= (f_["__rts"] - ts), b)
+            .otherwise(f_),
+        )
+    else:
+        joined = joined.withColumn(
+            "__m", within(F.col("__m"), direction == "forward")
         )
     out = joined.select(
         *[F.col(f"__left.{c}").alias(c) for c in left_cols],
@@ -617,6 +671,57 @@ def ohlc_bars(
         F.max(
             F.when(F.col("__rn") == F.col("__n"), F.col("__v"))
         ).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def counter_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Resets-aware monotonic-counter rollup (TimescaleDB
+    ``counter_agg`` / PromQL ``increase``): per key in time order, each
+    observation contributes ``v - lag(v)`` — except across a RESET
+    (value dropped, i.e. the process restarted), where the counter
+    restarted from zero and the observation contributes ``v`` itself.
+    Naive ``max - min`` per bucket under-counts every reset; naive
+    delta sums go negative. Per (keys, bucket): total increase, reset
+    count, observation count.
+
+    ONE shuffle: the lag window partitions by keys, and the (keys,
+    bucket) aggregate's clustering is satisfied by the same hash
+    partitioning (grouping keys are a superset), so Catalyst plans no
+    second exchange. The lag crosses bucket boundaries deliberately —
+    increase between a bucket's first sample and the previous bucket's
+    last belongs to the new bucket, so bucket sums add up to the
+    key's total. A key's first-ever observation contributes 0 (no
+    baseline — counting v would fabricate increase)."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = W.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    delta = F.col(value_col) - prev
+    contrib = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(delta < 0, F.col(value_col))
+        .otherwise(delta)
+    )
+    marked = df.withColumn(
+        "bucket", F.date_trunc(bucket, F.col(ts_col))
+    ).select(
+        *keys,
+        "bucket",
+        contrib.alias("__inc"),
+        F.when(delta < 0, 1).otherwise(0).alias("__reset"),
+    )
+    return marked.groupBy(*keys, "bucket").agg(
+        F.sum("__inc").alias("increase"),
+        F.sum("__reset").cast("long").alias("n_resets"),
         F.count(F.lit(1)).alias("n_obs"),
     )
 

@@ -7697,6 +7697,57 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q172_counter_agg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             lag(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (
+      SELECT user_id, bucket,
+             CASE WHEN prev IS NULL THEN 0
+                  WHEN v_c - prev < 0 THEN v_c
+                  ELSE v_c - prev END AS inc,
+             CASE WHEN prev IS NOT NULL AND v_c - prev < 0
+                  THEN 1 ELSE 0 END AS rst
+      FROM s)
+    SELECT CAST(user_id AS BIGINT) AS user_id, bucket,
+           CAST(SUM(inc) AS BIGINT) AS increase_c,
+           CAST(SUM(rst) AS BIGINT) AS n_resets,
+           COUNT(*) AS n_obs
+    FROM c GROUP BY user_id, bucket
+    ORDER BY user_id, bucket LIMIT 200
+    """,
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Resets-aware counter rollup (TimescaleDB counter_agg / PromQL
+    increase): per-key deltas with restart detection, summed per
+    (user, day) — one shuffle (the lag window's key partitioning
+    satisfies the bucket aggregate's clustering), exact cents so every
+    output column is integer."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        counter_agg,
+    )
+
+    e = load_events(spark, sf).select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("v_c")
+    )
+    out = counter_agg(
+        e, keys=["user_id"], ts_col="ts", value_col="v_c",
+        bucket="day", tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("date").alias("bucket"),
+        F.col("increase").cast("long").alias("increase_c"),
+        "n_resets",
+        "n_obs",
+    ).orderBy("user_id", "bucket").limit(200)
+
+
+@q(
     "q166_ohlc_bars",
     oracle="""
     WITH b AS (
@@ -7965,8 +8016,8 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
 # Deferred to the r8 window (one more rotation retires all driver
 # staleness): the entries ADDED this round after the window froze
 # (q166_ohlc_bars, q167_corr_regression, q168_mad_outliers,
-# q169_rolling_zscore, q170_clone_constraints, q171_scd2_incremental —
-# never driver-checked,
+# q169_rolling_zscore, q170_clone_constraints, q171_scd2_incremental,
+# q172_counter_agg — never driver-checked,
 # green in the local replica; front these per the r6 precedent), then
 # q52, q66, q69, q84,
 # q86, q94, q95, q98–q100, q102–q104, q109–q111 (~16 r4 rows).

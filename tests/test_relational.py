@@ -428,3 +428,108 @@ def test_ohlc_bars_semantics(spark):
     assert out[(1, "2024-01-01")] == (10.0, 30.0, 5.0, 7.0, 4)
     assert out[(1, "2024-01-02")] == (42.0, 42.0, 42.0, 42.0, 1)
     assert out[(2, "2024-01-01")] == (3.0, 3.0, 3.0, 3.0, 1)
+
+
+def test_asof_join_directions(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        asof_join,
+    )
+
+    trades = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:30", "A"),   # between quotes 10 and 12
+            (2, "2024-01-01 10:05:00", "A"),   # after the last quote
+            (3, "2024-01-01 09:00:00", "A"),   # before the first quote
+        ],
+        ["trade_id", "ts", "sym"],
+    )
+    quotes = _ts(
+        spark,
+        [
+            (10, "2024-01-01 10:00:00", "A", 1.0),
+            (12, "2024-01-01 10:02:00", "A", 3.0),
+        ],
+        ["quote_id", "ts", "sym", "px"],
+    )
+
+    fwd = {
+        r.trade_id: r.quote_id
+        for r in asof_join(
+            trades, quotes, ["sym"], "ts", "ts", ["quote_id"],
+            how="left", direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 12, 2: None, 3: 10}
+
+    near = {
+        r.trade_id: r.quote_id
+        for r in asof_join(
+            trades, quotes, ["sym"], "ts", "ts", ["quote_id"],
+            how="left", direction="nearest",
+        ).collect()
+    }
+    # trade 1: 30s back vs 90s forward -> backward quote 10
+    assert near == {1: 10, 2: 12, 3: 10}
+
+    # exact middle resolves backward (pandas semantics)
+    mid = _ts(
+        spark, [(9, "2024-01-01 10:01:00", "A")], ["trade_id", "ts", "sym"]
+    )
+    got = asof_join(
+        mid, quotes, ["sym"], "ts", "ts", ["quote_id"],
+        direction="nearest",
+    ).collect()
+    assert got[0].quote_id == 10
+
+    # forward tolerance: a quote too far ahead is dropped
+    tol = asof_join(
+        mid, quotes, ["sym"], "ts", "ts", ["quote_id"],
+        how="left", direction="forward",
+        tolerance=F.expr("INTERVAL 30 SECONDS"),
+    ).collect()
+    assert tol[0].quote_id is None
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(mid, quotes, ["sym"], "ts", "ts", ["quote_id"],
+                  direction="sideways")
+
+
+def test_counter_agg_resets(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        counter_agg,
+    )
+    import datetime as dt
+
+    def t(d, h):
+        return dt.datetime(2024, 1, d, h)
+
+    rows = [
+        # key 1 day 1: 10 -> 25 (+15) -> 5 (RESET, +5) -> 30 (+25)
+        (1, t(1, 1), 10.0), (1, t(1, 2), 25.0),
+        (1, t(1, 3), 5.0), (1, t(1, 4), 30.0),
+        # key 1 day 2: first sample 40 continues from day 1's 30 (+10)
+        (1, t(2, 1), 40.0),
+        # key 2: single observation -> no baseline, increase 0
+        (2, t(1, 5), 99.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        (r.k, r.bucket.day): (r.increase, r.n_resets, r.n_obs)
+        for r in counter_agg(df, ["k"], "ts", "v", bucket="day").collect()
+    }
+    assert out[(1, 1)] == (45.0, 1, 4)   # 0 + 15 + 5 + 25
+    assert out[(1, 2)] == (10.0, 0, 1)   # cross-bucket continuity
+    assert out[(2, 1)] == (0.0, 0, 1)    # no fabricated baseline
+
+
+def test_counter_agg_single_shuffle(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        counter_agg,
+    )
+    from spark_iceberg_schema_evolution_spark.plans import explain
+    from spark_iceberg_schema_evolution_spark.queries import load_events
+    from tests.conftest import SF_SMOKE
+
+    e = load_events(spark, SF_SMOKE)
+    out = counter_agg(e, ["user_id"], "ts", "value", tiebreak="event_id")
+    assert explain.count_exchanges(out) == 1
