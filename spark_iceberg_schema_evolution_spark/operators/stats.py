@@ -1,0 +1,388 @@
+"""Evaluation & drift statistics — the measurement half of a training-data
+pipeline (reference parity: none; these extend SURVEY.md §2.B's
+training-data family with the operators that EVALUATE what the curation
+operators produce).
+
+Every operator here is formulated so the heavy math happens in exact
+integer arithmetic (counts, scaled-integer "cents" measures, cross-
+multiplied rank sums) and only the final, single division/sqrt happens in
+double — making results bit-identical across engines and across shuffle
+orders (integer sums are order-independent; IEEE-754 requires correctly
+rounded /, *, sqrt, so a fixed-shape final expression over exact-integer
+inputs is deterministic). No collect()s, no UDFs: everything is hash
+aggregates and keyed windows that scale with the usual Spark levers
+(AQE, shuffle partitions).
+
+Scale notes are per-operator; the common pattern is that per-key state is
+O(distinct scores / states / tokens), never O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "classifier_eval",
+    "calibration_bins",
+    "ab_welch",
+    "event_transitions",
+    "cusum_changepoint",
+    "autocorr_lag",
+]
+
+
+def classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact classifier evaluation: ROC-AUC by rank-sum plus the best-F1
+    operating point, in ONE pass over a grouped-by-score frame.
+
+    ``label_col`` must be 0/1 int; ``score_col`` should be integral (or
+    pre-quantized — AUC only consumes the ordering, so quantizing to any
+    monotone integer grid preserves it up to tie granularity).
+
+    AUC via the Mann-Whitney U statistic with the standard tie
+    correction, kept exact by scaling by 2:
+
+        2U = sum over distinct scores s of  n_pos(s) * (2 * N_below(s)
+                                            + n_neg(s))
+        AUC = 2U / (2 * P * N)
+
+    where N_below(s) counts negatives with score strictly below s. Every
+    term is an integer; the one double division is the last step.
+
+    The F1 sweep reuses the same grouped frame cumulated from the top
+    (predict positive when score >= t):  F1(t) = 2*TP / (P + TP + FP),
+    compared across thresholds in exact parts-per-million integer space
+    (``2*TP*1_000_000 div (P+TP+FP)``) with the smallest threshold
+    winning ties — no float argmax.
+
+    Scale: the grouped frame has one row per DISTINCT score, so the two
+    ordered windows run over a frame that is tiny relative to the input
+    (quantized scores at 100 TB are still only ~1e4-1e6 distinct values);
+    the only row-scale work is the initial hash aggregate. Returns one
+    row: n_pos, n_neg, u2, auc_r, best_thr, best_f1_ppm, tp, fp.
+    """
+    lbl = F.col(label_col).cast("long")
+    g = (
+        df.groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(lbl).alias("np"),
+            F.sum(F.lit(1) - lbl).alias("nn"),
+        )
+    )
+    w_below = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    w_top = W.orderBy(F.desc("s")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = g.select(
+        "s",
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w_below), F.lit(0)).alias("cum_nn"),
+        F.sum("np").over(w_top).alias("tp"),
+        F.sum("nn").over(w_top).alias("fp"),
+    )
+    totals = c.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cum_nn") + F.col("nn"))).alias(
+            "u2"
+        ),
+    )
+    best = (
+        c.crossJoin(F.broadcast(totals.select("n_pos")))
+        .select(
+            F.col("s").alias("best_thr"),
+            "tp",
+            "fp",
+            F.expr(
+                "(2 * tp * 1000000) div (n_pos + tp + fp)"
+            ).alias("best_f1_ppm"),
+        )
+        .orderBy(F.desc("best_f1_ppm"), F.asc("best_thr"))
+        .limit(1)
+    )
+    return totals.crossJoin(F.broadcast(best)).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.round(
+            F.col("u2")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg")),
+            4,
+        ).alias("auc_r"),
+        "best_thr",
+        "best_f1_ppm",
+        "tp",
+        "fp",
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Reliability-diagram data: fixed-width score bins vs observed
+    positive rate. Integer bin ids (``score div width``) keep binning
+    exact; the rate is the one rounded double. One hash aggregate."""
+    lbl = F.col(label_col).cast("long")
+    return (
+        df.groupBy(
+            F.expr(f"{score_col} div {bin_width}").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lbl).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).alias("bin_lo"),
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n"), 4
+            ).alias("pos_rate_r"),
+        )
+    )
+
+
+def ab_welch(
+    df: DataFrame,
+    segment_col: str,
+    group_col: str,
+    metric_int_col: str,
+    conversion_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-segment A/B experiment readout: Welch's t statistic on an
+    exact-integer metric plus Wilson score intervals for the conversion
+    rate of the treatment arm — ONE hash aggregate per segment, both
+    arms folded via conditional sums (no self-join, no pivot shuffle).
+
+    ``group_col`` is the 0/1 treatment flag, ``metric_int_col`` an
+    integer (cents-scaled) measure, ``conversion_col`` a 0/1 flag.
+    Moments (n, sum x, sum x^2) are exact integers per arm; mean /
+    variance / t / Wilson bounds are fixed-shape double expressions over
+    them, so the output is engine- and partitioning-independent. Sum of
+    squares of cents-scale metrics stays within int64 to ~1e10 rows per
+    segment; beyond that, pre-aggregate per sub-key first.
+
+    Welch: t = (m1 - m0) / sqrt(v1/n1 + v0/n0) with sample variances
+    v = (sxx - sx*sx/n) / (n-1).  Wilson (treatment arm): the standard
+    z^2-corrected interval.
+    """
+    grp = F.col(group_col).cast("long")
+    x = F.col(metric_int_col).cast("long")
+    conv = F.col(conversion_col).cast("long")
+    agg = df.groupBy(segment_col).agg(
+        F.sum(grp).alias("n1"),
+        F.sum(1 - grp).alias("n0"),
+        F.sum(grp * x).alias("sx1"),
+        F.sum((1 - grp) * x).alias("sx0"),
+        F.sum(grp * x * x).alias("sxx1"),
+        F.sum((1 - grp) * x * x).alias("sxx0"),
+        F.sum(grp * conv).alias("c1"),
+    )
+
+    def mean(sx: str, n: str) -> Column:
+        return F.col(sx).cast("double") / F.col(n)
+
+    def var(sxx: str, sx: str, n: str) -> Column:
+        nd = F.col(n).cast("double")
+        sxd = F.col(sx).cast("double")
+        return (F.col(sxx).cast("double") - sxd * sxd / nd) / (nd - 1)
+
+    m1, m0 = mean("sx1", "n1"), mean("sx0", "n0")
+    v1, v0 = var("sxx1", "sx1", "n1"), var("sxx0", "sx0", "n0")
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    t = (m1 - m0) / F.sqrt(v1 / n1d + v0 / n0d)
+    phat = F.col("c1").cast("double") / n1d
+    z2 = z * z
+    denom = 1.0 + z2 / n1d
+    center = (phat + z2 / (2.0 * n1d)) / denom
+    half = (
+        z
+        * F.sqrt(phat * (1.0 - phat) / n1d + z2 / (4.0 * n1d * n1d))
+        / denom
+    )
+    return agg.select(
+        segment_col,
+        "n0",
+        "n1",
+        F.round(m0, 4).alias("mean0_r"),
+        F.round(m1, 4).alias("mean1_r"),
+        F.round(t, 4).alias("welch_t_r"),
+        "c1",
+        F.round(center - half, 4).alias("wilson_lo_r"),
+        F.round(center + half, 4).alias("wilson_hi_r"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: lag the state within each key's time order, count
+    (prev -> curr) pairs corpus-wide, and attach exact parts-per-million
+    transition probabilities (``n * 1_000_000 div row_total``).
+
+    Two shuffles, both necessary: the keyed lag window, then the global
+    (prev, curr) aggregate; the per-prev row totals ride a window over
+    the already-aggregated matrix (state-cardinality^2 rows, trivially
+    small) instead of a third shuffle. Scale: per-key window state is
+    one row; the matrix is O(|states|^2) regardless of input size."""
+    w = W.partitionBy(*key_cols).orderBy(ts_col, tiebreak)
+    pairs = (
+        df.select(
+            F.lag(state_col).over(w).alias("prev_state"),
+            F.col(state_col).alias("curr_state"),
+        )
+        .where(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "curr_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_prev = W.partitionBy("prev_state")
+    return pairs.select(
+        "prev_state",
+        "curr_state",
+        "n",
+        F.sum("n").over(w_prev).alias("n_from_prev"),
+        F.expr("(n * 1000000) div sum(n) over (partition by prev_state)")
+        .alias("p_ppm"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_int_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Exact CUSUM-style changepoint statistic per key: the maximum
+    absolute deviation of the running sum from its straight line to the
+    total,
+
+        D = max_i | n * S_i - i * S_n |        (all integers)
+
+    which is n times the classic ``max |S_i - i * mean|`` drift statistic
+    — the level-shift changepoint estimator. The argmax index (smallest i
+    on ties) is the estimated changepoint. Everything before the final
+    normalization is int64 (safe while n * |S_n| < 9e18 per key; at
+    cents scale that is ~1e7 observations per key — pre-bucket longer
+    series first).
+
+    One shuffle: the per-key ordered window computes i and S_i, the
+    unordered same-key window supplies n and S_n without re-shuffling
+    (same partitioning), and the final per-key aggregate reuses the
+    window's hash partitioning under AQE."""
+    x = F.col(value_int_col).cast("long")
+    w_ord = (
+        W.partitionBy(*key_cols)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(*key_cols)
+    staged = df.select(
+        *key_cols,
+        F.row_number()
+        .over(W.partitionBy(*key_cols).orderBy(ts_col, tiebreak))
+        .alias("i"),
+        F.sum(x).over(w_ord).alias("s_i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(x).over(w_all).alias("s_n"),
+    ).withColumn(
+        "d",
+        F.abs(
+            F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")
+        ),
+    )
+    with_max = staged.withColumn("d_max", F.max("d").over(w_all))
+    return (
+        with_max.groupBy(*key_cols)
+        .agg(
+            F.first("n").alias("n_obs"),
+            F.first("d_max").alias("d_max"),
+            F.min(
+                F.when(F.col("d") == F.col("d_max"), F.col("i"))
+            ).alias("cp_index"),
+        )
+        .select(
+            *key_cols,
+            "n_obs",
+            "cp_index",
+            "d_max",
+            F.round(
+                F.col("d_max").cast("double")
+                / (F.col("n_obs").cast("double") * F.col("n_obs")),
+                4,
+            ).alias("drift_r"),
+        )
+    )
+
+
+def autocorr_lag(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_int_col: str,
+    tiebreak: str,
+    lag: int = 1,
+    min_pairs: int = 10,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation from exact integer moments: pair
+    each observation with its lag-k predecessor in time order, then fold
+    (n, Sx, Sy, Sxy, Sxx, Syy) as int64 sums and assemble Pearson r with
+    fixed-shape double math:
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    The two variance terms are computed exactly in int64 (safe to ~2e5
+    cents-scale observations per key; the doc for :func:`ab_welch`'s
+    double fallback applies beyond), converted exactly to double
+    (< 2^53), multiplied once, sqrt'd once — deterministic across
+    engines. Keys with a zero-variance side return NULL r.
+
+    One keyed-window shuffle; the moment aggregate reuses the window's
+    partitioning. Unlike ``corr()``, whose streaming co-moment updates
+    are accumulation-order-dependent in the last ulp, this is exact."""
+    x = F.col(value_int_col).cast("long")
+    w = W.partitionBy(*key_cols).orderBy(ts_col, tiebreak)
+    pairs = df.select(
+        *key_cols,
+        F.lag(x, lag).over(w).alias("xv"),
+        x.alias("yv"),
+    ).where(F.col("xv").isNotNull())
+    m = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    a = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (a > 0) & (b > 0),
+        F.round(
+            num.cast("double")
+            / F.sqrt(a.cast("double") * b.cast("double")),
+            4,
+        ),
+    )
+    return m.where(F.col("n") >= min_pairs).select(
+        *key_cols, "n", r.alias("autocorr_r")
+    )

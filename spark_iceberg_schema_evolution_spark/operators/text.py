@@ -1113,3 +1113,143 @@ def percentile_normalize(
 
     w = _W.partitionBy(*by).orderBy(F.col(col).asc())
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Collocation (phrase) mining by exact pointwise-mutual-information
+    lift: for each adjacent word pair, how much more often it occurs
+    than independence predicts,
+
+        lift = N_bigrams * c(a,b) / (c(a) * c(b))     (= e^PMI)
+
+    reported in exact parts-per-million integer space so the ranking is
+    reproducible across engines — log() is monotone, so ranking by lift
+    IS ranking by PMI, without the last-ulp libm variance of ln.
+
+    Plan shape: two aggregates over the token stream (unigram counts,
+    bigram counts), then the bigram side joins its two unigram legs
+    broadcast (vocabulary is tiny relative to the corpus — Heaps' law —
+    and min_count trims the tail before the join). N counts ALL bigrams
+    (pre-min_count), as PMI requires. The
+    product c(a,b) * N * 1e6 runs in DECIMAL(38,0) so the operator
+    survives corpora where int64 would overflow (> ~1e9 bigrams), then
+    integer-divides back to a BIGINT ppm score."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(words.alias("__w"))
+    uni = (
+        toks.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bigrams = F.when(
+        F.size(F.col("__w")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__w) - 1), "
+            "i -> struct(element_at(__w, i) as wa, "
+            "element_at(__w, i + 1) as wb))"
+        ),
+    ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
+    bi_all = (
+        toks.select(F.explode(bigrams).alias("b"))
+        .select("b.wa", "b.wb")
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_total = bi_all.agg(F.sum("c_ab").alias("n_bi"))
+    bi = bi_all.where(F.col("c_ab") >= min_count)
+    # min_count prunes bi BEFORE the joins; uni stays whole (its counts
+    # are denominators). Both legs broadcast: vocab << corpus.
+    out = (
+        bi.crossJoin(F.broadcast(n_total))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("wa"),
+                                   F.col("c_w").alias("c_a"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("wb"),
+                                   F.col("c_w").alias("c_b"))),
+            "wb",
+        )
+        .select(
+            F.concat_ws(" ", "wa", "wb").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * n_bi * 1000000)"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    if top_k:
+        out = out.orderBy(F.desc("lift_ppm"), F.asc("bigram")).limit(top_k)
+    return out
+
+
+def corpus_divergence(
+    df: DataFrame,
+    split_col: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpus splits as exact total-
+    variation distance over the token distribution:
+
+        TV = (1/2) * sum_w | p_a(w) - p_b(w) |
+           = sum_w | c_a(w)*n_b - c_b(w)*n_a |  /  (2 * n_a * n_b)
+
+    The numerator is an exact int64 sum (cross-multiplied counts — no
+    per-token division, no float accumulation; safe while token totals
+    stay under ~1e9 per split, promote to DECIMAL beyond), the one
+    double division is the last step. ``split_col`` must be a 0/1 int
+    expression (time slice, source, train/eval split).
+
+    Plan shape: ONE tokenize + hash aggregate producing per-token counts
+    for BOTH splits via conditional sums (no join of two vocabularies —
+    the zero-fill outer join is folded into the aggregate), then a
+    broadcast of the 1-row totals. Returns one row: n_a, n_b, vocab,
+    n_common, tv_r."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(
+        split_col.cast("long").alias("grp"), words.alias("__w")
+    ).select("grp", F.explode("__w").alias("w"))
+    counts = toks.groupBy("w").agg(
+        F.sum(1 - F.col("grp")).alias("c_a"),
+        F.sum("grp").alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(
+                ((F.col("c_a") > 0) & (F.col("c_b") > 0)).cast("long")
+            ).alias("n_common"),
+            F.sum(
+                F.abs(
+                    F.col("c_a") * F.col("n_b")
+                    - F.col("c_b") * F.col("n_a")
+                )
+            ).alias("tv_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "vocab",
+            "n_common",
+            F.round(
+                F.col("tv_num").cast("double")
+                / (2.0 * F.col("n_a").cast("double") * F.col("n_b")),
+                4,
+            ).alias("tv_r"),
+        )
+    )

@@ -1,0 +1,250 @@
+"""Evaluation & drift statistics operators (operators/stats.py + the
+text.py collocation/divergence pair): hand-computable fixtures with known
+closed-form answers, plus invariants (probability rows sum to 1e6, TV
+symmetry/identity, AUC of a perfect ranker = 1)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_iceberg_schema_evolution_spark.operators.stats import (
+    ab_welch,
+    autocorr_lag,
+    calibration_bins,
+    classifier_eval,
+    cusum_changepoint,
+    event_transitions,
+)
+from spark_iceberg_schema_evolution_spark.operators.text import (
+    corpus_divergence,
+    pmi_collocations,
+)
+
+
+# --- classifier_eval ------------------------------------------------------
+
+
+def test_auc_perfect_separation(spark):
+    df = spark.createDataFrame(
+        [(i, 1 if i >= 10 else 0) for i in range(20)], "s int, y int"
+    )
+    row = classifier_eval(df, "s", "y").first()
+    assert row.n_pos == 10 and row.n_neg == 10
+    assert row.auc_r == 1.0
+    # threshold 10 classifies perfectly -> F1 = 1
+    assert row.best_thr == 10
+    assert row.best_f1_ppm == 1_000_000
+    assert row.tp == 10 and row.fp == 0
+
+
+def test_auc_random_is_half_and_ties(spark):
+    # every score shared by one pos and one neg -> AUC exactly 0.5
+    rows = [(s, 1) for s in range(5)] + [(s, 0) for s in range(5)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    row = classifier_eval(df, "s", "y").first()
+    assert row.auc_r == 0.5
+    # hand-check: U2 = sum over scores: 1*(2*cum_below + 1), cum 0..4
+    assert row.u2 == sum(2 * c + 1 for c in range(5))
+
+
+def test_auc_hand_example(spark):
+    # scores: pos {3, 2}, neg {1, 2} -> pairs: (3>1)+(3>2)+(2>1)+(2==2)*.5
+    # U = 3.5 of 4 -> AUC = 0.875
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (1, 0), (2, 0)], "s int, y int"
+    )
+    row = classifier_eval(df, "s", "y").first()
+    assert row.u2 == 7  # 2U
+    assert row.auc_r == 0.875
+
+
+def test_calibration_bins(spark):
+    df = spark.createDataFrame(
+        [(5, 0), (7, 1), (15, 1), (17, 1)], "s int, y int"
+    )
+    out = {
+        r.bin: (r.n, r.n_pos, r.pos_rate_r)
+        for r in calibration_bins(df, "s", "y", 10).collect()
+    }
+    assert out == {0: (2, 1, 0.5), 1: (2, 2, 1.0)}
+
+
+# --- ab_welch -------------------------------------------------------------
+
+
+def test_ab_welch_known_groups(spark):
+    # arm 0: [10, 20, 30]; arm 1: [20, 30, 40] -> means 20 / 30,
+    # both sample variances 100 -> t = 10 / sqrt(100/3 + 100/3)
+    rows = [("seg", 0, 10, 0), ("seg", 0, 20, 0), ("seg", 0, 30, 1),
+            ("seg", 1, 20, 0), ("seg", 1, 30, 1), ("seg", 1, 40, 1)]
+    df = spark.createDataFrame(rows, "seg string, g int, x int, conv int")
+    row = ab_welch(df, "seg", "g", "x", "conv").first()
+    assert row.n0 == 3 and row.n1 == 3
+    assert row.mean0_r == 20.0 and row.mean1_r == 30.0
+    assert row.welch_t_r == round(10 / (200 / 3) ** 0.5, 4)
+    assert row.c1 == 2
+    # Wilson bounds for 2/3 at z=1.96 (textbook values)
+    assert 0.20 < row.wilson_lo_r < 0.31
+    assert 0.90 < row.wilson_hi_r < 0.96
+    assert row.wilson_lo_r < 2 / 3 < row.wilson_hi_r
+
+
+# --- event_transitions ----------------------------------------------------
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, s string")
+    out = event_transitions(df, ["k"], "t", "s", "t")
+    got = {
+        (r.prev_state, r.curr_state): (r.n, r.p_ppm)
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 666666),
+        ("a", "a"): (1, 333333),
+        ("b", "a"): (1, 1_000_000),
+    }
+    # per-prev probabilities sum to 1e6 up to div truncation (< #rows)
+    sums = (
+        out.groupBy("prev_state").agg(F.sum("p_ppm").alias("p"))
+        .collect()
+    )
+    assert all(1_000_000 - 2 <= r.p <= 1_000_000 for r in sums)
+
+
+# --- cusum_changepoint ----------------------------------------------------
+
+
+def test_cusum_flat_series_zero_drift(spark):
+    df = spark.createDataFrame(
+        [(1, t, 5) for t in range(10)], "k int, t int, x int"
+    )
+    row = cusum_changepoint(df, ["k"], "t", "x", "t").first()
+    assert row.d_max == 0 and row.drift_r == 0.0
+    assert row.cp_index == 1  # ties -> smallest index
+
+
+def test_cusum_detects_level_shift(spark):
+    # 10 zeros then 10 tens: drift peaks exactly at the shift point
+    vals = [0] * 10 + [10] * 10
+    df = spark.createDataFrame(
+        [(1, t, v) for t, v in enumerate(vals)], "k int, t int, x int"
+    )
+    row = cusum_changepoint(df, ["k"], "t", "x", "t").first()
+    assert row.cp_index == 10  # last pre-shift observation (i is 1-based)
+    # D at i=10: |20*0 - 10*100| = 1000; drift_r = 1000/400
+    assert row.d_max == 1000
+    assert row.drift_r == 2.5
+
+
+# --- autocorr_lag ---------------------------------------------------------
+
+
+def test_autocorr_linear_series_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, t, 3 * t + 7) for t in range(20)], "k int, t int, x int"
+    )
+    row = autocorr_lag(df, ["k"], "t", "x", "t").first()
+    assert row.n == 19
+    assert row.autocorr_r == 1.0
+
+
+def test_autocorr_alternating_is_minus_one(spark):
+    df = spark.createDataFrame(
+        [(1, t, 1 if t % 2 else -1) for t in range(20)],
+        "k int, t int, x int",
+    )
+    row = autocorr_lag(df, ["k"], "t", "x", "t").first()
+    assert row.autocorr_r == -1.0
+
+
+def test_autocorr_constant_series_null_and_min_pairs(spark):
+    rows = [(1, t, 5) for t in range(20)] + [(2, t, t) for t in range(5)]
+    df = spark.createDataFrame(rows, "k int, t int, x int")
+    out = autocorr_lag(df, ["k"], "t", "x", "t", min_pairs=10).collect()
+    assert len(out) == 1  # key 2 dropped (4 pairs < 10)
+    assert out[0].k == 1 and out[0].autocorr_r is None
+
+
+# --- pmi_collocations -----------------------------------------------------
+
+
+def test_pmi_lift_hand_example(spark):
+    # corpus: "x y" 3 times, "x z" 1, "w z" 1 -> N=5 bigrams
+    docs = ["x y"] * 3 + ["x z", "w z"]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    out = {
+        r.bigram: r
+        for r in pmi_collocations(df, min_count=1).collect()
+    }
+    # c(x y)=3, c_a(x)=4, c_b(y)=3 -> lift = 5*3/(4*3) = 1.25
+    assert out["x y"].lift_ppm == 1_250_000
+    assert out["x y"].c_ab == 3
+    # c(w z)=1, c_a(w)=1, c_b(z)=2 -> lift = 5/(1*2) = 2.5
+    assert out["w z"].lift_ppm == 2_500_000
+
+
+def test_pmi_min_count_prunes_but_n_stays_global(spark):
+    docs = ["x y"] * 3 + ["x z", "w z"]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    out = pmi_collocations(df, min_count=2).collect()
+    assert [r.bigram for r in out] == ["x y"]
+    # N must still be 5 (pre-filter): lift unchanged vs min_count=1
+    assert out[0].lift_ppm == 1_250_000
+
+
+# --- corpus_divergence ----------------------------------------------------
+
+
+def test_tv_identical_splits_zero(spark):
+    rows = [(i, "a b c") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    row = corpus_divergence(df, F.col("id") % 2).first()
+    assert row.tv_r == 0.0
+    assert row.n_a == row.n_b == 15
+    assert row.vocab == row.n_common == 3
+
+
+def test_tv_disjoint_splits_one(spark):
+    rows = [(0, "a a b"), (1, "c d e")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    row = corpus_divergence(df, F.col("id") % 2).first()
+    assert row.tv_r == 1.0
+    assert row.n_common == 0 and row.vocab == 5
+
+
+def test_tv_hand_value_and_symmetry(spark):
+    # split A tokens: a a b   split B: a b b b
+    rows = [(0, "a a b"), (1, "a b b b")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    row = corpus_divergence(df, F.col("id") % 2).first()
+    # |2*4-1*3| + |1*4-3*3| = 5+5 = 10; tv = 10/(2*3*4)
+    assert row.tv_r == round(10 / 24, 4)
+    flipped = corpus_divergence(df, 1 - F.col("id") % 2).first()
+    assert flipped.tv_r == row.tv_r
+
+
+# --- determinism under repartitioning ------------------------------------
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_partitioning_invariance(spark, parts):
+    rows = [(i % 4, i, (i * 37) % 100, i % 2, f"s{i%3} t{i%5}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "k int, t int, x int, g int, text string"
+    ).repartition(parts)
+    a = classifier_eval(df, "x", "g").first()
+    assert a.u2 == classifier_eval(df.repartition(3), "x", "g").first().u2
+    c = cusum_changepoint(df, ["k"], "t", "x", "t").orderBy("k").collect()
+    c2 = (
+        cusum_changepoint(df.repartition(5), ["k"], "t", "x", "t")
+        .orderBy("k")
+        .collect()
+    )
+    assert c == c2
