@@ -135,6 +135,15 @@ HEADLINE = [
     "q168_mad_outliers",
     "q169_rolling_zscore",
     "q172_counter_agg",
+    # round-7 second half: evaluation & drift statistics
+    "q173_classifier_eval",
+    "q174_ab_welch",
+    "q175_event_transitions",
+    "q176_pmi_collocations",
+    "q177_cusum_changepoint",
+    "q178_autocorr",
+    "q179_tv_divergence",
+    "q180_variant_shred",
 ]
 
 

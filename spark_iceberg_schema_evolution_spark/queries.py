@@ -7967,6 +7967,401 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+@q(
+    "q173_classifier_eval",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS s,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      FROM documents GROUP BY n_chars),
+    c AS (
+      SELECT s, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_nn,
+             SUM(np) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(nn) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM g),
+    t AS (SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg,
+                 SUM(np * (2 * cum_nn + nn)) AS u2 FROM c),
+    best AS (
+      SELECT c.s AS best_thr, c.tp, c.fp,
+             (2 * c.tp * 1000000) // (t.n_pos + c.tp + c.fp)
+               AS best_f1_ppm
+      FROM c, t
+      ORDER BY best_f1_ppm DESC, best_thr ASC LIMIT 1)
+    SELECT CAST(t.n_pos AS BIGINT) AS n_pos,
+           CAST(t.n_neg AS BIGINT) AS n_neg,
+           CAST(t.u2 AS BIGINT) AS u2,
+           ROUND(CAST(t.u2 AS DOUBLE)
+                 / (2.0 * CAST(t.n_pos AS DOUBLE) * t.n_neg), 4) AS auc_r,
+           CAST(best.best_thr AS BIGINT) AS best_thr,
+           CAST(best.best_f1_ppm AS BIGINT) AS best_f1_ppm,
+           CAST(best.tp AS BIGINT) AS tp,
+           CAST(best.fp AS BIGINT) AS fp
+    FROM t, best
+    """,
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact classifier evaluation (rank-sum ROC-AUC + best-F1 operating
+    point) of doc length as an English-detector — the eval half of the
+    quality-classifier loop (q128/q145 score, this measures). Mann-
+    Whitney 2U and the F1 sweep run entirely in integers (operator
+    docstring derivation); the heavy work is one hash aggregate over the
+    corpus, the ordered windows see only distinct scores."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        classifier_eval,
+    )
+
+    d = load(spark, sf, "documents").select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return classifier_eval(d, "s", "y")
+
+
+@q(
+    "q174_ab_welch",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+      FROM events),
+    a AS (
+      SELECT event_type,
+             CAST(SUM(grp) AS BIGINT) AS n1,
+             CAST(SUM(1 - grp) AS BIGINT) AS n0,
+             CAST(SUM(grp * x) AS BIGINT) AS sx1,
+             CAST(SUM((1 - grp) * x) AS BIGINT) AS sx0,
+             CAST(SUM(grp * x * x) AS BIGINT) AS sxx1,
+             CAST(SUM((1 - grp) * x * x) AS BIGINT) AS sxx0,
+             CAST(SUM(grp * conv) AS BIGINT) AS c1
+      FROM e GROUP BY event_type)
+    SELECT event_type, n0, n1,
+           ROUND(CAST(sx0 AS DOUBLE) / n0, 4) AS mean0_r,
+           ROUND(CAST(sx1 AS DOUBLE) / n1, 4) AS mean1_r,
+           ROUND((CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+                 / sqrt(((CAST(sxx1 AS DOUBLE)
+                          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+                            / CAST(n1 AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) - 1))
+                          / CAST(n1 AS DOUBLE)
+                        + ((CAST(sxx0 AS DOUBLE)
+                            - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)
+                              / CAST(n0 AS DOUBLE))
+                           / (CAST(n0 AS DOUBLE) - 1))
+                            / CAST(n0 AS DOUBLE)), 4) AS welch_t_r,
+           c1,
+           ROUND(((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   + 1.96 * 1.96 / (2.0 * CAST(n1 AS DOUBLE)))
+                  / (1.0 + 1.96 * 1.96 / CAST(n1 AS DOUBLE)))
+                 - (1.96 * sqrt((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (1.0 - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / CAST(n1 AS DOUBLE)
+                     + 1.96 * 1.96
+                       / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                    / (1.0 + 1.96 * 1.96 / CAST(n1 AS DOUBLE))), 4)
+             AS wilson_lo_r,
+           ROUND(((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   + 1.96 * 1.96 / (2.0 * CAST(n1 AS DOUBLE)))
+                  / (1.0 + 1.96 * 1.96 / CAST(n1 AS DOUBLE)))
+                 + (1.96 * sqrt((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (1.0 - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / CAST(n1 AS DOUBLE)
+                     + 1.96 * 1.96
+                       / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                    / (1.0 + 1.96 * 1.96 / CAST(n1 AS DOUBLE))), 4)
+             AS wilson_hi_r
+    FROM a ORDER BY event_type
+    """,
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type A/B experiment readout (arm = user parity): Welch
+    t on the cents-exact value metric plus Wilson 95% interval on the
+    treatment conversion rate — ONE conditional-sum hash aggregate,
+    both arms folded without a self-join. The oracle restates the
+    operator's fixed-shape double expressions term for term (exact
+    integer moments in, IEEE-deterministic /, *, sqrt out)."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        ab_welch,
+    )
+
+    e = load_events(spark, sf).select(
+        "event_type",
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        cents(F.col("value")).alias("v_c"),
+        (F.col("value") > 50).cast("long").alias("conv"),
+    )
+    return ab_welch(e, "event_type", "grp", "v_c", "conv").orderBy(
+        "event_type"
+    )
+
+
+@q(
+    "q175_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    m AS (
+      SELECT prev_state, event_type AS curr_state, COUNT(*) AS n
+      FROM s WHERE prev_state IS NOT NULL
+      GROUP BY prev_state, event_type)
+    SELECT prev_state, curr_state, CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (PARTITION BY prev_state) AS BIGINT)
+             AS n_from_prev,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_state)
+                AS BIGINT) AS p_ppm
+    FROM m ORDER BY prev_state, curr_state
+    """,
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences, with exact ppm transition probabilities — the sequence-
+    model / funnel-free behavioral summary. Keyed lag window + one
+    |states|^2 aggregate; row totals ride a window over the tiny
+    matrix, not a third shuffle."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        event_transitions,
+    )
+
+    e = load_events(spark, sf)
+    return event_transitions(
+        e, ["user_id"], "ts", "event_type", "event_id"
+    ).orderBy("prev_state", "curr_state")
+
+
+@q(
+    "q176_pmi_collocations",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents),
+    uc AS (
+      SELECT w, COUNT(*) AS c_w
+      FROM (SELECT UNNEST(ws) AS w FROM w) GROUP BY w),
+    ball AS (
+      SELECT bg, COUNT(*) AS c_ab FROM (
+        SELECT UNNEST(
+          [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]
+        ) AS bg FROM w)
+      GROUP BY bg),
+    tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM ball),
+    b AS (
+      SELECT bg, c_ab, split_part(bg, ' ', 1) AS wa,
+             split_part(bg, ' ', 2) AS wb
+      FROM ball WHERE c_ab >= 5)
+    SELECT b.bg AS bigram, CAST(b.c_ab AS BIGINT) AS c_ab,
+           CAST(ua.c_w AS BIGINT) AS c_a, CAST(ub.c_w AS BIGINT) AS c_b,
+           CAST((CAST(b.c_ab AS HUGEINT) * tot.n_bi * 1000000)
+                // (CAST(ua.c_w AS HUGEINT) * ub.c_w) AS BIGINT)
+             AS lift_ppm
+    FROM b, tot
+    JOIN uc ua ON b.wa = ua.w
+    JOIN uc ub ON b.wb = ub.w
+    ORDER BY lift_ppm DESC, bigram ASC LIMIT 100
+    """,
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining by exact PMI-lift ppm (phrase discovery for
+    tokenizer/vocab curation): unigram + bigram aggregates over one
+    tokenize pass, broadcast unigram legs, DECIMAL(38) cross-multiplied
+    lift so the ranking is engine-exact (log-free: monotone with PMI).
+    N counts ALL bigrams; min_count prunes only the candidates."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        load(spark, sf, "documents"), min_count=5, top_k=100
+    )
+
+
+@q(
+    "q177_cusum_changepoint",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events),
+    s AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             SUM(x) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(x) OVER (PARTITION BY user_id) AS s_n
+      FROM v),
+    d AS (
+      SELECT user_id, i, n, ABS(n * s_i - i * s_n) AS dd FROM s),
+    m AS (
+      SELECT user_id, ANY_VALUE(n) AS n_obs, MAX(dd) AS d_max
+      FROM d GROUP BY user_id)
+    SELECT CAST(d.user_id AS BIGINT) AS user_id,
+           CAST(m.n_obs AS BIGINT) AS n_obs,
+           CAST(MIN(CASE WHEN d.dd = m.d_max THEN d.i END) AS BIGINT)
+             AS cp_index,
+           CAST(m.d_max AS BIGINT) AS d_max,
+           ROUND(CAST(m.d_max AS DOUBLE)
+                 / (CAST(m.n_obs AS DOUBLE) * m.n_obs), 4) AS drift_r
+    FROM d JOIN m USING (user_id)
+    GROUP BY d.user_id, m.n_obs, m.d_max
+    ORDER BY user_id LIMIT 200
+    """,
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user CUSUM-style changepoint scan on the cents-exact value
+    series: D = max |n*S_i - i*S_n| (all int64) locates level shifts;
+    smallest-index tiebreak pins the argmax. One keyed-window shuffle;
+    the aggregate reuses its partitioning."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    e = load_events(spark, sf).select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("v_c")
+    )
+    out = cusum_changepoint(e, ["user_id"], "ts", "v_c", "event_id")
+    return out.select(
+        "user_id",
+        "n_obs",
+        F.col("cp_index").cast("long").alias("cp_index"),
+        "d_max",
+        "drift_r",
+    ).orderBy("user_id").limit(200)
+
+
+@q(
+    "q178_autocorr",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             lag(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS xv,
+             CAST(ROUND(value * 100) AS BIGINT) AS yv
+      FROM events),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xv) AS BIGINT) AS sx,
+             CAST(SUM(yv) AS BIGINT) AS sy,
+             CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+             CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+             CAST(SUM(yv * yv) AS BIGINT) AS syy
+      FROM p WHERE xv IS NOT NULL GROUP BY user_id)
+    SELECT CAST(user_id AS BIGINT) AS user_id, n,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+           END AS autocorr_r
+    FROM m WHERE n >= 10 ORDER BY user_id LIMIT 200
+    """,
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation from exact integer moments —
+    deterministic where corr()'s streaming co-moments are not (operator
+    docstring). One keyed-window shuffle, moment aggregate reuses the
+    partitioning; NULL where a side has zero variance."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        autocorr_lag,
+    )
+
+    e = load_events(spark, sf).select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("v_c")
+    )
+    out = autocorr_lag(
+        e, ["user_id"], "ts", "v_c", "event_id", lag=1, min_pairs=10
+    )
+    return out.orderBy("user_id").limit(200)
+
+
+@q(
+    "q179_tv_divergence",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id % 2 AS grp,
+             UNNEST(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents),
+    c AS (
+      SELECT w,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c_b
+      FROM t GROUP BY w),
+    tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                   CAST(SUM(c_b) AS BIGINT) AS n_b FROM c)
+    SELECT tot.n_a, tot.n_b,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c.c_a > 0 AND c.c_b > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           ROUND(CAST(SUM(ABS(c.c_a * tot.n_b - c.c_b * tot.n_a))
+                      AS DOUBLE)
+                 / (2.0 * CAST(tot.n_a AS DOUBLE) * tot.n_b), 4) AS tv_r
+    FROM c, tot GROUP BY tot.n_a, tot.n_b
+    """,
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift as exact total-variation distance between the token
+    distributions of two splits (even/odd doc ids): cross-multiplied
+    counts keep the numerator in int64 — no per-token division, no float
+    accumulation, no vocabulary self-join (both splits fold in ONE
+    conditional-sum aggregate)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        corpus_divergence,
+    )
+
+    d = load(spark, sf, "documents")
+    return corpus_divergence(d, F.col("doc_id") % 2)
+
+
+@q(
+    "q180_variant_shred",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+    SELECT CAST(k // 10 AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_missing
+    FROM s GROUP BY k // 10 ORDER BY k_bucket
+    """,
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    parse_json once, typed variant_get extraction (and try_variant_get
+    returning NULL on an absent path — counted to prove the lenient
+    path), then a plain relational rollup. VARIANT keeps the binary
+    decode columnar and lazy — at scale this replaces per-row JSON
+    string re-parsing in every expression."""
+    e = load_events(spark, sf)
+    v = F.parse_json(F.col("props"))
+    shredded = e.select(
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("miss"),
+    )
+    return (
+        shredded.groupBy(F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum(F.col("miss").isNull().cast("int"))
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -8017,7 +8412,10 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
 # staleness): the entries ADDED this round after the window froze
 # (q166_ohlc_bars, q167_corr_regression, q168_mad_outliers,
 # q169_rolling_zscore, q170_clone_constraints, q171_scd2_incremental,
-# q172_counter_agg — never driver-checked,
+# q172_counter_agg, and the round-7 second-half statistics family
+# q173_classifier_eval, q174_ab_welch, q175_event_transitions,
+# q176_pmi_collocations, q177_cusum_changepoint, q178_autocorr,
+# q179_tv_divergence, q180_variant_shred — never driver-checked,
 # green in the local replica; front these per the r6 precedent), then
 # q52, q66, q69, q84,
 # q86, q94, q95, q98–q100, q102–q104, q109–q111 (~16 r4 rows).

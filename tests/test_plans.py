@@ -401,3 +401,53 @@ def test_media_near_dup_banded_no_cartesian(spark):
     plan = explain.physical_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_and_autocorr_single_shuffle(spark):
+    """CUSUM changepoint and exact-moment autocorrelation: the keyed
+    window and the per-key aggregate share the key partitioning, so
+    each whole operator costs exactly ONE hash exchange."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        autocorr_lag,
+        cusum_changepoint,
+    )
+
+    e = load_events(spark, SF_SMOKE).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cp = cusum_changepoint(e, ["user_id"], "ts", "value", "event_id")
+    assert explain.count_exchanges(cp) == 1, explain.physical_plan(cp)
+    ac = autocorr_lag(e, ["user_id"], "ts", "value", "event_id")
+    assert explain.count_exchanges(ac) == 1, explain.physical_plan(ac)
+
+
+def test_pmi_broadcast_legs_no_cartesian(spark):
+    """PMI collocations: both unigram legs and the 1-row total join as
+    broadcasts — no sort-merge join of vocab against vocab, no
+    CartesianProduct, no Python stages."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    d = load(spark, SF_SMOKE, "documents")
+    out = pmi_collocations(d, min_count=2, top_k=50)
+    plan = explain.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tv_divergence_one_corpus_aggregate(spark):
+    """TV divergence folds both splits in one conditional-sum aggregate:
+    the token-scale work is a single exchange; the totals attach as a
+    broadcast, never a shuffle join of two vocabularies."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        corpus_divergence,
+    )
+    import pyspark.sql.functions as F
+
+    d = load(spark, SF_SMOKE, "documents")
+    out = corpus_divergence(d, F.col("doc_id") % 2)
+    assert explain.count_exchanges(out) <= 2, explain.physical_plan(out)
+    assert "SortMergeJoin" not in explain.physical_plan(out)
