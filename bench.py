@@ -144,6 +144,10 @@ HEADLINE = [
     "q178_autocorr",
     "q179_tv_divergence",
     "q180_variant_shred",
+    "q181_rrf_fusion",
+    "q182_interval_coverage",
+    "q183_assoc_rules",
+    "q184_period_over_period",
 ]
 
 

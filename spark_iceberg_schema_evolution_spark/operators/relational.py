@@ -763,3 +763,101 @@ def dedup_bursts(
         .where(F.col("__rn") == 1)
         .drop("__burst", "__rn")
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key interval union length + maximum concurrency via the
+    classic +1/-1 boundary sweep — the load-profile / covered-time
+    primitive (union of session intervals, peak parallelism) without a
+    self-join.
+
+    Each interval emits a (+1 at start, -1 at end) boundary event; a
+    running sum over the key-ordered boundaries is the concurrency
+    curve, and the union length is the sum of gaps where concurrency
+    stayed > 0. Half-open [start, end) semantics: a segment counts
+    toward coverage when the sweep is inside at least one interval.
+    End boundaries sort before starts at the same instant (half-open:
+    touching intervals [a,b) [b,c) are contiguous but never concurrent).
+
+    ONE shuffle: the keyed boundary window; the per-key aggregate
+    reuses its partitioning. Integer (epoch-micros) arithmetic
+    throughout — no float time math. Scale: 2 rows per interval, state
+    per key is one running counter."""
+    starts = df.select(
+        *key_cols,
+        F.col(start_col).alias("b_ts"),
+        F.lit(1).alias("delta"),
+    )
+    ends = df.select(
+        *key_cols,
+        F.col(end_col).alias("b_ts"),
+        F.lit(-1).alias("delta"),
+    )
+    b = starts.unionByName(ends)
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy("b_ts", "delta")  # -1 before +1 at equal ts: half-open
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = W.partitionBy(*key_cols).orderBy("b_ts", "delta")
+    swept = b.select(
+        *key_cols,
+        "b_ts",
+        F.sum("delta").over(w).alias("depth"),
+        F.lead("b_ts").over(w_next).alias("next_ts"),
+    )
+    return (
+        swept.groupBy(*key_cols)
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("depth") > 0) & F.col("next_ts").isNotNull(),
+                    F.col("next_ts") - F.col("b_ts"),
+                ).otherwise(F.lit(0))
+            ).alias("covered"),
+            F.max("depth").alias("max_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+    )
+
+
+def period_over_period(
+    df: DataFrame,
+    period_col: str,
+    measure_int_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Period-over-period comparison (WoW/MoM/YoY shape): aggregate an
+    exact-integer measure per (keys, period), lag one period within each
+    key, and report the delta plus an exact parts-per-million relative
+    change (``(cur - prev) * 1_000_000 div prev`` — negative-safe:
+    integer ``div`` truncates toward zero on both engines for either
+    sign, and prev > 0 for count/revenue measures; NULL on the first
+    period).
+
+    Two shuffles (period aggregate, then the key-ordered lag window —
+    or ONE when key_cols is empty and AQE coalesces the tiny aggregated
+    frame). The aggregate runs at full parallelism; the window sees only
+    one row per period."""
+    keys = key_cols or []
+    agg = df.groupBy(
+        *keys, F.col(period_col).alias("period")
+    ).agg(F.sum(F.col(measure_int_col).cast("long")).alias("cur"))
+    w = W.partitionBy(*keys).orderBy("period")
+    out = agg.select(
+        *keys,
+        "period",
+        "cur",
+        F.lag("cur").over(w).alias("prev"),
+    )
+    return out.withColumn(
+        "delta", F.col("cur") - F.col("prev")
+    ).withColumn(
+        "pct_change_ppm",
+        F.expr("((cur - prev) * 1000000) div prev"),
+    )

@@ -29,6 +29,8 @@ __all__ = [
     "event_transitions",
     "cusum_changepoint",
     "autocorr_lag",
+    "rank_fusion",
+    "basket_rules",
 ]
 
 
@@ -385,4 +387,150 @@ def autocorr_lag(
     )
     return m.where(F.col("n") >= min_pairs).select(
         *key_cols, "n", r.alias("autocorr_r")
+    )
+
+
+def rank_fusion(
+    df: DataFrame,
+    id_cols: list[str],
+    signals: list[tuple[str, Column | list[Column]]],
+    k: int = 60,
+    top_n: int = 200,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple ranking signals (the standard
+    parameter-free ensemble for quality scores / retrieval runs):
+
+        rrf(d) = sum over signals s of  1 / (k + rank_s(d))
+
+    with absent-from-a-list contributing 0. Each signal is (name,
+    ordering Column or list of Columns); ranks are row_number over that
+    ordering, so the caller's ordering MUST embed a unique tiebreak
+    (pass ``[F.desc(signal), F.asc(id)]``) for determinism.
+
+    Scale path: a corpus-global rank is the one-partition window trap,
+    so each signal first takes its top_n rows via TakeOrdered (fully
+    distributed), and only that bounded candidate frame gets the
+    single-partition row_number — O(top_n * signals) window work no
+    matter the corpus size. Candidate lists merge by full outer join on
+    the ids (broadcast-sized). The fused score is a fixed-shape sum of
+    1/(k+r) doubles in declared signal order — deterministic across
+    engines."""
+    fused = None
+    for name, ordering in signals:
+        order_cols = (
+            list(ordering) if isinstance(ordering, (list, tuple))
+            else [ordering]
+        )
+        ranked = (
+            df.orderBy(*order_cols)
+            .limit(top_n)
+            .select(
+                *id_cols,
+                F.row_number()
+                .over(W.orderBy(*order_cols))
+                .alias(f"r_{name}"),
+            )
+        )
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, id_cols, "full_outer")
+        )
+    score = None
+    for name, _ in signals:
+        term = F.coalesce(
+            1.0 / (F.lit(k) + F.col(f"r_{name}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return fused.select(
+        *id_cols,
+        *[f"r_{name}" for name, _ in signals],
+        F.round(score, 6).alias("rrf_r"),
+    )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_pair_support: int = 5,
+    max_basket_items: int = 100,
+) -> DataFrame:
+    """Association rules over item co-occurrence in baskets (market-
+    basket / event-type affinity): for unordered item pairs {a, b}
+    sharing a basket, exact ppm support, both-direction confidence, and
+    cross-multiplied lift:
+
+        support  = c_ab * 1e6 div n_baskets
+        conf a>b = c_ab * 1e6 div c_a          (and b>a symmetrically)
+        lift     = c_ab * n_baskets * 1e6 div (c_a * c_b)   (DECIMAL38)
+
+    Pair generation is a basket-keyed self equi-join of the DISTINCT
+    (basket, item) frame with ``a < b`` — co-location by basket key, no
+    cross product; ``max_basket_items`` guards the quadratic blowup of
+    pathological hot baskets (raises, like fuzzy_join's block guard).
+    Item supports count baskets CONTAINING the item (set semantics).
+    Scale: one distinct + one self-join shuffle on basket keys, then an
+    item-pair aggregate; supports join broadcast (item vocabulary is
+    small)."""
+    items = df.select(
+        *basket_cols, F.col(item_col).alias("item")
+    ).distinct()
+    sizes = items.groupBy(*basket_cols).agg(
+        F.count(F.lit(1)).alias("bsize")
+    )
+    oversized = sizes.where(F.col("bsize") > max_basket_items)
+    if oversized.limit(1).count() > 0:
+        raise ValueError(
+            f"basket with > {max_basket_items} distinct items; raise "
+            "max_basket_items or pre-filter the item domain"
+        )
+    n_baskets = sizes.agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("c_i"))
+    a = items.select(*basket_cols, F.col("item").alias("ia"))
+    b = items.select(*basket_cols, F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, basket_cols)
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_pair_support)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_baskets))
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("item").alias("ia"), F.col("c_i").alias("c_a")
+                )
+            ),
+            "ia",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("item").alias("ib"), F.col("c_i").alias("c_b")
+                )
+            ),
+            "ib",
+        )
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr("(c_ab * 1000000) div n_baskets").alias(
+                "support_ppm"
+            ),
+            F.expr("(c_ab * 1000000) div c_a").alias("conf_ab_ppm"),
+            F.expr("(c_ab * 1000000) div c_b").alias("conf_ba_ppm"),
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * n_baskets"
+                " * 1000000) div (CAST(c_a AS DECIMAL(38,0)) * c_b)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
     )

@@ -8362,6 +8362,215 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+@q(
+    "q181_rrf_fusion",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             len(string_split(lower(trim(text)), ' ')) AS n_tok
+      FROM documents),
+    l AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+        FROM d) WHERE r <= 200),
+    t AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id ASC) AS r
+        FROM d) WHERE r <= 200)
+    SELECT doc_id,
+           CAST(l.r AS INT) AS r_len,
+           CAST(t.r AS INT) AS r_tok,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0.0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + t.r), 0.0), 6)
+             AS rrf_r
+    FROM l FULL OUTER JOIN t USING (doc_id)
+    ORDER BY rrf_r DESC, doc_id ASC LIMIT 50
+    """,
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of two document-quality rankings (char
+    length, token count) — the parameter-free score ensemble. Each
+    signal takes its top-200 via distributed TakeOrdered BEFORE the
+    single-partition row_number, so the global-rank window only ever
+    sees the bounded candidate frame; candidate lists merge full-outer
+    with absent ranks contributing 0."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        rank_fusion,
+    )
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("n_tok"),
+    )
+    out = rank_fusion(
+        d,
+        ["doc_id"],
+        [
+            ("len", [F.desc("n_chars"), F.asc("doc_id")]),
+            ("tok", [F.desc("n_tok"), F.asc("doc_id")]),
+        ],
+        k=60,
+        top_n=200,
+    )
+    return out.orderBy(F.desc("rrf_r"), F.asc("doc_id")).limit(50)
+
+
+@q(
+    "q182_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts)
+               + CAST(ROUND(value * 100) AS BIGINT) * 10000 AS e_us
+      FROM events),
+    b AS (
+      SELECT user_id, s_us AS b_ts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e_us AS b_ts, -1 AS delta FROM iv),
+    s AS (
+      SELECT user_id, b_ts,
+             SUM(delta) OVER (
+               PARTITION BY user_id ORDER BY b_ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS depth,
+             LEAD(b_ts) OVER (
+               PARTITION BY user_id ORDER BY b_ts, delta) AS next_ts
+      FROM b)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(CASE WHEN depth > 0 AND next_ts IS NOT NULL
+                         THEN next_ts - b_ts ELSE 0 END) AS BIGINT)
+             AS covered,
+           CAST(MAX(depth) AS BIGINT) AS max_concurrency,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+    FROM s GROUP BY user_id ORDER BY user_id LIMIT 200
+    """,
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user interval union + peak concurrency over activity
+    intervals [ts, ts + value seconds): the classic +1/-1 boundary
+    sweep — no interval self-join, ONE keyed window shuffle, exact
+    epoch-micros integer arithmetic. Half-open semantics: touching
+    intervals are contiguous, never concurrent."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    e = load_events(spark, sf).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + cents(F.col("value")) * 10000
+        ).alias("e_us"),
+    )
+    out = interval_coverage(e, ["user_id"], "s_us", "e_us")
+    return out.orderBy("user_id").limit(200)
+
+
+@q(
+    "q183_assoc_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+             event_type AS item
+      FROM events),
+    nb AS (
+      SELECT COUNT(*) AS n_baskets FROM (
+        SELECT DISTINCT user_id, day FROM items)),
+    supp AS (SELECT item, COUNT(*) AS c_i FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c_ab
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+      GROUP BY a.item, b.item HAVING COUNT(*) >= 5)
+    SELECT pairs.ia AS item_a, pairs.ib AS item_b,
+           CAST(pairs.c_ab AS BIGINT) AS c_ab,
+           CAST(sa.c_i AS BIGINT) AS c_a,
+           CAST(sb.c_i AS BIGINT) AS c_b,
+           CAST((pairs.c_ab * 1000000) // nb.n_baskets AS BIGINT)
+             AS support_ppm,
+           CAST((pairs.c_ab * 1000000) // sa.c_i AS BIGINT)
+             AS conf_ab_ppm,
+           CAST((pairs.c_ab * 1000000) // sb.c_i AS BIGINT)
+             AS conf_ba_ppm,
+           CAST((CAST(pairs.c_ab AS HUGEINT) * nb.n_baskets * 1000000)
+                // (CAST(sa.c_i AS HUGEINT) * sb.c_i) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN supp sa ON pairs.ia = sa.item
+    JOIN supp sb ON pairs.ib = sb.item
+    CROSS JOIN nb
+    ORDER BY item_a, item_b LIMIT 100
+    """,
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules over (user, day) event baskets: exact ppm
+    support / both-direction confidence / DECIMAL(38) cross-multiplied
+    lift. Set semantics (distinct items per basket); pair generation is
+    a basket-keyed self equi-join with a < b — co-located by key, hot-
+    basket guard, supports join broadcast."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        basket_rules,
+    )
+
+    e = load_events(spark, sf).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    )
+    out = basket_rules(
+        e, ["user_id", "day"], "event_type", min_pair_support=5
+    )
+    return out.orderBy("item_a", "item_b").limit(100)
+
+
+@q(
+    "q184_period_over_period",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cur
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    l AS (
+      SELECT period, cur, lag(cur) OVER (ORDER BY period) AS prev
+      FROM m)
+    SELECT period, cur, prev, cur - prev AS delta,
+           CAST(((cur - prev) * 1000000) // prev AS BIGINT)
+             AS pct_change_ppm
+    FROM l ORDER BY period
+    """,
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue deltas with exact ppm relative change —
+    the period-over-period BI primitive. The monthly aggregate runs at
+    full parallelism; the lag window sees one row per month (the tiny
+    aggregated frame, not the corpus). Integer div truncates toward
+    zero on BOTH engines (verified), so negative deltas are safe."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        period_over_period,
+    )
+
+    o = load(spark, sf, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        cents(F.col("o_totalprice")).alias("rev_c"),
+    )
+    out = period_over_period(o, "month", "rev_c")
+    return out.select(
+        F.col("period").cast("date").alias("period"),
+        "cur",
+        "prev",
+        "delta",
+        "pct_change_ppm",
+    ).orderBy("period")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -8415,7 +8624,9 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
 # q172_counter_agg, and the round-7 second-half statistics family
 # q173_classifier_eval, q174_ab_welch, q175_event_transitions,
 # q176_pmi_collocations, q177_cusum_changepoint, q178_autocorr,
-# q179_tv_divergence, q180_variant_shred — never driver-checked,
+# q179_tv_divergence, q180_variant_shred, q181_rrf_fusion,
+# q182_interval_coverage, q183_assoc_rules, q184_period_over_period —
+# never driver-checked,
 # green in the local replica; front these per the r6 precedent), then
 # q52, q66, q69, q84,
 # q86, q94, q95, q98–q100, q102–q104, q109–q111 (~16 r4 rows).

@@ -451,3 +451,21 @@ def test_tv_divergence_one_corpus_aggregate(spark):
     out = corpus_divergence(d, F.col("doc_id") % 2)
     assert explain.count_exchanges(out) <= 2, explain.physical_plan(out)
     assert "SortMergeJoin" not in explain.physical_plan(out)
+
+
+def test_interval_coverage_single_shuffle(spark):
+    """Boundary-sweep interval coverage: the union of +1/-1 boundary
+    events, the keyed running-sum window, and the per-key aggregate all
+    share one key partitioning — the whole operator is ONE exchange."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        interval_coverage,
+    )
+    import pyspark.sql.functions as F
+
+    e = load_events(spark, SF_SMOKE).select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + 1000000).alias("e_us"),
+    )
+    out = interval_coverage(e, ["user_id"], "s_us", "e_us")
+    assert explain.count_exchanges(out) == 1, explain.physical_plan(out)

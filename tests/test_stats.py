@@ -248,3 +248,134 @@ def test_partitioning_invariance(spark, parts):
         .collect()
     )
     assert c == c2
+
+
+# --- rank_fusion ----------------------------------------------------------
+
+
+def test_rrf_hand_values_and_missing_contributes_zero(spark):
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        rank_fusion,
+    )
+
+    rows = [(1, 100, 1), (2, 90, 9), (3, 80, 2)]
+    df = spark.createDataFrame(rows, "id int, s1 int, s2 int")
+    out = rank_fusion(
+        df,
+        ["id"],
+        [
+            ("s1", F.desc("s1")),
+            ("s2", F.desc("s2")),
+        ],
+        k=60,
+        top_n=2,
+    )
+    got = {r.id: r for r in out.collect()}
+    # s1 top-2: ids 1,2 (ranks 1,2); s2 top-2: ids 2,3 (ranks 1,2)
+    assert got[1].r_s1 == 1 and got[1].r_s2 is None
+    assert got[2].r_s1 == 2 and got[2].r_s2 == 1
+    assert got[1].rrf_r == round(1 / 61, 6)
+    assert got[2].rrf_r == round(1 / 62 + 1 / 61, 6)
+    assert got[3].rrf_r == round(1 / 62, 6)
+
+
+# --- basket_rules ---------------------------------------------------------
+
+
+def test_basket_rules_hand_example(spark):
+    # baskets: b1={x,y}, b2={x,y}, b3={x,z}, b4={y}; n_baskets=4
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "y"),
+            (3, "x"), (3, "z"), (4, "y")]
+    df = spark.createDataFrame(rows, "b int, item string")
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        basket_rules,
+    )
+
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_rules(df, ["b"], "item", min_pair_support=1)
+        .collect()
+    }
+    xy = out[("x", "y")]
+    # c_xy=2 (set semantics: duplicate y in b2 counts once), c_x=3, c_y=3
+    assert xy.c_ab == 2 and xy.c_a == 3 and xy.c_b == 3
+    assert xy.support_ppm == 2 * 1000000 // 4
+    assert xy.conf_ab_ppm == 2 * 1000000 // 3
+    # lift = 2*4/(3*3) = 8/9
+    assert xy.lift_ppm == 8 * 1000000 // 9
+    xz = out[("x", "z")]
+    assert xz.c_ab == 1 and xz.conf_ba_ppm == 1000000
+
+
+def test_basket_rules_hot_basket_guard(spark):
+    rows = [(1, f"i{j}") for j in range(20)]
+    df = spark.createDataFrame(rows, "b int, item string")
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        basket_rules,
+    )
+
+    with pytest.raises(ValueError, match="distinct items"):
+        basket_rules(df, ["b"], "item", max_basket_items=10)
+
+
+# --- interval_coverage ----------------------------------------------------
+
+
+def test_interval_coverage_union_and_depth(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    # key 1: [0,10) [5,15) overlap -> covered 15, depth 2
+    # key 2: [0,5) [5,10) touching -> covered 10, depth 1 (half-open)
+    # key 3: [0,5) [20,25) disjoint -> covered 10, depth 1
+    rows = [(1, 0, 10), (1, 5, 15), (2, 0, 5), (2, 5, 10),
+            (3, 0, 5), (3, 20, 25)]
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    got = {
+        r.k: r
+        for r in interval_coverage(df, ["k"], "s", "e").collect()
+    }
+    assert (got[1].covered, got[1].max_concurrency) == (15, 2)
+    assert (got[2].covered, got[2].max_concurrency) == (10, 1)
+    assert (got[3].covered, got[3].max_concurrency) == (10, 1)
+    assert all(got[k].n_intervals == 2 for k in (1, 2, 3))
+
+
+def test_interval_coverage_identical_intervals(spark):
+    rows = [(1, 0, 10), (1, 0, 10), (1, 0, 10)]
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    r = interval_coverage_import()(df, ["k"], "s", "e").first()
+    assert r.covered == 10 and r.max_concurrency == 3
+
+
+def interval_coverage_import():
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    return interval_coverage
+
+
+# --- period_over_period ---------------------------------------------------
+
+
+def test_period_over_period_deltas(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        period_over_period,
+    )
+
+    rows = [("2024-01", 100), ("2024-01", 100), ("2024-02", 300),
+            ("2024-03", 150)]
+    df = spark.createDataFrame(rows, "p string, v int")
+    out = {
+        r.period: r
+        for r in period_over_period(df, "p", "v").collect()
+    }
+    assert out["2024-01"].prev is None
+    assert out["2024-01"].pct_change_ppm is None
+    assert out["2024-02"].delta == 100
+    assert out["2024-02"].pct_change_ppm == 500000
+    # negative delta truncates toward zero on both engines
+    assert out["2024-03"].delta == -150
+    assert out["2024-03"].pct_change_ppm == -500000
