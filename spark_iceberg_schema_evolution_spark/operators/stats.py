@@ -191,6 +191,21 @@ def ab_welch(
         F.sum((1 - grp) * x * x).alias("sxx0"),
         F.sum(grp * conv).alias("c1"),
     )
+    return welch_readout(agg, segment_col, z=z)
+
+
+def welch_readout(
+    agg: DataFrame, segment_col: str, z: float = 1.96
+) -> DataFrame:
+    """Assemble the :func:`ab_welch` output columns from a frame of
+    per-segment integer moments (n1, n0, sx1, sx0, sxx1, sxx0, c1).
+
+    Split out so INCREMENTALLY maintained moments produce the identical
+    readout: the moment sums are commutative monoids, so a rollup table
+    updated batch-by-batch (``rollup.refresh_rollup`` over per-row
+    products) lands on exactly the same integers as the one-shot
+    aggregate — and this fixed-shape double expression then lands on
+    exactly the same t statistic and Wilson bounds, bit for bit."""
 
     def mean(sx: str, n: str) -> Column:
         return F.col(sx).cast("double") / F.col(n)

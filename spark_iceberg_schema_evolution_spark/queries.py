@@ -8024,9 +8024,7 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
     return classifier_eval(d, "s", "y")
 
 
-@q(
-    "q174_ab_welch",
-    oracle="""
+_AB_WELCH_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CAST(user_id % 2 AS BIGINT) AS grp,
@@ -8079,7 +8077,12 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
                     / (1.0 + 1.96 * 1.96 / CAST(n1 AS DOUBLE))), 4)
              AS wilson_hi_r
     FROM a ORDER BY event_type
-    """,
+    """
+
+
+@q(
+    "q174_ab_welch",
+    oracle=_AB_WELCH_ORACLE,
 )
 def q174(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type A/B experiment readout (arm = user parity): Welch
@@ -8569,6 +8572,63 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
         "delta",
         "pct_change_ppm",
     ).orderBy("period")
+
+
+
+@q(
+    "q185_incremental_ab",
+    oracle=_AB_WELCH_ORACLE,
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTALLY maintained A/B readout: per-row moment products
+    land in a lakehouse source table across two batches, a materialized
+    moment rollup refreshes from CDC deltas after each
+    (rollup.refresh_rollup — O(batch) per refresh), and welch_readout
+    assembles t/Wilson from the STORED sums. Integer moments are
+    commutative monoids, so the incremental path must land bit-for-bit
+    where q174's one-shot aggregate lands — the oracle IS q174's."""
+    from spark_iceberg_schema_evolution_spark.operators.rollup import (
+        refresh_rollup,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        welch_readout,
+    )
+
+    grp = (F.col("user_id") % 2).cast("long")
+    x = cents(F.col("value"))
+    conv = (F.col("value") > 50).cast("long")
+    rows = load_events(spark, sf).select(
+        "event_id",
+        "event_type",
+        grp.alias("g1"),
+        (1 - grp).alias("g0"),
+        (grp * x).alias("x1"),
+        ((1 - grp) * x).alias("x0"),
+        (grp * x * x).alias("xx1"),
+        ((1 - grp) * x * x).alias("xx0"),
+        (grp * conv).alias("cv1"),
+    )
+    cat = _tmp_catalog(spark)
+    cat.create_namespace("db")
+    src = cat.table("db", "absrc")
+    dst = cat.table("db", "abmom")
+    src.create(rows.schema)
+    moment_cols = ["g1", "g0", "x1", "x0", "xx1", "xx0", "cv1"]
+    src.append(rows.where("event_id % 2 = 0"))
+    refresh_rollup(src, dst, ["event_type"], moment_cols)
+    src.append(rows.where("event_id % 2 = 1"))
+    refresh_rollup(src, dst, ["event_type"], moment_cols)
+    moments = dst.read().select(
+        "event_type",
+        F.col("sum_g1").alias("n1"),
+        F.col("sum_g0").alias("n0"),
+        F.col("sum_x1").alias("sx1"),
+        F.col("sum_x0").alias("sx0"),
+        F.col("sum_xx1").alias("sxx1"),
+        F.col("sum_xx0").alias("sxx0"),
+        F.col("sum_cv1").alias("c1"),
+    )
+    return welch_readout(moments, "event_type").orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
