@@ -26,6 +26,7 @@ __all__ = [
     "classifier_eval",
     "calibration_bins",
     "ab_welch",
+    "bivariate_stats",
     "event_transitions",
     "cusum_changepoint",
     "autocorr_lag",
@@ -194,6 +195,60 @@ def ab_welch(
     return welch_readout(agg, segment_col, z=z)
 
 
+def bivariate_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    x_int_col: str,
+    y_int_col: str,
+) -> DataFrame:
+    """Bivariate statistics family — Pearson correlation, sample
+    covariance and the OLS regression of y on x (slope, intercept, R^2)
+    — per group in ONE hash aggregate over exact int64 moments.
+
+    Unlike the native ``corr``/``covar_samp``/``regr_*`` aggregates,
+    whose streaming co-moment updates are accumulation-order-dependent
+    in the last ulp (and therefore partition-count- and engine-
+    dependent), this folds (n, Sx, Sy, Sxy, Sxx, Syy) as integer sums —
+    order-independent — and assembles the readout with a fixed-shape
+    double expression (the :func:`ab_welch` discipline):
+
+        cxy = Sxy - Sx*Sy/n ;  cxx = Sxx - Sx^2/n ;  cyy = Syy - Sy^2/n
+        corr = cxy / sqrt(cxx*cyy) ;  covar_samp = cxy/(n-1)
+        slope = cxy/cxx ;  icept = Sy/n - slope*(Sx/n) ;  r2 = cxy^2/(cxx*cyy)
+
+    Inputs must already be integral (pre-quantized); int64 holds Sxx to
+    ~8e8 rows per group at 1e5-magnitude x. int64→double conversion is
+    correctly rounded on every engine, so the readout is bit-identical
+    regardless of magnitude. Zero-variance groups return NULL for the
+    undefined statistics instead of a division artifact."""
+    x = F.col(x_int_col).cast("long")
+    y = F.col(y_int_col).cast("long")
+    m = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cxy = F.col("sxy").cast("double") - sx * sy / nd
+    cxx = F.col("sxx").cast("double") - sx * sx / nd
+    cyy = F.col("syy").cast("double") - sy * sy / nd
+    pos = (cxx > 0) & (cyy > 0)
+    return m.select(
+        *key_cols,
+        "n",
+        F.when(pos, cxy / F.sqrt(cxx * cyy)).alias("corr"),
+        F.when(F.col("n") > 1, cxy / (nd - 1.0)).alias("covar_samp"),
+        F.when(cxx > 0, cxy / cxx).alias("slope"),
+        F.when(cxx > 0, sy / nd - cxy / cxx * (sx / nd)).alias("icept"),
+        F.when(pos, cxy * cxy / (cxx * cyy)).alias("r2"),
+    )
+
+
 def welch_readout(
     agg: DataFrame, segment_col: str, z: float = 1.96
 ) -> DataFrame:
@@ -205,7 +260,13 @@ def welch_readout(
     updated batch-by-batch (``rollup.refresh_rollup`` over per-row
     products) lands on exactly the same integers as the one-shot
     aggregate — and this fixed-shape double expression then lands on
-    exactly the same t statistic and Wilson bounds, bit for bit."""
+    exactly the same t statistic and Wilson bounds, bit for bit.
+
+    Degenerate segments are guarded explicitly: an arm with n < 2 has
+    no sample variance, so the Welch t is NULL (not a divide-by-zero
+    artifact); an empty arm NULLs its mean, and an empty treatment arm
+    NULLs the Wilson bounds — a segment that can't support the readout
+    can't masquerade as a valid one."""
 
     def mean(sx: str, n: str) -> Column:
         return F.col(sx).cast("double") / F.col(n)
@@ -229,16 +290,19 @@ def welch_readout(
         * F.sqrt(phat * (1.0 - phat) / n1d + z2 / (4.0 * n1d * n1d))
         / denom
     )
+    has0 = F.col("n0") >= 1
+    has1 = F.col("n1") >= 1
+    both2 = (F.col("n0") >= 2) & (F.col("n1") >= 2)
     return agg.select(
         segment_col,
         "n0",
         "n1",
-        F.round(m0, 4).alias("mean0_r"),
-        F.round(m1, 4).alias("mean1_r"),
-        F.round(t, 4).alias("welch_t_r"),
+        F.when(has0, F.round(m0, 4)).alias("mean0_r"),
+        F.when(has1, F.round(m1, 4)).alias("mean1_r"),
+        F.when(both2, F.round(t, 4)).alias("welch_t_r"),
         "c1",
-        F.round(center - half, 4).alias("wilson_lo_r"),
-        F.round(center + half, 4).alias("wilson_hi_r"),
+        F.when(has1, F.round(center - half, 4)).alias("wilson_lo_r"),
+        F.when(has1, F.round(center + half, 4)).alias("wilson_hi_r"),
     )
 
 

@@ -6541,6 +6541,9 @@ _CLF_W_VALUES = ", ".join(
 )
 
 
+_CLF_B_E4 = round(_CLF_B * 10000)  # bias at the same 4dp scale
+
+
 @q(
     "q145_classifier_filter",
     oracle=f"""
@@ -6551,13 +6554,18 @@ _CLF_W_VALUES = ", ".join(
              UNNEST(generate_series(1, 64)) AS i
       FROM embeddings),
     z AS (
-      SELECT e.vec_id, SUM(e.x * w.wt) + {_CLF_B!r} AS z
+      SELECT e.vec_id,
+             CAST(SUM(CAST(ROUND(e.x * w.wt * 10000) AS BIGINT))
+                  AS BIGINT) + {_CLF_B_E4} AS z_int,
+             COUNT(*) AS n_elems
       FROM e JOIN w ON e.i = w.i
       GROUP BY e.vec_id)
     SELECT COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN n_elems = 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scored,
+           CAST(SUM(CASE WHEN z_int > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pass,
-           SUM(CAST(ROUND(z * 10000) AS BIGINT)) AS z_sum_e4
+           CAST(SUM(z_int) AS BIGINT) AS z_sum_e4
     FROM z
     """,
 )
@@ -6565,32 +6573,55 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     """Model-based quality filtering with a frozen linear head
     (fastText/FineWeb-Edu shape): sigmoid(w.x + b) over the embedding
     column as a zero-shuffle codegen map — no UDF, no broadcast, no
-    model server. The oracle recomputes the dot product via a plain
-    UNNEST-zip + VALUES weight join (no lambda forms, no literal-list
-    indexing — the round-6 driver-red lesson) and checksums the
-    pre-sigmoid logit at the corpus ROUND(,4) scaled-int convention;
-    n_pass exercises the sigmoid threshold (sigmoid(z) > 0.5 <=> z > 0,
-    exactly). q165 is the decomposed per-element probe for this head."""
+    model server; ``n_scored`` counts rows the head accepted (non-NULL
+    score, i.e. a well-formed 64-d vector).
+
+    Checksum discipline (round-7 driver lesson): the r6/r7 oracles
+    summed per-vector DOUBLE products before rounding, and the q165
+    probe proved the remaining cross-engine divergence was exactly that
+    64-term float fold (FP addition is non-associative; DuckDB's SUM
+    order is engine/version-dependent; one last-ulp difference flips
+    ROUND(z*1e4) at a fence). This formulation rounds EACH weighted
+    product to a scaled BIGINT first and sums integers — associative,
+    order-independent, portable across any DuckDB build — and cuts
+    n_pass on the same integer logit, so no float comparison survives
+    anywhere in the compared output."""
     from spark_iceberg_schema_evolution_spark.operators.similarity import (
         as_double,
-        dot,
         linear_classifier_score,
     )
 
     e = load(spark, sf, "embeddings")
     scored = linear_classifier_score(e, _CLF_W, bias=_CLF_B)
-    z = dot(
-        as_double(F.col("embedding")),
-        F.array(*[F.lit(w) for w in _CLF_W]),
-    ) + F.lit(_CLF_B)
-    return scored.withColumn("__z", z).agg(
+    w = F.array(*[F.lit(wv) for wv in _CLF_W])
+    per = scored.select(
+        "vec_id",
+        "clf_score",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    z = per.groupBy("vec_id").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("x")
+                    * F.element_at(w, F.col("pos") + 1)
+                    * 1e4
+                ).cast("long")
+            )
+            + F.lit(_CLF_B_E4)
+        ).alias("z_int"),
+        F.count(F.lit(1)).alias("n_elems"),
+        F.first("clf_score").alias("clf_score"),
+    )
+    return z.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
-            F.when(F.col("clf_score") > 0.5, 1).otherwise(0)
+            F.when(F.col("clf_score").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_scored"),
+        F.sum(
+            F.when(F.col("z_int") > 0, 1).otherwise(0)
         ).cast("long").alias("n_pass"),
-        F.sum(F.round(F.col("__z") * 1e4).cast("long")).alias(
-            "z_sum_e4"
-        ),
+        F.sum("z_int").alias("z_sum_e4"),
     )
 
 
@@ -7801,50 +7832,74 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "q167_corr_regression",
     oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n_rows,
-           ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_r,
-           ROUND(covar_samp(l_extendedprice, l_quantity) / 1000, 4)
-             AS covar_k,
-           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_r,
-           ROUND(regr_intercept(l_extendedprice, l_quantity) / 1000, 4)
+    WITH i AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM i GROUP BY l_returnflag),
+    c AS (
+      SELECT l_returnflag, n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS cxy,
+             CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS cxx,
+             CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS cyy
+      FROM m)
+    SELECT l_returnflag, n AS n_rows,
+           ROUND(cxy / sqrt(cxx * cyy), 4) AS corr_r,
+           ROUND(cxy / (nd - 1.0) / 1000, 4) AS covar_k,
+           ROUND(cxy / cxx, 4) AS slope_r,
+           ROUND((syd / nd - cxy / cxx * (sxd / nd)) / 1000, 4)
              AS icept_k,
-           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2_r
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           ROUND(cxy * cxy / (cxx * cyy), 4) AS r2_r
+    FROM c ORDER BY l_returnflag
     """,
 )
 def q167(spark: SparkSession, sf: str) -> DataFrame:
     """Bivariate statistics family: corr / covar_samp / OLS regression
-    (slope, intercept, R^2) per group in ONE hash aggregate — Spark's
-    regr_* aggregates are single-pass moment folds, no per-group
-    collect, no second scan. Floats compared at the 4dp corpus
-    convention (large-magnitude covariance/intercept scaled to /1000
-    first so rounding granularity is commensurate)."""
-    li = load(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(
-                F.corr("l_extendedprice", "l_quantity"), 4
-            ).alias("corr_r"),
-            F.round(
-                F.covar_samp("l_extendedprice", "l_quantity") / 1000, 4
-            ).alias("covar_k"),
-            F.round(
-                F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
-            ).alias("slope_r"),
-            F.round(
-                F.expr("regr_intercept(l_extendedprice, l_quantity)")
-                / 1000,
-                4,
-            ).alias("icept_k"),
-            F.round(
-                F.expr("regr_r2(l_extendedprice, l_quantity)"), 4
-            ).alias("r2_r"),
-        )
-        .orderBy("l_returnflag")
+    (slope, intercept, R^2) per group in ONE hash aggregate over exact
+    int64 moments (``stats.bivariate_stats``), NOT the native
+    corr/regr_* streaming folds — those are accumulation-order-
+    dependent in the last ulp, so a ROUND(,4) compare against another
+    engine is a float fence (the q145 round-7 lesson applied before the
+    driver gets to prove it). Inputs quantized deterministically to
+    whole units (ROUND on identical parquet doubles on both sides);
+    readout is the fixed-shape double expression both engines evaluate
+    bit-identically."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        bivariate_stats,
     )
+
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    bv = bivariate_stats(li, ["l_returnflag"], "x", "y")
+    return bv.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round("corr", 4).alias("corr_r"),
+        F.round(F.col("covar_samp") / 1000, 4).alias("covar_k"),
+        F.round("slope", 4).alias("slope_r"),
+        F.round(F.col("icept") / 1000, 4).alias("icept_k"),
+        F.round("r2", 4).alias("r2_r"),
+    ).orderBy("l_returnflag")
 
 
 @q(
@@ -7909,33 +7964,53 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     "q169_rolling_zscore",
     oracle="""
     WITH s AS (
-      SELECT user_id, value,
-             AVG(value) OVER w AS mu,
-             STDDEV_SAMP(value) OVER w AS sd,
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS s_w,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS q_w,
              COUNT(*) OVER w AS n_win
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
     z AS (
-      SELECT user_id, (value - mu) / sd AS z
-      FROM s WHERE n_win >= 5 AND sd > 0)
+      SELECT user_id,
+             (CAST(v_c AS DOUBLE) - CAST(s_w AS DOUBLE) / n_win)
+               / sqrt((CAST(q_w AS DOUBLE)
+                       - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)
+                         / n_win)
+                      / (n_win - 1)) AS z
+      FROM s WHERE n_win >= 5 AND n_win * q_w - s_w * s_w > 0)
     SELECT CAST(user_id AS BIGINT) AS user_id,
            COUNT(*) AS n_scored,
            CAST(SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_anomalies,
-           SUM(CAST(ROUND(z * 10000) AS BIGINT)) AS z_sum_e4
+           CAST(SUM(CAST(ROUND(z * 10000) AS BIGINT)) AS BIGINT)
+             AS z_sum_e4
     FROM z GROUP BY user_id ORDER BY user_id LIMIT 100
     """,
 )
 def q169(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling z-score anomaly flags — the streaming-adjacent
     change-detection primitive computed batch-side: per-user trailing
-    10-row mean/stddev window (one shuffle, rows frame inside it),
-    z only where the window has >= 5 observations and variance is
-    positive. The z checksum follows the 4dp scaled-int convention;
-    boundary margins (|z| vs the 2.0 fence and the rounding grid)
-    verified non-adversarial at driver scale."""
-    e = load_events(spark, sf)
+    10-row window (one shuffle, rows frame inside it), scored only
+    where the window has >= 5 observations and positive variance.
+
+    Float-fence discipline (the r7 q145 lesson, applied preemptively
+    per the r7 verdict): instead of AVG/STDDEV_SAMP window folds —
+    engine-order-dependent in the last ulp — the window accumulates
+    exact integer moments (S, Q, n over cents values; sums of <= 10
+    integers, order-free), the variance-positivity cut is the pure
+    integer predicate n*Q - S*S > 0, and z is a fixed-shape double
+    expression over those integers, bit-identical across engines. The
+    per-row ROUND(z*1e4) then sees the identical double on both sides,
+    and the user checksum sums BIGINTs (associative). z is scale-
+    invariant, so cents quantization leaves its meaning unchanged."""
+    e = load_events(spark, sf).select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("v_c")
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -7943,13 +8018,30 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
     )
     s = e.select(
         "user_id",
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
+        "v_c",
+        F.sum("v_c").over(w).alias("s_w"),
+        F.sum(F.col("v_c") * F.col("v_c")).over(w).alias("q_w"),
         F.count(F.lit(1)).over(w).alias("n_win"),
-    ).where("n_win >= 5 AND sd > 0")
+    ).where(
+        (F.col("n_win") >= 5)
+        & (
+            F.col("n_win") * F.col("q_w")
+            - F.col("s_w") * F.col("s_w")
+            > 0
+        )
+    )
+    vd = F.col("v_c").cast("double")
+    sd_ = F.col("s_w").cast("double")
+    qd = F.col("q_w").cast("double")
     z = s.select(
-        "user_id", ((F.col("value") - F.col("mu")) / F.col("sd")).alias("z")
+        "user_id",
+        (
+            (vd - sd_ / F.col("n_win"))
+            / F.sqrt(
+                (qd - sd_ * sd_ / F.col("n_win"))
+                / (F.col("n_win") - 1)
+            )
+        ).alias("z"),
     )
     return (
         z.groupBy("user_id")

@@ -90,6 +90,81 @@ def test_ab_welch_known_groups(spark):
     assert row.wilson_lo_r < 2 / 3 < row.wilson_hi_r
 
 
+def test_ab_welch_degenerate_arms_null_not_artifact(spark):
+    # one-row treatment arm: no sample variance -> t NULL, not a
+    # divide-by-zero artifact; empty treatment arm -> Wilson NULL too.
+    rows = [("one1", 0, 10, 0), ("one1", 0, 20, 0), ("one1", 1, 15, 1),
+            ("no1", 0, 10, 0), ("no1", 0, 20, 1)]
+    df = spark.createDataFrame(rows, "seg string, g int, x int, conv int")
+    out = {r.seg: r for r in ab_welch(df, "seg", "g", "x", "conv").collect()}
+    one1 = out["one1"]
+    assert one1.n1 == 1 and one1.welch_t_r is None
+    assert one1.mean1_r == 15.0  # mean of 1 row is still defined
+    assert one1.wilson_lo_r is not None  # n1 >= 1: Wilson defined
+    no1 = out["no1"]
+    assert no1.n1 == 0
+    assert no1.welch_t_r is None
+    assert no1.mean1_r is None
+    assert no1.wilson_lo_r is None and no1.wilson_hi_r is None
+    assert no1.mean0_r == 15.0  # control arm unaffected
+
+
+# --- bivariate_stats --------------------------------------------------------
+
+
+def test_bivariate_stats_exact_line(spark):
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        bivariate_stats,
+    )
+
+    # y = 3x + 2 exactly -> corr 1, r2 1, slope 3, icept 2
+    rows = [("g", x, 3 * x + 2) for x in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    row = bivariate_stats(df, ["g"], "x", "y").first()
+    assert row.n == 5
+    assert abs(row.corr - 1.0) < 1e-12
+    assert abs(row.slope - 3.0) < 1e-12
+    assert abs(row.icept - 2.0) < 1e-12
+    assert abs(row.r2 - 1.0) < 1e-12
+    # covar_samp of x=[1..5], y=3x+2: cov = 3 * var(x) = 3 * 2.5
+    assert abs(row.covar_samp - 7.5) < 1e-12
+
+
+def test_bivariate_stats_zero_variance_null(spark):
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        bivariate_stats,
+    )
+
+    rows = [("g", 4, y) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    row = bivariate_stats(df, ["g"], "x", "y").first()
+    assert row.corr is None and row.slope is None
+    assert row.icept is None and row.r2 is None
+    assert row.covar_samp == 0.0  # defined (x constant -> cxy = 0)
+
+
+def test_bivariate_stats_matches_native_corr(spark):
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        bivariate_stats,
+    )
+
+    rows = [("g", x, (x * 7) % 11 + x) for x in range(1, 40)]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    row = bivariate_stats(df, ["g"], "x", "y").first()
+    native = df.agg(
+        F.corr("x", "y").alias("c"),
+        F.covar_samp("x", "y").alias("cv"),
+        F.expr("regr_slope(y, x)").alias("sl"),
+        F.expr("regr_intercept(y, x)").alias("ic"),
+        F.expr("regr_r2(y, x)").alias("r2"),
+    ).first()
+    assert abs(row.corr - native.c) < 1e-9
+    assert abs(row.covar_samp - native.cv) < 1e-9
+    assert abs(row.slope - native.sl) < 1e-9
+    assert abs(row.icept - native.ic) < 1e-9
+    assert abs(row.r2 - native.r2) < 1e-9
+
+
 # --- event_transitions ----------------------------------------------------
 
 
