@@ -8763,80 +8763,72 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # oracle entry re-verified green this round, those entries are the
 # canary for that code path.
 
-# Round-7 window (r6 VERDICT items 1+2, executed as pinned): q145 (the
-# one red row, oracle restated without literal-list indexing) with its
-# new decomposed probe q165, the ten never-driver-checked round-6 tail
-# entries q155–q164, the r3-stale block (q02, q27, q76–q83, q85), then
-# the 27 oldest r4-stale rows (q03–q11 minus the r6-checked q05, q19,
-# q24–q32 minus the r5-checked q27-dup, q34–q35, q39–q43, q49–q51).
-# Deferred to the r8 window (one more rotation retires all driver
-# staleness): the entries ADDED this round after the window froze
-# (q166_ohlc_bars, q167_corr_regression, q168_mad_outliers,
-# q169_rolling_zscore, q170_clone_constraints, q171_scd2_incremental,
-# q172_counter_agg, and the round-7 second-half statistics family
-# q173_classifier_eval, q174_ab_welch, q175_event_transitions,
-# q176_pmi_collocations, q177_cusum_changepoint, q178_autocorr,
-# q179_tv_divergence, q180_variant_shred, q181_rrf_fusion,
-# q182_interval_coverage, q183_assoc_rules, q184_period_over_period —
-# never driver-checked,
-# green in the local replica; front these per the r6 precedent), then
-# q52, q66, q69, q84,
-# q86, q94, q95, q98–q100, q102–q104, q109–q111 (~16 r4 rows).
+# Round-8 window (r7 VERDICT item 2, executed exactly as pinned): q145
+# (red two rounds running; this round's associative-integer-checksum
+# rewrite must prove itself on the driver) with its green probe q165,
+# ALL 20 never-driver-checked round-7 entries (q166–q185 — q167 and
+# q169 re-audited to exact-integer/fixed-shape form per VERDICT item 6
+# before entering), the 16 r4-stale rows (the last staleness debt),
+# then the 12 oldest r5 rows. After this rotation: zero never-checked
+# tier-1 entries and zero driver rows older than r5 — staleness debt
+# retired for the first time. Round-8 additions are tier-2 only
+# (sketch/property gates, no window competition) per the r7 warning to
+# stop out-adding the 50-slot window.
 _DRIVER_WINDOW = [
-    # the only red row in the corpus + its decomposed probe (new)
+    # the one red row + its probe: the round's #1 gate
     "q145_classifier_filter",
     "q165_classifier_probe",
-    # never driver-checked: round-6 post-freeze tail
-    "q155_fuzzy_join",
-    "q156_regex_family",
-    "q157_string_format_family",
-    "q158_argmin_argmax",
-    "q159_gaps_islands",
-    "q160_skew_report",
-    "q161_embedding_pooling",
-    "q162_time_weighted_avg",
-    "q163_containment_dedup",
-    "q164_date_trunc_family",
-    # r3-stale block
-    "q02_csv_scan_schema",
-    "q27_date_funcs",
-    "q76_group_by_all_qualify",
-    "q77_except_all",
-    "q78_unpivot",
-    "q79_percentile_cont",
-    "q80_string_funcs2",
-    "q81_try_cast",
-    "q82_ignore_nulls_stringagg",
-    "q83_bit_bool_aggs",
-    "q85_salted_join_equivalence",
-    # oldest r4-stale rows (27)
-    "q03_json_extract",
-    "q04_filter_case",
-    "q06_join_broadcast",
-    "q07_join_left_outer",
-    "q08_join_semi_anti",
-    "q09_cross_join",
-    "q10_range_join",
-    "q11_asof_join",
-    "q19_window_lag",
-    "q24_except",
-    "q25_union_byname",
-    "q26_string_funcs",
-    "q28_math_funcs",
-    "q29_null_cond",
-    "q30_array_explode",
-    "q31_map_funcs",
-    "q32_hash_md5",
-    "q34_tumbling_hour",
-    "q35_sessionize",
-    "q39_text_stats",
-    "q40_embedding_norms",
-    "q41_lang_id",
-    "q42_quality_fingerprint",
-    "q43_multimodal_meta",
-    "q49_stream_tumbling",
-    "q50_stream_sliding",
-    "q51_stream_session",
+    # never driver-checked: all 20 round-7 additions
+    "q166_ohlc_bars",
+    "q167_corr_regression",
+    "q168_mad_outliers",
+    "q169_rolling_zscore",
+    "q170_clone_constraints",
+    "q171_scd2_incremental",
+    "q172_counter_agg",
+    "q173_classifier_eval",
+    "q174_ab_welch",
+    "q175_event_transitions",
+    "q176_pmi_collocations",
+    "q177_cusum_changepoint",
+    "q178_autocorr",
+    "q179_tv_divergence",
+    "q180_variant_shred",
+    "q181_rrf_fusion",
+    "q182_interval_coverage",
+    "q183_assoc_rules",
+    "q184_period_over_period",
+    "q185_incremental_ab",
+    # the 16 r4-stale rows (last checked 4 rounds ago)
+    "q52_stream_to_lakehouse",
+    "q66_stream_stateful",
+    "q69_stream_stream_join",
+    "q84_asof_tolerance",
+    "q86_stream_static_join",
+    "q94_hash_split",
+    "q95_bigram_counts",
+    "q98_version_diff",
+    "q99_pii_redaction",
+    "q100_boilerplate_removal",
+    "q102_lakehouse_sql",
+    "q103_mor_delete_update",
+    "q104_mor_merge",
+    "q109_mor_pos_delete",
+    "q110_weighted_resample",
+    "q111_dedup_keep_best",
+    # the 12 oldest r5 rows
+    "q12_tpch_q1",
+    "q13_count_distinct",
+    "q14_multi_distinct",
+    "q15_rollup",
+    "q16_having",
+    "q17_collect_sorted",
+    "q18_window_topk",
+    "q20_window_frame",
+    "q21_sort_nulls",
+    "q22_topk_revenue",
+    "q23_union_distinct",
+    "q33_cast_matrix",
 ]
 
 
