@@ -109,7 +109,14 @@ def scd2_merge(
     - Late changes are REFUSED, not silently mis-chained: a change at
       or before its key's current ``valid_from`` would need history
       surgery (that is :func:`scd2_apply`'s full-rebuild job); such
-      rows are dropped with the count surfaced in the report.
+      rows are dropped with the count surfaced in the report. Rows
+      whose (keys, valid_from) ALREADY exist in the dimension are a
+      benign re-delivery, not refused surgery — they count as
+      ``replayed`` instead, so ``late_dropped`` stays alert-worthy
+      (a full-batch replay reports late_dropped=0, replayed=batch).
+      Attr divergence at an existing (key, valid_from) also counts as
+      replayed — the same (keys, valid_from) convention the append-side
+      anti-join enforces.
 
     Not atomic: the close and the append are two commits. A crash
     between them leaves the key with no current row until the replay
@@ -117,7 +124,7 @@ def scd2_merge(
     atomic).
 
     Returns ``{"closed_version", "appended_version", "applied",
-    "late_dropped"}``."""
+    "late_dropped", "replayed"}``."""
     attr_cols = [
         c
         for c in changes.columns
@@ -135,13 +142,22 @@ def scd2_merge(
             F.col("__cur_from").isNotNull()
             & (F.col(valid_from) <= F.col("__cur_from"))
         )
-        n_late = late.count()
+        # split benign re-deliveries (the row is already committed at
+        # this (keys, valid_from)) from genuinely late changes that
+        # would need history surgery — only the latter should alert
+        n_replayed = late.join(
+            table.read().select(*keys, valid_from),
+            [*keys, valid_from],
+            "left_semi",
+        ).count()
+        n_late = late.count() - n_replayed
         ch = tagged.where(
             F.col("__cur_from").isNull()
             | (F.col(valid_from) > F.col("__cur_from"))
         ).drop("__cur_from")
     else:
         n_late = 0
+        n_replayed = 0
     w = W.partitionBy(*keys).orderBy(valid_from)
     chained = (
         ch.withColumn(valid_to, F.lead(valid_from).over(w))
@@ -188,4 +204,5 @@ def scd2_merge(
         "appended_version": appended_v,
         "applied": applied,
         "late_dropped": n_late,
+        "replayed": n_replayed,
     }

@@ -379,16 +379,20 @@ def stream_scd2_to_lakehouse(
     of ``scd2_apply``. foreachBatch is deliberate for the same reason
     as the dedup-ingest sink: the dimension's full history is
     unbounded state the lakehouse table itself holds. Replayed epochs
-    converge (scd2_merge's anti-join + no-op close); late changes are
-    refused with their count surfaced, not mis-chained.
+    converge (scd2_merge's anti-join + no-op close) and count as
+    ``replayed``, NOT as late — late changes are refused with their
+    count surfaced, not mis-chained, so late_dropped stays a real
+    alert signal under at-least-once delivery.
 
-    Returns {"committed_epochs", "rows_applied", "late_dropped"}."""
+    Returns {"committed_epochs", "rows_applied", "late_dropped",
+    "replayed"}."""
     from spark_iceberg_schema_evolution_spark.operators.scd import (
         scd2_merge,
     )
 
     report = {
         "committed_epochs": 0, "rows_applied": 0, "late_dropped": 0,
+        "replayed": 0,
     }
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
@@ -397,6 +401,7 @@ def stream_scd2_to_lakehouse(
         )
         report["rows_applied"] += r["applied"]
         report["late_dropped"] += r["late_dropped"]
+        report["replayed"] += r["replayed"]
         if r["applied"]:
             report["committed_epochs"] += 1
 

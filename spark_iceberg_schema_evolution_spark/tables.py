@@ -627,15 +627,12 @@ class LakehouseTable:
         (IF EXISTS semantics, same as unset_property)."""
         self.unset_property(f"constraint.{name}")
 
-    def _check_constraints(self, out: DataFrame) -> None:
-        """Verify one write batch against every CHECK constraint in a
-        SINGLE aggregate pass (one violation counter per constraint,
-        fused); raises ConstraintViolation naming each violated
-        constraint with its row count. Skipped entirely when the table
-        has no constraints — the property read is one local file."""
+    def _constraint_counters(self) -> tuple[dict, list]:
+        """Fused violation counters (one per CHECK constraint) for a
+        single-pass ``df.observe`` gate; parse errors reject up front.
+        Returns ({name: expr}, [counter columns]) — both empty when the
+        table has no constraints (the property read is one local file)."""
         cons = self.constraints()
-        if not cons:
-            return
         counters = []
         for cname, expr in cons.items():
             try:
@@ -650,11 +647,26 @@ class LakehouseTable:
                     F.when(~F.coalesce(cond, F.lit(True)), 1).otherwise(0)
                 ).alias(cname)
             )
-        row = out.agg(*counters).first()
+        return cons, counters
+
+    def _raise_constraint_violations(
+        self, cons: dict, metrics: dict, batch_dir: str
+    ) -> None:
+        """Post-write, pre-commit constraint gate: ``metrics`` are the
+        observed violation counters collected FROM the write action
+        itself (one scan of the batch — the pre-r8 implementation ran a
+        separate ``agg().first()`` validation pass, doubling the ingest
+        scan of every constrained table). On violation the just-written
+        batch files are deleted and ConstraintViolation raised BEFORE
+        the manifest commit, so the table's visible state is untouched
+        (files + metadata commit are separate steps; abandoning the
+        files keeps the commit atomic, same discipline as a failed
+        Iceberg commit cleaning up its data files)."""
         bad = {
-            cname: int(n_) for cname, n_ in row.asDict().items() if n_
+            cname: int(n_) for cname, n_ in metrics.items() if n_
         }
         if bad:
+            shutil.rmtree(batch_dir, ignore_errors=True)
             raise ConstraintViolation(
                 "write rejected; CHECK constraint violations "
                 + ", ".join(
@@ -674,7 +686,17 @@ class LakehouseTable:
     ) -> dict:
         batch_dir = os.path.join(self.data_dir, f"batch-{n}")
         out = align_schema(df, schema, keep_extras=False)
-        self._check_constraints(out)
+        # CHECK constraints ride the write action itself via observe()
+        # metrics — ONE scan of the batch, not a validation pass plus a
+        # write pass; the gate raises pre-commit (files abandoned) in
+        # _raise_constraint_violations after the write returns.
+        cons, counters = self._constraint_counters()
+        obs = None
+        if counters:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(obs, *counters)
         # hidden bucket(n, col) sub-partitioning: physically below the
         # month dirs when both transforms are active (a two-field spec,
         # like Iceberg's PARTITIONED BY (months(ts), bucket(n, id))).
@@ -716,6 +738,8 @@ class LakehouseTable:
             out.write.partitionBy(*part_cols).mode("error").parquet(
                 batch_dir
             )
+            if obs is not None:
+                self._raise_constraint_violations(cons, obs.get, batch_dir)
             months = sorted(
                 d.split("=", 1)[1]
                 for d in os.listdir(batch_dir)
@@ -746,6 +770,8 @@ class LakehouseTable:
             )
         else:
             out.write.mode("error").parquet(batch_dir)
+        if obs is not None:
+            self._raise_constraint_violations(cons, obs.get, batch_dir)
         stats, file_stats, file_rows = self._footer_stats(batch_dir)
         meta = {
             "path": batch_dir,

@@ -121,6 +121,7 @@ def test_scd2_merge_incremental(spark, tmp_path):
     )
     r2 = scd2_merge(dim, b2, keys=["id"], change_ts="ts")
     assert r2["applied"] == 2 and r2["late_dropped"] == 1
+    assert r2["replayed"] == 0  # the refused row was never committed
     rows = {
         (r.id, r.valid_from): (r.seg, r.valid_to, r.is_current)
         for r in dim.read().collect()
@@ -131,9 +132,13 @@ def test_scd2_merge_incremental(spark, tmp_path):
     assert rows[(3, "2024-03-05")] == ("N", None, True)
     n_before = dim.row_count()
 
-    # replayed epoch converges: close is a no-op, append anti-joins away
+    # replayed epoch converges: close is a no-op, append anti-joins away.
+    # The two committed rows count as replayed (benign re-delivery), NOT
+    # late; the never-committed late row is refused again, not a replay.
     r3 = scd2_merge(dim, b2, keys=["id"], change_ts="ts")
     assert r3["applied"] == 0
+    assert r3["replayed"] == 2
+    assert r3["late_dropped"] == 1
     assert dim.row_count() == n_before
 
     # equivalence with the full-rebuild path on the same inputs

@@ -528,6 +528,7 @@ def test_stream_scd2_sink(spark, tmp_path):
     )
     assert report["rows_applied"] == 3
     assert report["late_dropped"] == 1
+    assert report["replayed"] == 0  # never-committed row is not a replay
     rows = {
         (r.id, r.valid_from): (r.seg, r.is_current)
         for r in cat.table("db", "dim").read().collect()

@@ -2382,6 +2382,55 @@ def test_check_constraints_enforced_on_writes(spark, catalog):
         c2.append(spark.createDataFrame([(8, -8)], ["id", "v"]))
 
 
+def test_check_constraints_single_scan(spark, catalog):
+    """The constraint gate rides the write action via observe() — a
+    constrained append evaluates the batch ONCE (pre-r8: a separate
+    agg().first() validation pass doubled the ingest scan). Proven with
+    a per-row side-effect accumulator: the batch pipeline ticks exactly
+    n_rows times on a clean append, and a violating append still
+    raises pre-commit with rows/version untouched."""
+    from pyspark.sql.functions import udf
+
+    from spark_iceberg_schema_evolution_spark.tables import (
+        ConstraintViolation,
+    )
+
+    catalog.write_evolving(
+        spark.createDataFrame([(0, 1)], ["id", "v"]), "db", "one_scan"
+    )
+    t = catalog.table("db", "one_scan")
+    t.add_constraint("v_pos", "v > 0")
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(x):
+        acc.add(1)
+        return x
+
+    tick = udf(_tick, "long").asNondeterministic()
+    batch = spark.range(10).select(
+        F.col("id") + 100, tick(F.lit(7)).alias("v")
+    ).toDF("id", "v")
+    t.append(batch)
+    assert t.row_count() == 11
+    assert acc.value == 10  # one scan: each row evaluated exactly once
+
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def _tick2(x):
+        acc2.add(1)
+        return x
+
+    tick2 = udf(_tick2, "long").asNondeterministic()
+    bad = spark.range(4).select(
+        F.col("id") + 200, (tick2(F.lit(3)) - 10).alias("v")
+    ).toDF("id", "v")
+    with pytest.raises(ConstraintViolation, match="v_pos: 4 row"):
+        t.append(bad)
+    assert t.row_count() == 11  # pre-commit raise: nothing visible
+    assert acc2.value == 4  # the refused batch also scanned only once
+
+
 def test_sql_constraint_and_clone_faces(spark, catalog):
     from spark_iceberg_schema_evolution_spark.tables import (
         ConstraintViolation,
