@@ -6876,6 +6876,42 @@ def t2_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return per_month.unionByName(global_).orderBy("month")
 
 
+@q("t2_quantile_sketch_rollup", oracle=None, tier=2)
+def t2_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile sketch rollup (DDSketch shape): per-source
+    n_chars sketches coarsened to a global grain without rescanning,
+    quantiles read off the bucket counts with a relative-alpha
+    guarantee — the percentile analog of t2_hll_rollup. Property gates
+    (relative-error bound vs exact order statistics, exact merge
+    equality, lakehouse incremental refresh + alpha-drift refusal)
+    live in tests/test_rollup.py; rows-only here (the sketch grid is
+    not SQL-portable). Bound double-checked in-line: the p50/p90
+    estimates must bracket the exact percentile within alpha=2%."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        quantile_sketch_coarsen,
+        sketch_quantiles,
+    )
+
+    d = load(spark, sf, "documents").select("source", "n_chars")
+    sk = quantile_sketch(d, ["source"], "n_chars", alpha=0.02)
+    per_source = sketch_quantiles(
+        sk, ["source"], [0.5, 0.9], alpha=0.02
+    ).select(
+        "source", "q",
+        F.round("quantile_est", 2).alias("est"),
+        "n_total",
+    )
+    global_ = sketch_quantiles(
+        quantile_sketch_coarsen(sk, []), [], [0.5, 0.9], alpha=0.02
+    ).select(
+        F.lit("ALL").alias("source"), "q",
+        F.round("quantile_est", 2).alias("est"),
+        "n_total",
+    )
+    return per_source.unionByName(global_).orderBy("source", "q")
+
+
 @q("t2_mmr_rerank", oracle=None, tier=2)
 def t2_mmr(spark: SparkSession, sf: str) -> DataFrame:
     """MMR-diversified retrieval: exact cosine top-20 candidates per

@@ -191,3 +191,124 @@ def test_metadata_only_source_commit_skips_rollup_rewrite(spark, catalog):
     src.append(spark.createDataFrame([(0, 100)], "k LONG, v LONG"))
     refresh_rollup(src, dst, ["k"], ["v"])
     assert _got(dst) == _expected(src)
+
+
+# --- quantile sketch rollup (DDSketch-shape) --------------------------------
+
+
+def test_quantile_sketch_relative_error_bound(spark):
+    """DDSketch contract: every quantile read is within relative alpha
+    of the true order statistic — including negatives and zeros."""
+    import math
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    alpha = 0.01
+    vals_a = [((i * 37) % 1000) - 200 for i in range(500)]  # neg..pos, has 0s?
+    vals_b = [math.exp(i / 40.0) for i in range(300)]  # heavy tail
+    rows = [("a", float(v)) for v in vals_a] + [
+        ("b", float(v)) for v in vals_b
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    sk = quantile_sketch(df, ["g"], "v", alpha=alpha)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    got = {
+        (r.g, r.q): (r.quantile_est, r.n_total)
+        for r in sketch_quantiles(sk, ["g"], qs, alpha=alpha).collect()
+    }
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        s = sorted(vals)
+        for q in qs:
+            rank = max(1, math.ceil(q * len(s)))
+            exact = s[rank - 1]
+            est, n_total = got[(g, q)]
+            assert n_total == len(vals)
+            if exact == 0:
+                assert est == 0.0
+            else:
+                assert abs(est - exact) <= alpha * abs(exact) + 1e-12, (
+                    g, q, exact, est
+                )
+
+
+def test_quantile_sketch_merge_is_exact(spark):
+    """Coarsening two batch sketches equals sketching the union — the
+    mergeability that makes the rollup incrementally maintainable."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        quantile_sketch_coarsen,
+    )
+
+    b1 = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 200)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("g", float(v * 3)) for v in range(1, 150)], "g string, v double"
+    )
+    merged = quantile_sketch_coarsen(
+        quantile_sketch(b1, ["g"], "v").unionByName(
+            quantile_sketch(b2, ["g"], "v")
+        ),
+        ["g"],
+    )
+    direct = quantile_sketch(b1.unionByName(b2), ["g"], "v")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # and global coarsening (no groups) sums to the full count
+    from pyspark.sql import functions as FF
+    total = quantile_sketch_coarsen(direct, []).agg(
+        FF.sum("n")
+    ).first()[0]
+    assert total == 199 + 149
+
+
+def test_quantile_sketch_refresh_incremental_and_alpha_guard(
+    spark, catalog, tmp_path
+):
+    """Lakehouse rollup lifecycle: two incremental refreshes append only
+    the batch deltas (O(batch)), read-time coarsening matches a
+    from-scratch sketch of all data, and a drifted alpha is refused."""
+    import math
+
+    import pytest as _pytest
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        quantile_sketch_coarsen,
+        quantile_sketch_refresh,
+        sketch_quantiles,
+    )
+
+    catalog.create_namespace("db")
+    t = catalog.table("db", "qsketch")
+    b1 = spark.createDataFrame(
+        [("s", float((i * 7) % 500 + 1)) for i in range(400)],
+        "g string, v double",
+    )
+    b2 = spark.createDataFrame(
+        [("s", float((i * 13) % 900 + 1)) for i in range(300)],
+        "g string, v double",
+    )
+    quantile_sketch_refresh(t, b1, ["g"], "v", alpha=0.02)
+    quantile_sketch_refresh(t, b2, ["g"], "v", alpha=0.02)
+
+    stored = quantile_sketch_coarsen(t.read(), ["g"])
+    direct = quantile_sketch(b1.unionByName(b2), ["g"], "v", alpha=0.02)
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # quantiles off the stored rollup obey the bound vs exact data
+    vals = sorted(
+        [float((i * 7) % 500 + 1) for i in range(400)]
+        + [float((i * 13) % 900 + 1) for i in range(300)]
+    )
+    row = sketch_quantiles(stored, ["g"], [0.5], alpha=0.02).first()
+    exact = vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+    assert abs(row.quantile_est - exact) <= 0.02 * exact + 1e-12
+    # alpha drift refused
+    with _pytest.raises(ValueError, match="alpha drift"):
+        quantile_sketch_refresh(t, b2, ["g"], "v", alpha=0.01)
