@@ -398,6 +398,37 @@ def test_ingest_incremental_maintains_ann_index(spark, tmp_path):
     assert r2["ingested"] == 3 and r2["ann_encoded"] == 3
     assert codes.row_count() == 15
 
+    # COMPACTION rewrites the corpus' data files; the codes table keys
+    # on ids, so nothing is orphaned and the next sync must not
+    # re-encode compacted rows
+    corpus = cat.table("db", "docs")
+    corpus.compact()
+    drop_file("day3", rows(15, 18))
+    r3 = ingest_increment(spark, build_parser().parse_args(argv))
+    assert r3["ingested"] == 3 and r3["ann_encoded"] == 3  # only day3
+    assert codes.row_count() == 18
+
+    # index freshness == fresh-encode equality: the maintained codes
+    # table holds exactly what a from-scratch encode of today's corpus
+    # produces (same ids, same codes, same quantization params)
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        sq8_encode,
+    )
+
+    fresh = sq8_encode(
+        corpus.read().where(F.col("embedding").isNotNull()),
+        id_col="doc_id", vec_col="embedding",
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r[0], tuple(r[1]), r[2], r[3])
+        for r in df.select(
+            "doc_id", "sq8_codes", "sq8_lo", "sq8_scale"
+        ).collect()
+    }
+    assert as_set(codes.read()) == as_set(fresh)
+
 
 def test_incremental_near_dedup_rejects_mismatched_store(spark):
     import pytest
