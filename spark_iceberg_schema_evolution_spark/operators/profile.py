@@ -275,6 +275,20 @@ def quantile_sketch(
     ``sketch.alpha`` as a table property so refreshes can refuse
     parameter drift (a sketch built at a different alpha has an
     incompatible grid and must not be merged)."""
+    v, sgn, idx = _sketch_exprs(value_col, alpha)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            *group_cols, sgn.alias("sgn"), idx.alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sketch_exprs(value_col: str, alpha: float):
+    """(value, sign, log-bucket index) expressions for the DDSketch
+    grid at ``alpha`` — shared by the one-shot build and the IVM
+    refresh so both land on the identical grid."""
     import math
 
     if not 0 < alpha < 1:
@@ -287,13 +301,7 @@ def quantile_sketch(
     ).otherwise(
         F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma)))
     )
-    return (
-        df.where(v.isNotNull())
-        .groupBy(
-            *group_cols, sgn.alias("sgn"), idx.alias("bucket")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return v, sgn, idx
 
 
 def quantile_sketch_coarsen(
@@ -408,6 +416,102 @@ def quantile_sketch_refresh(
         version = table.append(delta)
         table.set_properties({_SKETCH_ALPHA_PROP: repr(float(alpha))})
     return {"version": version, "alpha": float(alpha)}
+
+
+_SKETCH_SRC_PROP = "sketch.source_version"
+_SKETCH_DST_PROP = "sketch.target_version"
+
+
+def refresh_quantile_sketch(
+    source,
+    target,
+    group_cols: list[str],
+    value_col: str,
+    alpha: float = 0.01,
+    full_refresh: bool = False,
+) -> int:
+    """IVM-maintained quantile-sketch rollup of a SOURCE lakehouse
+    table (the :func:`rollup.refresh_rollup` contract, for
+    percentiles): refresh from the source's row-level CDC since the
+    stored bookmark — inserts contribute +1 and deletes -1 to their
+    value's bucket, so the appended signed delta rows coarsen to
+    exactly the sketch of the current source under inserts, deletes,
+    AND updates (bucket counts are additive; net-zero rows are
+    harmless to the cumulative walk). Cost tracks the delta, never the
+    source.
+
+    Bookmark + crash discipline mirrors ``refresh_rollup``: the
+    (source_version, target_version) pair commits to the sketch
+    table's properties after the append; an out-of-sync pair raises
+    (rebuild with ``full_refresh=True``); a source version bump with
+    no row changes advances the bookmark without writing. Alpha is
+    pinned and drift refused, as in :func:`quantile_sketch_refresh`
+    (the batch-push face, for pipelines that hand the delta directly).
+
+    Returns the sketch table's version."""
+    src_v = source._load().version
+    if full_refresh or not target.exists():
+        full = quantile_sketch(
+            source.read(), group_cols, value_col, alpha=alpha
+        )
+        if target.exists():
+            v = target.overwrite(full)
+        else:
+            target.create(full.schema)
+            v = target.append(full, evolve=False)
+        target.set_properties({
+            _SKETCH_SRC_PROP: src_v,
+            _SKETCH_DST_PROP: v,
+            _SKETCH_ALPHA_PROP: repr(float(alpha)),
+        })
+        return v
+    props = target.properties()
+    stored = props.get(_SKETCH_ALPHA_PROP)
+    if stored is not None and float(stored) != float(alpha):
+        raise ValueError(
+            f"sketch alpha drift: table built at {stored}, "
+            f"refresh requested {alpha}; rebuild with full_refresh=True"
+        )
+    if _SKETCH_SRC_PROP not in props:
+        raise ValueError(
+            "target exists but is not an IVM sketch of anything "
+            f"({_SKETCH_SRC_PROP} missing); pass full_refresh=True"
+        )
+    last_src = int(props[_SKETCH_SRC_PROP])
+    expected_dst = int(props[_SKETCH_DST_PROP])
+    cur_dst = target._load().version
+    if cur_dst != expected_dst:
+        raise RuntimeError(
+            f"sketch state out of sync (sketch at v{cur_dst}, bookmark "
+            f"expects v{expected_dst}): a refresh crashed between append "
+            "and bookmark, or someone else wrote the sketch — rebuild "
+            "with full_refresh=True"
+        )
+    if last_src == src_v:
+        return cur_dst  # nothing new
+    ch = source.diff(last_src, src_v)
+    signed = F.when(F.col("_change_type") == "I", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    v_, sgn, idx = _sketch_exprs(value_col, alpha)
+    delta = (
+        ch.where(v_.isNotNull())
+        .groupBy(*group_cols, sgn.alias("sgn"), idx.alias("bucket"))
+        .agg(F.sum(signed).alias("n"))
+        .where(F.col("n") != 0)
+    )
+    if delta.limit(1).count() == 0:
+        # metadata-only source commit or cancelling changes: advance
+        # the bookmark without touching the sketch
+        target.set_properties({
+            _SKETCH_SRC_PROP: src_v, _SKETCH_DST_PROP: cur_dst,
+        })
+        return cur_dst
+    v2 = target.append(delta, evolve=False)
+    target.set_properties({
+        _SKETCH_SRC_PROP: src_v, _SKETCH_DST_PROP: v2,
+    })
+    return v2
 
 
 def skew_report(

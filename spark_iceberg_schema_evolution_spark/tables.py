@@ -4798,7 +4798,10 @@ class LakehouseCatalog:
         create_branch(tbl, name [, at_version]),
         create_tag(tbl, name [, at_version]),
         build_bloom_index(tbl, 'col' [, m_bits=>n] [, k=>n]),
-        commit_consumer_offset(tbl, 'consumer', version)."""
+        commit_consumer_offset(tbl, 'consumer', version),
+        refresh_quantile_sketch(src, target=>'ns.t', value=>'col'
+        [, group_by=>'c1,c2'] [, alpha=>'0.01']
+        [, full_refresh=>'true'])."""
         import re
 
         pos: list = []
@@ -4924,6 +4927,32 @@ class LakehouseCatalog:
                 )
             t.commit_offset(str(pos[1]), int(pos[2]))
             return self._version_df(int(pos[2]))
+        if proc == "refresh_quantile_sketch":
+            from spark_iceberg_schema_evolution_spark.operators.profile import (
+                refresh_quantile_sketch,
+            )
+
+            tgt_ref = named.get("target")
+            if not tgt_ref or "." not in str(tgt_ref):
+                raise ValueError(
+                    "refresh_quantile_sketch needs target => 'ns.table'"
+                )
+            val = named.get("value")
+            if not val:
+                raise ValueError(
+                    "refresh_quantile_sketch needs value => 'col'"
+                )
+            tns, tname = str(tgt_ref).split(".", 1)
+            v = refresh_quantile_sketch(
+                t,
+                self.table(tns, tname),
+                cols(named.get("group_by")) or [],
+                str(val),
+                alpha=float(named.get("alpha", "0.01")),
+                full_refresh=str(named.get("full_refresh", "")).lower()
+                == "true",
+            )
+            return self._version_df(v)
         raise ValueError(f"unknown procedure: lake.system.{proc}")
 
     def _merge_sql(

@@ -312,3 +312,89 @@ def test_quantile_sketch_refresh_incremental_and_alpha_guard(
     # alpha drift refused
     with _pytest.raises(ValueError, match="alpha drift"):
         quantile_sketch_refresh(t, b2, ["g"], "v", alpha=0.01)
+
+
+def test_refresh_quantile_sketch_ivm_tracks_dml(spark, catalog):
+    """IVM sketch refresh from source CDC: appends, deletes, and
+    updates all land as signed bucket deltas; the stored sketch
+    coarsens to exactly the from-scratch sketch of the current source.
+    Bookmark crash guard raises; CALL face routes."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        quantile_sketch_coarsen,
+        refresh_quantile_sketch,
+    )
+
+    catalog.create_namespace("db")
+    src = catalog.table("db", "qsrc")
+    dst = catalog.table("db", "qdst")
+    df = spark.range(200).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") * 3 + 1).cast("double").alias("v"),
+    )
+    src.create(df.schema)
+    src.append(df)
+
+    def stored_set():
+        return {
+            tuple(r)
+            for r in quantile_sketch_coarsen(dst.read(), ["g"])
+            .where("n != 0")
+            .collect()
+        }
+
+    def direct_set():
+        return {
+            tuple(r)
+            for r in quantile_sketch(
+                src.read(), ["g"], "v", alpha=0.01
+            ).collect()
+        }
+
+    v1 = refresh_quantile_sketch(src, dst, ["g"], "v", alpha=0.01)
+    assert stored_set() == direct_set()
+
+    # incremental append: only the delta lands
+    src.append(
+        spark.range(50).select(
+            (F.col("id") % 2).alias("g"),
+            (F.col("id") * 7 + 2).cast("double").alias("v"),
+        )
+    )
+    v2 = refresh_quantile_sketch(src, dst, ["g"], "v", alpha=0.01)
+    assert v2 > v1
+    assert stored_set() == direct_set()
+
+    # DELETE: negative bucket counts cancel the removed values
+    src.delete_where(F.col("v") > 400)
+    refresh_quantile_sketch(src, dst, ["g"], "v", alpha=0.01)
+    assert stored_set() == direct_set()
+
+    # UPDATE (one D + one I): buckets move with the value
+    src.update_where(F.col("v") < 10, {"v": F.col("v") + 1000})
+    refresh_quantile_sketch(src, dst, ["g"], "v", alpha=0.01)
+    assert stored_set() == direct_set()
+
+    # no-change refresh: version stays put
+    v_same = refresh_quantile_sketch(src, dst, ["g"], "v", alpha=0.01)
+    assert v_same == dst._load().version
+
+    # out-of-sync bookmark raises (foreign write to the sketch)
+    dst.append(
+        spark.createDataFrame([(0, 1, 5, 1)], "g long, sgn int, bucket long, n long")
+    )
+    with pytest.raises(RuntimeError, match="out of sync"):
+        refresh_quantile_sketch(src, dst, ["g"], "v", alpha=0.01)
+    # rebuild heals
+    refresh_quantile_sketch(
+        src, dst, ["g"], "v", alpha=0.01, full_refresh=True
+    )
+    assert stored_set() == direct_set()
+
+    # SQL CALL face
+    r = catalog.sql(
+        "CALL lake.system.refresh_quantile_sketch('db.qsrc', "
+        "target => 'db.qdst', value => 'v', group_by => 'g', "
+        "alpha => '0.01')"
+    ).first()
+    assert r[0] == dst._load().version
