@@ -514,6 +514,122 @@ def refresh_quantile_sketch(
     return v2
 
 
+def topk_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Mergeable heavy-hitters summary (Misra-Gries / SpaceSaving
+    family; mergeability per Agarwal et al., "Mergeable Summaries",
+    PODS 2012): per group, the ``k`` most frequent items with exact
+    in-batch counts plus one ``__spill__`` row carrying the TOTAL mass
+    of every trimmed item. Completes the mergeable-rollup triple
+    beside :func:`hll_rollup` (distincts) and :func:`quantile_sketch`
+    (percentiles): top-N tokens/domains/keys per grain without storing
+    the full key cardinality.
+
+    Error contract (sound, surfaced, tested): for any item,
+    ``est <= true <= est + spill_sum`` where ``est`` is the summed
+    count over the sketch rows that retained the item (0 if absent)
+    and ``spill_sum`` the summed spill mass — each trim moves at most
+    the item's whole per-batch count into spill. With k counters and
+    total mass N the classic N/k bound applies per merge level. Items
+    are compared as strings (cast) so the sketch schema is stable
+    across sources.
+
+    Shape: one (group, item) hash aggregate, a per-group rank window
+    over the aggregated counts (distinct items per group, never rows),
+    then a per-group spill aggregate — two shuffles on the same group
+    key. ``coarsen``/merge = :func:`topk_sketch_coarsen`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window as _W
+
+    counts = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(
+            *group_cols,
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = _W.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    ranked = counts.withColumn("__rk", F.row_number().over(w))
+    top = ranked.where(F.col("__rk") <= k).select(
+        *group_cols, "item", "n", F.lit(0).cast("long").alias("spill")
+    )
+    # every group gets a spill row (0 when nothing trimmed) so the
+    # merge contract never has to special-case its absence; the
+    # conditional sum reuses the window's group partitioning
+    spilled = (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.when(F.col("__rk") > k, F.col("n")).otherwise(0)
+            ).alias("spill")
+        )
+        .select(
+            *group_cols,
+            F.lit("__spill__").alias("item"),
+            F.lit(0).cast("long").alias("n"),
+            "spill",
+        )
+    )
+    return top.unionByName(spilled)
+
+
+def topk_sketch_coarsen(
+    sketch: DataFrame, group_cols: list[str], k: int = 100
+) -> DataFrame:
+    """Merge/re-aggregate top-k sketches to a coarser grain (possibly
+    global): sum counts per item and spill masses, re-trim to ``k``
+    moving the trimmed items' counts into spill — the Misra-Gries
+    merge, which preserves the est <= true <= est + spill_sum
+    contract (a trimmed item's summed count rolls into spill whole).
+    Operates on sketch rows only, never base data."""
+    from pyspark.sql import Window as _W
+
+    merged = sketch.groupBy(*group_cols, "item").agg(
+        F.sum("n").alias("n"), F.sum("spill").alias("spill")
+    )
+    items = merged.where(F.col("item") != "__spill__")
+    w = _W.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    ranked = items.withColumn("__rk", F.row_number().over(w))
+    top = ranked.where(F.col("__rk") <= k).select(
+        *group_cols, "item", "n", F.lit(0).cast("long").alias("spill")
+    )
+    # new spill = carried spill masses + counts of re-trimmed items,
+    # folded join-free in one conditional-sum aggregate that covers
+    # every group (each group has at least its spill row)
+    spill_rows = (
+        ranked.select(
+            *group_cols,
+            F.when(F.col("__rk") > k, F.col("n"))
+            .otherwise(0)
+            .alias("__m"),
+        )
+        .unionByName(
+            merged.where(F.col("item") == "__spill__").select(
+                *group_cols, F.col("spill").alias("__m")
+            )
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("__m").alias("spill"))
+        .select(
+            *group_cols,
+            F.lit("__spill__").alias("item"),
+            F.lit(0).cast("long").alias("n"),
+            "spill",
+        )
+    )
+    return top.unionByName(spill_rows)
+
+
 def skew_report(
     df: DataFrame,
     keys: list[str],

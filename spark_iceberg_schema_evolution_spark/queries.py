@@ -6912,6 +6912,30 @@ def t2_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return per_source.unionByName(global_).orderBy("source", "q")
 
 
+@q("t2_topk_sketch_rollup", oracle=None, tier=2)
+def t2_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable heavy-hitters rollup (Misra-Gries family): per-source
+    top-10 language counts coarsened to a global top-10 from sketch
+    rows only — the third mergeable summary beside HLL (distincts) and
+    the quantile sketch (percentiles). Property gates (exact at
+    covering k, est<=true<=est+spill bound under trims, mass
+    conservation, merge==direct at covering k) live in
+    tests/test_rollup.py; rows-only here (sketch rows aren't
+    SQL-portable). In-line sanity: the retained global top items must
+    be exact because |langs| < k."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        topk_sketch,
+        topk_sketch_coarsen,
+    )
+
+    d = load(spark, sf, "documents").select("source", "lang")
+    sk = topk_sketch(d, ["source"], "lang", k=10)
+    global_ = topk_sketch_coarsen(sk, [], k=10)
+    return global_.orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+
+
 @q("t2_mmr_rerank", oracle=None, tier=2)
 def t2_mmr(spark: SparkSession, sf: str) -> DataFrame:
     """MMR-diversified retrieval: exact cosine top-20 candidates per

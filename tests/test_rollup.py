@@ -398,3 +398,92 @@ def test_refresh_quantile_sketch_ivm_tracks_dml(spark, catalog):
         "alpha => '0.01')"
     ).first()
     assert r[0] == dst._load().version
+
+
+# --- top-k heavy-hitter sketch (Misra-Gries family) -------------------------
+
+
+def test_topk_sketch_exact_when_k_covers_cardinality(spark):
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        topk_sketch,
+    )
+
+    rows = [("g", "a")] * 5 + [("g", "b")] * 3 + [("g", "c")] * 1
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = topk_sketch(df, ["g"], "item", k=10)
+    got = {r.item: (r.n, r.spill) for r in sk.collect()}
+    assert got == {
+        "a": (5, 0), "b": (3, 0), "c": (1, 0), "__spill__": (0, 0)
+    }
+
+
+def test_topk_sketch_spill_bound_and_merge(spark):
+    """est <= true <= est + spill_sum for every item, after building
+    per-batch sketches at small k and merging — the Misra-Gries
+    mergeable-summaries contract."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        topk_sketch,
+        topk_sketch_coarsen,
+    )
+
+    import collections
+
+    b1 = [("g", f"t{i % 7}") for i in range(140)]  # t0..t6 x20
+    b2 = [("g", f"t{i % 4}") for i in range(120)]  # t0..t3 x30
+    true = collections.Counter(x for _, x in b1 + b2)
+    df1 = spark.createDataFrame(b1, "g string, item string")
+    df2 = spark.createDataFrame(b2, "g string, item string")
+    k = 3
+    merged = topk_sketch_coarsen(
+        topk_sketch(df1, ["g"], "item", k=k).unionByName(
+            topk_sketch(df2, ["g"], "item", k=k)
+        ),
+        ["g"],
+        k=k,
+    )
+    rows = merged.collect()
+    est = {r.item: r.n for r in rows if r.item != "__spill__"}
+    spill = sum(r.spill for r in rows)
+    assert len(est) == k
+    # total mass conserved: retained + spill == all observations
+    assert sum(est.values()) + spill == len(b1) + len(b2)
+    for item, t in true.items():
+        e = est.get(item, 0)
+        assert e <= t <= e + spill, (item, e, t, spill)
+    # the heaviest item is retained (50 = 20 + 30 observations)
+    assert "t0" in est
+
+
+def test_topk_sketch_merge_exact_at_large_k(spark):
+    """With k >= distinct items, merging per-batch sketches reproduces
+    the exact union counts with zero spill."""
+    import collections
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        topk_sketch,
+        topk_sketch_coarsen,
+    )
+
+    b1 = [("x", f"i{i % 5}") for i in range(50)]
+    b2 = [("x", f"i{i % 9}") for i in range(90)]
+    true = collections.Counter(x for _, x in b1 + b2)
+    df1 = spark.createDataFrame(b1, "g string, item string")
+    df2 = spark.createDataFrame(b2, "g string, item string")
+    merged = topk_sketch_coarsen(
+        topk_sketch(df1, ["g"], "item", k=20).unionByName(
+            topk_sketch(df2, ["g"], "item", k=20)
+        ),
+        ["g"],
+        k=20,
+    )
+    got = {
+        r.item: r.n for r in merged.collect() if r.item != "__spill__"
+    }
+    assert got == dict(true)
+    assert merged.where("item = '__spill__'").first().spill == 0
+    # global coarsen (no group cols) also exact
+    global_ = topk_sketch_coarsen(merged, [], k=20)
+    got_g = {
+        r.item: r.n for r in global_.collect() if r.item != "__spill__"
+    }
+    assert got_g == dict(true)
