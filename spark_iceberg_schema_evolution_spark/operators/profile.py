@@ -519,6 +519,7 @@ def topk_sketch(
     group_cols: list[str],
     item_col: str,
     k: int = 100,
+    shards: int = 1,
 ) -> DataFrame:
     """Mergeable heavy-hitters summary (Misra-Gries / SpaceSaving
     family; mergeability per Agarwal et al., "Mergeable Summaries",
@@ -541,7 +542,19 @@ def topk_sketch(
     Shape: one (group, item) hash aggregate, a per-group rank window
     over the aggregated counts (distinct items per group, never rows),
     then a per-group spill aggregate — two shuffles on the same group
-    key. ``coarsen``/merge = :func:`topk_sketch_coarsen`."""
+    key. ``coarsen``/merge = :func:`topk_sketch_coarsen`.
+
+    ``shards``: the rank window sorts each group's distinct items in
+    one task; when a single group's item cardinality is itself huge
+    (billions of URLs/ngrams at 100 TB), set shards > 1 to rank within
+    (group, hash(item) % shards) instead — shards partition the ITEMS
+    disjointly, so per-shard counts are exact global counts, any
+    global top-k item is top-k within its own shard (fewer
+    competitors), and the per-shard trims roll into spill exactly as
+    a merge would; pipe the result through
+    ``topk_sketch_coarsen(..., k)`` to trim the ~shards*k survivors
+    back to k. Bounds the window sort at items/shard with the same
+    est<=true<=est+spill contract."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     from pyspark.sql import Window as _W
@@ -554,7 +567,13 @@ def topk_sketch(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = _W.partitionBy(*group_cols).orderBy(
+    shard_cols: list = []
+    if shards > 1:
+        counts = counts.withColumn(
+            "__shard", F.pmod(F.xxhash64("item"), F.lit(int(shards)))
+        )
+        shard_cols = ["__shard"]
+    w = _W.partitionBy(*group_cols, *shard_cols).orderBy(
         F.col("n").desc(), F.col("item").asc()
     )
     ranked = counts.withColumn("__rk", F.row_number().over(w))

@@ -487,3 +487,40 @@ def test_topk_sketch_merge_exact_at_large_k(spark):
         r.item: r.n for r in global_.collect() if r.item != "__spill__"
     }
     assert got_g == dict(true)
+
+
+def test_topk_sketch_sharded_matches_unsharded(spark):
+    """shards > 1 partitions ITEMS disjointly: per-shard counts stay
+    exact, and coarsening the sharded sketch reproduces the unsharded
+    sketch at covering k — plus the spill contract at small k."""
+    import collections
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        topk_sketch,
+        topk_sketch_coarsen,
+    )
+
+    rows = [("g", f"w{i % 11}") for i in range(220)]
+    true = collections.Counter(x for _, x in rows)
+    df = spark.createDataFrame(rows, "g string, item string")
+
+    flat = {
+        (r.item): (r.n, r.spill)
+        for r in topk_sketch(df, ["g"], "item", k=20).collect()
+    }
+    sharded = topk_sketch_coarsen(
+        topk_sketch(df, ["g"], "item", k=20, shards=4), ["g"], k=20
+    )
+    got = {(r.item): (r.n, r.spill) for r in sharded.collect()}
+    assert got == flat  # covering k: exact either way
+
+    # small k with shards: bound + mass conservation still hold
+    sk = topk_sketch_coarsen(
+        topk_sketch(df, ["g"], "item", k=3, shards=4), ["g"], k=3
+    ).collect()
+    est = {r.item: r.n for r in sk if r.item != "__spill__"}
+    spill = sum(r.spill for r in sk)
+    assert sum(est.values()) + spill == len(rows)
+    for item, t in true.items():
+        e = est.get(item, 0)
+        assert e <= t <= e + spill
