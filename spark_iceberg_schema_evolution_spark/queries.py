@@ -7804,7 +7804,8 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
              CASE WHEN prev IS NOT NULL AND v_c - prev < 0
                   THEN 1 ELSE 0 END AS rst
       FROM s)
-    SELECT CAST(user_id AS BIGINT) AS user_id, bucket,
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(bucket AS VARCHAR) AS bucket,
            CAST(SUM(inc) AS BIGINT) AS increase_c,
            CAST(SUM(rst) AS BIGINT) AS n_resets,
            COUNT(*) AS n_obs
@@ -7831,7 +7832,10 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
     )
     return out.select(
         "user_id",
-        F.col("bucket").cast("date").alias("bucket"),
+        # STRING date, not DATE: pandas-canon portability — Spark DATE
+        # arrives as datetime.date, DuckDB DATE as a midnight Timestamp,
+        # and their string forms differ under the driver's cell-repr hash
+        F.col("bucket").cast("date").cast("string").alias("bucket"),
         F.col("increase").cast("long").alias("increase_c"),
         "n_resets",
         "n_obs",
@@ -7850,7 +7854,8 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
              COUNT(*) OVER (
                PARTITION BY user_id, date_trunc('day', ts)) AS n
       FROM events)
-    SELECT CAST(user_id AS BIGINT) AS user_id, bucket,
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(bucket AS VARCHAR) AS bucket,
            MAX(CASE WHEN rn = 1 THEN v_c END) AS open_c,
            MAX(v_c) AS high_c,
            MIN(v_c) AS low_c,
@@ -7880,7 +7885,8 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     )
     return bars.select(
         "user_id",
-        F.col("bucket").cast("date").alias("bucket"),
+        # STRING date for pandas-canon portability (see q172)
+        F.col("bucket").cast("date").cast("string").alias("bucket"),
         F.col("open").alias("open_c"),
         F.col("high").alias("high_c"),
         F.col("low").alias("low_c"),
@@ -8696,7 +8702,8 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     l AS (
       SELECT period, cur, lag(cur) OVER (ORDER BY period) AS prev
       FROM m)
-    SELECT period, cur, prev, cur - prev AS delta,
+    SELECT CAST(period AS VARCHAR) AS period, cur, prev,
+           cur - prev AS delta,
            CAST(((cur - prev) * 1000000) // prev AS BIGINT)
              AS pct_change_ppm
     FROM l ORDER BY period
@@ -8718,7 +8725,8 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = period_over_period(o, "month", "rev_c")
     return out.select(
-        F.col("period").cast("date").alias("period"),
+        # STRING date for pandas-canon portability (see q172)
+        F.col("period").cast("date").cast("string").alias("period"),
         "cur",
         "prev",
         "delta",
