@@ -7637,28 +7637,38 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "q164_date_trunc_family",
     oracle="""
-    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+    SELECT CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE)
+             AS VARCHAR) AS qtr,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(DISTINCT date_trunc('week', o_orderdate))
              AS BIGINT) AS n_weeks,
            CAST(MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
-             AS DATE) AS first_month
+             AS VARCHAR) AS first_month
     FROM orders GROUP BY qtr ORDER BY qtr
     """,
 )
 def q164(spark: SparkSession, sf: str) -> DataFrame:
     """Calendar bucketing family: quarter/week/month date_trunc
     rollups — both engines anchor weeks on Monday and quarters on the
-    calendar, so the buckets align exactly."""
+    calendar, so the buckets align exactly. Buckets emit as ISO
+    strings, not DATE: DuckDB's DATE materializes as datetime.date on
+    some builds and a midnight Timestamp on others, so a DATE output
+    column is a cross-version hash hazard (the q166/q172/q184 round-8
+    lesson; this query was green on the r7 driver and red under the
+    local duckdb's Timestamp convention)."""
     o = load(spark, sf, "orders")
     return (
-        o.groupBy(F.trunc("o_orderdate", "quarter").alias("qtr"))
+        o.groupBy(
+            F.trunc("o_orderdate", "quarter").cast("string").alias("qtr")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct(F.trunc("o_orderdate", "week")).alias(
                 "n_weeks"
             ),
-            F.min(F.trunc("o_orderdate", "month")).alias("first_month"),
+            F.min(F.trunc("o_orderdate", "month"))
+            .cast("string")
+            .alias("first_month"),
         )
         .orderBy("qtr")
     )
