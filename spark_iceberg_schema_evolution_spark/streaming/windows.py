@@ -417,6 +417,57 @@ def stream_scd2_to_lakehouse(
     return report
 
 
+def stream_quantile_sketch_to_lakehouse(
+    stream_df: DataFrame,
+    catalog,
+    namespace: str,
+    table: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    alpha: float = 0.01,
+) -> dict:
+    """Streaming quantile-sketch maintenance: each micro-batch's
+    DDSketch bucket counts append to a lakehouse sketch table via
+    :func:`operators.profile.quantile_sketch_refresh` — O(batch) per
+    epoch, with readers coarsening at query time (an integer sum, so
+    the streamed deltas are indistinguishable from a one-shot build).
+    The percentile analog of the continuous-aggregate sink: live
+    p50/p99 bands over an unbounded stream without ever storing or
+    rescanning the raw values. foreachBatch is deliberate — the
+    sketch table itself is the (bounded, O(buckets)) state. Alpha is
+    pinned on first epoch and drift refused thereafter.
+
+    Returns {"committed_epochs", "sketch_version"}."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch_refresh,
+    )
+
+    report = {"committed_epochs": 0, "sketch_version": None}
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        r = quantile_sketch_refresh(
+            catalog.table(namespace, table),
+            df,
+            group_cols,
+            value_col,
+            alpha=alpha,
+        )
+        report["sketch_version"] = r["version"]
+        report["committed_epochs"] += 1
+
+    q_ = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q_.processAllAvailable()
+    finally:
+        q_.stop()
+    return report
+
+
 def stream_dedup_ingest_to_lakehouse(
     stream_df: DataFrame,
     catalog,

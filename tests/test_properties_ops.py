@@ -432,3 +432,91 @@ def test_partition_evolution_sequences_match_model(spark, ops):
                 r.id for r in t.read(months=[f"2024-0{m}"]).collect()
             }
             assert got_m == {i for i, mm in model.items() if mm == m}
+
+
+# -- mergeable sketches vs pure-python references ----------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=5,
+        max_size=60,
+    ),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_quantile_sketch_bound_holds_property(spark, vals, q):
+    """For arbitrary integer data (negatives and zeros included) and an
+    arbitrary quantile, the sketch estimate is within relative alpha of
+    the exact order statistic — the DDSketch contract, fuzzed."""
+    import math
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    alpha = 0.02
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    sk = quantile_sketch(df, ["g"], "v", alpha=alpha)
+    row = sketch_quantiles(sk, ["g"], [q], alpha=alpha).first()
+    s = sorted(vals)
+    exact = s[max(1, math.ceil(q * len(s))) - 1]
+    if exact == 0:
+        assert row.quantile_est == 0.0
+    else:
+        assert abs(row.quantile_est - exact) <= alpha * abs(exact) + 1e-9
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=15),
+        min_size=2,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_topk_sketch_bound_holds_property(spark, items, k):
+    """Fuzzed Misra-Gries contract: split the data at an arbitrary
+    point, sketch each half at k, merge — for EVERY item,
+    est <= true <= est + spill, and total mass is conserved."""
+    import collections
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        topk_sketch,
+        topk_sketch_coarsen,
+    )
+
+    cut = len(items) // 2
+    halves = [items[:cut], items[cut:]]
+    true = collections.Counter(items)
+    sketches = []
+    for h in halves:
+        if not h:
+            continue
+        df = spark.createDataFrame(
+            [("g", f"i{x}") for x in h], "g string, item string"
+        )
+        sketches.append(topk_sketch(df, ["g"], "item", k=k))
+    sk = sketches[0]
+    for other in sketches[1:]:
+        sk = sk.unionByName(other)
+    rows = topk_sketch_coarsen(sk, ["g"], k=k).collect()
+    est = {r.item: r.n for r in rows if r.item != "__spill__"}
+    spill = sum(r.spill for r in rows)
+    assert sum(est.values()) + spill == len(items)
+    for x, t in true.items():
+        e = est.get(f"i{x}", 0)
+        assert e <= t <= e + spill

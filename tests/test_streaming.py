@@ -536,3 +536,66 @@ def test_stream_scd2_sink(spark, tmp_path):
     assert rows[(1, "2024-01-01")] == ("A", False)
     assert rows[(1, "2024-02-01")] == ("B", True)
     assert rows[(2, "2024-01-15")] == ("X", True)
+
+
+def test_stream_quantile_sketch_sink(spark, tmp_path):
+    """Value stream -> lakehouse quantile sketch: two epochs append
+    O(batch) bucket deltas; the coarsened stored sketch equals a
+    one-shot sketch of all streamed rows and the p50 read obeys the
+    relative-alpha bound against the exact median."""
+    import glob
+    import math
+    import shutil
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        quantile_sketch_coarsen,
+        sketch_quantiles,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "g string, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        part = glob.glob(
+            str(tmp_path / "stage" / name / "part-*.parquet")
+        )[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    vals1 = [float((i * 7) % 300 + 1) for i in range(250)]
+    vals2 = [float((i * 13) % 900 + 1) for i in range(150)]
+    drop("e1", [("s", v) for v in vals1])
+    time.sleep(1.1)
+    drop("e2", [("s", v) for v in vals2])
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    report = SW.stream_quantile_sketch_to_lakehouse(
+        stream, cat, "db", "qsk", str(tmp_path / "ck"),
+        group_cols=["g"], value_col="v", alpha=0.02,
+    )
+    assert report["committed_epochs"] == 2
+    t = cat.table("db", "qsk")
+    stored = quantile_sketch_coarsen(t.read(), ["g"])
+    all_rows = spark.createDataFrame(
+        [("s", v) for v in vals1 + vals2], "g string, v double"
+    )
+    direct = quantile_sketch(all_rows, ["g"], "v", alpha=0.02)
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    row = sketch_quantiles(stored, ["g"], [0.5], alpha=0.02).first()
+    s = sorted(vals1 + vals2)
+    exact = s[max(1, math.ceil(0.5 * len(s))) - 1]
+    assert abs(row.quantile_est - exact) <= 0.02 * exact + 1e-12
+    # alpha pinned: a drifted-alpha epoch would refuse (property check
+    # lives in test_rollup; here just confirm the pin landed)
+    assert t.properties()["sketch.alpha"] == "0.02"
