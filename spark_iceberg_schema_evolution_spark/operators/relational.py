@@ -861,3 +861,116 @@ def period_over_period(
         "pct_change_ppm",
         F.expr("((cur - prev) * 1000000) div prev"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    n_out: int = 1000,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Visual time-series downsampling per key: pick ~``n_out``
+    representative points from each key's series, preserving the shape
+    (spikes, trend reversals) far better than uniform sampling — the
+    dashboard-rendering primitive (TimescaleDB toolkit ``lttb``) for a
+    series too big to plot or ship.
+
+    Variant note, stated honestly: classic LTTB (Steinarsson 2013) is
+    sequential — each bucket's pick depends on the previous PICK, an
+    inherently serial chain. This is the parallel mean-anchored
+    variant (Steinarsson's LTOB/LTTB-with-fixed-anchors discussion):
+    each point's triangle area uses the NEIGHBOR BUCKETS' MEAN point
+    as anchors, so every bucket selects independently — the standard
+    distributed adaptation, deterministic, and within-bucket argmax
+    still latches onto spikes (a bucket's outlier maximizes area
+    against any fixed anchors). First and last points per key are
+    always kept, as in LTTB.
+
+    Shape: one min/max window per key (bucket bounds), one bucket
+    aggregate (means), one broadcast-sized neighbor join keyed on
+    (keys, bucket), one per-bucket max_by — shuffles stay on the key
+    grain; no per-key collect, no UDF. Keys with <= n_out points pass
+    through untouched."""
+    if n_out < 2:
+        raise ValueError(f"n_out must be >= 2: {n_out}")
+    tb = tiebreak or ts_col
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    wk = W.partitionBy(*keys)
+    base = df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(value_col),
+        F.col(tb).alias("__tb"),
+        t.alias("__t"),
+        v.alias("__v"),
+        F.min(t).over(wk).alias("__t0"),
+        F.max(t).over(wk).alias("__t1"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    # interior buckets 1..n_out-2; first/last points forced into the
+    # (virtual) edge buckets 0 and n_out-1
+    span = F.col("__t1") - F.col("__t0")
+    frac = F.when(span > 0, (F.col("__t") - F.col("__t0")) / span).otherwise(
+        F.lit(0.0)
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor(frac * (n_out - 2)).cast("long") + 1, F.lit(1)
+        ),
+        F.lit(n_out - 2),
+    )
+    pts = base.withColumn(
+        "__b",
+        F.when(F.col("__t") == F.col("__t0"), F.lit(0))
+        .when(F.col("__t") == F.col("__t1"), F.lit(n_out - 1))
+        .otherwise(bucket),
+    )
+    small = pts.where(F.col("__n") <= n_out).select(
+        *keys, ts_col, value_col
+    )
+    big = pts.where(F.col("__n") > n_out)
+    means = big.groupBy(*keys, "__b").agg(
+        F.avg("__t").alias("__mt"), F.avg("__v").alias("__mv")
+    )
+    prev_m = means.select(
+        *keys,
+        (F.col("__b") + 1).alias("__b"),
+        F.col("__mt").alias("__pt"),
+        F.col("__mv").alias("__pv"),
+    )
+    next_m = means.select(
+        *keys,
+        (F.col("__b") - 1).alias("__b"),
+        F.col("__mt").alias("__nt"),
+        F.col("__mv").alias("__nv"),
+    )
+    anchored = (
+        big.join(prev_m, [*keys, "__b"], "left")
+        .join(next_m, [*keys, "__b"], "left")
+    )
+    # triangle area vs the neighbor-mean anchors; edge buckets (no
+    # neighbor on one side) and flat anchors fall back to 0 area — the
+    # deterministic tiebreak then picks, and edge buckets hold exactly
+    # the forced first/last points anyway
+    area = F.abs(
+        (F.col("__pt") - F.col("__nt")) * (F.col("__v") - F.col("__nv"))
+        - (F.col("__pt") - F.col("__t")) * (F.col("__pv") - F.col("__nv"))
+    )
+    scored = anchored.withColumn(
+        "__area", F.coalesce(area, F.lit(0.0))
+    )
+    picked = scored.groupBy(*keys, "__b").agg(
+        F.max_by(
+            F.struct(F.col(ts_col), F.col(value_col)),
+            F.struct(F.col("__area"), F.col("__tb")),
+        ).alias("__p")
+    )
+    kept = picked.select(
+        *keys,
+        F.col(f"__p.{ts_col}").alias(ts_col),
+        F.col(f"__p.{value_col}").alias(value_col),
+    )
+    return small.unionByName(kept)

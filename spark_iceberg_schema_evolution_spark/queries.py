@@ -6912,6 +6912,34 @@ def t2_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return per_source.unionByName(global_).orderBy("source", "q")
 
 
+@q("t2_lttb_downsample", oracle=None, tier=2)
+def t2_lttb(spark: SparkSession, sf: str) -> DataFrame:
+    """Shape-preserving time-series downsampling (mean-anchored LTTB
+    variant): each user's event series reduced to <=20 representative
+    points — the dashboard primitive for series too big to plot.
+    Deterministic (fixed anchors + explicit tiebreak); endpoint/spike/
+    budget/determinism properties in tests/test_relational.py;
+    rows-only here (bucket argmax is not portably SQL-expressible)."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        lttb_downsample,
+    )
+
+    e = load_events(spark, sf).select(
+        "user_id",
+        F.col("ts").cast("double").alias("t"),
+        cents(F.col("value")).cast("double").alias("v"),
+    ).where("user_id < 20")
+    out = lttb_downsample(
+        e, ["user_id"], "t", "v", n_out=20
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("t_last"),
+        F.sum(F.col("v").cast("long")).alias("v_sum_c"),
+    ).orderBy("user_id")
+
+
 @q("t2_topk_sketch_rollup", oracle=None, tier=2)
 def t2_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable heavy-hitters rollup (Misra-Gries family): per-source

@@ -533,3 +533,59 @@ def test_counter_agg_single_shuffle(spark):
     e = load_events(spark, SF_SMOKE)
     out = counter_agg(e, ["user_id"], "ts", "value", tiebreak="event_id")
     assert explain.count_exchanges(out) == 1
+
+
+# --- lttb_downsample --------------------------------------------------------
+
+
+def test_lttb_small_series_passthrough(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        lttb_downsample,
+    )
+
+    rows = [("a", float(i), float(i * 2)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = lttb_downsample(df, ["k"], "t", "v", n_out=10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rows))
+
+
+def test_lttb_keeps_endpoints_spike_and_budget(spark):
+    """Downsampling 200 points to 12: first/last survive, the planted
+    spike survives (it dominates its bucket's triangle area), the
+    budget holds, and the result is deterministic."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        lttb_downsample,
+    )
+
+    rows = [("a", float(i), float(i % 3)) for i in range(200)]
+    rows[77] = ("a", 77.0, 500.0)  # spike
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = lttb_downsample(df, ["k"], "t", "v", n_out=12)
+    got = sorted((r.t, r.v) for r in out.collect())
+    assert len(got) <= 12
+    assert (0.0, 0.0) in got  # first point
+    assert (199.0, 1.0) in got  # last point
+    assert (77.0, 500.0) in got  # spike retained
+    again = sorted(
+        (r.t, r.v)
+        for r in lttb_downsample(df, ["k"], "t", "v", n_out=12).collect()
+    )
+    assert got == again  # deterministic
+
+
+def test_lttb_per_key_independence(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        lttb_downsample,
+    )
+
+    rows = [("big", float(i), float(i)) for i in range(100)] + [
+        ("small", float(i), float(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = lttb_downsample(df, ["k"], "t", "v", n_out=8)
+    by_k = {}
+    for r in out.collect():
+        by_k.setdefault(r.k, []).append((r.t, r.v))
+    assert len(by_k["small"]) == 4  # passthrough
+    assert 2 <= len(by_k["big"]) <= 8
+    assert (0.0, 0.0) in by_k["big"] and (99.0, 99.0) in by_k["big"]
