@@ -247,6 +247,7 @@ def quantile_sketch(
     group_cols: list[str],
     value_col: str,
     alpha: float = 0.01,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Mergeable quantile sketch (DDSketch shape — Masson et al., VLDB
     2019): log-bucketed counts with a relative-accuracy guarantee. The
@@ -274,14 +275,25 @@ def quantile_sketch(
     band refresh (q119/q154's recurring scan). Store with
     ``sketch.alpha`` as a table property so refreshes can refuse
     parameter drift (a sketch built at a different alpha has an
-    incompatible grid and must not be merged)."""
+    incompatible grid and must not be merged).
+
+    ``weight_col`` (integer) makes the sketch a WEIGHTED quantile
+    summary — each row contributes its weight to its value's bucket
+    (e.g. per-document token counts weighted by tokens: 'what sequence
+    length covers p99 of TOKENS, not of documents'). Weights must be
+    exact integers so merges stay exact."""
     v, sgn, idx = _sketch_exprs(value_col, alpha)
+    n = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col
+        else F.count(F.lit(1))
+    )
     return (
         df.where(v.isNotNull())
         .groupBy(
             *group_cols, sgn.alias("sgn"), idx.alias("bucket")
         )
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(n.alias("n"))
     )
 
 

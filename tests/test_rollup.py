@@ -524,3 +524,34 @@ def test_topk_sketch_sharded_matches_unsharded(spark):
     for item, t in true.items():
         e = est.get(item, 0)
         assert e <= t <= e + spill
+
+
+def test_quantile_sketch_weighted(spark):
+    """weight_col: the sketch answers 'value at p of total WEIGHT' —
+    equivalent to sketching the weight-expanded rows."""
+    import math
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    # values 1..20, value i carries weight i (triangular mass)
+    rows = [("g", float(i), i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    sk = quantile_sketch(df, ["g"], "v", alpha=0.01, weight_col="w")
+    expanded = [float(i) for i in range(1, 21) for _ in range(i)]
+    s = sorted(expanded)
+    for q in (0.25, 0.5, 0.9):
+        row = sketch_quantiles(sk, ["g"], [q], alpha=0.01).first()
+        exact = s[max(1, math.ceil(q * len(s))) - 1]
+        assert abs(row.quantile_est - exact) <= 0.01 * exact + 1e-12
+        assert row.n_total == len(expanded)
+    # equivalence: weighted sketch == sketch of the expanded rows
+    edf = spark.createDataFrame(
+        [("g", v) for v in expanded], "g string, v double"
+    )
+    esk = quantile_sketch(edf, ["g"], "v", alpha=0.01)
+    assert {tuple(r) for r in sk.collect()} == {
+        tuple(r) for r in esk.collect()
+    }
