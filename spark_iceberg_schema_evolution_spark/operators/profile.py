@@ -661,6 +661,94 @@ def topk_sketch_coarsen(
     return top.unionByName(spill_rows)
 
 
+_HLL_SRC_PROP = "hll.source_version"
+_HLL_DST_PROP = "hll.target_version"
+_HLL_LGK_PROP = "hll.lg_k"
+
+
+def refresh_hll_rollup(
+    source,
+    target,
+    group_cols: list[str],
+    distinct_col: str,
+    lg_k: int = 12,
+    full_refresh: bool = False,
+) -> int:
+    """Incrementally maintain an :func:`hll_rollup` as a LAKEHOUSE
+    table: sketch ONLY the rows inserted since the stored bookmark and
+    append them; readers coarsen at query time (``hll_coarsen`` —
+    register-state union is order-independent, so appended deltas land
+    on exactly the estimate a from-scratch build produces). Completes
+    the IVM story for the mergeable-summary triple (counts/sums:
+    ``rollup.refresh_rollup``; quantiles: ``refresh_quantile_sketch``;
+    distincts: this).
+
+    Honesty boundary, enforced loudly: HLL registers are max-folds — a
+    DELETE cannot be unseen. A delta containing 'D' rows raises
+    instead of silently over-counting; rebuild with
+    ``full_refresh=True`` (the rollup is O(groups), the rebuild scans
+    the source once). ``lg_k`` is pinned as a table property and drift
+    refused — sketches at different precisions must not be unioned
+    blindly. Bookmark/crash discipline mirrors ``refresh_rollup``."""
+    src_v = source._load().version
+    if full_refresh or not target.exists():
+        full = hll_rollup(source.read(), group_cols, distinct_col, lg_k)
+        if target.exists():
+            v = target.overwrite(full)
+        else:
+            target.create(full.schema)
+            v = target.append(full, evolve=False)
+        target.set_properties({
+            _HLL_SRC_PROP: src_v,
+            _HLL_DST_PROP: v,
+            _HLL_LGK_PROP: str(int(lg_k)),
+        })
+        return v
+    props = target.properties()
+    stored_k = props.get(_HLL_LGK_PROP)
+    if stored_k is not None and int(stored_k) != int(lg_k):
+        raise ValueError(
+            f"hll lg_k drift: table built at {stored_k}, refresh "
+            f"requested {lg_k}; rebuild with full_refresh=True"
+        )
+    if _HLL_SRC_PROP not in props:
+        raise ValueError(
+            "target exists but is not an IVM hll rollup "
+            f"({_HLL_SRC_PROP} missing); pass full_refresh=True"
+        )
+    last_src = int(props[_HLL_SRC_PROP])
+    expected_dst = int(props[_HLL_DST_PROP])
+    cur_dst = target._load().version
+    if cur_dst != expected_dst:
+        raise RuntimeError(
+            f"hll rollup out of sync (rollup at v{cur_dst}, bookmark "
+            f"expects v{expected_dst}): a refresh crashed between "
+            "append and bookmark, or someone else wrote the rollup — "
+            "rebuild with full_refresh=True"
+        )
+    if last_src == src_v:
+        return cur_dst
+    ch = source.diff(last_src, src_v)
+    if ch.where("_change_type = 'D'").limit(1).count() > 0:
+        raise ValueError(
+            "source delta contains deletes: HLL sketches cannot unsee "
+            "rows; rebuild with full_refresh=True"
+        )
+    delta = hll_rollup(
+        ch.where("_change_type = 'I'"), group_cols, distinct_col, lg_k
+    )
+    if delta.limit(1).count() == 0:
+        target.set_properties({
+            _HLL_SRC_PROP: src_v, _HLL_DST_PROP: cur_dst,
+        })
+        return cur_dst
+    v2 = target.append(delta, evolve=False)
+    target.set_properties({
+        _HLL_SRC_PROP: src_v, _HLL_DST_PROP: v2,
+    })
+    return v2
+
+
 def skew_report(
     df: DataFrame,
     keys: list[str],

@@ -555,3 +555,63 @@ def test_quantile_sketch_weighted(spark):
     assert {tuple(r) for r in sk.collect()} == {
         tuple(r) for r in esk.collect()
     }
+
+
+def test_refresh_hll_rollup_ivm_and_delete_refusal(spark, catalog):
+    """IVM HLL rollup: incremental appends land on exactly the
+    from-scratch estimate (register union is order-independent), a
+    delta with deletes is refused loudly (HLL cannot unsee rows), and
+    full_refresh rebuilds; lg_k drift refused."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        hll_coarsen,
+        hll_rollup,
+        refresh_hll_rollup,
+    )
+
+    catalog.create_namespace("db")
+    src = catalog.table("db", "hsrc")
+    dst = catalog.table("db", "hdst")
+    df = spark.range(500).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 97).alias("u")
+    )
+    src.create(df.schema)
+    src.append(df)
+
+    def est_stored():
+        return {
+            r.g: (r.approx_distinct, r.n_rows)
+            for r in hll_coarsen(dst.read(), ["g"]).collect()
+        }
+
+    def est_direct():
+        return {
+            r.g: (r.approx_distinct, r.n_rows)
+            for r in hll_coarsen(
+                hll_rollup(src.read(), ["g"], "u"), ["g"]
+            ).collect()
+        }
+
+    refresh_hll_rollup(src, dst, ["g"], "u")
+    assert est_stored() == est_direct()
+
+    src.append(
+        spark.range(500, 800).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") % 211).alias("u")
+        )
+    )
+    refresh_hll_rollup(src, dst, ["g"], "u")
+    assert est_stored() == est_direct()
+
+    # deletes refuse
+    src.delete_where("u > 150")
+    with pytest.raises(ValueError, match="cannot unsee"):
+        refresh_hll_rollup(src, dst, ["g"], "u")
+    # rebuild heals and re-syncs the bookmark
+    refresh_hll_rollup(src, dst, ["g"], "u", full_refresh=True)
+    assert est_stored() == est_direct()
+    # lg_k drift refused
+    with pytest.raises(ValueError, match="lg_k drift"):
+        refresh_hll_rollup(src, dst, ["g"], "u", lg_k=10)
+    # no-change refresh keeps the version
+    v = refresh_hll_rollup(src, dst, ["g"], "u")
+    assert v == dst._load().version
