@@ -4801,7 +4801,9 @@ class LakehouseCatalog:
         commit_consumer_offset(tbl, 'consumer', version),
         refresh_quantile_sketch(src, target=>'ns.t', value=>'col'
         [, group_by=>'c1,c2'] [, alpha=>'0.01']
-        [, full_refresh=>'true'])."""
+        [, full_refresh=>'true']),
+        refresh_hll_rollup(src, target=>'ns.t', distinct=>'col'
+        [, group_by=>'c1,c2'] [, lg_k=>n] [, full_refresh=>'true'])."""
         import re
 
         pos: list = []
@@ -4927,6 +4929,32 @@ class LakehouseCatalog:
                 )
             t.commit_offset(str(pos[1]), int(pos[2]))
             return self._version_df(int(pos[2]))
+        if proc == "refresh_hll_rollup":
+            from spark_iceberg_schema_evolution_spark.operators.profile import (
+                refresh_hll_rollup,
+            )
+
+            tgt_ref = named.get("target")
+            if not tgt_ref or "." not in str(tgt_ref):
+                raise ValueError(
+                    "refresh_hll_rollup needs target => 'ns.table'"
+                )
+            dcol = named.get("distinct")
+            if not dcol:
+                raise ValueError(
+                    "refresh_hll_rollup needs distinct => 'col'"
+                )
+            tns, tname = str(tgt_ref).split(".", 1)
+            v = refresh_hll_rollup(
+                t,
+                self.table(tns, tname),
+                cols(named.get("group_by")) or [],
+                str(dcol),
+                lg_k=int(named.get("lg_k", 12)),
+                full_refresh=str(named.get("full_refresh", "")).lower()
+                == "true",
+            )
+            return self._version_df(v)
         if proc == "refresh_quantile_sketch":
             from spark_iceberg_schema_evolution_spark.operators.profile import (
                 refresh_quantile_sketch,

@@ -615,3 +615,34 @@ def test_refresh_hll_rollup_ivm_and_delete_refusal(spark, catalog):
     # no-change refresh keeps the version
     v = refresh_hll_rollup(src, dst, ["g"], "u")
     assert v == dst._load().version
+
+
+def test_refresh_hll_rollup_via_sql_call(spark, catalog):
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        hll_coarsen,
+        hll_rollup,
+    )
+
+    catalog.create_namespace("db")
+    src = catalog.table("db", "hcsrc")
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 37).alias("u")
+    )
+    src.create(df.schema)
+    src.append(df)
+    catalog.sql(
+        "CALL lake.system.refresh_hll_rollup('db.hcsrc', "
+        "target => 'db.hcdst', distinct => 'u', group_by => 'g')"
+    )
+    dst = catalog.table("db", "hcdst")
+    got = {
+        r.g: (r.approx_distinct, r.n_rows)
+        for r in hll_coarsen(dst.read(), ["g"]).collect()
+    }
+    want = {
+        r.g: (r.approx_distinct, r.n_rows)
+        for r in hll_coarsen(
+            hll_rollup(src.read(), ["g"], "u"), ["g"]
+        ).collect()
+    }
+    assert got == want
