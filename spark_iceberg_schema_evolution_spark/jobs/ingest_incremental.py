@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ann-vec-col", default="embedding")
     p.add_argument("--ann-kind", default="sq8", choices=["sq8", "pq"])
     p.add_argument("--ann-dim", type=int, default=64)
+    p.add_argument(
+        "--sketch-col", default=None, metavar="COL",
+        help="maintain a quantile sketch of this numeric column "
+        "(per-source percentile monitoring; appends O(batch) bucket "
+        "rows to <corpus>_sketch per run)",
+    )
+    p.add_argument("--sketch-alpha", type=float, default=0.01)
     return p
 
 
@@ -188,6 +195,28 @@ def ingest_increment(spark, args) -> dict:
                         dim=args.ann_dim, kind=args.ann_kind,
                         id_col=args.id_col, vec_col=args.ann_vec_col,
                     )
+            if args.sketch_col:
+                from spark_iceberg_schema_evolution_spark.operators.profile import (
+                    quantile_sketch_refresh,
+                )
+
+                # sketch ONLY tonight's kept batch: bucket counts are
+                # additive, so the appended delta rows coarsen to
+                # exactly the sketch of the whole corpus (readers use
+                # quantile_sketch_coarsen / sketch_quantiles)
+                src_col = (
+                    F.coalesce(F.col("source"), F.lit("all"))
+                    if "source" in kept.columns
+                    else F.lit("all")
+                )
+                r = quantile_sketch_refresh(
+                    cat.table(ns, f"{args.corpus}_sketch"),
+                    kept.withColumn("__src", src_col),
+                    ["__src"],
+                    args.sketch_col,
+                    alpha=args.sketch_alpha,
+                )
+                report["sketch_version"] = r["version"]
             if args.rollup_target and args.rollup_group_by:
                 from spark_iceberg_schema_evolution_spark.operators.rollup import (
                     refresh_rollup,

@@ -443,3 +443,71 @@ def test_incremental_near_dedup_rejects_mismatched_store(spark):
         dedup.incremental_near_dedup(
             docs, docs, corpus_sigs=store16, num_hashes=32
         )
+
+
+def test_ingest_incremental_maintains_quantile_sketch(spark, tmp_path):
+    """--sketch-col: each nightly run appends only the kept batch's
+    bucket rows; after two runs the coarsened sketch equals a one-shot
+    sketch of the whole corpus column."""
+    import glob
+    import shutil
+
+    from spark_iceberg_schema_evolution_spark.jobs.ingest_incremental import (
+        build_parser,
+        ingest_increment,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        quantile_sketch_coarsen,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    def drop_file(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        src = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(incoming / f"{name}.parquet"))
+
+    argv = [
+        "--warehouse", str(tmp_path / "wh"), "--namespace", "db",
+        "--corpus", "docs", "--input", str(incoming),
+        "--sketch-col", "n_chars",
+    ]
+    drop_file(
+        "d1",
+        [(i, f"text body {i} unique words {i}", 100 + i * 7)
+         for i in range(20)],
+    )
+    r1 = ingest_increment(spark, build_parser().parse_args(argv))
+    assert r1["ingested"] == 20 and "sketch_version" in r1
+    drop_file(
+        "d2",
+        [(i, f"second wave {i} other words {i}", 400 + i * 11)
+         for i in range(20, 30)],
+    )
+    r2 = ingest_increment(spark, build_parser().parse_args(argv))
+    assert r2["ingested"] == 10
+
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    stored = quantile_sketch_coarsen(
+        cat.table("db", "docs_sketch").read(), ["__src"]
+    )
+    corpus = cat.table("db", "docs").read().withColumn(
+        "__src", F.lit("all")
+    )
+    direct = quantile_sketch(corpus, ["__src"], "n_chars", alpha=0.01)
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    assert (
+        cat.table("db", "docs_sketch").properties()["sketch.alpha"]
+        == "0.01"
+    )
