@@ -661,6 +661,47 @@ def topk_sketch_coarsen(
     return top.unionByName(spill_rows)
 
 
+def sketch_band_filter(
+    df: DataFrame,
+    sketch: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    lo_q: float = 0.0,
+    hi_q: float = 1.0,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Percentile-band trim driven by a PRE-BUILT quantile sketch: keep
+    rows whose ``score_col`` lies inside each group's [lo_q, hi_q]
+    band, with the band bounds read from the sketch table instead of
+    re-aggregating the corpus — the round-8 point of the sketch rollup:
+    the recurring curation trim (``text.quantile_band_filter``'s job)
+    becomes ONE map-only corpus pass plus a broadcast of O(groups)
+    bound rows, and the bounds stay fresh via the sketch's incremental
+    refresh. Each bound is within relative ``alpha`` of the exact
+    percentile (the DDSketch contract), so the band edges are fuzzy by
+    at most alpha — the knowingly-accepted trade against rescanning at
+    every refresh. Pass ``group_cols=[]`` for a global band."""
+    qs = sketch_quantiles(
+        sketch, group_cols, [float(lo_q), float(hi_q)], alpha=alpha
+    )
+    lo = qs.where(F.col("q") == float(lo_q)).select(
+        *group_cols, F.col("quantile_est").alias("__lo")
+    )
+    hi = qs.where(F.col("q") == float(hi_q)).select(
+        *group_cols, F.col("quantile_est").alias("__hi")
+    )
+    if group_cols:
+        bounds = F.broadcast(lo.join(hi, group_cols))
+        joined = df.join(bounds, group_cols)
+    else:
+        bounds = F.broadcast(lo.crossJoin(hi))
+        joined = df.crossJoin(bounds)
+    return joined.where(
+        (F.col(score_col) >= F.col("__lo"))
+        & (F.col(score_col) <= F.col("__hi"))
+    ).drop("__lo", "__hi")
+
+
 _HLL_SRC_PROP = "hll.source_version"
 _HLL_DST_PROP = "hll.target_version"
 _HLL_LGK_PROP = "hll.lg_k"

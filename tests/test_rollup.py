@@ -646,3 +646,46 @@ def test_refresh_hll_rollup_via_sql_call(spark, catalog):
         ).collect()
     }
     assert got == want
+
+
+def test_sketch_band_filter_trims_tails(spark):
+    """Band filter driven by the sketch: bounds within alpha of the
+    exact percentiles, kept rows are exactly those inside the bounds,
+    and the corpus is filtered map-only against broadcast bounds."""
+    import math
+
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        quantile_sketch,
+        sketch_band_filter,
+        sketch_quantiles,
+    )
+
+    vals = [float((i * 7) % 1000 + 1) for i in range(800)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    sk = quantile_sketch(df, ["g"], "v", alpha=0.01)
+    out = sketch_band_filter(
+        df, sk, ["g"], "v", lo_q=0.1, hi_q=0.9, alpha=0.01
+    )
+    kept = sorted(r.v for r in out.collect())
+    # reconstruct the bounds the filter used and verify exactness
+    qb = {
+        r.q: r.quantile_est
+        for r in sketch_quantiles(
+            sk, ["g"], [0.1, 0.9], alpha=0.01
+        ).collect()
+    }
+    assert kept == sorted(v for v in vals if qb[0.1] <= v <= qb[0.9])
+    s = sorted(vals)
+    for q in (0.1, 0.9):
+        exact = s[max(1, math.ceil(q * len(s))) - 1]
+        assert abs(qb[q] - exact) <= 0.01 * exact + 1e-12
+    # tails actually trimmed
+    assert min(kept) > min(vals) and max(kept) < max(vals)
+    # global (ungrouped) band works too
+    gout = sketch_band_filter(
+        df, quantile_sketch(df, [], "v", alpha=0.01), [], "v",
+        lo_q=0.05, hi_q=0.95,
+    )
+    assert 0 < gout.count() < len(vals)
