@@ -8869,6 +8869,18 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # oracle entry re-verified green this round, those entries are the
 # canary for that code path.
 
+# Round-9 window plan (pin now, rotate at r9 start): round 8 added NO
+# tier-1 rows (new capability shipped as t2 property gates: quantile/
+# top-k sketches, LTTB, streaming sketch sink), so no never-checked
+# debt accrues. After the r8 rotation below lands green, the oldest
+# remaining driver rows are the r5 block (q36-q38, q44-q48, q54-q60,
+# q64-q65, q68, q70-q72, q89, q93, q112, q115-q123 — ~30 rows) and the
+# r6 block; fill the r9 window with the full r5 block + the oldest r6
+# rows (q73-q75, q87-q88, q90-q92, q96-q97, q101, q105-q108...), plus
+# q145+q165 again ONLY if q145 is not green in CORRECTNESS_r08. Also
+# re-window the LSH canaries (q37, q115, q118) if anything
+# dedup-adjacent changes in round 9.
+
 # Round-8 window (r7 VERDICT item 2, executed exactly as pinned): q145
 # (red two rounds running; this round's associative-integer-checksum
 # rewrite must prove itself on the driver) with its green probe q165,
