@@ -6964,6 +6964,28 @@ def t2_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_bpe_learn", oracle=None, tier=2)
+def t2_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich 2016): 30 merges
+    learned from the documents corpus via the word-count frame — the
+    tokenizer-training primitive between corpus curation and model
+    training. Correctness is pinned in tests/test_bpe.py (exact merge
+    table equality against a pure-python reference learner, lossless
+    encode roundtrip, deterministic tiebreaks); rows-only here (the
+    iterative merge loop is not SQL-expressible). Scale: the only
+    corpus-sized pass is one word-count aggregate; the merge loop runs
+    over the Heaps-law-bounded vocabulary with per-iteration
+    localCheckpoint (see operators/bpe.py docstring)."""
+    from spark_iceberg_schema_evolution_spark.operators.bpe import (
+        bpe_learn,
+        merges_to_df,
+    )
+
+    d = load(spark, sf, "documents")
+    merges = bpe_learn(d, "text", num_merges=30, min_pair_count=2)
+    return merges_to_df(spark, merges).orderBy("rank")
+
+
 @q("t2_mmr_rerank", oracle=None, tier=2)
 def t2_mmr(spark: SparkSession, sf: str) -> DataFrame:
     """MMR-diversified retrieval: exact cosine top-20 candidates per
