@@ -6986,6 +6986,33 @@ def t2_bpe(spark: SparkSession, sf: str) -> DataFrame:
     return merges_to_df(spark, merges).orderBy("rank")
 
 
+@q("t2_pagerank", oracle=None, tier=2)
+def t2_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-graph centrality (PageRank, Brin & Page 1998) over the
+    supplier->customer fulfillment graph (lineitem x orders): the
+    host-authority quality signal corpus curation keeps beside the LM
+    filters. Update rule pinned to a numpy power-iteration replica at
+    1e-9 in tests/test_graph.py (mass conservation, dangling +
+    disconnected handling, weighted edges); rows-only here (an
+    iterative fixpoint is not SQL-expressible). Top-10 nodes by rank,
+    deterministic tiebreak on node id."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        pagerank,
+    )
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    ranks = pagerank(edges, n_iter=10)
+    return ranks.select(
+        "node", F.round("rank", 8).alias("rank_r")
+    ).orderBy(F.desc("rank_r"), "node").limit(10)
+
+
 @q("t2_mmr_rerank", oracle=None, tier=2)
 def t2_mmr(spark: SparkSession, sf: str) -> DataFrame:
     """MMR-diversified retrieval: exact cosine top-20 candidates per

@@ -1,0 +1,91 @@
+"""PageRank property gates: exact replica vs numpy power iteration
+(same update rule, same iteration count), mass conservation, uniform
+cycle, weighted edges, dangling + disconnected handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_iceberg_schema_evolution_spark.operators.graph import pagerank
+
+
+def ref_pagerank(edges, n_nodes, n_iter, damping, weights=None):
+    """Dense numpy replica of the operator's update rule."""
+    p = np.zeros((n_nodes, n_nodes))
+    w = {}
+    for i, (s, d) in enumerate(edges):
+        w[(s, d)] = w.get((s, d), 0.0) + (
+            weights[i] if weights is not None else 1.0
+        )
+    out = {}
+    for (s, d), x in w.items():
+        out[s] = out.get(s, 0.0) + x
+    for (s, d), x in w.items():
+        p[s, d] = x / out[s]
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(n_iter):
+        dangling = r[[i for i in range(n_nodes) if i not in out]].sum()
+        r = (1.0 - damping) / n_nodes + damping * (
+            p.T @ r + dangling / n_nodes
+        )
+    return r
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_matches_numpy(spark):
+    # 8 nodes: a hub (0), a dangling sink (5), a 2-cycle island (6, 7)
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 4), (4, 5),
+        (1, 5), (6, 7), (7, 6), (2, 5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _ranks(pagerank(df, n_iter=20))
+    want = ref_pagerank(edges, 8, n_iter=20, damping=0.85)
+    assert set(got) == set(range(8))
+    for i in range(8):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _ranks(pagerank(df, n_iter=10))
+    for v in got.values():
+        assert v == pytest.approx(0.2, abs=1e-12)
+
+
+def test_pagerank_weighted_and_parallel_edges(spark):
+    # weight 3 on 0->1 vs 1 on 0->2; plus parallel unweighted rows
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = _ranks(pagerank(df, n_iter=25, weight_col="w"))
+    want = ref_pagerank(
+        [(s, d) for s, d, _ in edges], 3, 25, 0.85,
+        weights=[w for _, _, w in edges],
+    )
+    for i in range(3):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    assert got[1] > got[2]
+    # parallel edges accumulate like weights: 3 copies == weight 3
+    par = [(0, 1), (0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
+    pdf = spark.createDataFrame(par, "src long, dst long")
+    got_par = _ranks(pagerank(pdf, n_iter=25))
+    for i in range(3):
+        assert got_par[i] == pytest.approx(got[i], abs=1e-9)
+
+
+def test_pagerank_all_dangling_and_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = _ranks(pagerank(df, n_iter=8))
+    want = ref_pagerank([(0, 1)], 2, 8, 0.85)
+    for i in range(2):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
