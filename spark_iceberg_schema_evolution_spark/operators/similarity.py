@@ -1000,3 +1000,85 @@ def sq8_topk(
     return rerank.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA dimensionality reduction
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_fit_rows: int = 100_000,
+) -> dict:
+    """Fit a PCA basis for embedding reduction (the pre-reduction step
+    production ANN stacks run before IVF/PQ — e.g. FAISS's OPQ/PCA
+    pre-transforms): numpy SVD on a driver-bounded sample (the
+    ``_collect_fit_sample`` discipline — fixed cost at any corpus
+    size), deterministic component signs (largest-|loading| coordinate
+    made positive, the sklearn convention).
+
+    Returns a plain-literal model dict: ``mean`` (d), ``components``
+    (k x d, rows = principal axes), ``explained_variance_ratio`` (k).
+    Like the PQ codebooks, the model ships to executors as literals —
+    projection is a zero-shuffle map."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    X = _collect_fit_sample(
+        df.select(as_double(F.col(vec_col)).alias("__cv")).limit(
+            max_fit_rows
+        )
+    )
+    d = X.shape[1]
+    if k > min(d, X.shape[0]):
+        raise ValueError(
+            f"k={k} exceeds min(dim={d}, fit_rows={X.shape[0]})"
+        )
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    # SVD of the centered sample: rows of Vt are the principal axes
+    _, s, Vt = np.linalg.svd(Xc, full_matrices=False)
+    comps = Vt[:k]
+    # deterministic signs: make each component's largest-|x| entry positive
+    signs = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    signs[signs == 0] = 1.0
+    comps = comps * signs[:, None]
+    var = (s**2) / max(X.shape[0] - 1, 1)
+    total_var = Xc.var(axis=0, ddof=1).sum() if X.shape[0] > 1 else 1.0
+    evr = var[:k] / total_var if total_var > 0 else np.zeros(k)
+    return {
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in row] for row in comps],
+        "explained_variance_ratio": [float(x) for x in evr],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis: ``(x - mean) @ V.T``
+    as a zero-shuffle pure-JVM map — the mean and each component are
+    literal arrays, each output coordinate one ``zip_with`` dot fold.
+    At 100 TB this is a map-only pass like sq8/pq encoding; no UDF."""
+    mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    centered = F.zip_with(
+        as_double(F.col(vec_col)), mean_lit, lambda a, b: a - b
+    )
+    coords = [
+        fold_sum(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in comp]),
+                lambda a, b: a * b,
+            )
+        )
+        for comp in model["components"]
+    ]
+    return df.withColumn(out_col, F.array(*coords))

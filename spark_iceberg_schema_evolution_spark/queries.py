@@ -7013,6 +7013,43 @@ def t2_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.desc("rank_r"), "node").limit(10)
 
 
+@q("t2_pca_project", oracle=None, tier=2)
+def t2_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA embedding reduction (the FAISS-style pre-transform before
+    IVF/PQ): numpy SVD fit on a driver-bounded sample, zero-shuffle
+    literal-basis projection; per-component explained-variance ratio
+    and corpus variance of the projected coordinates, both descending
+    by construction (pinned with the 1e-9 numpy replica + ANN
+    composition gates in tests/test_pca.py). Rows-only (SVD is not
+    SQL-expressible)."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    e = load(spark, sf, "embeddings")
+    model = pca_fit(e, "embedding", k=8, max_fit_rows=100_000)
+    proj = pca_project(e, model, "embedding", "pca")
+    rows = [
+        (i, round(r, 6)) for i, r in
+        enumerate(model["explained_variance_ratio"])
+    ]
+    evr = spark.createDataFrame(rows, "component int, evr_r double")
+    var = proj.select(
+        *[
+            F.round(
+                F.variance(F.element_at("pca", i + 1)), 4
+            ).alias(f"v{i}")
+            for i in range(8)
+        ]
+    ).select(
+        F.posexplode(F.array(*[F.col(f"v{i}") for i in range(8)]))
+    ).select(
+        F.col("pos").alias("component"), F.col("col").alias("var_r")
+    )
+    return evr.join(var, "component").orderBy("component")
+
+
 @q("t2_mmr_rerank", oracle=None, tier=2)
 def t2_mmr(spark: SparkSession, sf: str) -> DataFrame:
     """MMR-diversified retrieval: exact cosine top-20 candidates per
