@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
         "(requires --mix-tokens; resamples the post-quality corpus)",
     )
     p.add_argument("--mix-tokens", type=float, default=None)
+    p.add_argument(
+        "--tokenizer-merges", type=int, default=0,
+        help="learn this many BPE merges from the post-quality corpus "
+        "and write the merge table (0 = stage off)",
+    )
     return p
 
 
@@ -195,6 +200,23 @@ def curate(spark, args) -> dict:
     kept.write.mode("overwrite").parquet(f"{args.output}/03_quality")
     kept = spark.read.parquet(f"{args.output}/03_quality")
     counts["after_quality"] = kept.count()
+
+    # 3a. optional tokenizer-vocabulary induction on the CURATED corpus
+    # (train the tokenizer on what the model will actually see — after
+    # dedup + quality, before mixture inflation duplicates tokens)
+    if args.tokenizer_merges:
+        from spark_iceberg_schema_evolution_spark.operators.bpe import (
+            bpe_learn,
+            merges_to_df,
+        )
+
+        merges = bpe_learn(
+            kept, "text", num_merges=args.tokenizer_merges
+        )
+        merges_to_df(spark, merges).write.mode("overwrite").parquet(
+            f"{args.output}/03a_tokenizer_merges"
+        )
+        counts["tokenizer_merges"] = len(merges)
 
     # 3b. optional training-mixture resample by source token shares
     if args.mix:

@@ -511,3 +511,40 @@ def test_ingest_incremental_maintains_quantile_sketch(spark, tmp_path):
         cat.table("db", "docs_sketch").properties()["sketch.alpha"]
         == "0.01"
     )
+
+
+def test_curate_tokenizer_merges_stage(spark, tmp_path):
+    """--tokenizer-merges learns the BPE vocabulary from the
+    post-quality corpus and persists the merge table: ranks contiguous,
+    counts non-increasing... (BPE's greedy-max invariant), and the
+    table matches re-learning from the stage-3 output directly."""
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import (
+        build_parser, curate,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.bpe import (
+        bpe_learn,
+    )
+
+    out = str(tmp_path / "curtok")
+    args = build_parser().parse_args(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out,
+         "--min-quality", "0.0",
+         "--tokenizer-merges", "15",
+         "--chunk-tokens", "64", "--overlap", "8",
+         "--pack-capacity", "512"]
+    )
+    counts = curate(spark, args)
+    assert counts["tokenizer_merges"] == 15
+    merges = (
+        spark.read.parquet(f"{out}/03a_tokenizer_merges")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in merges] == list(range(15))
+    want = bpe_learn(
+        spark.read.parquet(f"{out}/03_quality"), "text", num_merges=15
+    )
+    assert [
+        (r["rank"], r["left"], r["right"], r["pair_n"]) for r in merges
+    ] == [(m.rank, m.left, m.right, m.pair_n) for m in want]

@@ -520,3 +520,43 @@ def test_topk_sketch_bound_holds_property(spark, items, k):
     for x, t in true.items():
         e = est.get(f"i{x}", 0)
         assert e <= t <= e + spill
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abcde'\"", min_size=1, max_size=6
+            ),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_learner_matches_reference_fuzzed(spark, word_rows):
+    """Fuzzed BPE: arbitrary little vocabularies (including quote
+    characters — the literal-injection hazard) learn the same merge
+    table as the pure-python reference, through the word_counts
+    injection point."""
+    from spark_iceberg_schema_evolution_spark.operators.bpe import (
+        bpe_learn,
+    )
+    from tests.test_bpe import ref_bpe
+
+    word_n: dict[str, int] = {}
+    for w, n in word_rows:
+        word_n[w] = word_n.get(w, 0) + n
+    counts = spark.createDataFrame(
+        list(word_n.items()), "word string, n long"
+    )
+    got = bpe_learn(
+        counts, counts=counts, num_merges=8, min_pair_count=2
+    )
+    want = ref_bpe(word_n, num_merges=8, min_pair_count=2)
+    assert [(m.rank, m.left, m.right, m.pair_n) for m in got] == want
