@@ -42,6 +42,9 @@ from spark_iceberg_schema_evolution_spark.operators.similarity import (
     _pq_score_topk,
     as_double,
     l2_norm,
+    pca_expr,
+    pca_fit,
+    pca_project,
     sq8_encode,
     sq8_topk,
 )
@@ -50,7 +53,7 @@ _PROPS = ("ann.kind", "ann.dim", "ann.m", "ann.ksub", "ann.seed",
           "ann.id_col")
 
 
-def _props_for(kind, dim, m, ksub, seed, id_col) -> dict:
+def _props_for(kind, dim, m, ksub, seed, id_col, pca_k=0) -> dict:
     return {
         "ann.kind": kind,
         "ann.dim": str(dim),
@@ -58,6 +61,51 @@ def _props_for(kind, dim, m, ksub, seed, id_col) -> dict:
         "ann.ksub": str(ksub),
         "ann.seed": str(seed),
         "ann.id_col": id_col,
+        "ann.pca_k": str(pca_k),
+    }
+
+
+def _store_pca(catalog, spark, namespace: str, name: str, model: dict) -> None:
+    spark_rows = [("mean", -1, model["mean"], None)] + [
+        (
+            "component",
+            i,
+            comp,
+            float(model["explained_variance_ratio"][i]),
+        )
+        for i, comp in enumerate(model["components"])
+    ]
+    catalog.write_evolving(
+        spark.createDataFrame(
+            spark_rows,
+            "row_type string, idx int, vec array<double>, evr double",
+        ),
+        namespace,
+        f"{name}_pca",
+    )
+
+
+def _load_pca(catalog, namespace: str, name: str, k: int) -> dict:
+    rows = (
+        catalog.table(namespace, f"{name}_pca")
+        .read()
+        .collect()  # k+1 rows of planning metadata, never data-sized
+    )
+    mean = None
+    comps: list = [None] * k
+    evr: list = [0.0] * k
+    for r in rows:
+        if r["row_type"] == "mean":
+            mean = list(r["vec"])
+        else:
+            comps[r["idx"]] = list(r["vec"])
+            evr[r["idx"]] = r["evr"]
+    if mean is None or any(c is None for c in comps):
+        raise ValueError(f"PCA table {name}_pca is incomplete")
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance_ratio": evr,
     }
 
 
@@ -100,13 +148,21 @@ def build_ann_index(
     seed: int = 42,
     fit_fraction: float | None = None,
     max_fit_rows: int = 100_000,
+    pca_k: int = 0,
 ) -> int:
     """Fit (PQ) / derive (SQ8) the index model and materialize codes
     for every vector in ``vectors``. The PQ fit uses the identical
     bounded-sample discipline as ``pq_topk`` (same sample, same seed),
     so an index built from a corpus and a fresh ``pq_topk`` over that
     corpus produce the SAME codes — pinned by the equivalence test.
-    Returns the number of rows encoded."""
+    Returns the number of rows encoded.
+
+    ``pca_k > 0`` adds the FAISS-style PCA pre-transform: a basis is
+    fitted on the same bounded sample, stored in ``{name}_pca``, and
+    the codes quantize the REDUCED vectors (PQ subspaces then split
+    ``pca_k`` dims; SQ8 codes are pca_k bytes). Queries are reduced
+    through the stored basis inside the approximate pass; the exact
+    re-rank stage still runs on the ORIGINAL full vectors."""
     if kind not in ("pq", "sq8"):
         raise ValueError(f"unknown ANN index kind {kind!r}")
     codes_name = f"{name}_codes"
@@ -115,6 +171,18 @@ def build_ann_index(
             f"index {namespace}.{name} already exists; use "
             "sync_ann_index to encode new vectors"
         )
+    pca_model = None
+    if pca_k:
+        pca_model = pca_fit(
+            vectors, vec_col, k=pca_k, max_fit_rows=max_fit_rows
+        )
+        _store_pca(
+            catalog, vectors.sparkSession, namespace, name, pca_model
+        )
+        vectors = pca_project(
+            vectors, pca_model, vec_col, "__pca"
+        ).select(F.col(id_col), F.col("__pca").alias(vec_col))
+        dim = pca_k
     c = vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__cv")
     )
@@ -148,7 +216,9 @@ def build_ann_index(
         encoded = sq8_encode(vectors, id_col=id_col, vec_col=vec_col)
     catalog.write_evolving(encoded, namespace, codes_name)
     codes_t = catalog.table(namespace, codes_name)
-    codes_t.set_properties(_props_for(kind, dim, m, ksub, seed, id_col))
+    codes_t.set_properties(
+        _props_for(kind, dim, m, ksub, seed, id_col, pca_k)
+    )
     return codes_t.row_count()
 
 
@@ -185,6 +255,12 @@ def sync_ann_index(
     new = vectors.join(
         codes_t.read().select(id_col), id_col, "left_anti"
     )
+    pca_k = int(props.get("ann.pca_k", "0"))
+    if pca_k:
+        model = _load_pca(catalog, namespace, name, pca_k)
+        new = pca_project(new, model, vec_col, "__pca").select(
+            F.col(id_col), F.col("__pca").alias(vec_col)
+        )
     if kind == "pq":
         codebooks = _load_codebooks(
             catalog, namespace, name,
@@ -233,11 +309,16 @@ def ann_index_topk(
     props = _load_props(codes_t, namespace, name)
     kind, id_col = props["ann.kind"], props["ann.id_col"]
     dim = int(props["ann.dim"])
+    pca_k = int(props.get("ann.pca_k", "0"))
+    q_transform = None
+    if pca_k:
+        model = _load_pca(catalog, namespace, name, pca_k)
+        q_transform = lambda col: pca_expr(model, col)  # noqa: E731
     if kind == "sq8":
         return sq8_topk(
             codes_t.read(), corpus, queries,
             k=k, refine=refine, corpus_id=id_col, query_id=query_id,
-            vec_col=vec_col,
+            vec_col=vec_col, q_transform=q_transform,
         )
     codebooks = _load_codebooks(
         catalog, namespace, name,
@@ -254,5 +335,5 @@ def ann_index_topk(
     return _pq_score_topk(
         encoded, codebooks, dim, corpus_vecs, queries,
         k=k, refine=refine, corpus_id=id_col, query_id=query_id,
-        vec_col=vec_col,
+        vec_col=vec_col, q_transform=q_transform,
     )

@@ -524,21 +524,28 @@ def _pq_score_topk(
     corpus_id: str,
     query_id: str,
     vec_col: str,
+    q_transform=None,
 ) -> DataFrame:
     """Shared PQ ADC scoring + exact re-rank: ``encoded`` carries
     (corpus_id, __codes, __xn) — from a fresh in-plan encode
     (:func:`pq_topk`) or from a MATERIALIZED index table
     (:func:`ann_index.ann_index_topk`); ``corpus_vecs`` carries
-    (corpus_id, __cv) full vectors for the re-rank stage only."""
+    (corpus_id, __cv) full vectors for the re-rank stage only.
+    ``q_transform`` (Column -> Column, e.g. a PCA projection) maps the
+    query into the space the codes were built in for the APPROXIMATE
+    pass; the re-rank always runs on the untransformed vectors."""
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
+    )
+    qt = (
+        q_transform(F.col("__qv")) if q_transform else F.col("__qv")
     )
     # per-query ADC lookup table, materialized once in the broadcast
     # relation (see _pq_lut_expr for the F.transform lambda-arity trap)
     q_lut = q.select(
         query_id,
-        _pq_lut_expr(codebooks, dim, F.col("__qv")).alias("__lut"),
-        l2_norm(F.col("__qv")).alias("__qn"),
+        _pq_lut_expr(codebooks, dim, qt).alias("__lut"),
+        l2_norm(qt).alias("__qn"),
     )
 
     adc_dot = fold_sum(
@@ -944,6 +951,7 @@ def sq8_topk(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    q_transform=None,
 ) -> DataFrame:
     """Top-k cosine over SQ8-compressed vectors with exact re-rank: the
     approximate pass decodes codes on the fly inside ``zip_with``
@@ -953,14 +961,19 @@ def sq8_topk(
     against the original vectors (the only stage touching them,
     ~k*refine rows per query). Same shape as pq_topk's ADC path but
     with an affine decode instead of codebook lookups — no fit stage
-    at all."""
+    at all. ``q_transform`` (Column -> Column) maps the query into the
+    codes' space for the approximate pass only (PCA-backed indexes);
+    re-rank stays in the original space."""
+    qv = as_double(F.col(vec_col))
+    qt = q_transform(qv) if q_transform else qv
     q = queries.select(
-        F.col(query_id), as_double(F.col(vec_col)).alias("__qv"),
-        l2_norm(as_double(F.col(vec_col))).alias("__qn"),
+        F.col(query_id), qv.alias("__qv"),
+        qt.alias("__qt"),
+        l2_norm(qt).alias("__qn"),
     )
     dec = F.zip_with(
         F.col("sq8_codes"),
-        F.col("__qv"),
+        F.col("__qt"),
         lambda c, qv: qv
         * (F.col("sq8_lo") + (c.cast("double") + 128.0) * F.col("sq8_scale")),
     )
@@ -1057,20 +1070,14 @@ def pca_fit(
     }
 
 
-def pca_project(
-    df: DataFrame,
-    model: dict,
-    vec_col: str = "embedding",
-    out_col: str = "pca",
-) -> DataFrame:
-    """Project embeddings onto a fitted PCA basis: ``(x - mean) @ V.T``
-    as a zero-shuffle pure-JVM map — the mean and each component are
-    literal arrays, each output coordinate one ``zip_with`` dot fold.
-    At 100 TB this is a map-only pass like sq8/pq encoding; no UDF."""
+def pca_expr(model: dict, vec: Column) -> Column:
+    """``(x - mean) @ V.T`` as a pure-JVM Column expression — the mean
+    and each component are literal arrays, each output coordinate one
+    ``zip_with`` dot fold. Used by :func:`pca_project` (corpus map) and
+    as the ``q_transform`` hook for PCA-backed ANN indexes (query-side
+    reduction inside the approximate pass)."""
     mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
-    centered = F.zip_with(
-        as_double(F.col(vec_col)), mean_lit, lambda a, b: a - b
-    )
+    centered = F.zip_with(as_double(vec), mean_lit, lambda a, b: a - b)
     coords = [
         fold_sum(
             F.zip_with(
@@ -1081,4 +1088,16 @@ def pca_project(
         )
         for comp in model["components"]
     ]
-    return df.withColumn(out_col, F.array(*coords))
+    return F.array(*coords)
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis: zero-shuffle map
+    over :func:`pca_expr`. At 100 TB this is a map-only pass like
+    sq8/pq encoding; no UDF."""
+    return df.withColumn(out_col, pca_expr(model, F.col(vec_col)))
