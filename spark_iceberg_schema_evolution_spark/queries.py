@@ -6964,6 +6964,73 @@ def t2_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_XML_FIXTURE_PATH = _fixtures_dir() + "/t2_orders.xml"
+
+
+def _ensure_xml_fixture(path: str = _XML_FIXTURE_PATH) -> str:
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parts = ["<orders>"]
+    for i in range(300):
+        status = ["open", "closed", "held"][i % 3]
+        total = (i * 31 % 2000) + (i % 100) / 100
+        parts.append(
+            f'<order id="{i}" status="{status}">'
+            f"<total>{total:.2f}</total>"
+            f"<item><sku>S{i % 7}</sku><qty>{1 + i % 5}</qty></item>"
+            f"<item><sku>T{i % 4}</sku><qty>{i % 3}</qty></item>"
+            "</order>"
+        )
+    parts.append("</orders>")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@q("t2_xml_scan", oracle=None, tier=2)
+def t2_xml_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """XML file scan (Spark 4 native xml source, one row per rowTag
+    element): attributes as _cols, nested item structs exploded, then
+    a per-status aggregate in cents-exact math. Semantics (attribute /
+    nesting / malformed handling + evolving-append composition) pinned
+    in tests/test_xml_source.py; rows-only here (DuckDB has no XML
+    reader — the fixture is deterministic so the output is stable
+    across runs). Reference ingests CSV only (job.py:40-51); this is
+    source-format extension surface."""
+    from spark_iceberg_schema_evolution_spark.sources.xml import read_xml
+
+    path = _ensure_xml_fixture()
+    df = read_xml(
+        spark,
+        path,
+        "order",
+        schema=(
+            "_id BIGINT, _status STRING, total DOUBLE, "
+            "item ARRAY<STRUCT<sku: STRING, qty: BIGINT>>"
+        ),
+    )
+    return (
+        df.select(
+            "_status",
+            cents(F.col("total")).alias("total_c"),
+            F.explode("item").alias("it"),
+        )
+        .groupBy("_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("it.qty").alias("sum_qty"),
+            F.countDistinct("it.sku").alias("n_skus"),
+            (F.sum("total_c").cast("double") / 100 / 2).alias(
+                "sum_total"
+            ),
+        )
+        .orderBy("_status")
+    )
+
+
 @q("t2_bpe_learn", oracle=None, tier=2)
 def t2_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE vocabulary induction (Sennrich 2016): 30 merges
