@@ -89,3 +89,115 @@ def test_pagerank_all_dangling_and_validation(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+
+
+def ref_ppr(edges, n_nodes, n_iter, damping, p):
+    pmat = np.zeros((n_nodes, n_nodes))
+    w = {}
+    for s, d in edges:
+        w[(s, d)] = w.get((s, d), 0.0) + 1.0
+    out = {}
+    for (s, d), x in w.items():
+        out[s] = out.get(s, 0.0) + x
+    for (s, d), x in w.items():
+        pmat[s, d] = x / out[s]
+    r = p.copy()
+    for _ in range(n_iter):
+        dangling = r[[i for i in range(n_nodes) if i not in out]].sum()
+        r = (1.0 - damping) * p + damping * (pmat.T @ r + dangling * p)
+    return r
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    edges = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(0, 3.0), (5, 1.0)], "node long, w double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, n_iter=20, personalization=seeds
+        ).collect()
+    }
+    p = np.zeros(6)
+    p[0], p[5] = 0.75, 0.25
+    want = ref_ppr(edges, 6, 20, 0.85, p)
+    for i in range(6):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # seeds dominate their own neighborhoods vs uniform pagerank
+    assert got[0] > got[3]
+    with pytest.raises(ValueError, match="sum > 0"):
+        pagerank(
+            df,
+            personalization=spark.createDataFrame(
+                [(0, 0.0)], "node long, w double"
+            ),
+        )
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+
+    rng = np.random.RandomState(3)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randint(0, 18, size=2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    edges = sorted(edges)
+    # brute force on the undirected simple graph
+    und = {frozenset(e) for e in edges}
+    nodes = sorted({x for e in edges for x in e})
+    want = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in und
+            and frozenset((b, c)) in und
+            and frozenset((a, c)) in und
+        ):
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_count(df).collect()
+    }
+    assert got == want
+
+
+def test_triangle_count_self_loops_and_parallel(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 2)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_count(df).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_degree_stats(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        degree_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (1, 2), (3, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["out_degree"], r["in_degree"])
+        for r in degree_stats(df).collect()
+    }
+    assert got == {0: (2, 1), 1: (1, 1), 2: (0, 2), 3: (1, 0)}
