@@ -9024,7 +9024,9 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 
 # Round-9 window plan (pin now, rotate at r9 start): round 8 added NO
 # tier-1 rows (new capability shipped as t2 property gates: quantile/
-# top-k sketches, LTTB, streaming sketch sink), so no never-checked
+# top-k sketches, LTTB, streaming sketch sink, and — late-round — BPE
+# vocabulary induction t2_bpe_learn, PageRank t2_pagerank, PCA
+# t2_pca_project, XML scan t2_xml_scan), so no never-checked tier-1
 # debt accrues. After the r8 rotation below lands green, the oldest
 # remaining driver rows are the r5 block (q36-q38, q44-q48, q54-q60,
 # q64-q65, q68, q70-q72, q89, q93, q112, q115-q123 — ~30 rows) and the
@@ -9032,7 +9034,10 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # rows (q73-q75, q87-q88, q90-q92, q96-q97, q101, q105-q108...), plus
 # q145+q165 again ONLY if q145 is not green in CORRECTNESS_r08. Also
 # re-window the LSH canaries (q37, q115, q118) if anything
-# dedup-adjacent changes in round 9.
+# dedup-adjacent changes in round 9. If round 9 adds tier-1 rows
+# (candidate: triangle counting, SQL-expressible via the canonical
+# two-join wedge closure), front them in this window at add time —
+# never let a tier-1 row exist without a planned driver slot.
 
 # Round-8 window (r7 VERDICT item 2, executed exactly as pinned): q145
 # (red two rounds running; this round's associative-integer-checksum
