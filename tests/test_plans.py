@@ -469,3 +469,85 @@ def test_interval_coverage_single_shuffle(spark):
     )
     out = interval_coverage(e, ["user_id"], "s_us", "e_us")
     assert explain.count_exchanges(out) == 1, explain.physical_plan(out)
+
+
+def test_pca_projection_is_map_only(spark):
+    """PCA projection must be a zero-exchange literal-basis map with no
+    Python in the plan — the sq8/pq encode discipline."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        pca_fit, pca_project,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    model = pca_fit(e, "embedding", k=4, max_fit_rows=100)
+    out = pca_project(e, model, "embedding", "pca")
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 0
+    assert "Python" not in plan
+
+
+def test_bpe_word_count_single_shuffle_and_no_python(spark):
+    """The ONLY corpus-sized BPE stage is one hash aggregate; the merge
+    loop's pair count is one more aggregate over the vocab — all JVM."""
+    from spark_iceberg_schema_evolution_spark.operators.bpe import (
+        word_counts,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    wc = word_counts(d, "text")
+    plan = explain.physical_plan(wc)
+    assert explain.count_exchanges(wc) == 1
+    assert "Python" not in plan
+    assert explain.has_partial_aggregation(wc)
+
+
+def test_bpe_encode_python_only_on_distinct_words(spark):
+    """bpe_encode's pandas UDF must sit AFTER the distinct-word
+    dedup — Python cost O(vocab), not O(corpus): in the plan tree the
+    (single) Python eval appears exactly once, downstream of an
+    aggregate/distinct, not over the exploded corpus."""
+    from spark_iceberg_schema_evolution_spark.operators.bpe import (
+        BpeMerge, bpe_encode,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = bpe_encode(d, [BpeMerge(0, "t", "h", 5)], "text", "doc_id")
+    plan = explain.physical_plan(out)
+    assert plan.count("ArrowEvalPython") == 1
+    # the Python eval's subtree contains the distinct aggregate
+    segment = plan[plan.index("ArrowEvalPython"):]
+    assert "HashAggregate" in segment
+
+
+def test_pagerank_iteration_shuffle_budget(spark):
+    """One power-iteration step = the rank x shares join + the dst
+    re-aggregate; with the node/share frames checkpointed the
+    iteration's plan must stay within 4 exchanges (join both sides +
+    agg + final join), independent of iteration count (lineage is
+    truncated per step)."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    out = pagerank(edges, n_iter=3)
+    # after 3 checkpointed iterations the FINAL frame is a checkpoint
+    # scan — constant-size plan, no accumulated join tower
+    assert explain.count_exchanges(out) == 0
+    assert "Scan ExistingRDD" in explain.physical_plan(out)
+
+
+def test_triangle_count_no_cartesian(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 30) for i in range(100)], "src long, dst long"
+    )
+    out = triangle_count(edges)
+    plan = explain.physical_plan(out)
+    assert "Cartesian" not in plan
+    assert "Python" not in plan
