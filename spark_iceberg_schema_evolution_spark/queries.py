@@ -7031,6 +7031,54 @@ def t2_xml_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_multi_table_txn", oracle=None, tier=2)
+def t2_multi_table_txn(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table transaction lifecycle: an orders slice and its
+    lineitem child rows publish ATOMICALLY (journal two-phase over the
+    exclusive-link commit) — the cross-table consistency single-table
+    formats lack (fact+dim, orders+items). Atomicity/abort/conflict-
+    rollback/crash-recovery gates live in tests/test_transactions.py;
+    rows-only here: post-commit both tables are visible, row counts
+    consistent with the source join, and the journal dir is empty."""
+    import os as _os
+
+    from spark_iceberg_schema_evolution_spark.tables import (
+        LakehouseCatalog,
+    )
+
+    cat = _tmp_catalog(spark)
+    o = load(spark, sf, "orders").where("o_custkey < 200")
+    li = load(spark, sf, "lineitem").join(
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).drop("o_orderkey")
+    with cat.transaction() as txn:
+        txn.write_evolving(o, "db", "txn_orders")
+        txn.write_evolving(li, "db", "txn_items")
+    n_o = cat.table("db", "txn_orders").read().count()
+    n_i = cat.table("db", "txn_items").read().count()
+    journal_dir = _os.path.join(cat.warehouse, "_txns")
+    n_pending = len(
+        _os.listdir(journal_dir) if _os.path.isdir(journal_dir) else []
+    )
+    orphan_items = (
+        cat.table("db", "txn_items")
+        .read()
+        .join(
+            cat.table("db", "txn_orders").read().select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .count()
+    )
+    assert isinstance(cat, LakehouseCatalog)
+    return spark.createDataFrame(
+        [(n_o, n_i, n_pending, orphan_items)],
+        "n_orders long, n_items long, n_pending_txns long, "
+        "n_orphan_items long",
+    )
+
+
 @q("t2_bpe_learn", oracle=None, tier=2)
 def t2_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE vocabulary induction (Sennrich 2016): 30 merges

@@ -467,12 +467,12 @@ class LakehouseTable:
             parent=m.get("parent"),
         )
 
-    def _commit(self, snap: Snapshot) -> None:
-        os.makedirs(self.meta_dir, exist_ok=True)
-        try:  # parent = this branch's head before the commit advances it
-            parent = self._head(self._branch)
-        except (FileNotFoundError, ValueError):
-            parent = None
+    def _manifest_payload(
+        self, snap: Snapshot, parent: int | None, txn_id: str | None = None
+    ) -> dict:
+        """Serialize a snapshot to its manifest dict. ``txn_id`` marks
+        manifests published by a multi-table transaction so crash
+        recovery can tell our commits from a foreign writer's."""
         payload = {
             "schema_ddl": ", ".join(
                 f"{f.name}: {datatype_to_str(f.dataType)}"
@@ -493,34 +493,52 @@ class LakehouseTable:
             "committed_at_us": int(time.time() * 1_000_000),
             "parent": parent,
         }
-        tmp = os.path.join(self.meta_dir, f".v{snap.version}.json.tmp")
+        if txn_id is not None:
+            payload["txn_id"] = txn_id
+        return payload
+
+    def _publish_manifest(self, version: int, payload: dict) -> None:
+        """Claim ``v{version}.json`` with an EXCLUSIVE link (optimistic
+        concurrency, Iceberg's commit contract): two writers racing to
+        the same version number conflict loudly instead of the second
+        silently overwriting the first's commit (lost update). Retrying
+        is the caller's decision — their snapshot is stale and the
+        operation must re-plan, exactly as Iceberg's
+        CommitFailedException semantics."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = os.path.join(self.meta_dir, f".v{version}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(payload, f)
-        # optimistic concurrency (Iceberg's commit contract): the
-        # manifest is claimed with an EXCLUSIVE link, so two writers
-        # racing to the same version number conflict loudly instead of
-        # the second silently overwriting the first's commit (lost
-        # update). Retrying is the caller's decision — their snapshot
-        # is stale and the operation must re-plan, exactly as Iceberg's
-        # CommitFailedException semantics.
-        final = os.path.join(self.meta_dir, f"v{snap.version}.json")
+        final = os.path.join(self.meta_dir, f"v{version}.json")
         try:
             os.link(tmp, final)
         except FileExistsError:
             os.unlink(tmp)
             raise CommitConflict(
-                f"version v{snap.version} was committed concurrently "
+                f"version v{version} was committed concurrently "
                 f"({self.path}); reload and retry the operation"
             ) from None
         os.unlink(tmp)
+
+    def _advance_ref(self, version: int) -> None:
         # advance this handle's branch head. Legacy single-branch tables
         # (no refs file) skip the write on main: head == newest version.
         refs = self._refs()
         if self._branch != "main" and self._branch not in refs["branches"]:
             raise ValueError(f"no such branch: {self._branch!r}")
         if os.path.isfile(self._refs_path) or self._branch != "main":
-            refs["branches"][self._branch] = snap.version
+            refs["branches"][self._branch] = version
             self._save_refs(refs)
+
+    def _commit(self, snap: Snapshot) -> None:
+        try:  # parent = this branch's head before the commit advances it
+            parent = self._head(self._branch)
+        except (FileNotFoundError, ValueError):
+            parent = None
+        self._publish_manifest(
+            snap.version, self._manifest_payload(snap, parent)
+        )
+        self._advance_ref(snap.version)
 
     # -- write path ---------------------------------------------------------
 
@@ -4109,6 +4127,106 @@ class LakehouseCatalog:
             )
         shutil.rmtree(t.path)
 
+    # -- multi-table transactions ------------------------------------------
+
+    def transaction(self) -> "CatalogTransaction":
+        """Open a multi-table transaction: DML/DDL through
+        ``txn.table(ns, name)`` handles stages; everything publishes
+        together at ``with`` exit (see :class:`CatalogTransaction` for
+        the journal protocol, rollback, and the stated isolation
+        caveat)."""
+        return CatalogTransaction(self)
+
+    def recover_transactions(self) -> dict:
+        """Replay journals a crashed multi-table commit left behind
+        (call at engine startup, before serving writes — single
+        recoverer assumed). Per journal: if any staged version was
+        meanwhile claimed by a FOREIGN commit, roll our published
+        manifests back; otherwise roll forward (publish the missing
+        manifests, re-advance refs to the journal's final state).
+        Returns ``{"rolled_forward": n, "rolled_back": n}``."""
+        txn_dir = os.path.join(self.warehouse, "_txns")
+        report = {"rolled_forward": 0, "rolled_back": 0}
+        if not os.path.isdir(txn_dir):
+            return report
+        for fn in sorted(os.listdir(txn_dir)):
+            if not fn.endswith(".json"):
+                continue
+            jp = os.path.join(txn_dir, fn)
+            with open(jp) as f:
+                j = json.load(f)
+            entries = j["entries"]
+            foreign = False
+            missing = []
+            for e in entries:
+                m = os.path.join(
+                    e["path"], "_meta", f"v{e['version']}.json"
+                )
+                if os.path.isfile(m):
+                    with open(m) as f:
+                        p = json.load(f)
+                    if p.get("txn_id") != j["txn_id"]:
+                        foreign = True
+                else:
+                    missing.append(e["version"])
+            roll_forward = not foreign
+            if roll_forward and missing:
+                try:
+                    for e in entries:
+                        t = LakehouseTable(
+                            self.spark, e["path"], e["branch"]
+                        )
+                        m = os.path.join(
+                            t.meta_dir, f"v{e['version']}.json"
+                        )
+                        if not os.path.isfile(m):
+                            t._publish_manifest(
+                                e["version"], e["payload"]
+                            )
+                except CommitConflict:
+                    roll_forward = False
+            if roll_forward:
+                # re-advance every ref to the journal's final state
+                # (idempotent: branch head = last staged version)
+                for e in entries:
+                    t = LakehouseTable(
+                        self.spark, e["path"], e["branch"]
+                    )
+                    t._advance_ref(e["version"])
+                report["rolled_forward"] += 1
+            else:
+                for e in reversed(entries):
+                    t = LakehouseTable(
+                        self.spark, e["path"], e["branch"]
+                    )
+                    m = os.path.join(t.meta_dir, f"v{e['version']}.json")
+                    if os.path.isfile(m):
+                        with open(m) as f:
+                            p = json.load(f)
+                        if p.get("txn_id") == j["txn_id"]:
+                            os.unlink(m)
+                    if e["refs_before"] is None:
+                        if os.path.isfile(t._refs_path):
+                            os.unlink(t._refs_path)
+                    else:
+                        tmp = t._refs_path + ".tmp"
+                        with open(tmp, "w") as f:
+                            f.write(e["refs_before"])
+                        os.rename(tmp, t._refs_path)
+                for path in {e["path"] for e in entries}:
+                    _cleanup_rolled_back_files(
+                        path,
+                        [
+                            e["payload"]["batches"]
+                            + e["payload"]["deletes"]
+                            for e in entries
+                            if e["path"] == path
+                        ],
+                    )
+                report["rolled_back"] += 1
+            os.unlink(jp)
+        return report
+
     def write_evolving(
         self,
         df: DataFrame,
@@ -5185,3 +5303,272 @@ class LakehouseCatalog:
         return self.spark.createDataFrame(
             [(version,)], "version BIGINT"
         )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions
+# ---------------------------------------------------------------------------
+
+
+class TransactionAborted(RuntimeError):
+    """The multi-table commit hit a conflict; every table it had already
+    published was rolled back."""
+
+
+def _cleanup_rolled_back_files(table_path: str, file_sets) -> None:
+    """Delete the data/delete-file dirs a rolled-back (or aborted)
+    transaction introduced, so a retried commit at the same version
+    number doesn't collide with orphans (batch dirs are version-keyed
+    and written with mode('error')). Only paths under the table's
+    data dir AND not referenced by any surviving manifest are removed
+    — chained snapshots legitimately share earlier batches.
+    ``file_sets``: iterables of batch/delete entry dicts (each carries
+    'path')."""
+    meta_dir = os.path.join(table_path, "_meta")
+    referenced: set = set()
+    if os.path.isdir(meta_dir):
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(meta_dir, fn)) as f:
+                    m = json.load(f)
+                for b in m.get("batches", []) + m.get("deletes", []):
+                    if b.get("path"):
+                        referenced.add(os.path.realpath(b["path"]))
+    data_root = os.path.realpath(os.path.join(table_path, "data"))
+    doomed: set = set()
+    for entries in file_sets:
+        for b in entries:
+            if b.get("path"):
+                doomed.add(os.path.realpath(b["path"]))
+    for p in sorted(doomed - referenced):
+        if p.startswith(data_root + os.sep):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+class _TxnTable(LakehouseTable):
+    """A table handle whose commits STAGE into the enclosing
+    transaction instead of publishing. Because the entire DML surface
+    (append / delete_where / update_where / merge_into / compaction /
+    schema evolution) funnels through ``_load`` + ``_commit``, routing
+    just those two gives read-your-writes and deferred publication for
+    every operation, with zero per-operation special-casing."""
+
+    def __init__(self, spark, path, branch, txn):
+        super().__init__(spark, path, branch)
+        self._txn = txn
+
+    def exists(self) -> bool:
+        return bool(self._txn._staged.get(self.path)) or super().exists()
+
+    def _load(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            staged = self._txn._staged.get(self.path)
+            if staged:
+                return staged[-1][1]
+        return super()._load(version)
+
+    def _commit(self, snap: Snapshot) -> None:
+        self._txn._stage(self, snap)
+
+
+class CatalogTransaction:
+    """Atomic multi-table commit (the capability single-table formats
+    lack and catalog-level systems — Nessie, Unity, the Iceberg REST
+    catalog's multi-table commit — add on top): every DML/DDL issued
+    through ``txn.table(...)`` handles runs its WORK immediately (data
+    files are written) but its manifests publish together at ``with``
+    exit.
+
+    Protocol (journal two-phase over the per-table exclusive-link
+    commit):
+
+    1. PREPARE: serialize every staged manifest payload + each table's
+       pre-commit refs file into a journal at ``{warehouse}/_txns/
+       {txn_id}.json`` (atomic rename).
+    2. PUBLISH: claim each ``v{N}.json`` via the normal exclusive-link
+       dance, in staging order; advance refs.
+    3. On ANY conflict: unlink every manifest this transaction had
+       already published, restore refs files byte-for-byte, delete the
+       journal, raise :class:`TransactionAborted`. Data files written
+       during staging become orphans (``remove_orphan_files`` reclaims
+       them) — same as any failed single-table commit.
+    4. Success: delete the journal.
+
+    Crash safety: a journal left on disk is replayed by
+    ``LakehouseCatalog.recover_transactions()`` — roll FORWARD when
+    every already-published manifest is ours (by journal txn_id) and
+    the rest still publish cleanly, roll BACK otherwise. Recovery
+    assumes no concurrent writers while it runs (single-recoverer, the
+    Hive-metastore-lock analog; stated honestly).
+
+    Isolation caveat, stated honestly: between step 2 starting and a
+    rollback finishing, a reader can observe a subset of the
+    transaction's tables (read-committed per table, not snapshot
+    isolation across tables). True cross-table snapshot isolation
+    needs a single catalog pointer swap, which a filesystem catalog
+    cannot do atomically across directories."""
+
+    def __init__(self, catalog: "LakehouseCatalog"):
+        import uuid
+
+        self._catalog = catalog
+        self._txn_id = uuid.uuid4().hex[:16]
+        self._staged: dict[str, list] = {}  # path -> [(table, snap)]
+        self._order: list[str] = []  # first-staged order of table paths
+        self._done = False
+
+    # -- staging ------------------------------------------------------------
+
+    def table(self, namespace: str, name: str, branch: str = "main"):
+        return _TxnTable(
+            self._catalog.spark,
+            os.path.join(self._catalog.warehouse, namespace, name),
+            branch,
+            self,
+        )
+
+    def _stage(self, table: _TxnTable, snap: Snapshot) -> None:
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        if table.path not in self._staged:
+            self._staged[table.path] = []
+            self._order.append(table.path)
+        self._staged[table.path].append((table, snap))
+
+    def write_evolving(
+        self,
+        df: DataFrame,
+        namespace: str,
+        name: str,
+        partition_month_of: str | None = None,
+        bucket_by: tuple | None = None,
+    ) -> int:
+        """Create-if-absent + evolving append, staged (the catalog
+        sink's transactional face — CTAS + insert publish atomically
+        with the rest of the transaction)."""
+        self._catalog.create_namespace(namespace)
+        t = self.table(namespace, name)
+        if not t.exists():
+            t.create(
+                df.schema,
+                partition_month_of=partition_month_of,
+                bucket_by=bucket_by,
+            )
+        return t.append(df, evolve=True)
+
+    # -- commit protocol ----------------------------------------------------
+
+    @property
+    def _journal_dir(self) -> str:
+        return os.path.join(self._catalog.warehouse, "_txns")
+
+    def _read_refs_raw(self, table: LakehouseTable) -> str | None:
+        if os.path.isfile(table._refs_path):
+            with open(table._refs_path) as f:
+                return f.read()
+        return None
+
+    def _restore_refs_raw(self, table: LakehouseTable, raw) -> None:
+        if raw is None:
+            if os.path.isfile(table._refs_path):
+                os.unlink(table._refs_path)
+        else:
+            tmp = table._refs_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(raw)
+            os.rename(tmp, table._refs_path)
+
+    def commit(self) -> None:
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        if not self._staged:
+            return
+        # PREPARE: compute every payload (parent = head at prepare, or
+        # the previous staged version for chains) and journal them.
+        entries = []
+        for path in self._order:
+            chain = self._staged[path]
+            table = chain[0][0]
+            try:
+                parent = table._head(table._branch)
+            except (FileNotFoundError, ValueError):
+                parent = None
+            for _, snap in chain:
+                entries.append(
+                    {
+                        "path": path,
+                        "branch": table._branch,
+                        "version": snap.version,
+                        "payload": table._manifest_payload(
+                            snap, parent, txn_id=self._txn_id
+                        ),
+                        "refs_before": self._read_refs_raw(table),
+                    }
+                )
+                parent = snap.version
+        os.makedirs(self._journal_dir, exist_ok=True)
+        journal_path = os.path.join(
+            self._journal_dir, f"{self._txn_id}.json"
+        )
+        tmp = journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"txn_id": self._txn_id, "entries": entries}, f)
+        os.rename(tmp, journal_path)
+        # PUBLISH in staging order; roll back everything on conflict.
+        published: list[dict] = []
+        try:
+            for e in entries:
+                t = LakehouseTable(
+                    self._catalog.spark, e["path"], e["branch"]
+                )
+                t._publish_manifest(e["version"], e["payload"])
+                published.append(e)
+                t._advance_ref(e["version"])
+        except CommitConflict as err:
+            for e in reversed(published):
+                t = LakehouseTable(
+                    self._catalog.spark, e["path"], e["branch"]
+                )
+                m = os.path.join(t.meta_dir, f"v{e['version']}.json")
+                if os.path.isfile(m):
+                    os.unlink(m)
+                self._restore_refs_raw(t, e["refs_before"])
+            os.unlink(journal_path)
+            for path in self._order:
+                _cleanup_rolled_back_files(
+                    path,
+                    [
+                        e["payload"]["batches"] + e["payload"]["deletes"]
+                        for e in entries
+                        if e["path"] == path
+                    ],
+                )
+            raise TransactionAborted(
+                f"multi-table transaction {self._txn_id} aborted and "
+                f"rolled back: {err}"
+            ) from err
+        os.unlink(journal_path)
+
+    def abort(self) -> None:
+        """Discard the staging (nothing was published); the data files
+        the staged work had written are removed so a retry doesn't
+        collide with version-keyed orphans."""
+        self._done = True
+        for path, chain in self._staged.items():
+            _cleanup_rolled_back_files(
+                path,
+                [snap.batches + snap.deletes for _, snap in chain],
+            )
+        self._staged.clear()
+        self._order.clear()
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            self.abort()
+            return False
+        self.commit()
+        return False
