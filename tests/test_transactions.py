@@ -156,3 +156,43 @@ def test_txn_crash_recovery_rolls_back_on_foreign_claim(
     )
     assert a.read().count() == 7
     assert b.read().count() == 7
+
+
+def test_txn_sql_script_atomic(spark, tmp_path):
+    """Multi-statement SQL through txn.sql(): DML routes to staged
+    handles, interleaved SELECTs see staged state, everything
+    publishes at exit."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.write_evolving(_df(spark, 0, 10), "db", "a")
+    cat.write_evolving(_df(spark, 0, 10), "db", "b")
+    with cat.transaction() as txn:
+        txn.sql("DELETE FROM lake.db.a WHERE id < 4")
+        txn.sql(
+            "INSERT INTO lake.db.b SELECT id, x FROM lake.db.a "
+            "WHERE id >= 8"
+        )
+        # read-your-writes across statements
+        assert txn.sql(
+            "SELECT COUNT(*) AS n FROM lake.db.a"
+        ).first()["n"] == 6
+        assert txn.sql(
+            "SELECT COUNT(*) AS n FROM lake.db.b"
+        ).first()["n"] == 12
+        # nothing published yet
+        assert cat.table("db", "a").read().count() == 10
+        assert cat.table("db", "b").read().count() == 10
+    assert cat.table("db", "a").read().count() == 6
+    assert cat.table("db", "b").read().count() == 12
+
+
+def test_txn_sql_script_abort(spark, tmp_path):
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.write_evolving(_df(spark, 0, 10), "db", "a")
+    with pytest.raises(RuntimeError, match="nope"):
+        with cat.transaction() as txn:
+            txn.sql("DELETE FROM lake.db.a WHERE id < 4")
+            raise RuntimeError("nope")
+    assert cat.table("db", "a").read().count() == 10
+    # retry outside the txn works (orphans cleaned)
+    cat.sql("DELETE FROM lake.db.a WHERE id < 4")
+    assert cat.table("db", "a").read().count() == 6
