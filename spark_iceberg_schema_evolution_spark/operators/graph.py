@@ -165,6 +165,101 @@ def degree_stats(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Weakly connected components of a directed edge list: returns
+    ``(node, component)`` where ``component`` is the component's minimum
+    member id (deterministic canonical label). Direction is ignored —
+    a WCC is exactly what host-graph curation wants ("this cluster of
+    mutually-linking hosts is one site/farm").
+
+    The graph-generic face of the dedup engine's fixpoint: delegates to
+    :func:`..dedup.connected_components` (min-label propagation WITH
+    pointer doubling — true O(log diameter) rounds, two keyed shuffles
+    per round, per-round localCheckpoint lineage truncation, raises on
+    non-convergence instead of returning silently-split components).
+    One algorithm, two faces; kept in ``dedup.py`` because the LSH
+    cluster path is the hot consumer, re-exported here because a link
+    graph is the other natural input. Exact (pinned vs a pure-python
+    union-find replica in tests/test_graph.py)."""
+    from .dedup import connected_components as _cc
+
+    out = _cc(edges, id_a=src, id_b=dst, max_iter=max_iter)
+    return out.select(
+        F.col("id").alias("node"), F.col("cluster_id").alias("component")
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distance: ``(node, dist, seed)`` for every
+    node REACHABLE within ``max_hops`` of any seed — ``dist`` is the
+    minimum hop count, ``seed`` the smallest seed id among those
+    attaining it (deterministic tiebreak). Unreachable nodes are absent
+    (join back with a ``left`` + ``coalesce(dist, lit(None))`` when a
+    dense frame is wanted).
+
+    This is the seed-distance curation signal (TrustRank / Common-Crawl
+    frontier depth: pages few clicks from a trusted seed set are
+    higher-prior quality than 15-hop frontier tails), and doubles as
+    plain single/multi-source shortest path on an unweighted graph.
+
+    Scale shape: frontier expansion — each round joins ONLY the newly
+    discovered frontier (not the full visited set) against the edge
+    list, aggregates the candidate set, and anti-joins the known frame:
+    three keyed shuffles per round over frontier-sized frames, never
+    node² anything. Rounds are bounded by the graph's effective
+    diameter (web graphs: ~20), each round localCheckpoints (the
+    CC-fixpoint lineage discipline) and stops early when the frontier
+    empties (driver-side scalar count — bounded planning metadata).
+    ``directed=False`` symmetrizes the edge list first. Exact (pinned
+    vs a pure-python BFS replica in tests/test_graph.py)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0: {max_hops}")
+    scol = seeds.columns[0]
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+        )
+    e = e.where(F.col("__s") != F.col("__d")).distinct().localCheckpoint(
+        eager=True
+    )
+    known = (
+        seeds.select(F.col(scol).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"), F.col("node").alias("seed"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.min("seed").alias("seed"))
+        )
+        nxt = (
+            cand.join(known.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"), "seed")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        known = known.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return known
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -7128,6 +7128,77 @@ def t2_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.desc("rank_r"), "node").limit(10)
 
 
+@q("t2_components", oracle=None, tier=2)
+def t2_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Weakly connected components over the (sparsified) supplier->
+    customer fulfillment graph — the 'mutually-linked host cluster'
+    signal host-graph curation keys on. Pointer-doubling min-label
+    fixpoint (graph face of the dedup CC engine); exact vs a pure-
+    python union-find in tests/test_graph.py; rows-only here (an
+    iterative fixpoint is not SQL-expressible). Edges are restricted to
+    SAME-NATION supplier->customer pairs (broadcast dim joins), so the
+    graph provably fragments into per-nation islands; customer node
+    ids are offset so the two key spaces can't collide. Top-10
+    components by size, deterministic tiebreak on component id."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        connected_components,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 2)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+    )
+    comp = connected_components(edges, max_iter=30)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "component")
+        .limit(10)
+    )
+
+
+@q("t2_seed_distance", oracle=None, tier=2)
+def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS seed distance (TrustRank-style frontier depth:
+    hops from a trusted seed set as a quality prior) over the
+    sparsified fulfillment graph, seeds = the 3 smallest supplier ids.
+    Frontier-expansion joins, exact vs a pure-python BFS replica in
+    tests/test_graph.py; rows-only (iterative). Output: histogram of
+    hop distance -> reachable-node count + min seed attribution."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 10)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    dists = shortest_paths(edges, seeds, max_hops=8, directed=False)
+    return (
+        dists.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("seed").alias("min_seed"),
+        )
+        .orderBy("dist")
+    )
+
+
 @q("t2_pca_project", oracle=None, tier=2)
 def t2_pca(spark: SparkSession, sf: str) -> DataFrame:
     """PCA embedding reduction (the FAISS-style pre-transform before

@@ -201,3 +201,127 @@ def test_degree_stats(spark):
         for r in degree_stats(df).collect()
     }
     assert got == {0: (2, 1), 1: (1, 1), 2: (0, 2), 3: (1, 0)}
+
+
+def _ref_components(edges, nodes):
+    """Pure-python union-find (path compression + union by id)."""
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id; one more pass normalizes
+    return {v: find(v) for v in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = np.random.RandomState(7)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 40, size=(70, 2))
+            if a != b
+        }
+    )
+    nodes = sorted({x for e in edges for x in e})
+    want = _ref_components(edges, nodes)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_chain_and_islands(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 50-hop chain (stresses pointer doubling) + a 2-cycle island
+    edges = [(i, i + 1) for i in range(50)] + [(100, 101), (101, 100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert all(got[i] == 0 for i in range(51))
+    assert got[100] == got[101] == 100
+
+
+def _ref_bfs(edges, seeds, directed=True, max_hops=20):
+    """Pure-python multi-source BFS with min-seed tiebreak."""
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            if not directed:
+                adj.setdefault(d, set()).add(s)
+    known = {s: (0, s) for s in seeds}
+    frontier = dict(known)
+    for hop in range(1, max_hops + 1):
+        cand = {}
+        for node, (_, seed) in frontier.items():
+            for nbr in adj.get(node, ()):
+                if nbr not in known:
+                    prev = cand.get(nbr)
+                    if prev is None or seed < prev[1]:
+                        cand[nbr] = (hop, seed)
+        if not cand:
+            break
+        known.update(cand)
+        frontier = cand
+    return known
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_shortest_paths_matches_bfs(spark, directed):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    rng = np.random.RandomState(11)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 30, size=(55, 2))
+            if a != b
+        }
+    )
+    seeds = [3, 17]
+    want = _ref_bfs(edges, seeds, directed=directed)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: (r["dist"], r["seed"])
+        for r in shortest_paths(df, sdf, directed=directed).collect()
+    }
+    assert got == want
+
+
+def test_shortest_paths_max_hops_truncates(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, sdf, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    with pytest.raises(ValueError):
+        shortest_paths(df, sdf, max_hops=-1)
