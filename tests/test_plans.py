@@ -551,3 +551,38 @@ def test_triangle_count_no_cartesian(spark):
     plan = explain.physical_plan(out)
     assert "Cartesian" not in plan
     assert "Python" not in plan
+
+
+def test_connected_components_plan_is_checkpoint_scan(spark):
+    """After the converged fixpoint the returned frame must be a
+    checkpoint scan (constant-size plan, no accumulated join tower) —
+    same lineage-truncation gate as pagerank."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    out = connected_components(edges)
+    assert explain.count_exchanges(out) == 0
+    assert "Scan ExistingRDD" in explain.physical_plan(out)
+
+
+def test_shortest_paths_plan_no_cartesian_no_python(spark):
+    """BFS frontier expansion is keyed joins only — no cartesian, no
+    Python eval, and the returned frame is checkpoint-backed (union of
+    checkpointed rounds), so plan size is O(rounds), not O(rounds^2)."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(60)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    out = shortest_paths(edges, seeds, max_hops=6)
+    plan = explain.physical_plan(out)
+    assert "Cartesian" not in plan
+    assert "Python" not in plan
+    assert "Scan ExistingRDD" in plan

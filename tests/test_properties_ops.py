@@ -560,3 +560,57 @@ def test_bpe_learner_matches_reference_fuzzed(spark, word_rows):
     )
     want = ref_bpe(word_n, num_merges=8, min_pair_count=2)
     assert [(m.rank, m.left, m.right, m.pair_n) for m in got] == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=18),
+            st.integers(min_value=0, max_value=18),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sets(st.integers(min_value=0, max_value=18), min_size=1, max_size=3),
+    st.booleans(),
+)
+def test_shortest_paths_matches_bfs_fuzzed(spark, edges, seeds, directed):
+    """Fuzzed multi-source BFS: min hop distance AND min-seed
+    attribution must match a pure-python replica on random graphs,
+    directed and undirected, multi-seed."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    known = {s: (0, s) for s in seeds}
+    frontier = dict(known)
+    for hop in range(1, 21):
+        cand: dict = {}
+        for node, (_, seed) in frontier.items():
+            for nbr in adj.get(node, ()):
+                if nbr not in known:
+                    prev = cand.get(nbr)
+                    if prev is None or seed < prev[1]:
+                        cand[nbr] = (hop, seed)
+        if not cand:
+            break
+        known.update(cand)
+        frontier = cand
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "node long")
+    got = {
+        r["node"]: (r["dist"], r["seed"])
+        for r in shortest_paths(df, sdf, directed=directed).collect()
+    }
+    assert got == known
