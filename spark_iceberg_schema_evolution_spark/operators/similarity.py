@@ -1016,6 +1016,137 @@ def sq8_topk(
 
 
 # ---------------------------------------------------------------------------
+# K-means document clustering (sample init + full-corpus Lloyd refinement)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_literal(centroids: list) -> Column:
+    """(cluster_id, vector) list -> the plan-literal struct array the
+    zero-shuffle argmin assignment transforms over."""
+    return F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+                F.lit(int(i)).alias("c"),
+            )
+            for i, vec in centroids
+        ]
+    )
+
+
+def _assign_expr(centroids: list, v: Column) -> Column:
+    """argmin-distance struct (d, c) over literal centroids — struct
+    min orders lexicographically, so ties break to the SMALLEST cluster
+    id (pinned against the numpy replica's first-argmin)."""
+    dists = F.transform(
+        _centroid_literal(centroids),
+        lambda s: F.struct(
+            fold_sum(
+                F.zip_with(v, s["v"], lambda a, b: (a - b) * (a - b))
+            ).alias("d"),
+            s["c"].alias("c"),
+        ),
+    )
+    return F.array_min(dists)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    max_fit_rows: int = 100_000,
+) -> dict:
+    """Document clustering for corpus curation (topic mixture control,
+    SemDeDup-style pruning, diversity quotas): k-means fit as a
+    two-stage pipeline — k-means++ init + Lloyd's on a DRIVER-BOUNDED
+    sample (the ivf_topk discipline: fixed cost at any corpus size),
+    then ``n_iter`` Lloyd refinement sweeps over the FULL corpus as
+    DataFrame ops, so the final centroids reflect all 100 TB, not the
+    sample.
+
+    Each refinement sweep: assignment is the zero-shuffle
+    literal-centroid argmin (pure JVM, inside codegen — no join, no
+    UDF); the update is ONE hash aggregate (groupBy cluster ->
+    per-dimension avg + count), whose k-row result collects to the
+    driver (bounded planning metadata, same class as the PageRank
+    dangling-mass probe). Clusters that go empty keep their previous
+    centroid (the standard Lloyd convention; pinned in tests). Total
+    cost: n_iter corpus passes, each a map + one keyed shuffle of
+    k*dim doubles per partition (partial aggregation).
+
+    Returns a plain-literal model dict (``centroids`` as
+    (cluster_id, vector) pairs, ``dim``, ``k``, ``inertia`` of the
+    final assignment) — shippable, persistable, reusable by
+    :func:`kmeans_assign` / :func:`cluster_balanced_sample`'s
+    ``centroids=`` hook. Exact 1e-9 numpy-replica parity pinned in
+    tests/test_kmeans.py."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0: {n_iter}")
+    c = df.select(as_double(F.col(vec_col)).alias("__cv"))
+    fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
+    fit_df = fit_df.limit(max_fit_rows)
+    X = _collect_fit_sample(fit_df)
+    dim = X.shape[1]
+    cents = [list(map(float, v)) for v in _kmeans_np(X, k, seed)]
+    for _ in range(n_iter):
+        pairs = list(enumerate(cents))
+        assigned = c.select(
+            _assign_expr(pairs, F.col("__cv"))["c"].alias("__cl"), "__cv"
+        )
+        rows = (
+            assigned.groupBy("__cl")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.array(
+                    *[
+                        F.avg(F.element_at("__cv", i + 1))
+                        for i in range(dim)
+                    ]
+                ).alias("__mean"),
+            )
+            .collect()
+        )
+        means = {r["__cl"]: list(map(float, r["__mean"])) for r in rows}
+        cents = [means.get(i, cents[i]) for i in range(len(cents))]
+    pairs = list(enumerate(cents))
+    inertia = c.select(
+        F.sum(_assign_expr(pairs, F.col("__cv"))["d"]).alias("i")
+    ).first()["i"]
+    return {
+        "centroids": pairs,
+        "dim": dim,
+        "k": len(pairs),
+        "n_iter": n_iter,
+        "inertia": float(inertia) if inertia is not None else 0.0,
+    }
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Assign every row to its nearest model centroid — a zero-shuffle
+    pure-JVM map over the plan-literal centroids (the encode half of
+    the fit/apply split: fit once on a bounded budget, apply at full
+    corpus width with no join and no Python). ``dist_col`` optionally
+    surfaces the squared distance (outlier scoring / soft quality
+    band)."""
+    a = _assign_expr(model["centroids"], as_double(F.col(vec_col)))
+    out = df.withColumn(out_col, a["c"])
+    if dist_col:
+        out = out.withColumn(dist_col, a["d"])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # PCA dimensionality reduction
 # ---------------------------------------------------------------------------
 

@@ -7199,6 +7199,31 @@ def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_kmeans", oracle=None, tier=2)
+def t2_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Document clustering (k-means: bounded-sample init + 3 FULL-
+    corpus Lloyd refinement sweeps — topic mixture control / SemDeDup
+    pruning / diversity quotas): per-cluster document counts. The
+    refinement is pinned to a 1e-9 numpy replica in tests/test_kmeans
+    (same init, same update, same tiebreak); rows-only here (an
+    iterative fixpoint is not SQL-expressible). Assignment is the
+    zero-shuffle literal-centroid argmin; sizes are integers, so the
+    output is float-fence-free."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    e = load(spark, sf, "embeddings")
+    model = kmeans_fit(e, "embedding", k=8, n_iter=3, seed=42)
+    return (
+        kmeans_assign(e, model, "embedding")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster")
+    )
+
+
 @q("t2_pca_project", oracle=None, tier=2)
 def t2_pca(spark: SparkSession, sf: str) -> DataFrame:
     """PCA embedding reduction (the FAISS-style pre-transform before

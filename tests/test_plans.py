@@ -586,3 +586,23 @@ def test_shortest_paths_plan_no_cartesian_no_python(spark):
     assert "Cartesian" not in plan
     assert "Python" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """kmeans_assign is the encode half of fit/apply: literal-centroid
+    argmin inside codegen — zero exchanges, no join, no Python eval."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    model = {
+        "centroids": [(0, [0.0] * 32), (1, [1.0] * 32)],
+        "dim": 32,
+        "k": 2,
+    }
+    out = kmeans_assign(e, model, "embedding", dist_col="d2")
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 0
+    assert "Python" not in plan
+    assert "Join" not in plan
