@@ -92,6 +92,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="learn this many BPE merges from the post-quality corpus "
         "and write the merge table (0 = stage off)",
     )
+    p.add_argument(
+        "--cluster-quota", type=int, default=0,
+        help="keep at most this many docs per embedding cluster "
+        "(k-means diversity quota; 0 = stage off; requires "
+        "--embeddings)",
+    )
+    p.add_argument(
+        "--embeddings", default=None,
+        help="parquet with (doc id, embedding) for --cluster-quota",
+    )
+    p.add_argument(
+        "--embeddings-id", default="doc_id",
+        help="id column name in the --embeddings parquet",
+    )
+    p.add_argument(
+        "--clusters", type=int, default=16,
+        help="k for the --cluster-quota k-means fit",
+    )
+    p.add_argument(
+        "--cluster-refine", type=int, default=2,
+        help="full-corpus Lloyd refinement sweeps for --cluster-quota",
+    )
     return p
 
 
@@ -217,6 +239,48 @@ def curate(spark, args) -> dict:
             f"{args.output}/03a_tokenizer_merges"
         )
         counts["tokenizer_merges"] = len(merges)
+
+    # 3a2. optional embedding-diversity quota: cluster the curated
+    # corpus in embedding space (k-means: bounded-sample init +
+    # full-corpus Lloyd refinement) and keep a fixed per-cluster quota
+    # by deterministic md5 rank — stops the mixture from collapsing
+    # onto its dominant modes. Runs BEFORE the mixture stage (mixture
+    # re-keys doc_id, which would break the embeddings join). Docs
+    # without an embedding pass through (the semantic_dedup
+    # convention).
+    if args.cluster_quota:
+        if not args.embeddings:
+            raise ValueError("--cluster-quota requires --embeddings")
+        from spark_iceberg_schema_evolution_spark.operators.similarity import (  # noqa: E501
+            cluster_balanced_sample,
+            kmeans_fit,
+        )
+
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col(args.embeddings_id).alias("doc_id"), "embedding"
+        )
+        with_emb = kept.select("doc_id").join(emb, "doc_id")
+        model = kmeans_fit(
+            with_emb,
+            "embedding",
+            k=args.clusters,
+            n_iter=args.cluster_refine,
+            seed=42,
+        )
+        keep_ids = cluster_balanced_sample(
+            with_emb,
+            args.cluster_quota,
+            id_col="doc_id",
+            vec_col="embedding",
+            centroids=model["centroids"],
+        ).select("doc_id")
+        no_emb = kept.select("doc_id").join(
+            emb.select("doc_id"), "doc_id", "left_anti"
+        )
+        kept = kept.join(keep_ids.unionByName(no_emb), "doc_id")
+        kept.write.mode("overwrite").parquet(f"{args.output}/03c_diverse")
+        kept = spark.read.parquet(f"{args.output}/03c_diverse")
+        counts["after_cluster_quota"] = kept.count()
 
     # 3b. optional training-mixture resample by source token shares
     if args.mix:

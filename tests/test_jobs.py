@@ -548,3 +548,88 @@ def test_curate_tokenizer_merges_stage(spark, tmp_path):
     assert [
         (r["rank"], r["left"], r["right"], r["pair_n"]) for r in merges
     ] == [(m.rank, m.left, m.right, m.pair_n) for m in want]
+
+
+def test_curate_cluster_quota_stage(spark, tmp_path):
+    """--cluster-quota keeps at most N docs per embedding cluster
+    (k-means diversity quota), docs WITHOUT an embedding pass through,
+    and the stage output matches the direct fit+sample composition on
+    the stage-3 corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import (
+        build_parser, curate,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        cluster_balanced_sample, kmeans_fit,
+    )
+
+    # embeddings for 80% of input docs (passthrough exercised), three
+    # separated modes so the quota actually bites
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    rng = np.random.RandomState(0)
+    emb_rows = [
+        (i, [float(x) for x in rng.normal(4.0 * (i % 3), 0.3, size=8)])
+        for i in ids
+        if i % 5 != 0
+    ]
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        emb_rows, "doc_id long, embedding array<double>"
+    ).write.parquet(emb_path)
+
+    out = str(tmp_path / "curdiv")
+    args = build_parser().parse_args(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out,
+         "--min-quality", "0.0",
+         "--cluster-quota", "2", "--clusters", "3",
+         "--cluster-refine", "1",
+         "--embeddings", emb_path,
+         "--chunk-tokens", "64", "--overlap", "8",
+         "--pack-capacity", "512"]
+    )
+    counts = curate(spark, args)
+
+    quality = spark.read.parquet(f"{out}/03_quality")
+    emb = spark.read.parquet(emb_path)
+    with_emb = quality.select("doc_id").join(emb, "doc_id")
+    n_no_emb = (
+        quality.select("doc_id")
+        .join(emb.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    assert counts["after_cluster_quota"] <= 3 * 2 + n_no_emb
+    assert counts["after_cluster_quota"] < counts["after_quality"]
+
+    # direct composition == stage output
+    model = kmeans_fit(with_emb, "embedding", k=3, n_iter=1, seed=42)
+    want = {
+        r["doc_id"]
+        for r in cluster_balanced_sample(
+            with_emb, 2, id_col="doc_id", vec_col="embedding",
+            centroids=model["centroids"],
+        ).select("doc_id").collect()
+    } | {
+        r["doc_id"]
+        for r in quality.select("doc_id")
+        .join(emb.select("doc_id"), "doc_id", "left_anti")
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/03c_diverse")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    # missing --embeddings raises
+    bad = build_parser().parse_args(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(tmp_path / "x"), "--cluster-quota", "2"]
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curate(spark, bad)
