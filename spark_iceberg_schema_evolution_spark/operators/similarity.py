@@ -85,6 +85,118 @@ def linear_classifier_score(
     return df.withColumn(out_col, F.when(ok, score))
 
 
+def logreg_fit(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    n_iter: int = 50,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> dict:
+    """TRAIN the linear quality classifier in the engine: full-batch
+    logistic-regression gradient descent over an embedding column —
+    the fit half of :func:`linear_classifier_score` (fastText/
+    FineWeb-Edu-style curation trains a small head on a labeled set,
+    then scores the whole corpus with the frozen weights; this keeps
+    the training pass distributed instead of exporting to a notebook).
+
+    Each step is ONE hash aggregate over the training frame: the
+    current weights ride the plan as literals, the per-row error
+    ``sigmoid(w.x + b) - y`` folds into per-dimension mean-gradient
+    sums (``dim + 1`` avg aggregates, partial map-side combine), and
+    the (dim+1)-row result collects as bounded planning metadata — the
+    same class as the PageRank dangling-mass probe and the k-means
+    update. No UDF, no driver-side feature matrix: the corpus never
+    leaves the executors, so the labeled set may be arbitrarily large.
+    Update rule: ``w -= lr * (mean_grad + l2 * w)``; the bias is
+    unregularized (standard convention). A 1e-9 numpy replica pins the
+    rule in tests/test_kmeans.py.
+
+    Rows with a NULL label or NULL/wrong-length vector are EXCLUDED
+    from training and counted in ``n_skipped``; labels outside {0, 1}
+    raise. Returns a literal model dict: ``weights``, ``bias``,
+    ``loss`` (final mean softplus log-loss), ``n_train``,
+    ``n_skipped`` — feed ``weights``/``bias`` straight to
+    :func:`linear_classifier_score`."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0: {lr}")
+    dim_row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if dim_row is None:
+        raise ValueError("no non-null vectors to train on")
+    dim = dim_row["d"]
+    ok = (
+        F.col(label_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_train"),
+        F.sum(
+            F.when(
+                F.col(label_col).isNotNull()
+                & ~F.col(label_col).cast("double").isin(0.0, 1.0),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad_label"),
+    ).first()
+    if stats["n_bad_label"]:
+        raise ValueError(
+            f"{stats['n_bad_label']} labels outside {{0, 1}}"
+        )
+    if not stats["n_train"]:
+        raise ValueError("no trainable rows (all NULL/wrong-length)")
+    t = df.where(ok).select(
+        F.col(label_col).cast("double").alias("__y"),
+        as_double(F.col(vec_col)).alias("__x"),
+    )
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(n_iter):
+        wlit = F.array(*[F.lit(x) for x in w])
+        z = dot(F.col("__x"), wlit) + F.lit(b)
+        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) - F.col("__y")
+        row = t.agg(
+            *[
+                F.avg(err * F.element_at("__x", i + 1)).alias(f"g{i}")
+                for i in range(dim)
+            ],
+            F.avg(err).alias("gb"),
+        ).first()
+        w = [
+            w[i] - lr * (row[f"g{i}"] + l2 * w[i]) for i in range(dim)
+        ]
+        b = b - lr * row["gb"]
+    wlit = F.array(*[F.lit(x) for x in w])
+    z = dot(F.col("__x"), wlit) + F.lit(b)
+    # stable softplus log-loss: log(1+e^z) - y*z == max(z,0) +
+    # log1p(e^-|z|) - y*z
+    loss = t.agg(
+        F.avg(
+            F.greatest(z, F.lit(0.0))
+            + F.log1p(F.exp(-F.abs(z)))
+            - F.col("__y") * z
+        ).alias("l")
+    ).first()["l"]
+    return {
+        "weights": w,
+        "bias": b,
+        "loss": float(loss),
+        "n_train": int(stats["n_train"]),
+        "n_skipped": int(stats["n_all"] - stats["n_train"]),
+        "dim": dim,
+        "n_iter": n_iter,
+        "lr": lr,
+        "l2": l2,
+    }
+
+
 def mmr_rerank(
     candidates: DataFrame,
     corpus: DataFrame,

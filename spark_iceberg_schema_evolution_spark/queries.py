@@ -7199,6 +7199,41 @@ def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_logreg_train", oracle=None, tier=2)
+def t2_logreg_train(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine quality-classifier TRAINING (logistic regression by
+    full-batch gradient descent — the fit half of the fastText-style
+    linear_classifier_score): plant a linearly separable label on the
+    embeddings table, train 20 steps, score with the learned head, and
+    emit the integer confusion matrix at the 0.5 cut. Update rule
+    pinned to a 1e-9 numpy replica in tests/test_kmeans.py; rows-only
+    here (an iterative fixpoint is not SQL-expressible). Each step is
+    one hash aggregate; the corpus never leaves the executors."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        linear_classifier_score,
+        logreg_fit,
+    )
+
+    e = load(spark, sf, "embeddings")
+    labeled = e.withColumn(
+        "label",
+        (
+            F.element_at("embedding", 1) + F.element_at("embedding", 2)
+            > 0
+        ).cast("double"),
+    )
+    m = logreg_fit(labeled, "label", n_iter=20, lr=1.0)
+    scored = linear_classifier_score(labeled, m["weights"], m["bias"])
+    return (
+        scored.groupBy(
+            F.col("label").cast("int").alias("label"),
+            (F.col("clf_score") >= 0.5).cast("int").alias("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
 @q("t2_kmeans", oracle=None, tier=2)
 def t2_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Document clustering (k-means: bounded-sample init + 3 FULL-

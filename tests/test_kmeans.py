@@ -110,3 +110,96 @@ def test_kmeans_separated_blobs_recovered(spark):
         by_blob.setdefault(blob[r["vec_id"]], set()).add(r["cluster"])
     assert all(len(s) == 1 for s in by_blob.values())
     assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+
+def _mk_labeled(spark, n=120, dim=6, seed=1):
+    rng = np.random.RandomState(seed)
+    X = rng.normal(0.0, 1.0, size=(n, dim))
+    true_w = rng.normal(0.0, 1.0, size=dim)
+    y = (X @ true_w + 0.3 > 0).astype(float)
+    rows = [
+        (i, [float(v) for v in X[i]], float(y[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label double"
+    )
+    return df, X, y
+
+
+def _ref_logreg(X, y, n_iter, lr, l2=0.0):
+    import numpy as np
+
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    for _ in range(n_iter):
+        z = X @ w + b
+        err = 1.0 / (1.0 + np.exp(-z)) - y
+        w = w - lr * ((X * err[:, None]).mean(axis=0) + l2 * w)
+        b = b - lr * err.mean()
+    z = X @ w + b
+    loss = (np.maximum(z, 0) + np.log1p(np.exp(-np.abs(z))) - y * z).mean()
+    return w, b, loss
+
+
+def test_logreg_fit_matches_numpy(spark):
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        logreg_fit,
+    )
+
+    df, X, y = _mk_labeled(spark)
+    model = logreg_fit(df, "label", n_iter=40, lr=0.5, l2=0.01)
+    want_w, want_b, want_loss = _ref_logreg(X, y, 40, 0.5, 0.01)
+    assert np.abs(np.asarray(model["weights"]) - want_w).max() < 1e-9
+    assert model["bias"] == pytest.approx(want_b, abs=1e-9)
+    assert model["loss"] == pytest.approx(want_loss, rel=1e-9)
+    assert model["n_train"] == 120 and model["n_skipped"] == 0
+
+
+def test_logreg_fit_learns_planted_separation(spark):
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        linear_classifier_score,
+        logreg_fit,
+    )
+
+    df, X, y = _mk_labeled(spark, n=200, seed=2)
+    m = logreg_fit(df, "label", n_iter=60, lr=1.0)
+    short = logreg_fit(df, "label", n_iter=2, lr=1.0)
+    assert m["loss"] < short["loss"]  # training actually descends
+    scored = linear_classifier_score(
+        df, m["weights"], m["bias"]
+    ).select("vec_id", "clf_score").collect()
+    acc = np.mean(
+        [
+            (r["clf_score"] >= 0.5) == bool(y[r["vec_id"]])
+            for r in scored
+        ]
+    )
+    assert acc >= 0.95
+
+
+def test_logreg_fit_skips_and_raises(spark):
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        logreg_fit,
+    )
+
+    df, _, _ = _mk_labeled(spark, n=30)
+    extra = spark.createDataFrame(
+        [
+            (100, None, 1.0),           # null vector
+            (101, [1.0, 2.0], 0.0),     # wrong length
+            (102, [0.0] * 6, None),     # null label
+        ],
+        "vec_id long, embedding array<double>, label double",
+    )
+    m = logreg_fit(df.unionByName(extra), "label", n_iter=3)
+    assert m["n_train"] == 30 and m["n_skipped"] == 3
+    bad = spark.createDataFrame(
+        [(0, [0.0] * 6, 2.0)],
+        "vec_id long, embedding array<double>, label double",
+    )
+    with pytest.raises(ValueError):
+        logreg_fit(df.unionByName(bad), "label", n_iter=1)
+    with pytest.raises(ValueError):
+        logreg_fit(df, "label", n_iter=0)
+    with pytest.raises(ValueError):
+        logreg_fit(df, "label", lr=0.0)
