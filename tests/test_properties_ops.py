@@ -614,3 +614,56 @@ def test_shortest_paths_matches_bfs_fuzzed(spark, edges, seeds, directed):
         for r in shortest_paths(df, sdf, directed=directed).collect()
     }
     assert got == known
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=4,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_kmeans_refinement_matches_numpy_fuzzed(spark, pts, k):
+    """Fuzzed k-means refinement on INTEGER coordinates — duplicate
+    points and exact distance ties are common, so this pins the
+    struct-min smallest-cluster-id tiebreak against numpy first-argmin
+    and the empty-cluster keep-previous rule."""
+    import numpy as np
+
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        _collect_fit_sample,
+        _kmeans_np,
+        as_double,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = np.asarray([p for _, p in rows])
+    c = df.select(as_double(F.col("embedding")).alias("__cv"))
+    init = _kmeans_np(_collect_fit_sample(c.limit(100_000)), k, 3)
+    C = np.asarray(init, dtype=np.float64)
+    n_iter = 2
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        nxt = C.copy()
+        for j in range(C.shape[0]):
+            sel = X[a == j]
+            if len(sel):
+                nxt[j] = sel.mean(axis=0)
+        C = nxt
+    model = kmeans_fit(df, k=k, n_iter=n_iter, seed=3)
+    got = np.asarray([v for _, v in model["centroids"]])
+    assert got.shape == C.shape
+    assert np.abs(got - C).max() < 1e-9
