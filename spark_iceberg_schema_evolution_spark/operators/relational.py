@@ -416,6 +416,97 @@ def funnel(
     return out.withColumn("converted", conv)
 
 
+def match_sequences(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Event-sequence INSTANCE extraction — the MATCH_RECOGNIZE /
+    Flink-CEP-lite complement to :func:`funnel` (which keeps only each
+    user's first chain): every non-overlapping greedy match of the
+    step pattern per user, with `AFTER MATCH SKIP PAST LAST ROW`
+    semantics — when a chain completes, matching restarts AFTER the
+    completing event, so no event participates in two matches.
+    Returns one row per match: (user, match_idx, ts_1..ts_k) with
+    epoch-micro step timestamps, match_idx numbering a user's matches
+    in time order. A completed chain that violates ``within_seconds``
+    (end-to-end) is DISCARDED but still resets the scan (greedy
+    first-chain policy, documented rather than backtracked — the
+    deterministic subset of CEP every engine agrees on).
+
+    Scale shape: identical to :func:`funnel` — ONE shuffle (groupBy
+    user), per-user events sort inside codegen, a single
+    ``aggregate()`` fold walks them once carrying (completed matches,
+    current partial chain) as pure struct state; the posexplode emits
+    match rows map-side. No self-join cascade, no Python. Per-user
+    memory is events + matches (cap pathological users upstream)."""
+    if len(steps) < 2:
+        raise ValueError("match_sequences needs at least two steps")
+    k = len(steps)
+    ev = F.struct(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(type_col).alias("y"),
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(ev)).alias("__evs")
+    )
+    empty_cur = F.struct(
+        *[F.lit(None).cast("long").alias(f"t{i+1}") for i in range(k)]
+    )
+    # typed empty array<struct<t1..tk>>: filter a dummy element away
+    empty_matches = F.filter(F.array(empty_cur), lambda _: F.lit(False))
+    init = F.struct(
+        empty_matches.alias("m"), empty_cur.alias("cur")
+    )
+
+    def merge(acc, e):
+        cur = acc["cur"]
+        outs = []
+        for i, step in enumerate(steps):
+            cond = cur[f"t{i+1}"].isNull() & (e["y"] == F.lit(step))
+            if i > 0:
+                # evaluate against the OLD chain state: one event never
+                # fills two consecutive steps (strictly-later chaining)
+                cond = cond & cur[f"t{i}"].isNotNull() & (
+                    cur[f"t{i}"] < e["t"]
+                )
+            outs.append(
+                F.when(cond, e["t"]).otherwise(cur[f"t{i+1}"]).alias(
+                    f"t{i+1}"
+                )
+            )
+        nxt = F.struct(*outs)
+        completed = nxt[f"t{k}"].isNotNull()
+        ok = completed
+        if within_seconds is not None:
+            ok = completed & (
+                (nxt[f"t{k}"] - nxt["t1"])
+                <= within_seconds * 1_000_000
+            )
+        return F.struct(
+            F.when(ok, F.array_append(acc["m"], nxt))
+            .otherwise(acc["m"])
+            .alias("m"),
+            F.when(completed, empty_cur).otherwise(nxt).alias("cur"),
+        )
+
+    state = F.aggregate(F.col("__evs"), init, merge)
+    exploded = per_user.select(
+        F.col(user_col), F.posexplode(state["m"]).alias("__i", "__match")
+    )
+    return exploded.select(
+        user_col,
+        (F.col("__i") + 1).alias("match_idx"),
+        *[
+            F.col("__match")[f"t{i+1}"].alias(f"ts_{i+1}")
+            for i in range(k)
+        ],
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",

@@ -7199,6 +7199,36 @@ def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_match_sequences", oracle=None, tier=2)
+def t2_match_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-sequence instance extraction (MATCH_RECOGNIZE/Flink-CEP
+    lite): ALL non-overlapping greedy view->click->purchase chains per
+    user within 30 days, skip-past-last-row. One shuffle + one
+    pure-JVM aggregate fold (the funnel skeleton); semantics pinned
+    against a pure-python replayer in tests (hand cases + fuzz).
+    Rows-only here (the repeated-match fold has no portable SQL
+    equivalent). Output: matches per match_idx + distinct users —
+    integer-exact."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        match_sequences,
+    )
+
+    ev = load_events(spark, sf)
+    m = match_sequences(
+        ev,
+        ["view", "click", "purchase"],
+        within_seconds=30 * 24 * 3600,
+    )
+    return (
+        m.groupBy("match_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("match_idx")
+    )
+
+
 @q("t2_logreg_train", oracle=None, tier=2)
 def t2_logreg_train(spark: SparkSession, sf: str) -> DataFrame:
     """In-engine quality-classifier TRAINING (logistic regression by

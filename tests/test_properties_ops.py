@@ -667,3 +667,71 @@ def test_kmeans_refinement_matches_numpy_fuzzed(spark, pts, k):
     got = np.asarray([v for _, v in model["centroids"]])
     assert got.shape == C.shape
     assert np.abs(got - C).max() < 1e-9
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=40),  # second
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),  # one event per (user, ts)
+    ),
+    st.sampled_from([["a", "b"], ["a", "b", "c"], ["a", "a"]]),
+)
+def test_match_sequences_matches_replayer_fuzzed(spark, rows, steps):
+    """Fuzzed MATCH_RECOGNIZE-lite: the one-fold extraction must equal
+    a pure-python greedy skip-past-last-row replayer on random event
+    streams, for 2/3-step and repeated-type patterns."""
+    import datetime as dt
+
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        match_sequences,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(seconds=s), y) for u, s, y in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string"
+    )
+
+    def us(d):
+        return int(
+            d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+
+    k = len(steps)
+    want = []
+    for u in sorted({r[0] for r in rows}):
+        evs = sorted((us(d), y) for uu, d, y in data if uu == u)
+        cur = [None] * k
+        idx = 0
+        for t, y in evs:
+            prev = list(cur)
+            for i, step in enumerate(steps):
+                if prev[i] is None and y == step:
+                    if i == 0 or (
+                        prev[i - 1] is not None and prev[i - 1] < t
+                    ):
+                        cur[i] = t
+            if cur[k - 1] is not None:
+                idx += 1
+                want.append((u, idx) + tuple(cur))
+                cur = [None] * k
+    got = [
+        tuple(r)
+        for r in match_sequences(df, steps)
+        .orderBy("user_id", "match_idx")
+        .collect()
+    ]
+    assert got == want

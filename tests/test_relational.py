@@ -589,3 +589,75 @@ def test_lttb_per_key_independence(spark):
     assert len(by_k["small"]) == 4  # passthrough
     assert 2 <= len(by_k["big"]) <= 8
     assert (0.0, 0.0) in by_k["big"] and (99.0, 99.0) in by_k["big"]
+
+
+def test_match_sequences_non_overlapping(spark):
+    """All non-overlapping greedy matches, skip-past-last-row: a
+    completed chain's events never join a second match; step k's
+    completing event resets the scan."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        match_sequences,
+    )
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: a b a b -> two matches
+        (1, t(1), "a"), (1, t(2), "b"), (1, t(3), "a"), (1, t(4), "b"),
+        # user 2: a a b -> ONE match (greedy first a chains to b)
+        (2, t(1), "a"), (2, t(2), "a"), (2, t(3), "b"),
+        # user 3: b only -> no match (absent from output)
+        (3, t(1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = [
+        (r["user_id"], r["match_idx"], r["ts_1"], r["ts_2"])
+        for r in match_sequences(df, ["a", "b"])
+        .orderBy("user_id", "match_idx")
+        .collect()
+    ]
+
+    def us(s):
+        return int(t(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    assert got == [
+        (1, 1, us(1), us(2)),
+        (1, 2, us(3), us(4)),
+        (2, 1, us(1), us(3)),
+    ]
+
+
+def test_match_sequences_same_type_and_within(spark):
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        match_sequences,
+    )
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+    # steps [a, a]: one event never fills two consecutive steps
+    df = spark.createDataFrame(
+        [(1, t(1), "a"), (1, t(2), "a"), (1, t(3), "a")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = match_sequences(df, ["a", "a"]).collect()
+    assert len(got) == 1  # (1,2); the third 'a' starts an open chain
+
+    # within: a slow chain is DISCARDED but still resets the scan
+    df2 = spark.createDataFrame(
+        [(1, t(1), "a"), (1, t(100), "b"),
+         (1, t(200), "a"), (1, t(205), "b")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got2 = match_sequences(df2, ["a", "b"], within_seconds=10).collect()
+    assert len(got2) == 1
+    assert got2[0]["match_idx"] == 1  # numbering counts KEPT matches
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        match_sequences(df, ["a"])
