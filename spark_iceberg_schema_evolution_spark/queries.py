@@ -9244,9 +9244,13 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # q145+q165 again ONLY if q145 is not green in CORRECTNESS_r08. Also
 # re-window the LSH canaries (q37, q115, q118) if anything
 # dedup-adjacent changes in round 9. If round 9 adds tier-1 rows
-# (candidate: triangle counting, SQL-expressible via the canonical
-# two-join wedge closure), front them in this window at add time —
-# never let a tier-1 row exist without a planned driver slot.
+# (candidates, all SQL-expressible: triangle counting via the
+# canonical two-join wedge closure; graph degree_stats via two
+# COUNT(DISTINCT) aggregates + full outer join), front them in this
+# window at add time — never let a tier-1 row exist without a planned
+# driver slot. The third-session r8 additions stay t2 by construction
+# (iterative fixpoints: t2_components, t2_seed_distance, t2_kmeans,
+# t2_logreg_train; repeated-match fold: t2_match_sequences).
 
 # Round-8 window (r7 VERDICT item 2, executed exactly as pinned): q145
 # (red two rounds running; this round's associative-integer-checksum
