@@ -7,6 +7,7 @@ compositions (JVM-side); nothing collects to the driver.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from spark_iceberg_schema_evolution_spark.operators.dedup import normalized_words
@@ -1252,4 +1253,58 @@ def corpus_divergence(
                 4,
             ).alias("tv_r"),
         )
+    )
+
+
+def compression_stats(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal (the zlib-entropy heuristic of
+    C4/RefinedWeb-class curation: highly repetitive or templated text
+    compresses far below prose, near-random noise barely compresses —
+    both tails are drop candidates). Adds ``raw_bytes`` (UTF-8 octet
+    length, JVM-side), ``zlib_bytes`` (DEFLATE output size at
+    ``level``), and ``compression_ratio`` (zlib/raw, NULL for NULL or
+    empty text).
+
+    Scale shape: the ONLY Python work is ``len(zlib.compress(...))``
+    per row in an Arrow-batched pandas UDF — there is no JVM built-in
+    for DEFLATE, so this is the honest vectorized slow path (map-only,
+    no shuffle, composes with ``quantile_band_filter`` or a plain
+    band cut for the keep decision). Byte counts are deterministic for
+    a fixed zlib (CPython bundles its own), pinned bit-exact against
+    ``zlib.compress`` in tests."""
+    from pyspark.sql.types import LongType
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be in [0, 9]: {level}")
+
+    @F.pandas_udf(LongType())
+    def zbytes(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series(
+            [
+                len(zlib.compress(t.encode("utf-8"), level))
+                if t is not None
+                else None
+                for t in texts
+            ],
+            dtype="Int64",
+        )
+
+    raw = F.octet_length(F.col(text_col))
+    out = df.withColumn("raw_bytes", raw).withColumn(
+        "zlib_bytes",
+        F.when(raw > 0, zbytes(F.col(text_col))),
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("raw_bytes") > 0,
+            F.round(
+                F.col("zlib_bytes").cast("double") / F.col("raw_bytes"),
+                6,
+            ),
+        ),
     )

@@ -7199,6 +7199,38 @@ def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_compression_signal", oracle=None, tier=2)
+def t2_compression_signal(spark: SparkSession, sf: str) -> DataFrame:
+    """Compression-ratio quality signal (zlib-entropy heuristic:
+    templated/repetitive text compresses far below prose, noise barely
+    compresses — both tails drop): per-decile document counts + total
+    bytes. The only Python is len(zlib.compress) per row in an
+    Arrow-batched pandas UDF (no JVM DEFLATE exists); byte counts are
+    pinned bit-exact vs zlib.compress in tests/test_text.py. Rows-only
+    (no DEFLATE in the oracle engine)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        compression_stats,
+    )
+
+    d = load(spark, sf, "documents")
+    cs = compression_stats(d)
+    return (
+        cs.where(F.col("compression_ratio").isNotNull())
+        .groupBy(
+            F.least(
+                F.floor(F.col("compression_ratio") * 10), F.lit(10)
+            )
+            .cast("int")
+            .alias("ratio_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("zlib_bytes").alias("zlib_bytes"),
+        )
+        .orderBy("ratio_decile")
+    )
+
+
 @q("t2_match_sequences", oracle=None, tier=2)
 def t2_match_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Event-sequence instance extraction (MATCH_RECOGNIZE/Flink-CEP

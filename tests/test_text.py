@@ -301,3 +301,49 @@ def test_leakage_free_split_with_near_dup_pairs(spark):
     assert s[0] == s[1] == s[2]
     assert s[7] == s[8]
     assert len(s) == 10
+
+
+def test_compression_stats_bit_exact_and_bands(spark):
+    """zlib_bytes must equal CPython's zlib.compress output length
+    bit-exactly; repetitive text lands a lower ratio than prose, which
+    lands lower than incompressible noise; empty/NULL text -> NULLs."""
+    import zlib
+
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        compression_stats,
+    )
+
+    rep = "spam " * 200
+    prose = (
+        "The quick brown fox jumps over the lazy dog while the engine "
+        "compacts manifests and rewrites partitions near the river, "
+        "then a second sentence introduces fresh vocabulary about "
+        "catalogs, snapshots, branches and deterministic sampling."
+    )
+    import hashlib
+
+    noise = "".join(
+        chr(33 + b % 94)
+        for i in range(20)
+        for b in hashlib.sha256(str(i).encode()).digest()
+    )
+    rows = [(1, rep), (2, prose), (3, noise), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["raw_bytes"], r["zlib_bytes"], r["compression_ratio"]
+        )
+        for r in compression_stats(df).collect()
+    }
+    for i, t in rows[:3]:
+        want = len(zlib.compress(t.encode("utf-8"), 6))
+        assert got[i][0] == len(t.encode("utf-8"))
+        assert got[i][1] == want
+        assert got[i][2] == round(want / len(t.encode("utf-8")), 6)
+    assert got[4] == (0, None, None)
+    assert got[5] == (None, None, None)
+    assert got[1][2] < got[2][2] < got[3][2]
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        compression_stats(df, level=11)
