@@ -165,6 +165,89 @@ def degree_stats(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 20,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the directional
+    complement to :func:`pagerank` for link-graph curation: an
+    AUTHORITY is pointed to by good hubs (the quality signal for
+    content pages), a HUB points to good authorities (the signal for
+    index/directory pages; spam link farms score high hub + low
+    authority). Returns ``(node, hub, authority)``, each vector
+    L2-normalized. Parallel edges collapse (simple digraph);
+    self-loops participate (standard formulation).
+
+    Scale shape mirrors :func:`pagerank`: the deduped edge list is
+    checkpointed once; each iteration is two sparse mat-vec products
+    (join node-sized score frame on one endpoint, re-aggregate on the
+    other — two keyed shuffles each), the L2 norm is a 1-ROW aggregate
+    collect (bounded planning metadata), and per-iteration
+    localCheckpoint keeps lineage flat. Update rule pinned to a 1e-9
+    numpy replica in tests/test_graph.py."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint(
+        eager=True
+    )
+    auth = None
+    for _ in range(n_iter):
+        # authority <- sum of in-neighbor hub scores, then L2 normalize
+        a_raw = (
+            e.join(hub, e["__s"] == hub["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a_norm = a_raw.agg(
+            F.sqrt(F.sum(F.col("authority") * F.col("authority")))
+        ).first()[0]
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce("authority", F.lit(0.0)) / F.lit(a_norm)
+                ).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # hub <- sum of out-neighbor authority scores, then L2 normalize
+        h_raw = (
+            e.join(auth, e["__d"] == auth["node"])
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h_norm = h_raw.agg(
+            F.sqrt(F.sum(F.col("hub") * F.col("hub")))
+        ).first()[0]
+        nxt_hub = (
+            nodes.join(h_raw, "node", "left")
+            .select(
+                "node",
+                (F.coalesce("hub", F.lit(0.0)) / F.lit(h_norm)).alias(
+                    "hub"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hub.unpersist()
+        hub = nxt_hub
+    return hub.join(auth, "node").select("node", "hub", "authority")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

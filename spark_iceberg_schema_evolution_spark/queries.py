@@ -7128,6 +7128,32 @@ def t2_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.desc("rank_r"), "node").limit(10)
 
 
+@q("t2_hits", oracle=None, tier=2)
+def t2_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the supplier->
+    customer fulfillment graph — the directional authority complement
+    to t2_pagerank (authorities = quality content signal, high-hub/
+    low-authority = link-farm signal). Update rule pinned to a 1e-9
+    numpy replica in tests/test_graph.py; rows-only (iterative).
+    Top-10 by authority, deterministic tiebreak on node id."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import hits
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    out = hits(edges, n_iter=10)
+    return out.select(
+        "node",
+        F.round("hub", 8).alias("hub_r"),
+        F.round("authority", 8).alias("auth_r"),
+    ).orderBy(F.desc("auth_r"), "node").limit(10)
+
+
 @q("t2_components", oracle=None, tier=2)
 def t2_components(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly connected components over the (sparsified) supplier->

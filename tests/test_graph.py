@@ -325,3 +325,47 @@ def test_shortest_paths_max_hops_truncates(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
     with pytest.raises(ValueError):
         shortest_paths(df, sdf, max_hops=-1)
+
+
+def _ref_hits(edges, n_nodes, n_iter):
+    """Dense numpy replica of the operator's update rule."""
+    A = np.zeros((n_nodes, n_nodes))
+    for s, d in set(edges):
+        A[s, d] = 1.0
+    h = np.ones(n_nodes)
+    a = np.zeros(n_nodes)
+    for _ in range(n_iter):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    return h, a
+
+
+def test_hits_matches_numpy(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import hits
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (4, 1), (4, 2), (1, 5), (2, 5),
+        (3, 0), (5, 5), (0, 1),  # parallel edge collapses; self-loop ok
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=15).collect()
+    }
+    want_h, want_a = _ref_hits(edges, 6, 15)
+    assert set(got) == set(range(6))
+    for i in range(6):
+        assert got[i][0] == pytest.approx(want_h[i], abs=1e-9)
+        assert got[i][1] == pytest.approx(want_a[i], abs=1e-9)
+    # node 0 is the dominant hub; node 5 collects from both mid nodes
+    assert got[0][0] == max(v[0] for v in got.values())
+
+
+def test_hits_validation(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(df, n_iter=0)
