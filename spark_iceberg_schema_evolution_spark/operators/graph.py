@@ -343,6 +343,112 @@ def shortest_paths(
     return known
 
 
+def shortest_paths_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths (distributed
+    Bellman-Ford): ``(node, dist, seed)`` — minimum total edge weight
+    from any seed, ``seed`` the smallest seed id attaining it
+    (deterministic (dist, seed) struct-min tiebreak). Non-positive
+    weights raise (no negative-cycle semantics); unreachable nodes are
+    absent. The weighted generalization of :func:`shortest_paths`
+    (latency/cost graphs instead of hop counts).
+
+    Scale shape: each relaxation round joins the CURRENT distance
+    frame to the edge list on ``src`` and min-aggregates candidate
+    distances on ``dst`` — two keyed shuffles over edge-sized frames
+    per round, min/struct-min are order-independent so every round is
+    deterministic. Rounds are bounded by the shortest-path tree depth
+    (graph diameter class, not |V|); the loop localCheckpoints per
+    round (CC-fixpoint lineage discipline), stops when a round
+    improves nothing (driver-side scalar count — bounded planning
+    metadata), and RAISES on ``max_iter`` exhaustion rather than
+    returning non-converged distances."""
+    scol = seeds.columns[0]
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("__s"),
+                F.col(src).alias("__d"),
+                F.col(weight_col).cast("double").alias("__w"),
+            )
+        )
+    bad = e.where(
+        F.col("__w").isNull() | (F.col("__w") <= 0)
+    ).limit(1).count()
+    if bad:
+        raise ValueError("edge weights must be positive and non-null")
+    # parallel edges: keep the cheapest
+    e = (
+        e.groupBy("__s", "__d")
+        .agg(F.min("__w").alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(scol).alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit(0.0).alias("dist"),
+            F.col("node").alias("seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    improved = 1
+    for _ in range(max_iter):
+        cand = (
+            dist.join(e, dist["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("dist") + F.col("__w")).alias("dist"),
+                "seed",
+            )
+        )
+        best = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(
+                F.min(F.struct("dist", "seed")).alias("__b")
+            )
+            .select(
+                "node",
+                F.col("__b")["dist"].alias("dist"),
+                F.col("__b")["seed"].alias("seed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            best.alias("n")
+            .join(dist.alias("o"), "node", "left")
+            .where(
+                F.col("o.dist").isNull()
+                | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .count()
+        )
+        dist.unpersist()
+        dist = best
+        if improved == 0:
+            break
+    if improved != 0:
+        raise RuntimeError(
+            f"shortest_paths_weighted did not converge in {max_iter} "
+            f"rounds; raise max_iter"
+        )
+    return dist
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

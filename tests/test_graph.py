@@ -369,3 +369,84 @@ def test_hits_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         hits(df, n_iter=0)
+
+
+def _ref_weighted(edges, seeds, directed=True):
+    """Pure-python Bellman-Ford fixpoint with (dist, seed) min
+    tiebreak; integer-exact weights keep float sums exact."""
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, {})
+        adj[s][d] = min(adj[s].get(d, float("inf")), w)
+        if not directed:
+            adj.setdefault(d, {})
+            adj[d][s] = min(adj[d].get(s, float("inf")), w)
+    best = {s: (0.0, s) for s in seeds}
+    changed = True
+    while changed:
+        changed = False
+        for u, (du, su) in list(best.items()):
+            for v, w in adj.get(u, {}).items():
+                cand = (du + w, su)
+                if v not in best or cand < best[v]:
+                    best[v] = cand
+                    changed = True
+    return best
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_shortest_paths_weighted_matches_bellman_ford(spark, directed):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths_weighted,
+    )
+
+    rng = np.random.RandomState(13)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 25, size=(50, 2))
+            if a != b
+        }
+    )
+    weighted = [
+        (a, b, float(1 + ((a * 7 + b * 3) % 3))) for a, b in edges
+    ]
+    seeds = [2, 9]
+    want = _ref_weighted(weighted, seeds, directed=directed)
+    df = spark.createDataFrame(
+        weighted, "src long, dst long, w double"
+    )
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: (r["dist"], r["seed"])
+        for r in shortest_paths_weighted(
+            df, sdf, "w", directed=directed
+        ).collect()
+    }
+    assert got == want
+
+
+def test_shortest_paths_weighted_prefers_cheap_detour(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths_weighted,
+    )
+
+    # direct hop costs 10; three-hop detour costs 3
+    df = spark.createDataFrame(
+        [(0, 3, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, w double",
+    )
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_weighted(df, sdf, "w").collect()
+    }
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+    with pytest.raises(ValueError):
+        shortest_paths_weighted(
+            spark.createDataFrame(
+                [(0, 1, -1.0)], "src long, dst long, w double"
+            ),
+            sdf,
+            "w",
+        )
