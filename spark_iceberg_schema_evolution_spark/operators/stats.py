@@ -613,3 +613,107 @@ def basket_rules(
             ).alias("lift_ppm"),
         )
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 1000,
+) -> dict:
+    """Isotonic (PAV) calibration of classifier scores in [0, 1] — the
+    post-hoc step between a trained quality head
+    (``similarity.logreg_fit``) and a threshold decision: maps raw
+    scores to empirically calibrated probabilities under the one
+    assumption that calibration is monotone (Zadrozny & Elkan 2002;
+    what sklearn's ``IsotonicRegression`` does, here fit distributedly).
+
+    Scale shape: the corpus pays ONE hash aggregate — scores bucket
+    into ``n_bins`` fixed-width bins, each bin reduces to (n, n_pos) —
+    and the pool-adjacent-violators pass runs driver-side over the
+    bounded bin list (planning metadata, the k-means-update class).
+    Returns a literal model dict: ``bin_edges`` implicit via
+    ``n_bins``, ``values`` = calibrated probability per bin
+    (non-decreasing by construction), ``n_fit`` rows used. Rows with
+    NULL score/label are excluded and counted in ``n_skipped``; scores
+    outside [0, 1] raise."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    ok = s.isNotNull() & y.isNotNull()
+    oob = df.where(
+        ok & ((s < 0) | (s > 1))
+    ).limit(1).count()
+    if oob:
+        raise ValueError("scores must lie in [0, 1]")
+    binned = (
+        df.where(ok)
+        .groupBy(
+            F.least(
+                F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("n_pos"))
+        .orderBy("bin")
+        .collect()
+    )
+    n_skipped = df.where(~ok).count()
+    if not binned:
+        raise ValueError("no usable (score, label) rows")
+    # PAV over occupied bins: pool adjacent blocks while the weighted
+    # mean sequence decreases
+    blocks = [
+        [r["bin"], r["bin"], float(r["n_pos"]), float(r["n"])]
+        for r in binned
+    ]
+    out: list = []
+    for blk in blocks:
+        out.append(blk)
+        while len(out) > 1 and (
+            out[-2][2] * out[-1][3] > out[-1][2] * out[-2][3]
+        ):  # mean(prev) > mean(last) -> pool
+            b = out.pop()
+            out[-1][1] = b[1]
+            out[-1][2] += b[2]
+            out[-1][3] += b[3]
+    # expand to a per-bin value vector; empty bins take the value of
+    # the covering/preceding block (step function, right-continuous)
+    values = [None] * n_bins
+    for lo, hi, pos, n in out:
+        v = pos / n
+        for i in range(lo, hi + 1):
+            values[i] = v
+    last = None
+    for i in range(n_bins):
+        if values[i] is None:
+            values[i] = last if last is not None else 0.0
+        last = values[i]
+    return {
+        "n_bins": n_bins,
+        "values": values,
+        "n_fit": int(sum(r["n"] for r in binned)),
+        "n_skipped": int(n_skipped),
+    }
+
+
+def isotonic_apply(
+    df: DataFrame,
+    model: dict,
+    score_col: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Apply an :func:`isotonic_fit` model: bin lookup against the
+    plan-literal value vector — a zero-shuffle pure-JVM map (the
+    kmeans_assign / linear_classifier_score apply discipline). NULL or
+    out-of-[0,1] scores calibrate to NULL."""
+    n_bins = model["n_bins"]
+    vals = F.array(*[F.lit(float(v)) for v in model["values"]])
+    s = F.col(score_col).cast("double")
+    idx = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    ok = s.isNotNull() & (s >= 0) & (s <= 1)
+    return df.withColumn(
+        out_col, F.when(ok, F.element_at(vals, idx + 1))
+    )

@@ -7225,6 +7225,48 @@ def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_isotonic_calibration", oracle=None, tier=2)
+def t2_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Train -> calibrate -> apply, all in-engine: logreg_fit learns
+    the quality head on planted labels, isotonic_fit (distributed
+    binning + driver-side PAV over bounded bins, Zadrozny & Elkan
+    2002) calibrates its scores, isotonic_apply is a zero-shuffle
+    literal-vector map. PAV semantics pinned in tests/test_stats
+    (hand-pooling, monotone identity, Brier improvement); rows-only
+    (PAV is sequential). Output: quarter-band counts of calibrated
+    probability — monotone-banded integers."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        linear_classifier_score,
+        logreg_fit,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    e = load(spark, sf, "embeddings")
+    labeled = e.withColumn(
+        "label",
+        (
+            F.element_at("embedding", 1) + F.element_at("embedding", 2)
+            > 0
+        ).cast("double"),
+    )
+    m = logreg_fit(labeled, "label", n_iter=10, lr=1.0)
+    scored = linear_classifier_score(labeled, m["weights"], m["bias"])
+    cal = isotonic_fit(scored, "clf_score", "label", n_bins=20)
+    out = isotonic_apply(scored, cal, "clf_score")
+    return (
+        out.groupBy(
+            F.least(F.floor(F.col("calibrated") * 4), F.lit(3))
+            .cast("int")
+            .alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("band")
+    )
+
+
 @q("t2_compression_signal", oracle=None, tier=2)
 def t2_compression_signal(spark: SparkSession, sf: str) -> DataFrame:
     """Compression-ratio quality signal (zlib-entropy heuristic:

@@ -454,3 +454,102 @@ def test_period_over_period_deltas(spark):
     # negative delta truncates toward zero on both engines
     assert out["2024-03"].delta == -150
     assert out["2024-03"].pct_change_ppm == -500000
+
+
+def test_isotonic_hand_case_and_monotonicity(spark):
+    """PAV hand case: bin means (1.0, 0.0) must pool to 0.5; the full
+    value vector is non-decreasing; weighted pooling preserves the
+    pooled blocks' weighted mean."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    rows = [
+        # bin 0 (scores ~0.05): 2 positives  -> mean 1.0
+        (0.05, 1), (0.06, 1),
+        # bin 9 (scores ~0.95): 2 negatives -> mean 0.0
+        (0.95, 0), (0.96, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    m = isotonic_fit(df, "score", "label", n_bins=10)
+    assert m["n_fit"] == 4
+    # the decreasing pair pools into one block with mean 0.5
+    assert all(v == 0.5 for v in m["values"])
+    vals = m["values"]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+    out = {
+        r["score"]: r["calibrated"]
+        for r in isotonic_apply(df, m, "score").collect()
+    }
+    assert all(v == 0.5 for v in out.values())
+
+
+def test_isotonic_monotone_input_is_identityish(spark):
+    """Already-monotone bin means survive PAV unpooled, and
+    calibration equals each bin's observed positive rate."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    rows = []
+    # bin i of 5 gets positive rate i/4
+    for i in range(5):
+        for j in range(8):
+            rows.append((i / 5 + 0.01, 1 if j < 2 * i else 0))
+    df = spark.createDataFrame(rows, "score double, label int")
+    m = isotonic_fit(df, "score", "label", n_bins=5)
+    occupied = [m["values"][i] for i in range(5)]
+    assert occupied == [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = isotonic_apply(df, m, "score").collect()
+    for r in got:
+        b = int(r["score"] * 5)
+        assert r["calibrated"] == occupied[b]
+
+
+def test_isotonic_improves_brier_and_validates(spark):
+    """On planted noisy-but-monotone data, calibrated scores have a
+    lower Brier score than the raw (systematically overconfident)
+    scores; NULL/out-of-range handling and raises."""
+    import numpy as np
+
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    rng = np.random.RandomState(5)
+    raw = rng.uniform(0, 1, size=400)
+    # true probability is sqrt(score): raw scores are mis-calibrated
+    y = (rng.uniform(0, 1, size=400) < np.sqrt(raw)).astype(int)
+    rows = [(float(raw[i]), int(y[i])) for i in range(400)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    m = isotonic_fit(df, "score", "label", n_bins=20)
+    got = isotonic_apply(df, m, "score").collect()
+    brier_raw = np.mean([(r["score"] - r["label"]) ** 2 for r in got])
+    brier_cal = np.mean(
+        [(r["calibrated"] - r["label"]) ** 2 for r in got]
+    )
+    assert brier_cal < brier_raw
+    vals = m["values"]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    # NULL score calibrates to NULL; skipped rows counted
+    extra = spark.createDataFrame(
+        [(None, 1), (0.5, None)], "score double, label int"
+    )
+    m2 = isotonic_fit(df.unionByName(extra), "score", "label", n_bins=20)
+    assert m2["n_skipped"] == 2
+    out = isotonic_apply(extra, m2, "score").collect()
+    assert out[0]["calibrated"] is None
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        isotonic_fit(df, "score", "label", n_bins=1)
+    with _p.raises(ValueError):
+        isotonic_fit(
+            spark.createDataFrame([(1.5, 1)], "score double, label int"),
+            "score",
+            "label",
+        )
