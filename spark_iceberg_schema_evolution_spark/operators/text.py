@@ -1308,3 +1308,84 @@ def compression_stats(
             ),
         ),
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    signed: bool = True,
+    l2_normalize: bool = False,
+) -> DataFrame:
+    """Feature-hashing vectorizer (Weinberger 2009, the fastText input
+    layer): each word hashes to one of ``dim`` slots (xxhash64 pmod),
+    with an independent hash bit as the +/-1 sign that keeps collision
+    noise zero-mean. Returns (id, features array<double>) — the bridge
+    that lets :func:`..similarity.logreg_fit` /
+    :func:`..similarity.kmeans_fit` train on RAW TEXT with no external
+    embedding model, entirely in-engine.
+
+    Scale shape: explode words -> ONE (id, slot) hash aggregate ->
+    ONE id aggregate assembling the dense vector from a slot map
+    (map_from_entries + a sequence transform — pure JVM, no UDF); two
+    keyed shuffles total, counts are integers so the vector is
+    engine-exact (pinned against a pure-python replica in
+    tests/test_text.py). Docs with no tokens get the zero vector.
+    ``l2_normalize`` divides by the vector norm (zero vectors stay
+    zero)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1: {dim}")
+    words = normalized_words(text_col)
+    base = df.select(F.col(id_col), F.explode_outer(words).alias("__w"))
+    h = F.xxhash64(F.col("__w"))
+    slot = F.pmod(h, F.lit(dim)).cast("int")
+    sign = (
+        F.when(F.pmod(F.xxhash64(F.col("__w"), F.lit(1)), 2) == 0, 1)
+        .otherwise(-1)
+        if signed
+        else F.lit(1)
+    )
+    slots = (
+        # explicit empty-string drop: F.split keeps a trailing ""
+        # token for empty/whitespace text (limit -1 semantics)
+        base.where(F.col("__w").isNotNull() & (F.col("__w") != ""))
+        .groupBy(id_col, slot.alias("__slot"))
+        .agg(F.sum(sign).alias("__v"))
+    )
+    assembled = (
+        slots.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__slot", "__v"))
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("int")), F.lit(0)
+                ).cast("double"),
+            ).alias("features"),
+        )
+    )
+    out = df.select(id_col).join(assembled, id_col, "left").select(
+        id_col,
+        F.coalesce(
+            "features",
+            F.array(*[F.lit(0.0) for _ in range(dim)]),
+        ).alias("features"),
+    )
+    if l2_normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+        out = out.withColumn(
+            "features",
+            F.when(norm > 0, F.transform("features", lambda x: x / norm))
+            .otherwise(F.col("features")),
+        )
+    return out

@@ -7225,6 +7225,37 @@ def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_hashed_features", oracle=None, tier=2)
+def t2_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashing text vectorizer at corpus scale (Weinberger
+    2009, the fastText input layer): signed xxhash64 word slots, two
+    keyed shuffles, engine-exact INTEGER counts — the bridge that lets
+    logreg_fit / kmeans_fit train on raw text with no external
+    embedding model (the full train composition, incl. perfect planted
+    separation, is pinned in tests/test_text.py; logreg has its own
+    corpus-scale row t2_logreg_train). Output: per-slot corpus column
+    sums for the first 16 slots + doc count — integer-exact, so any
+    hashing/tokenization drift flips it loudly."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        hashed_features,
+    )
+
+    d = load(spark, sf, "documents")
+    feats = hashed_features(d, dim=64)
+    return (
+        feats.select(
+            F.posexplode("features").alias("slot", "v")
+        )
+        .where(F.col("slot") < 16)
+        .groupBy("slot")
+        .agg(
+            F.sum(F.col("v").cast("long")).alias("col_sum"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("slot")
+    )
+
+
 @q("t2_isotonic_calibration", oracle=None, tier=2)
 def t2_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
     """Train -> calibrate -> apply, all in-engine: logreg_fit learns

@@ -347,3 +347,103 @@ def test_compression_stats_bit_exact_and_bands(spark):
     import pytest as _p
     with _p.raises(ValueError):
         compression_stats(df, level=11)
+
+
+def test_hashed_features_matches_replica_and_zero_doc(spark):
+    """Vector assembly is engine-exact: replicate with Spark's own
+    per-word (slot, sign) mapping + python accumulation; empty docs
+    get the zero vector; l2 normalization unit-norms non-zero rows."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        hashed_features,
+    )
+
+    dim = 16
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "cat cat cat"),
+        (3, ""),
+        (4, "completely different words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    words = sorted(
+        {w for _, t in docs for w in t.lower().split() if w}
+    )
+    wmap = {
+        r["w"]: (r["slot"], r["sign"])
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select(
+            "w",
+            F.pmod(F.xxhash64("w"), F.lit(dim)).cast("int").alias("slot"),
+            F.when(
+                F.pmod(F.xxhash64("w", F.lit(1)), 2) == 0, 1
+            ).otherwise(-1).alias("sign"),
+        )
+        .collect()
+    }
+    want = {}
+    for i, t in docs:
+        v = [0.0] * dim
+        for w in t.lower().split():
+            s, sg = wmap[w]
+            v[s] += sg
+        want[i] = v
+    got = {
+        r["doc_id"]: list(r["features"])
+        for r in hashed_features(df, dim=dim).collect()
+    }
+    assert got == want
+    assert got[3] == [0.0] * dim
+
+    import math
+
+    normed = {
+        r["doc_id"]: list(r["features"])
+        for r in hashed_features(df, dim=dim, l2_normalize=True).collect()
+    }
+    for i in (1, 2, 4):
+        assert math.isclose(
+            sum(x * x for x in normed[i]), 1.0, rel_tol=1e-9
+        )
+    assert normed[3] == [0.0] * dim
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        hashed_features(df, dim=0)
+
+
+def test_hashed_features_train_text_classifier_end_to_end(spark):
+    """The raw-text classifier composition: hashed_features ->
+    logreg_fit separates a planted keyword class perfectly — no
+    external embedding model anywhere."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        linear_classifier_score,
+        logreg_fit,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        hashed_features,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 2:
+            rows.append((i, f"buy cheap pills now offer {i} click", 1.0))
+        else:
+            rows.append((i, f"the engine compacts manifests {i} daily", 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    feats = hashed_features(df, dim=64).join(
+        df.select("doc_id", "label"), "doc_id"
+    )
+    m = logreg_fit(feats, "label", vec_col="features", n_iter=40, lr=1.0)
+    scored = linear_classifier_score(
+        feats, m["weights"], m["bias"], vec_col="features"
+    )
+    got = scored.select(
+        ((F.col("clf_score") >= 0.5).cast("double") == F.col("label"))
+        .cast("int")
+        .alias("ok")
+    ).agg(F.avg("ok")).first()[0]
+    assert got == 1.0
