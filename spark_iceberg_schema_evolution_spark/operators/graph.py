@@ -343,6 +343,109 @@ def shortest_paths(
     return known
 
 
+def label_propagation(
+    edges: DataFrame,
+    seed_labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan 2007 LPA, deterministic variant): spread a small set of
+    trusted labels (e.g. human quality ratings on a few thousand
+    hosts) over the whole link graph — each unlabeled node adopts the
+    MAJORITY label among its labeled neighbors each round, ties broken
+    to the SMALLEST label (total determinism; the async/random variant
+    is deliberately not implemented). Seed nodes are CLAMPED (never
+    change). Returns ``(node, label, n_rounds)`` for every node
+    reachable from a seed within ``n_iter`` rounds; ``n_rounds`` is
+    the round the node first acquired a label (seeds: 0).
+
+    ``seed_labels``: two columns, (node, label). ``directed=False``
+    (default) symmetrizes — label influence usually flows both ways
+    along a link.
+
+    Scale shape: per round, ONE join of the current label frame to the
+    edge list + ONE (node, label) count aggregate + an argmax
+    struct-max reduce — three keyed shuffles over edge-sized frames;
+    synchronous updates (no per-partition ordering effects),
+    per-round localCheckpoint, early-stop when no node changes or
+    gains a label (driver-side scalar count). Exact vs a pure-python
+    replica in tests/test_graph.py."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    ncol, lcol = seed_labels.columns[0], seed_labels.columns[1]
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+        )
+    e = e.where(F.col("__s") != F.col("__d")).distinct().localCheckpoint(
+        eager=True
+    )
+    seeds = (
+        seed_labels.select(
+            F.col(ncol).alias("node"), F.col(lcol).alias("label")
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    labels = seeds.select(
+        "node", "label", F.lit(0).alias("n_rounds")
+    ).localCheckpoint(eager=True)
+    for rnd in range(1, n_iter + 1):
+        votes = (
+            labels.join(e, labels["node"] == e["__s"])
+            .groupBy(F.col("__d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # majority label, ties -> smallest label: max on (count, -?) is
+        # wrong for non-numeric labels, so order by count desc then
+        # label asc via a struct max over (count, negated rank) — use
+        # min over (-count, label) expressed as a two-field struct
+        winner = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__n")).alias("neg"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("__w")
+            )
+            .select("node", F.col("__w")["label"].alias("new_label"))
+        )
+        nxt = (
+            winner.join(labels, "node", "full_outer")
+            .select(
+                "node",
+                # seeds clamp; previously-labeled nodes may flip with
+                # the neighborhood majority; fresh nodes adopt
+                F.when(F.col("n_rounds") == 0, F.col("label"))
+                .otherwise(F.coalesce("new_label", "label"))
+                .alias("label"),
+                F.coalesce("n_rounds", F.lit(rnd)).alias("n_rounds"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node", "left")
+            .where(
+                F.col("o.label").isNull()
+                | (F.col("n.label") != F.col("o.label"))
+            )
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
 def shortest_paths_weighted(
     edges: DataFrame,
     seeds: DataFrame,

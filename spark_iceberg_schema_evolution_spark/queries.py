@@ -7154,6 +7154,46 @@ def t2_hits(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.desc("auth_r"), "node").limit(10)
 
 
+@q("t2_label_propagation", oracle=None, tier=2)
+def t2_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    deterministic synchronous variant): trusted quality labels on 4
+    seed suppliers spread over the same-nation fulfillment graph —
+    the 'rate a few thousand hosts, label the whole web graph'
+    curation move. Clamped seeds, majority vote, smallest-label
+    tiebreak; exact vs a pure-python replica in tests/test_graph.py;
+    rows-only (iterative). Output: per-label node counts + adoption
+    round histogram — integer-exact."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 10)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+    )
+    seeds = spark.createDataFrame(
+        [(1, "good"), (2, "spam"), (3, "good"), (4, "spam")],
+        "node long, label string",
+    )
+    out = label_propagation(edges, seeds, n_iter=6)
+    return (
+        out.groupBy("label", "n_rounds")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("label", "n_rounds")
+    )
+
+
 @q("t2_components", oracle=None, tier=2)
 def t2_components(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly connected components over the (sparsified) supplier->

@@ -450,3 +450,104 @@ def test_shortest_paths_weighted_prefers_cheap_detour(spark):
             sdf,
             "w",
         )
+
+
+def _ref_lpa(edges, seeds, n_iter, directed=False):
+    """Pure-python synchronous LPA with clamped seeds and
+    (majority, smallest-label) tiebreak."""
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    labels = {n: (l, 0) for n, l in seeds.items()}
+    for rnd in range(1, n_iter + 1):
+        votes = {}
+        for u, (lu, _) in labels.items():
+            for v in adj.get(u, ()):
+                votes.setdefault(v, {}).setdefault(lu, 0)
+                votes[v][lu] += 1
+        nxt = dict(labels)
+        changed = False
+        for node, vs in votes.items():
+            win = min((-n, l) for l, n in vs.items())[1]
+            if node in seeds:
+                continue
+            if node not in labels:
+                nxt[node] = (win, rnd)
+                changed = True
+            elif labels[node][0] != win:
+                nxt[node] = (win, labels[node][1])
+                changed = True
+        labels = nxt
+        if not changed:
+            break
+    return labels
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_label_propagation_matches_replica(spark, directed):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = np.random.RandomState(21)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 24, size=(45, 2))
+            if a != b
+        }
+    )
+    seeds = {0: "good", 7: "spam", 13: "good"}
+    want = {
+        n: (l, r)
+        for n, (l, r) in _ref_lpa(
+            edges, seeds, n_iter=8, directed=directed
+        ).items()
+    }
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(
+        list(seeds.items()), "node long, label string"
+    )
+    got = {
+        r["node"]: (r["label"], r["n_rounds"])
+        for r in label_propagation(
+            df, sdf, n_iter=8, directed=directed
+        ).collect()
+    }
+    assert got == want
+    # seeds clamped
+    for n, l in seeds.items():
+        assert got[n] == (l, 0)
+
+
+def test_label_propagation_two_camps(spark):
+    """Two seed labels on a barbell graph: each side adopts its own
+    seed's label; the bridge node ties -> smallest label wins."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # triangle 0-1-2 (seed 'a' at 0), triangle 4-5-6 (seed 'b' at 6),
+    # bridge node 3 connected to both camps symmetrically
+    edges = [
+        (0, 1), (1, 2), (2, 0), (4, 5), (5, 6), (6, 4), (2, 3), (3, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(
+        [(0, "a"), (6, "b")], "node long, label string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, sdf, n_iter=10).collect()
+    }
+    assert got[1] == got[2] == "a"
+    assert got[5] == got[4] == "b"
+    assert got[3] in ("a", "b")  # bridge: deterministic tie -> 'a'
+    assert got[3] == "a"
+    import pytest as _p
+    with _p.raises(ValueError):
+        label_propagation(df, sdf, n_iter=0)
