@@ -606,3 +606,66 @@ def test_kmeans_assign_is_map_only(spark):
     assert explain.count_exchanges(out) == 0
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+def test_match_sequences_single_shuffle_no_python(spark):
+    """The CEP fold is the funnel skeleton: ONE exchange (groupBy
+    user) feeds the aggregate fold; no Python eval, no join."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        match_sequences,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = match_sequences(ev, ["view", "click"])
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 1
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_isotonic_apply_is_map_only(spark):
+    """isotonic_apply is a literal-vector lookup: zero exchanges, no
+    join, no Python."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        isotonic_apply,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "score", (F.col("n_chars") % 100) / 100.0
+    )
+    model = {"n_bins": 10, "values": [i / 10 for i in range(10)]}
+    out = isotonic_apply(d, model, "score")
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 0
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_hashed_features_two_shuffles_no_python(spark):
+    """The hashing-trick vectorizer pays exactly its documented two
+    keyed shuffles (slot agg + vector assembly) plus the dense-output
+    join back to the id spine; everything stays JVM-side."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        hashed_features,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = hashed_features(d, dim=32)
+    plan = explain.physical_plan(out)
+    assert "Python" not in plan
+    assert "Cartesian" not in plan
+    # two aggregate shuffles + the spine join's exchanges; bound it
+    assert explain.count_exchanges(out) <= 4
+
+
+def test_compression_stats_is_map_only_arrow(spark):
+    """compression_stats: one ArrowEvalPython (the zlib UDF), zero
+    exchanges — the honest vectorized slow path, map-only."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        compression_stats,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = compression_stats(d)
+    plan = explain.physical_plan(out)
+    assert explain.count_exchanges(out) == 0
+    assert plan.count("ArrowEvalPython") == 1
