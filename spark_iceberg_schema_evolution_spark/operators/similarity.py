@@ -110,7 +110,10 @@ def logreg_fit(
     leaves the executors, so the labeled set may be arbitrarily large.
     Update rule: ``w -= lr * (mean_grad + l2 * w)``; the bias is
     unregularized (standard convention). A 1e-9 numpy replica pins the
-    rule in tests/test_kmeans.py.
+    rule in tests/test_kmeans.py. Sized for LINEAR HEADS: per-step
+    driver cost is Catalyst analysis of dim+1 aggregates (scales with
+    dim, not rows) — right for the dim ≲ 1k quality-head regime this
+    implements, wrong for deep-model training, which is out of scope.
 
     Rows with a NULL label or NULL/wrong-length vector are EXCLUDED
     from training and counted in ``n_skipped``; labels outside {0, 1}
