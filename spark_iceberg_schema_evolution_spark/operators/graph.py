@@ -1,12 +1,17 @@
-"""Link-graph centrality for corpus curation: distributed PageRank.
+"""Link-graph analytics for corpus curation, as pure DataFrame ops.
 
-Web-scale corpus curation ranks documents by the authority of their
-source pages (the original PageRank use: Brin & Page 1998; modern
-pipelines keep a per-host/per-URL authority score as a quality signal
-beside the LM filters — see e.g. Common-Crawl-derived host graphs).
-This module computes it with pure DataFrame ops — the power-iteration
-loop the reference-class engines hand-roll, expressed as joins +
-aggregates Catalyst can plan.
+Web-scale corpus curation scores documents by the structure of their
+source graph: PageRank / personalized-TrustRank authority (Brin & Page
+1998), HITS hubs-and-authorities (Kleinberg 1999), degree profiles and
+triangle density (spam farms are triangle-dense), mutually-linked host
+clusters (weakly connected components), hop/cost distance from a
+trusted seed set (multi-source BFS, weighted Bellman-Ford), and
+semi-supervised quality-label spreading (label propagation). Every
+iterative fixpoint here follows one discipline: edge frames normalize
+and checkpoint ONCE, each round is a bounded number of keyed shuffles
+over edge-sized frames, driver-side collects are 1-row/k-row planning
+metadata, lineage truncates per round with localCheckpoint, and
+non-convergence RAISES rather than returning silently-wrong results.
 
 Scale shape at 100 TB:
 

@@ -633,3 +633,54 @@ def test_curate_cluster_quota_stage(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curate(spark, bad)
+
+
+def test_train_quality_head_job_end_to_end(spark, tmp_path, capsys):
+    """The quality-head training job: hashing-trick featurization ->
+    logreg -> isotonic -> JSON model -> frozen-head scoring with a
+    threshold cut, end to end; the persisted model reproduces the
+    in-engine scores."""
+    import json as _json
+
+    from spark_iceberg_schema_evolution_spark.jobs.train_quality_head import (
+        main,
+    )
+
+    rows = []
+    for i in range(80):
+        if i % 2:
+            rows.append((i, f"buy cheap pills now offer {i} click", 1.0))
+        else:
+            rows.append((i, f"the engine compacts manifests {i} daily", 0.0))
+    labels = str(tmp_path / "labels")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, label double"
+    ).write.parquet(labels)
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(100, "totally organic prose about tables"),
+         (101, "buy cheap pills click now")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+
+    out = str(tmp_path / "model_out")
+    rc = main(
+        ["--labels", labels, "--output", out,
+         "--hash-dim", "64", "--n-iter", "40", "--lr", "1.0",
+         "--calibration-bins", "20",
+         "--score", corpus, "--threshold", "0.5"]
+    )
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "n_train: 80" in stdout
+
+    m = _json.load(open(f"{out}/model.json"))
+    assert len(m["logreg"]["weights"]) == 64
+    assert m["featurization"]["hash_dim"] == 64
+    vals = m["isotonic"]["values"]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    kept = spark.read.parquet(f"{out}/scored").collect()
+    # only the planted-spam doc survives the 0.5 calibrated cut
+    assert [r["doc_id"] for r in kept] == [101]
+    assert kept[0]["calibrated"] >= 0.5
