@@ -348,6 +348,119 @@ def shortest_paths(
     return known
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: the maximal subgraph
+    where every node has degree >= k (Seidman 1983) — the cohesion
+    signal link-spam detection keys on (farms live in dense cores;
+    legitimate long-tail pages rarely exceed small k). Returns the
+    surviving ``(node, degree)`` frame (degree WITHIN the core).
+
+    Standard iterative peeling: drop every node with current degree
+    < k, recompute degrees on the induced subgraph, repeat until
+    stable. Each round is one degree aggregate + two semi-joins
+    (edge-sized keyed shuffles); rounds are bounded by the peeling
+    depth (typically tiny); per-round localCheckpoint; RAISES on
+    ``max_iter`` exhaustion. Deterministic (set operations only).
+    Exact vs a pure-python peeler in tests/test_graph.py."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .union(und.select("v"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        n_before = deg.count()
+        n_after = keep.count()
+        if n_after == n_before:
+            return deg.localCheckpoint(eager=True)
+        und = (
+            und.join(keep, und["u"] == keep["node"], "left_semi")
+            .join(keep, und["v"] == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if n_after == 0:
+            return deg.where(F.lit(False))
+    raise RuntimeError(
+        f"k_core did not stabilize in {max_iter} peeling rounds"
+    )
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_k: int = 64,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Full core decomposition: ``(node, coreness)`` where coreness is
+    the largest k such that the node survives in the k-core — the
+    graded version of :func:`k_core` (host coreness is a standard
+    spam/quality covariate). Computed by peeling k = 1, 2, ... on the
+    shrinking survivor subgraph (each k-core is a subgraph of the
+    previous, so the work per level shrinks); stops when the core
+    empties or ``max_k`` is hit (raises if the graph is still
+    non-empty there — a denser graph than the cap expects)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    out = None
+    cur = und
+    for kk in range(1, max_k + 1):
+        core = k_core(
+            cur.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            kk,
+            max_iter=max_iter,
+        )
+        survivors = core.select("node").localCheckpoint(eager=True)
+        n = survivors.count()
+        lvl = survivors.select("node", F.lit(kk).alias("coreness"))
+        out = lvl if out is None else (
+            out.join(survivors, "node", "left_anti").unionByName(lvl)
+        )
+        if out is not None:
+            out = out.localCheckpoint(eager=True)
+        if n == 0:
+            break
+        cur = (
+            cur.join(survivors, cur["u"] == survivors["node"], "left_semi")
+            .join(survivors, cur["v"] == survivors["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if n > 0:
+            raise RuntimeError(
+                f"graph still non-empty at max_k={max_k}; raise max_k"
+            )
+    if out is None:
+        return spark.createDataFrame([], "node long, coreness int")
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     seed_labels: DataFrame,

@@ -7154,6 +7154,34 @@ def t2_hits(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.desc("auth_r"), "node").limit(10)
 
 
+@q("t2_coreness", oracle=None, tier=2)
+def t2_coreness(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983) of the sparsified
+    fulfillment graph — coreness is the graded cohesion covariate
+    spam/quality models keep beside degree (farms live in dense
+    cores). Iterative peeling, exact vs a pure-python peeler in
+    tests/test_graph.py; rows-only (iterative). Output: coreness ->
+    node count histogram — integer-exact."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        coreness,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 5)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    out = coreness(edges, max_k=64)
+    return (
+        out.groupBy("coreness")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("coreness")
+    )
+
+
 @q("t2_label_propagation", oracle=None, tier=2)
 def t2_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002,

@@ -551,3 +551,68 @@ def test_label_propagation_two_camps(spark):
     import pytest as _p
     with _p.raises(ValueError):
         label_propagation(df, sdf, n_iter=0)
+
+
+def _ref_coreness(edges):
+    """Pure-python core decomposition by repeated peeling."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    k = 0
+    while adj:
+        k += 1
+        while True:
+            weak = [n for n, nb in adj.items() if len(nb) < k]
+            if not weak:
+                break
+            for n in weak:
+                core[n] = k - 1
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        for n in adj:
+            core[n] = k
+    return {n: c for n, c in core.items() if c >= 1}
+
+
+def test_k_core_clique_plus_tail(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import k_core
+
+    # 4-clique (0-3) with a pendant chain 3-4-5
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["degree"] for r in k_core(df, 3).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # the clique, chain peeled
+    assert k_core(df, 4).count() == 0
+    import pytest as _p
+    with _p.raises(ValueError):
+        k_core(df, 0)
+
+
+def test_coreness_matches_replica(spark):
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        coreness,
+    )
+
+    rng = np.random.RandomState(31)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 20, size=(50, 2))
+            if a != b
+        }
+    )
+    want = _ref_coreness(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["coreness"] for r in coreness(df).collect()
+    }
+    assert got == want
