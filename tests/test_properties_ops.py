@@ -686,8 +686,9 @@ def test_kmeans_refinement_matches_numpy_fuzzed(spark, pts, k):
         unique_by=lambda r: (r[0], r[1]),  # one event per (user, ts)
     ),
     st.sampled_from([["a", "b"], ["a", "b", "c"], ["a", "a"]]),
+    st.sampled_from([None, 5, 15]),
 )
-def test_match_sequences_matches_replayer_fuzzed(spark, rows, steps):
+def test_match_sequences_matches_replayer_fuzzed(spark, rows, steps, within):
     """Fuzzed MATCH_RECOGNIZE-lite: the one-fold extraction must equal
     a pure-python greedy skip-past-last-row replayer on random event
     streams, for 2/3-step and repeated-type patterns."""
@@ -725,12 +726,16 @@ def test_match_sequences_matches_replayer_fuzzed(spark, rows, steps):
                     ):
                         cur[i] = t
             if cur[k - 1] is not None:
-                idx += 1
-                want.append((u, idx) + tuple(cur))
+                # completed: keep if inside the window, always reset
+                if within is None or (
+                    cur[k - 1] - cur[0] <= within * 1_000_000
+                ):
+                    idx += 1
+                    want.append((u, idx) + tuple(cur))
                 cur = [None] * k
     got = [
         tuple(r)
-        for r in match_sequences(df, steps)
+        for r in match_sequences(df, steps, within_seconds=within)
         .orderBy("user_id", "match_idx")
         .collect()
     ]
