@@ -717,3 +717,95 @@ def isotonic_apply(
     return df.withColumn(
         out_col, F.when(ok, F.element_at(vals, idx + 1))
     )
+
+
+# Poisson(1) CDF breakpoints P(X <= k), k = 0..9: a replicate weight is
+# the count of breakpoints <= u for a hash-uniform u — inverse-CDF
+# sampling as a pure plan literal (P(X <= 9) leaves ~1e-10 mass).
+_POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988805587020,
+    0.9999998874797402,
+]
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 100,
+    ci: float = 0.95,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Error bars for a mean at corpus scale in ONE scan: the Poisson
+    bootstrap (the resampling scheme production A/B systems use when
+    the data cannot be materialized per-replicate — each row joins
+    replicate r with weight ~ Poisson(1), independent across
+    replicates, so each weighted mean is a bootstrap draw). Returns
+    per group: ``mean`` (unweighted), ``boot_lo``/``boot_hi`` (the
+    ``ci`` percentile interval over replicate means), ``n``.
+
+    Fully deterministic and engine-portable: replicate weights come
+    from inverse-CDF sampling of a hash uniform
+    (``xxhash64(id, r)``), with the Poisson(1) CDF shipped as plan
+    literals — re-running, re-partitioning, or growing the cluster
+    never changes the interval (no ``rand()``, which would break all
+    three). Scale shape: one hash aggregate computing
+    ``2 * n_replicates`` conditional sums (map-side combine); the
+    replicate-mean array sorts INSIDE the row (``sort_array`` over an
+    n_replicates-length array — bounded), so no second pass and no
+    driver-side percentile. NULL values are excluded row-wise."""
+    if n_replicates < 10:
+        raise ValueError(f"n_replicates must be >= 10: {n_replicates}")
+    if not 0.5 < ci < 1.0:
+        raise ValueError(f"ci must be in (0.5, 1): {ci}")
+    x = F.col(value_col).cast("double")
+    ok = x.isNotNull()
+    cdf = F.array(*[F.lit(c) for c in _POISSON1_CDF])
+
+    def weight(r: int) -> F.Column:
+        # uniform in [0, 1) from the signed 64-bit hash
+        u = (
+            F.xxhash64(F.col(id_col), F.lit(r)) / F.lit(2.0 ** 64)
+            + F.lit(0.5)
+        )
+        return F.size(F.filter(cdf, lambda b: b <= u))
+
+    aggs = [
+        F.count(F.when(ok, 1)).alias("n"),
+        F.avg(F.when(ok, x)).alias("mean"),
+    ]
+    for r in range(n_replicates):
+        w = F.when(ok, weight(r)).otherwise(F.lit(0))
+        aggs.append(F.sum(w * x).alias(f"__sx{r}"))
+        aggs.append(F.sum(w).alias(f"__sw{r}"))
+    grouped = df.groupBy(*(group_cols or [])).agg(*aggs)
+    # a replicate with total weight 0 (only possible for tiny groups,
+    # P ~ e^-n) yields a NULL mean: drop it and index the surviving
+    # draws dynamically, so small groups degrade to wider-but-valid
+    # intervals instead of NULL bounds
+    means = F.sort_array(
+        F.filter(
+            F.array(
+                *[
+                    F.col(f"__sx{r}")
+                    / F.nullif(
+                        F.col(f"__sw{r}").cast("double"), F.lit(0.0)
+                    )
+                    for r in range(n_replicates)
+                ]
+            ),
+            lambda m: m.isNotNull(),
+        )
+    )
+    alpha = (1.0 - ci) / 2.0
+    m = F.size(means)
+    lo_i = F.greatest(F.lit(1), F.floor(m * alpha).cast("int"))
+    hi_i = F.least(m, F.floor(m * (1.0 - alpha)).cast("int") + 1)
+    keep = (group_cols or []) + ["n", "mean"]
+    return grouped.select(
+        *keep,
+        F.when(m > 0, F.element_at(means, lo_i)).alias("boot_lo"),
+        F.when(m > 0, F.element_at(means, hi_i)).alias("boot_hi"),
+    )

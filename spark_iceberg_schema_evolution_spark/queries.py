@@ -7324,6 +7324,39 @@ def t2_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_poisson_bootstrap", oracle=None, tier=2)
+def t2_poisson_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """Error bars in ONE scan: Poisson-bootstrap 95% CI of mean order
+    value per priority — replicate weights are inverse-CDF draws from
+    hash uniforms (xxhash64(id, r) against plan-literal Poisson(1) CDF
+    breakpoints), so the interval is deterministic and survives
+    re-partitioning (no rand()); the percentile happens INSIDE the row
+    over the sorted replicate-mean array — no second pass. Weight
+    scheme pinned by the exact python replay in tests/test_stats;
+    rows-only (replicate sums are float folds). One hash aggregate."""
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        poisson_bootstrap,
+    )
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = poisson_bootstrap(
+        o,
+        "o_totalprice",
+        "o_orderkey",
+        n_replicates=50,
+        group_cols=["o_orderpriority"],
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round("mean", 2).alias("mean_r"),
+        F.round("boot_lo", 2).alias("lo_r"),
+        F.round("boot_hi", 2).alias("hi_r"),
+    ).orderBy("o_orderpriority")
+
+
 @q("t2_isotonic_calibration", oracle=None, tier=2)
 def t2_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
     """Train -> calibrate -> apply, all in-engine: logreg_fit learns

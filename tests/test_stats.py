@@ -553,3 +553,103 @@ def test_isotonic_improves_brier_and_validates(spark):
             "score",
             "label",
         )
+
+
+def test_poisson_bootstrap_deterministic_and_exact_replica(spark):
+    """The interval is hash-deterministic (two runs identical) and the
+    replicate means match a python replay computing weights from the
+    SAME Spark hash uniforms (inverse-CDF convention pinned)."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        _POISSON1_CDF,
+        poisson_bootstrap,
+    )
+
+    rows = [(i, float(10 + (i % 7))) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    a = poisson_bootstrap(df, "x", "id", n_replicates=40).first()
+    b = poisson_bootstrap(df, "x", "id", n_replicates=40).first()
+    assert (a["boot_lo"], a["boot_hi"]) == (b["boot_lo"], b["boot_hi"])
+    assert a["n"] == 50
+
+    # python replay from Spark's own uniforms
+    unis = {
+        (r["id"], rep): r[f"u{rep}"]
+        for rep in range(40)
+        for r in df.select(
+            "id",
+            *[
+                (F.xxhash64("id", F.lit(rr)) / F.lit(2.0 ** 64) + 0.5)
+                .alias(f"u{rr}")
+                for rr in range(40)
+            ],
+        ).collect()
+    }
+    means = []
+    for rep in range(40):
+        sx = sw = 0.0
+        for i, x in rows:
+            u = unis[(i, rep)]
+            w = sum(1 for c in _POISSON1_CDF if c <= u)
+            sx += w * x
+            sw += w
+        means.append(sx / sw)
+    means.sort()
+    # operator indices: lo = max(1, floor(40*0.025)) = 1 -> means[0];
+    # hi = min(40, floor(40*0.975)+1) = 40 -> means[39]
+    import math
+    assert math.floor(40 * 0.975) + 1 == 40
+    assert a["boot_lo"] == means[0]
+    assert a["boot_hi"] == means[39]
+
+
+def test_poisson_bootstrap_covers_and_shrinks(spark):
+    """The 95% interval contains the true mean on well-behaved data,
+    and a 16x larger sample gives a ~4x narrower interval."""
+    import numpy as np
+
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        poisson_bootstrap,
+    )
+
+    rng = np.random.RandomState(3)
+
+    def ival(n):
+        rows = [(i, float(v)) for i, v in enumerate(rng.normal(5, 2, n))]
+        df = spark.createDataFrame(rows, "id long, x double")
+        r = poisson_bootstrap(df, "x", "id", n_replicates=80).first()
+        return r["boot_lo"], r["mean"], r["boot_hi"]
+
+    lo, mean, hi = ival(400)
+    assert lo < 5.0 < hi or abs(mean - 5.0) < 0.3  # sane coverage
+    assert lo < mean < hi
+    lo2, _, hi2 = ival(6400)
+    assert (hi2 - lo2) < (hi - lo)
+
+    import pytest as _p
+    df = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    with _p.raises(ValueError):
+        poisson_bootstrap(df, "x", "id", n_replicates=5)
+    with _p.raises(ValueError):
+        poisson_bootstrap(df, "x", "id", ci=0.4)
+
+
+def test_poisson_bootstrap_groups_and_nulls(spark):
+    from spark_iceberg_schema_evolution_spark.operators.stats import (
+        poisson_bootstrap,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", float(i % 5)) for i in range(40)]
+    rows.append((100, "a", None))
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    got = {
+        r["g"]: r
+        for r in poisson_bootstrap(
+            df, "x", "id", n_replicates=40, group_cols=["g"]
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["a"]["n"] == 20  # the NULL row is excluded
+    for g in ("a", "b"):
+        assert got[g]["boot_lo"] <= got[g]["mean"] <= got[g]["boot_hi"]
