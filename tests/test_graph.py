@@ -616,3 +616,67 @@ def test_coreness_matches_replica(spark):
         r["node"]: r["coreness"] for r in coreness(df).collect()
     }
     assert got == want
+
+
+def test_adamic_adar_matches_replica(spark):
+    import math
+
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    rng = np.random.RandomState(17)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 15, size=(30, 2))
+            if a != b
+        }
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            s = sum(
+                1.0 / math.log(len(adj[z]))
+                for z in adj[a] & adj[b]
+                if len(adj[z]) >= 2
+            )
+            if s > 0:
+                want[(a, b)] = s
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): r["score"]
+        for r in adamic_adar(df).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_adamic_adar_triangle_closure(spark):
+    """A path a-z-b with hub z of degree 2 predicts (a,b) at
+    1/ln(2); the existing edge never appears."""
+    import math
+
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): r["score"]
+        for r in adamic_adar(df).collect()
+    }
+    # adjacent pairs (0,1),(1,2),(0,2),(2,3) excluded; (0,3),(1,3)
+    # share neighbor 2 (deg 3)
+    assert set(got) == {(0, 3), (1, 3)}
+    assert got[(0, 3)] == pytest.approx(1 / math.log(3), rel=1e-12)
