@@ -51,6 +51,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..checkpoint import unpersist_checkpoint
+
 MERGE_SCHEMA = StructType(
     [
         StructField("rank", IntegerType(), False),
@@ -97,25 +99,34 @@ def _initial_symbols(word: F.Column, marker: str) -> F.Column:
     return chars
 
 
-def _apply_merge_col(syms: F.Column, left: str, right: str) -> F.Column:
-    """Pure-JVM leftmost-first single-merge pass: fold the symbol array,
-    gluing every adjacent (left, right) into left+right. Literals are
-    bound through the Python lambda API (never string-formatted into
-    SQL — symbols are corpus bytes and may contain quotes)."""
-    merged = left + right
-    return F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(merged)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+def _apply_merges_col(
+    syms: F.Column, pairs: list[tuple[str, str]]
+) -> F.Column:
+    """Pure-JVM leftmost-first merge pass: fold the symbol array,
+    gluing every adjacent occurrence of any of ``pairs`` into its
+    concatenation. The pairs MUST be symbol-disjoint (no string appears
+    in two pairs, as left, right, or merged output) — then at most one
+    pair can match at each fold step, and one fused pass is exactly
+    equivalent to applying the pairs sequentially in any order (the
+    property :func:`bpe_learn` batching relies on). Literals are bound
+    through the Python lambda API (never string-formatted into SQL —
+    symbols are corpus bytes and may contain quotes)."""
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        out = F.concat(acc, F.array(x))
+        for left, right in pairs:
+            out = F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(out)
+        return out
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
 def bpe_learn(
@@ -125,10 +136,39 @@ def bpe_learn(
     min_pair_count: int = 2,
     marker: str = "</w>",
     counts: DataFrame | None = None,
+    batch_size: int = 1,
 ) -> list[BpeMerge]:
     """Learn up to ``num_merges`` BPE merges from the corpus (or from a
     precomputed ``word_counts`` frame). Deterministic: ties on pair
     count break on the lexicographically smallest (left, right).
+
+    ``batch_size`` is the driver-round-trip amortizer: each scan of the
+    vocabulary frame accepts up to ``batch_size`` SYMBOL-DISJOINT top
+    pairs (greedy by count, skipping any candidate sharing a left /
+    right / merged symbol with one already accepted this round) and
+    applies them in ONE fused pass. Disjointness makes the batch exact
+    where it matters: merging (a,b) can only create/destroy adjacent
+    pairs that contain a, b, or ab, so the recorded counts of the other
+    accepted pairs are still their true corpus counts, and the fused
+    application equals sequential application. The ONLY divergence from
+    textbook BPE (``batch_size=1``, the default, which IS textbook) is
+    merge-selection order: after accepting pair #1, textbook BPE
+    recounts and might pick a pair BUILT FROM the new symbol as #2,
+    while a batch defers such dependent pairs to the next scan. In
+    practice top-of-table pairs are frequency-separated and the learned
+    vocabularies coincide or differ in tail ranks only — standard
+    practice in distributed tokenizer training, stated here honestly.
+
+    Cost model (measured, local[32], sf0.01 documents corpus,
+    tools/probe_r9_bpe.py): the per-merge cost is DRIVER-side (one
+    count-aggregate job + one top-k collect + one checkpointed rewrite
+    per scan; the vocab frame is Heaps-small so no stage is
+    data-bound) at ~0.30 s/scan. 106 merges: 31.5 s at batch_size=1 →
+    5.9 s at batch_size=8 (5.3x; 0.055 s/merge). Projected to a
+    production 32k-merge vocabulary: ~2.6 driver-HOURS at batch_size=1
+    vs ~29 min at batch_size=8 — pass a batch size for any vocabulary
+    beyond ~1k merges, or swap in a native tokenizer trainer offline
+    and keep :func:`bpe_encode` for the corpus pass.
 
     Returns the merge table as a driver-side list — it IS planning
     metadata (a tokenizer vocabulary, ~10k-100k rows in production,
@@ -140,6 +180,8 @@ def bpe_learn(
         raise ValueError(f"num_merges must be >= 1: {num_merges}")
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1: {min_pair_count}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1: {batch_size}")
     wc = counts if counts is not None else word_counts(df, text_col)
     vocab = wc.select(
         _initial_symbols(F.col("word"), marker).alias("syms"),
@@ -158,26 +200,45 @@ def bpe_learn(
     )
 
     merges: list[BpeMerge] = []
-    for rank in range(num_merges):
-        best = (
+    while len(merges) < num_merges:
+        ranked = (
             vocab.select(F.explode(adjacent).alias("p"), "n")
             .groupBy("p.l", "p.r")
             .agg(F.sum("n").alias("pn"))
             .orderBy(F.desc("pn"), "l", "r")
-            .first()
         )
-        if best is None or best["pn"] < min_pair_count:
+        want = min(batch_size, num_merges - len(merges))
+        # over-fetch so symbol collisions among the top rows still
+        # leave `want` disjoint candidates; the top-1 row is always
+        # accepted, so every scan makes progress and the loop runs at
+        # most num_merges times even in the degenerate all-colliding
+        # case. The collect is vocabulary-top-k planning metadata.
+        cands = ranked.limit(max(4 * want, 8)).collect()
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in cands:
+            if len(accepted) == want:
+                break
+            if row["pn"] < min_pair_count:
+                break
+            sym3 = {row["l"], row["r"], row["l"] + row["r"]}
+            if sym3 & used:
+                continue
+            used |= sym3
+            accepted.append((row["l"], row["r"], row["pn"]))
+        if not accepted:
             break
-        merges.append(BpeMerge(rank, best["l"], best["r"], best["pn"]))
+        for left, right, pn in accepted:
+            merges.append(BpeMerge(len(merges), left, right, pn))
         nxt = vocab.select(
-            _apply_merge_col(F.col("syms"), best["l"], best["r"]).alias(
-                "syms"
-            ),
+            _apply_merges_col(
+                F.col("syms"), [(left, right) for left, right, _ in accepted]
+            ).alias("syms"),
             "n",
         ).localCheckpoint(eager=True)
-        vocab.unpersist()
+        unpersist_checkpoint(vocab)
         vocab = nxt
-    vocab.unpersist()
+    unpersist_checkpoint(vocab)
     return merges
 
 

@@ -23,6 +23,8 @@ import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module glo
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from ..checkpoint import unpersist_checkpoint
+
 
 def normalized_words(text_col: str = "text") -> F.Column:
     """Lowercased word array (single-space tokenization)."""
@@ -654,7 +656,11 @@ def connected_components(
             .count()
         )
         if hasattr(labels, "unpersist"):
-            labels.unpersist()
+            # round 1's labels is a .persist() frame, later rounds are
+            # localCheckpoints — unpersist_checkpoint handles both (a
+            # plain DataFrame.unpersist() is a silent no-op on
+            # checkpointed frames: it would leak one block per round)
+            unpersist_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import unpersist_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -142,7 +144,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        ranks.unpersist()
+        unpersist_checkpoint(ranks)
         ranks = nxt
     return ranks
 
@@ -219,7 +221,7 @@ def hits(
         a_norm = a_raw.agg(
             F.sqrt(F.sum(F.col("authority") * F.col("authority")))
         ).first()[0]
-        auth = (
+        nxt_auth = (
             nodes.join(a_raw, "node", "left")
             .select(
                 "node",
@@ -229,6 +231,9 @@ def hits(
             )
             .localCheckpoint(eager=True)
         )
+        if auth is not None:
+            unpersist_checkpoint(auth)
+        auth = nxt_auth
         # hub <- sum of out-neighbor authority scores, then L2 normalize
         h_raw = (
             e.join(auth, e["__d"] == auth["node"])
@@ -248,7 +253,7 @@ def hits(
             )
             .localCheckpoint(eager=True)
         )
-        hub.unpersist()
+        unpersist_checkpoint(hub)
         hub = nxt_hub
     return hub.join(auth, "node").select("node", "hub", "authority")
 
@@ -342,9 +347,19 @@ def shortest_paths(
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            unpersist_checkpoint(nxt)
             break
-        known = known.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        new_known = known.unionByName(nxt).localCheckpoint(eager=True)
+        # superseded checkpoints: the old known frame and the old
+        # frontier (unless they are the same object, round 1) — the
+        # pagerank:ranks.unpersist() discipline; without it every hop
+        # leaks a MEMORY_AND_DISK block for the life of the job.
+        if frontier is not known:
+            unpersist_checkpoint(frontier)
+        unpersist_checkpoint(known)
+        known, frontier = new_known, nxt
+    if frontier is not known:
+        unpersist_checkpoint(frontier)
     return known
 
 
@@ -421,10 +436,14 @@ def k_core(
     Standard iterative peeling: drop every node with current degree
     < k, recompute degrees on the induced subgraph, repeat until
     stable. Each round is one degree aggregate + two semi-joins
-    (edge-sized keyed shuffles); rounds are bounded by the peeling
-    depth (typically tiny); per-round localCheckpoint; RAISES on
-    ``max_iter`` exhaustion. Deterministic (set operations only).
-    Exact vs a pure-python peeler in tests/test_graph.py."""
+    (edge-sized keyed shuffles) + ONE fused survivor/total count (a
+    single driver action per round, not two); rounds are bounded by
+    the peeling depth (typically tiny); per-round localCheckpoint with
+    the superseded edge frame explicitly unpersisted (the
+    pagerank-loop discipline — without it every peeling round leaks a
+    MEMORY_AND_DISK block); RAISES on ``max_iter`` exhaustion.
+    Deterministic (set operations only). Exact vs a pure-python peeler
+    in tests/test_graph.py."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -443,18 +462,27 @@ def k_core(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        keep = deg.where(F.col("degree") >= k).select("node")
-        n_before = deg.count()
-        n_after = keep.count()
+        totals = deg.agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col("degree") >= k, 1)).alias("n_after"),
+        ).first()
+        n_before, n_after = totals["n_before"], totals["n_after"]
         if n_after == n_before:
-            return deg.localCheckpoint(eager=True)
-        und = (
+            out = deg.localCheckpoint(eager=True)
+            unpersist_checkpoint(und)
+            return out
+        if n_after == 0:
+            out = edges.sparkSession.createDataFrame([], deg.schema)
+            unpersist_checkpoint(und)
+            return out
+        keep = deg.where(F.col("degree") >= k).select("node")
+        nxt = (
             und.join(keep, und["u"] == keep["node"], "left_semi")
             .join(keep, und["v"] == keep["node"], "left_semi")
             .localCheckpoint(eager=True)
         )
-        if n_after == 0:
-            return deg.where(F.lit(False))
+        unpersist_checkpoint(und)
+        und = nxt
     raise RuntimeError(
         f"k_core did not stabilize in {max_iter} peeling rounds"
     )
@@ -470,11 +498,34 @@ def coreness(
     """Full core decomposition: ``(node, coreness)`` where coreness is
     the largest k such that the node survives in the k-core — the
     graded version of :func:`k_core` (host coreness is a standard
-    spam/quality covariate). Computed by peeling k = 1, 2, ... on the
-    shrinking survivor subgraph (each k-core is a subgraph of the
-    previous, so the work per level shrinks); stops when the core
-    empties or ``max_k`` is hit (raises if the graph is still
-    non-empty there — a denser graph than the cap expects)."""
+    spam/quality covariate).
+
+    Computed by the iterated-h-index fixpoint (Lü, Zhou, Zhang &
+    Stanley 2016, "The H-index of a network node"): initialize
+    ``h(v) = degree(v)``; each round, replace ``h(v)`` with the
+    H-index of its neighbors' current h values (the largest ``i`` such
+    that at least ``i`` neighbors have ``h >= i``). The sequence is
+    monotone non-increasing and converges EXACTLY to coreness; rounds
+    are bounded by graph structure (typically tens on web graphs),
+    NOT by the maximum coreness — the round-9 replacement for the
+    k = 1..k_max outer peel, whose round count scaled with max
+    coreness (hundreds on real web graphs).
+
+    Per round: one edge-keyed join of the h frame onto the symmetric
+    neighbor list, one per-node descending sort (window rank — the
+    H-index is ``max over i of min(i, h_sorted_desc[i])``; no neighbor
+    array ever materializes, so hub nodes sort-spill instead of
+    OOMing), one node-keyed max aggregate that reuses the window's
+    hash partitioning, and a 1-row changed-count (bounded planning
+    metadata). Per-round localCheckpoint, superseded frames explicitly
+    unpersisted (the pagerank discipline). RAISES on ``max_iter``
+    exhaustion, and — preserving the old peeling contract — raises if
+    any node's coreness reaches ``max_k`` (a denser graph than the cap
+    expects). Exact vs a pure-python peeler in tests/test_graph.py,
+    which is itself the classic algorithm the h-index fixpoint must
+    agree with."""
+    from pyspark.sql.window import Window
+
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -482,39 +533,60 @@ def coreness(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
-    out = None
-    cur = und
-    for kk in range(1, max_k + 1):
-        core = k_core(
-            cur.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-            kk,
-            max_iter=max_iter,
+    h = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("node").orderBy(F.desc("nh"))
+    converged = False
+    for _ in range(max_iter):
+        nbr_h = sym.join(
+            h.select(F.col("node").alias("nbr"), F.col("h").alias("nh")),
+            "nbr",
         )
-        survivors = core.select("node").localCheckpoint(eager=True)
-        n = survivors.count()
-        lvl = survivors.select("node", F.lit(kk).alias("coreness"))
-        out = lvl if out is None else (
-            out.join(survivors, "node", "left_anti").unionByName(lvl)
-        )
-        if out is not None:
-            out = out.localCheckpoint(eager=True)
-        if n == 0:
-            break
-        cur = (
-            cur.join(survivors, cur["u"] == survivors["node"], "left_semi")
-            .join(survivors, cur["v"] == survivors["node"], "left_semi")
+        new_h = (
+            nbr_h.withColumn("rn", F.row_number().over(win))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.least(F.col("rn").cast("long"), F.col("nh"))
+                ).alias("h")
+            )
             .localCheckpoint(eager=True)
         )
-    else:
-        if n > 0:
-            raise RuntimeError(
-                f"graph still non-empty at max_k={max_k}; raise max_k"
-            )
-    if out is None:
-        return spark.createDataFrame([], "node long, coreness int")
+        changed = (
+            new_h.alias("n")
+            .join(h.alias("o"), "node")
+            .where(F.col("n.h") != F.col("o.h"))
+            .count()
+        )
+        unpersist_checkpoint(h)
+        h = new_h
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"coreness h-index fixpoint did not converge in {max_iter} "
+            f"rounds; raise max_iter"
+        )
+    mx = h.agg(F.max("h")).first()[0]
+    if mx is not None and mx >= max_k:
+        raise RuntimeError(
+            f"graph still non-empty at max_k={max_k}; raise max_k"
+        )
+    out = h.select(
+        "node", F.col("h").cast("int").alias("coreness")
+    ).localCheckpoint(eager=True)
+    unpersist_checkpoint(h)
+    unpersist_checkpoint(sym)
     return out
 
 
@@ -614,7 +686,7 @@ def label_propagation(
             )
             .count()
         )
-        labels.unpersist()
+        unpersist_checkpoint(labels)
         labels = nxt
         if changed == 0:
             break
@@ -715,7 +787,7 @@ def shortest_paths_weighted(
             )
             .count()
         )
-        dist.unpersist()
+        unpersist_checkpoint(dist)
         dist = best
         if improved == 0:
             break

@@ -154,14 +154,22 @@ def histogram(
 
     Scale shape: one pass for bounds (skipped when given), one map-side
     bin assignment + hash aggregate for counts; the dense bin list is a
-    broadcast-sized literal frame outer-joined so empty bins surface."""
+    broadcast-sized literal frame outer-joined so empty bins surface.
+
+    NaN rows are excluded exactly like NULLs (from both the derived
+    bounds and the counts): under non-ANSI semantics
+    ``floor((NaN-lo)/width)`` casts to 0, which would silently count
+    every NaN in the LOWEST bin — and a NaN reaching the bounds
+    aggregate poisons max() (NaN sorts above every double)."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1: {bins}")
     spark = df.sparkSession
+    val = F.col(col).cast("double")
+    clean = df.where(F.col(col).isNotNull() & ~F.isnan(val))
     if lo is None or hi is None:
-        b = df.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
+        b = clean.agg(
+            F.min(val).alias("lo"),
+            F.max(val).alias("hi"),
         ).first()
         lo = b.lo if lo is None else lo
         hi = b.hi if hi is None else hi
@@ -171,15 +179,13 @@ def histogram(
     width = (hi - lo) / bins
     bin_ = F.least(
         F.greatest(
-            F.floor(
-                (F.col(col).cast("double") - F.lit(lo)) / F.lit(width)
-            ).cast("int"),
+            F.floor((val - F.lit(lo)) / F.lit(width)).cast("int"),
             F.lit(0),
         ),
         F.lit(bins - 1),
     )
     counts = (
-        df.where(F.col(col).isNotNull())
+        clean
         .groupBy(bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -424,9 +430,13 @@ def quantile_sketch_refresh(
     if table.exists():
         version = table.append(delta)
     else:
+        # pin alpha BEFORE the first append: a crash between append and
+        # set_properties would leave a populated sketch whose next
+        # refresh at a different alpha passes the drift check (stored is
+        # None) and silently appends an incompatible bucket grid
         table.create(delta.schema)
-        version = table.append(delta)
         table.set_properties({_SKETCH_ALPHA_PROP: repr(float(alpha))})
+        version = table.append(delta)
     return {"version": version, "alpha": float(alpha)}
 
 
@@ -536,11 +546,16 @@ def topk_sketch(
     """Mergeable heavy-hitters summary (Misra-Gries / SpaceSaving
     family; mergeability per Agarwal et al., "Mergeable Summaries",
     PODS 2012): per group, the ``k`` most frequent items with exact
-    in-batch counts plus one ``__spill__`` row carrying the TOTAL mass
-    of every trimmed item. Completes the mergeable-rollup triple
-    beside :func:`hll_rollup` (distincts) and :func:`quantile_sketch`
-    (percentiles): top-N tokens/domains/keys per grain without storing
-    the full key cardinality.
+    in-batch counts plus one NULL-item row carrying the TOTAL mass
+    of every trimmed item. NULL is the one value a genuine item can
+    never hold (NULL items are excluded up-front, like every counting
+    aggregate here), so the spill row needs no sentinel STRING — a
+    corpus whose real item value is ``"__spill__"`` must not merge
+    into the spill accounting (the round-8 advice finding). Completes
+    the mergeable-rollup triple beside :func:`hll_rollup` (distincts)
+    and :func:`quantile_sketch` (percentiles): top-N
+    tokens/domains/keys per grain without storing the full key
+    cardinality.
 
     Error contract (sound, surfaced, tested): for any item,
     ``est <= true <= est + spill_sum`` where ``est`` is the summed
@@ -604,7 +619,7 @@ def topk_sketch(
         )
         .select(
             *group_cols,
-            F.lit("__spill__").alias("item"),
+            F.lit(None).cast("string").alias("item"),
             F.lit(0).cast("long").alias("n"),
             "spill",
         )
@@ -626,7 +641,7 @@ def topk_sketch_coarsen(
     merged = sketch.groupBy(*group_cols, "item").agg(
         F.sum("n").alias("n"), F.sum("spill").alias("spill")
     )
-    items = merged.where(F.col("item") != "__spill__")
+    items = merged.where(F.col("item").isNotNull())
     w = _W.partitionBy(*group_cols).orderBy(
         F.col("n").desc(), F.col("item").asc()
     )
@@ -641,11 +656,11 @@ def topk_sketch_coarsen(
         ranked.select(
             *group_cols,
             F.when(F.col("__rk") > k, F.col("n"))
-            .otherwise(0)
+            .otherwise(F.lit(0).cast("long"))
             .alias("__m"),
         )
         .unionByName(
-            merged.where(F.col("item") == "__spill__").select(
+            merged.where(F.col("item").isNull()).select(
                 *group_cols, F.col("spill").alias("__m")
             )
         )
@@ -653,7 +668,7 @@ def topk_sketch_coarsen(
         .agg(F.sum("__m").alias("spill"))
         .select(
             *group_cols,
-            F.lit("__spill__").alias("item"),
+            F.lit(None).cast("string").alias("item"),
             F.lit(0).cast("long").alias("n"),
             "spill",
         )

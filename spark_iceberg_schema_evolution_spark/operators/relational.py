@@ -423,7 +423,9 @@ def match_sequences(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_seconds: int | None = None,
-) -> DataFrame:
+    max_events_per_user: int | None = 100_000,
+    return_drop_stats: bool = False,
+):
     """Event-sequence INSTANCE extraction — the MATCH_RECOGNIZE /
     Flink-CEP-lite complement to :func:`funnel` (which keeps only each
     user's first chain): every non-overlapping greedy match of the
@@ -441,11 +443,37 @@ def match_sequences(
     user), per-user events sort inside codegen, a single
     ``aggregate()`` fold walks them once carrying (completed matches,
     current partial chain) as pure struct state; the posexplode emits
-    match rows map-side. No self-join cascade, no Python. Per-user
-    memory is events + matches (cap pathological users upstream)."""
+    match rows map-side. No self-join cascade, no Python.
+
+    Per-user memory is events + matches, so ONE pathological user (a
+    bot with 10M events) would OOM its executor task. Users whose
+    event count exceeds ``max_events_per_user`` are therefore DROPPED
+    before the fold (the :func:`fuzzy_join` ``max_block_pairs``
+    discipline; pass ``None`` to disable). The drop is never silent:
+    with ``return_drop_stats=True`` the result is ``(matches, drops)``
+    where ``drops`` is a one-row DataFrame ``(dropped_users,
+    dropped_events)`` — wire it into the run's metrics; at 100 TB a
+    hot user silently deleting matches is an audit failure. The guard
+    costs one extra count aggregate on the same user key (map-side
+    partial) + a broadcast anti-join of the (tiny) over-cap user set."""
     if len(steps) < 2:
         raise ValueError("match_sequences needs at least two steps")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError(
+            f"max_events_per_user must be >= 1: {max_events_per_user}"
+        )
     k = len(steps)
+    drops = None
+    if max_events_per_user is not None:
+        counts = df.groupBy(user_col).agg(F.count(F.lit(1)).alias("__n"))
+        hot = counts.where(F.col("__n") > max_events_per_user)
+        drops = hot.agg(
+            F.count(F.lit(1)).alias("dropped_users"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("dropped_events"),
+        )
+        df = df.join(
+            F.broadcast(hot.select(user_col)), user_col, "left_anti"
+        )
     ev = F.struct(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
         F.col(type_col).alias("y"),
@@ -497,7 +525,7 @@ def match_sequences(
     exploded = per_user.select(
         F.col(user_col), F.posexplode(state["m"]).alias("__i", "__match")
     )
-    return exploded.select(
+    matches = exploded.select(
         user_col,
         (F.col("__i") + 1).alias("match_idx"),
         *[
@@ -505,6 +533,13 @@ def match_sequences(
             for i in range(k)
         ],
     )
+    if not return_drop_stats:
+        return matches
+    if drops is None:
+        drops = df.sparkSession.createDataFrame(
+            [(0, 0)], "dropped_users long, dropped_events long"
+        )
+    return matches, drops
 
 
 def cohort_retention(

@@ -125,3 +125,50 @@ def test_merges_to_df_roundtrip(spark):
         (0, "t", "h", "th", 10),
         (1, "th", "e</w>", "the</w>", 7),
     ]
+
+
+def test_bpe_batched_counts_exact_sequential_replay(spark):
+    """Disjoint-batch learning contract: merging (a,b) only perturbs
+    adjacent pairs containing a, b, or ab, so the counts recorded for
+    a batch's OTHER (symbol-disjoint) members are still exact. Replay
+    the learned merge list sequentially in pure python and check every
+    recorded pair_n equals the live count at its application point —
+    true for every merge in every batch iff the disjointness argument
+    holds."""
+    docs = _docs(spark).limit(120)
+    wc = {
+        r["word"]: r["n"] for r in word_counts(docs, "text").collect()
+    }
+    got = bpe_learn(docs, "text", num_merges=40, batch_size=8)
+    assert len(got) == 40
+    vocab = {w: tuple(list(w) + [MARKER]) for w in wc}
+    for m in got:
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        assert pairs[(m.left, m.right)] == m.pair_n, (m.rank, m.left, m.right)
+        for w, syms in list(vocab.items()):
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == m.left and x == m.right:
+                    out[-1] = m.left + m.right
+                else:
+                    out.append(x)
+            vocab[w] = tuple(out)
+    # batching must share the TOP of the table with textbook: the first
+    # scan's argmax is identical by construction, and the high-count
+    # head overlaps; the tail legitimately diverges (textbook's later
+    # picks depend on symbols batching hasn't built yet)
+    textbook = bpe_learn(docs, "text", num_merges=40, batch_size=1)
+    assert (got[0].left, got[0].right) == (
+        textbook[0].left, textbook[0].right,
+    )
+    overlap = {(m.left, m.right) for m in got} & {
+        (m.left, m.right) for m in textbook
+    }
+    assert len(overlap) >= 10
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        bpe_learn(docs, "text", num_merges=10, batch_size=0)

@@ -680,3 +680,58 @@ def test_adamic_adar_triangle_closure(spark):
     # share neighbor 2 (deg 3)
     assert set(got) == {(0, 3), (1, 3)}
     assert got[(0, 3)] == pytest.approx(1 / math.log(3), rel=1e-12)
+
+
+def _persistent_ids(spark):
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def test_graph_loops_leave_no_orphaned_blocks(spark):
+    """Storage hygiene: every superseded localCheckpoint in the
+    iterative loops is explicitly released via unpersist_checkpoint
+    (a plain DataFrame.unpersist() is a silent NO-OP on checkpointed
+    frames), so the number of NEW persistent RDDs left behind is a
+    small CONSTANT per call — independent of how many rounds the
+    fixpoint ran. Counted as an id-set diff so the ContextCleaner
+    collecting older tests' blocks mid-test can't skew the census."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        coreness,
+        hits,
+        k_core,
+        shortest_paths,
+    )
+
+    # 4-clique + pendant chain: k_core(3) needs two peeling rounds
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    base = _persistent_ids(spark)
+    core = k_core(df, 3)
+    core.collect()
+    # only the returned checkpoint survives the multi-round peel
+    assert len(_persistent_ids(spark) - base) == 1
+
+    base = _persistent_ids(spark)
+    cor = coreness(df)
+    cor.collect()
+    assert len(_persistent_ids(spark) - base) == 1
+
+    # a 6-hop chain: shortest_paths runs 6 frontier rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    base = _persistent_ids(spark)
+    dists = shortest_paths(chain, seeds, max_hops=10)
+    assert dists.count() == 7
+    # the edge frame + the final known frame, never one-per-hop
+    assert len(_persistent_ids(spark) - base) == 2
+
+    base = _persistent_ids(spark)
+    hs = hits(df, n_iter=5)
+    hs.collect()
+    # edges + nodes + final hub + final auth, never one-per-iteration
+    assert len(_persistent_ids(spark) - base) == 4

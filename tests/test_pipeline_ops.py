@@ -474,6 +474,20 @@ def test_histogram_binning(spark):
     with _pt.raises(ValueError, match="hi > lo"):
         histogram(df, "x", 4, lo=5.0, hi=5.0)
 
+    # NaN rows are excluded like NULLs (round-8 advice: floor(NaN)
+    # casts to 0 under non-ANSI semantics -> silently binned lowest),
+    # from BOTH the counts and the derived bounds (max() is NaN-poisoned)
+    nan_df = spark.createDataFrame(
+        [(0.0,), (float("nan"),), (9.99,), (None,)], "x DOUBLE"
+    )
+    nan_out = {
+        r.bin: r.n for r in histogram(nan_df, "x", 2, lo=0.0, hi=10.0).collect()
+    }
+    assert nan_out == {0: 1, 1: 1}
+    auto = histogram(nan_df, "x", 2).collect()  # bounds derive NaN-free
+    assert [r.n for r in sorted(auto, key=lambda r: r.bin)] == [1, 1]
+    assert auto[1].bin_hi == 9.99
+
 
 def test_skew_report_identifies_hot_keys(spark):
     from spark_iceberg_schema_evolution_spark.operators.profile import (

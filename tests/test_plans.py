@@ -609,18 +609,28 @@ def test_kmeans_assign_is_map_only(spark):
 
 
 def test_match_sequences_single_shuffle_no_python(spark):
-    """The CEP fold is the funnel skeleton: ONE exchange (groupBy
-    user) feeds the aggregate fold; no Python eval, no join."""
+    """The CEP fold is the funnel skeleton: with the hot-user guard
+    disabled, ONE exchange (groupBy user) feeds the aggregate fold —
+    no Python eval, no join. With the default guard, exactly one more
+    keyed aggregate (the per-user count) plus a BROADCAST anti-join —
+    never a shuffled join of the event stream."""
     from spark_iceberg_schema_evolution_spark.operators.relational import (
         match_sequences,
     )
 
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    out = match_sequences(ev, ["view", "click"])
+    out = match_sequences(ev, ["view", "click"], max_events_per_user=None)
     plan = explain.physical_plan(out)
     assert explain.count_exchanges(out) == 1
     assert "Python" not in plan
     assert "Join" not in plan
+
+    guarded = match_sequences(ev, ["view", "click"])
+    gplan = explain.physical_plan(guarded)
+    assert explain.count_exchanges(guarded) == 2
+    assert "Python" not in gplan
+    assert "BroadcastHashJoin" in gplan and "LeftAnti" in gplan
+    assert "SortMergeJoin" not in gplan
 
 
 def test_isotonic_apply_is_map_only(spark):

@@ -514,7 +514,7 @@ def test_topk_sketch_bound_holds_property(spark, items, k):
     for other in sketches[1:]:
         sk = sk.unionByName(other)
     rows = topk_sketch_coarsen(sk, ["g"], k=k).collect()
-    est = {r.item: r.n for r in rows if r.item != "__spill__"}
+    est = {r.item: r.n for r in rows if r.item is not None}
     spill = sum(r.spill for r in rows)
     assert sum(est.values()) + spill == len(items)
     for x, t in true.items():

@@ -661,3 +661,46 @@ def test_match_sequences_same_type_and_within(spark):
     import pytest as _p
     with _p.raises(ValueError):
         match_sequences(df, ["a"])
+
+
+def test_match_sequences_hot_user_guard(spark):
+    """A planted bot user over the cap is DROPPED (its matches never
+    appear), normal users are untouched, and the drop stats surface
+    the exact user/event counts — the fuzzy_join max_block_pairs
+    discipline applied to per-user CEP state."""
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        match_sequences,
+    )
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [(1, t(1), "a"), (1, t(2), "b")]  # normal user: one match
+    rows += [(9, t(i), "a" if i % 2 else "b") for i in range(50)]  # bot
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    matches, drops = match_sequences(
+        df, ["a", "b"], max_events_per_user=10, return_drop_stats=True
+    )
+    got = matches.collect()
+    assert [(r["user_id"], r["match_idx"]) for r in got] == [(1, 1)]
+    d = drops.first()
+    assert (d["dropped_users"], d["dropped_events"]) == (1, 50)
+
+    # cap disabled: the bot is processed; stats row is all-zero
+    m2, d2 = match_sequences(
+        df, ["a", "b"], max_events_per_user=None, return_drop_stats=True
+    )
+    assert m2.where(F.col("user_id") == 9).count() > 0
+    z = d2.first()
+    assert (z["dropped_users"], z["dropped_events"]) == (0, 0)
+
+    # a user AT the cap is kept (strict > semantics)
+    m3 = match_sequences(df, ["a", "b"], max_events_per_user=50)
+    assert m3.where(F.col("user_id") == 9).count() > 0
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        match_sequences(df, ["a", "b"], max_events_per_user=0)

@@ -413,7 +413,7 @@ def test_topk_sketch_exact_when_k_covers_cardinality(spark):
     sk = topk_sketch(df, ["g"], "item", k=10)
     got = {r.item: (r.n, r.spill) for r in sk.collect()}
     assert got == {
-        "a": (5, 0), "b": (3, 0), "c": (1, 0), "__spill__": (0, 0)
+        "a": (5, 0), "b": (3, 0), "c": (1, 0), None: (0, 0)
     }
 
 
@@ -442,7 +442,7 @@ def test_topk_sketch_spill_bound_and_merge(spark):
         k=k,
     )
     rows = merged.collect()
-    est = {r.item: r.n for r in rows if r.item != "__spill__"}
+    est = {r.item: r.n for r in rows if r.item is not None}
     spill = sum(r.spill for r in rows)
     assert len(est) == k
     # total mass conserved: retained + spill == all observations
@@ -477,14 +477,14 @@ def test_topk_sketch_merge_exact_at_large_k(spark):
         k=20,
     )
     got = {
-        r.item: r.n for r in merged.collect() if r.item != "__spill__"
+        r.item: r.n for r in merged.collect() if r.item is not None
     }
     assert got == dict(true)
-    assert merged.where("item = '__spill__'").first().spill == 0
+    assert merged.where("item IS NULL").first().spill == 0
     # global coarsen (no group cols) also exact
     global_ = topk_sketch_coarsen(merged, [], k=20)
     got_g = {
-        r.item: r.n for r in global_.collect() if r.item != "__spill__"
+        r.item: r.n for r in global_.collect() if r.item is not None
     }
     assert got_g == dict(true)
 
@@ -518,7 +518,7 @@ def test_topk_sketch_sharded_matches_unsharded(spark):
     sk = topk_sketch_coarsen(
         topk_sketch(df, ["g"], "item", k=3, shards=4), ["g"], k=3
     ).collect()
-    est = {r.item: r.n for r in sk if r.item != "__spill__"}
+    est = {r.item: r.n for r in sk if r.item is not None}
     spill = sum(r.spill for r in sk)
     assert sum(est.values()) + spill == len(rows)
     for item, t in true.items():
@@ -689,3 +689,27 @@ def test_sketch_band_filter_trims_tails(spark):
         lo_q=0.05, hi_q=0.95,
     )
     assert 0 < gout.count() < len(vals)
+
+
+def test_topk_sketch_spill_marker_cannot_collide_with_items(spark):
+    """Regression (round-8 advice): a corpus whose GENUINE item value
+    is the string "__spill__" must be counted as an ordinary item —
+    the spill accounting row is marked by NULL item (a value genuine
+    items can never hold), not by a reserved string."""
+    from spark_iceberg_schema_evolution_spark.operators.profile import (
+        topk_sketch,
+        topk_sketch_coarsen,
+    )
+
+    rows = [("g", "__spill__")] * 7 + [("g", "x")] * 3 + [("g", "y")]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = topk_sketch(df, ["g"], "item", k=2)
+    got = {r.item: (r.n, r.spill) for r in sk.collect()}
+    # "__spill__" is the most frequent genuine item; y (count 1) trims
+    assert got["__spill__"] == (7, 0)
+    assert got["x"] == (3, 0)
+    assert got[None] == (0, 1)
+    merged = topk_sketch_coarsen(sk.unionByName(sk), ["g"], k=2)
+    m = {r.item: (r.n, r.spill) for r in merged.collect()}
+    assert m["__spill__"] == (14, 0)
+    assert m[None] == (0, 2)
