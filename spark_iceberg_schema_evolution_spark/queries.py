@@ -7293,6 +7293,73 @@ def t2_seed_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_adamic_adar", oracle=None, tier=2)
+def t2_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    sparsified fulfillment graph: for non-adjacent node pairs sharing
+    a neighbor, sum 1/ln(deg) over common neighbors — the
+    related-host / merge-candidate prior, degree-damped so hub
+    co-citation doesn't dominate. Wedge-join shape (two keyed shuffles,
+    no neighborhood materialization); exact vs a pure-python replica in
+    tests/test_graph.py; rows-only here (ln-of-degree sums over wedges
+    are graph-shaped, not table-SQL-shaped). Top-10 predicted pairs,
+    deterministic (score desc, pair asc) ordering with scores rounded
+    for cross-run float stability."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 3)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    pairs = adamic_adar(edges, min_score=0.5)
+    return pairs.select(
+        "node_a", "node_b", F.round("score", 6).alias("score_r")
+    ).orderBy(F.desc("score_r"), "node_a", "node_b").limit(10)
+
+
+@q("t2_sssp_weighted", oracle=None, tier=2)
+def t2_sssp_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted multi-source shortest paths (distributed Bellman-Ford)
+    over the fulfillment graph with l_quantity as the edge cost — the
+    latency/cost generalization of t2_seed_distance. Struct-min
+    relaxation rounds (deterministic (dist, seed) tiebreak), exact vs
+    a pure-python Bellman-Ford replica in tests/test_graph.py;
+    rows-only (iterative). Output: integer-cost histogram (quantities
+    are whole numbers, so dist is integer-exact) + min seed
+    attribution."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        shortest_paths_weighted,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 6)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    dists = shortest_paths_weighted(
+        edges, seeds, "w", max_iter=40, directed=False
+    )
+    return (
+        dists.groupBy(F.col("dist").cast("long").alias("cost"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("seed").alias("min_seed"),
+        )
+        .orderBy("cost")
+    )
+
+
 @q("t2_hashed_features", oracle=None, tier=2)
 def t2_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashing text vectorizer at corpus scale (Weinberger

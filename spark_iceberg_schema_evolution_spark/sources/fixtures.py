@@ -22,28 +22,97 @@ MANDATORY = [
     "Subscription Date",
 ]
 
-# representative optional columns spanning the inferred-type space
-# (FIXTURES.md §A.2; full reference list is 70 columns, fake_data.py:15-32)
+# the FULL optional-column envelope of the reference generator
+# (fake_data.py:15-32, 70 names), each mapped onto this generator's
+# deterministic type space — the reference's demo breadth without the
+# Faker dependency. Kinds: str / int / float / bool / enum / date.
 OPTIONAL: dict[str, str] = {
     "Company": "str",
+    "City": "str",
     "Country": "str",
+    "Phone": "str",
     "Email": "str",
+    "Industry": "str",
     "Revenue": "int",
+    "Zip Code": "str",
+    "Address": "str",
+    "State": "str",
     "Website": "str",
+    "Job Title": "str",
+    "Department": "str",
+    "Product Category": "enum",
+    "Purchase Date": "date",
+    "Order ID": "str",
+    "Shipping Address": "str",
+    "Billing Address": "str",
+    "Credit Card Number": "str",
+    "Social Security Number": "str",
+    "IP Address": "str",
+    "User Agent": "str",
+    "Referral Source": "str",
+    "Language": "enum",
+    "Time Zone": "str",
+    "Notes": "str",
+    "Comments": "str",
     "Loyalty Points": "int",
     "Membership Level": "enum",
+    "Last Login": "date",
     "Marketing Opt-In": "bool",
+    "Newsletter Subscription": "bool",
+    "Preferred Contact Method": "enum",
     "Account Status": "enum",
+    "Customer Since": "date",
+    "Date of Birth": "date",
+    "Gender": "enum",
+    "Ethnicity": "str",
+    "Marital Status": "enum",
+    "Education Level": "enum",
+    "Occupation": "str",
+    "Hobbies": "str",
+    "Interests": "str",
     "Previous Purchases": "int",
     "Average Order Value": "float",
     "Customer Rating": "int",
+    "Support Tickets": "int",
+    "Last Contacted": "date",
+    "Next Scheduled Contact": "date",
+    "Lead Source": "str",
+    "Lead Status": "enum",
+    "Campaign ID": "str",
+    "Campaign Name": "str",
+    "Ad Group": "str",
+    "Keyword": "str",
+    "Click ID": "str",
+    "Page Views": "int",
     "Session Duration": "int",
+    "Device Type": "enum",
+    "Operating System": "enum",
+    "Browser": "enum",
+    "Screen Resolution": "str",
+    "Location Coordinates": "str",
+    "Latitude": "float",
+    "Longitude": "float",
+    "Altitude": "float",
+    "Sensor Data": "str",
     "Temperature": "float",
+    "Humidity": "float",
+    "Pressure": "float",
+    "Acceleration": "float",
 }
 
 _ENUMS = {
     "Membership Level": ["Gold", "Silver", "Bronze"],
     "Account Status": ["Active", "Inactive", "Pending"],
+    "Product Category": ["Books", "Tools", "Food", "Toys"],
+    "Language": ["en", "es", "de", "fr"],
+    "Preferred Contact Method": ["email", "phone", "mail"],
+    "Gender": ["female", "male", "nonbinary"],
+    "Marital Status": ["single", "married", "divorced"],
+    "Education Level": ["HS", "BS", "MS", "PhD"],
+    "Lead Status": ["new", "contacted", "qualified", "lost"],
+    "Device Type": ["desktop", "mobile", "tablet"],
+    "Operating System": ["linux", "macos", "windows"],
+    "Browser": ["firefox", "chrome", "safari"],
 }
 
 
@@ -56,6 +125,11 @@ def _value(col: str, kind: str, rng: random.Random, row_id: int):
         return rng.choice([True, False])
     if kind == "enum":
         return rng.choice(_ENUMS[col])
+    if kind == "date":
+        return (
+            f"20{rng.randint(18, 25)}-"
+            f"{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+        )
     return f"{col.replace(' ', '').lower()}_{row_id}_{rng.randint(0, 999)}"
 
 

@@ -4921,7 +4921,19 @@ class LakehouseCatalog:
         [, group_by=>'c1,c2'] [, alpha=>'0.01']
         [, full_refresh=>'true']),
         refresh_hll_rollup(src, target=>'ns.t', distinct=>'col'
-        [, group_by=>'c1,c2'] [, lg_k=>n] [, full_refresh=>'true'])."""
+        [, group_by=>'c1,c2'] [, lg_k=>n] [, full_refresh=>'true']).
+
+        Round-9 analytic procedures (the SQL front door for the
+        round-8 Python-API families — these RETURN the analytic result
+        frame instead of a version row, the same way metadata-table SQL
+        returns rows): pagerank(edges_tbl [, src=>'col'] [, dst=>'col']
+        [, n_iter=>n] [, damping=>'0.85'] [, weight=>'col']),
+        connected_components(edges_tbl [, src=>'col'] [, dst=>'col']
+        [, max_iter=>n]), kmeans(tbl, features=>'col', k=>n
+        [, id=>'col'] [, n_iter=>n] [, seed=>n]), and
+        match_sequences(events_tbl, steps=>'a,b,c' [, user=>'col']
+        [, ts=>'col'] [, event_type=>'col'] [, within_seconds=>n]
+        [, max_events_per_user=>n])."""
         import re
 
         pos: list = []
@@ -5099,6 +5111,82 @@ class LakehouseCatalog:
                 == "true",
             )
             return self._version_df(v)
+        if proc == "pagerank":
+            from spark_iceberg_schema_evolution_spark.operators.graph import (
+                pagerank,
+            )
+
+            return pagerank(
+                t.read(),
+                src=str(named.get("src", "src")),
+                dst=str(named.get("dst", "dst")),
+                n_iter=int(named.get("n_iter", 15)),
+                damping=float(named.get("damping", "0.85")),
+                weight_col=(
+                    str(named["weight"]) if "weight" in named else None
+                ),
+            )
+        if proc == "connected_components":
+            from spark_iceberg_schema_evolution_spark.operators.graph import (
+                connected_components,
+            )
+
+            return connected_components(
+                t.read(),
+                src=str(named.get("src", "src")),
+                dst=str(named.get("dst", "dst")),
+                max_iter=int(named.get("max_iter", 25)),
+            )
+        if proc == "kmeans":
+            from spark_iceberg_schema_evolution_spark.operators.similarity import (
+                kmeans_assign,
+                kmeans_fit,
+            )
+
+            feat = named.get("features")
+            if not feat or "k" not in named:
+                raise ValueError(
+                    "kmeans needs features => 'col' and k => n"
+                )
+            d = t.read()
+            model = kmeans_fit(
+                d,
+                str(feat),
+                k=int(named["k"]),
+                n_iter=int(named.get("n_iter", 10)),
+                seed=int(named.get("seed", 42)),
+            )
+            out = kmeans_assign(d, model, str(feat))
+            if "id" in named:
+                return out.select(
+                    str(named["id"]), "cluster"
+                )
+            return out
+        if proc == "match_sequences":
+            from spark_iceberg_schema_evolution_spark.operators.relational import (
+                match_sequences,
+            )
+
+            steps_arg = named.get("steps")
+            if not steps_arg:
+                raise ValueError(
+                    "match_sequences needs steps => 'a,b,c'"
+                )
+            return match_sequences(
+                t.read(),
+                [s.strip() for s in str(steps_arg).split(",")],
+                user_col=str(named.get("user", "user_id")),
+                ts_col=str(named.get("ts", "ts")),
+                type_col=str(named.get("event_type", "event_type")),
+                within_seconds=(
+                    int(named["within_seconds"])
+                    if "within_seconds" in named
+                    else None
+                ),
+                max_events_per_user=int(
+                    named.get("max_events_per_user", 100_000)
+                ),
+            )
         raise ValueError(f"unknown procedure: lake.system.{proc}")
 
     def _merge_sql(

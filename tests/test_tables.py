@@ -2459,3 +2459,78 @@ def test_sql_constraint_and_clone_faces(spark, catalog):
         "FOR VERSION AS OF 1"
     )
     assert catalog.table("db", "s3").row_count() == 2
+
+
+def test_sql_call_analytic_procedures(spark, catalog):
+    """Round-9 SQL front-door parity for the round-8 Python families:
+    CALL lake.system.{pagerank,connected_components,kmeans,
+    match_sequences} route to the operators and RETURN the analytic
+    frame (not a version row)."""
+    import datetime as dt
+
+    # two disjoint 3-cycles -> 6 pagerank nodes (uniform), 2 components
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    catalog.write_evolving(
+        spark.createDataFrame(edges, ["src", "dst"]), "db", "g_edges"
+    )
+    pr = catalog.sql(
+        "CALL lake.system.pagerank('db.g_edges', n_iter => 5)"
+    ).collect()
+    assert len(pr) == 6
+    assert abs(sum(r.rank for r in pr) - 1.0) < 1e-9
+    cc = catalog.sql(
+        "CALL lake.system.connected_components('db.g_edges')"
+    ).collect()
+    comps = {r.component for r in cc}
+    assert len(cc) == 6 and comps == {1, 10}
+
+    # renamed endpoint columns route through src/dst args
+    catalog.write_evolving(
+        spark.createDataFrame(edges, ["a", "b"]), "db", "g_edges2"
+    )
+    cc2 = catalog.sql(
+        "CALL lake.system.connected_components('db.g_edges2', "
+        "src => 'a', dst => 'b')"
+    )
+    assert cc2.count() == 6
+
+    # kmeans: two well-separated blobs
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)]
+    rows += [(100 + i, [10.0 + i * 0.01, 10.0]) for i in range(10)]
+    catalog.write_evolving(
+        spark.createDataFrame(rows, ["doc_id", "embedding"]),
+        "db", "g_docs",
+    )
+    km = catalog.sql(
+        "CALL lake.system.kmeans('db.g_docs', features => 'embedding', "
+        "k => 2, id => 'doc_id')"
+    ).collect()
+    assert len(km) == 20 and set(km[0].asDict()) == {"doc_id", "cluster"}
+    by_blob = {}
+    for r in km:
+        by_blob.setdefault(r.doc_id < 100, set()).add(r.cluster)
+    assert by_blob[True] != by_blob[False]
+    assert all(len(s) == 1 for s in by_blob.values())
+
+    # match_sequences: one a->b chain for user 1
+    ev = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), "a"),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 2), "b"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 3), "b"),
+    ]
+    catalog.write_evolving(
+        spark.createDataFrame(
+            ev, "user_id long, ts timestamp, event_type string"
+        ),
+        "db", "g_events",
+    )
+    ms = catalog.sql(
+        "CALL lake.system.match_sequences('db.g_events', "
+        "steps => 'a,b', within_seconds => 10)"
+    ).collect()
+    assert [(r.user_id, r.match_idx) for r in ms] == [(1, 1)]
+
+    with pytest.raises(ValueError, match="steps"):
+        catalog.sql("CALL lake.system.match_sequences('db.g_events')")
+    with pytest.raises(ValueError, match="features"):
+        catalog.sql("CALL lake.system.kmeans('db.g_docs')")
