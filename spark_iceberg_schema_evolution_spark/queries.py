@@ -7360,6 +7360,99 @@ def t2_sssp_weighted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q186_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+             LEAST(CAST(l.l_suppkey AS BIGINT),
+                   CAST(o.o_custkey % 200 AS BIGINT)) AS u,
+             GREATEST(CAST(l.l_suppkey AS BIGINT),
+                      CAST(o.o_custkey % 200 AS BIGINT)) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity <= 8
+        AND l.l_suppkey <> o.o_custkey % 200),
+    wedges AS (
+      SELECT l.u AS a, l.v AS b, r.v AS c
+      FROM e l JOIN e r ON l.u = r.u AND l.v < r.v),
+    tris AS (
+      SELECT a, b, c
+      FROM wedges JOIN e ON wedges.b = e.u AND wedges.c = e.v),
+    pern AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+      GROUP BY node),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+    SELECT node,
+           CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nodes LEFT JOIN pern USING (node) ORDER BY node
+    """,
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-node triangle counts (the clustering/cohesion signal:
+    spam farms are triangle-dense) over a deliberately NON-bipartite
+    fulfillment graph — customer ids fold into the supplier id space
+    (mod 200, no offset) so odd cycles exist. The canonical two-join
+    wedge closure is plain SQL, so this is the graph family's tier-1
+    face: the oracle replays the same wedge build + closure in DuckDB
+    and the driver hash-compares per-node counts. Cites
+    operators/graph.py:triangle_count (wedges shuffle by endpoint
+    pair; no neighborhood materialization)."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 8)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("o_custkey") % 200).cast("long").alias("dst"),
+    )
+    return triangle_count(edges).orderBy("node")
+
+
+@q(
+    "q187_degree_stats",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(l.l_suppkey AS BIGINT) AS src,
+             CAST(o.o_custkey + 1000000 AS BIGINT) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity <= 10),
+    outd AS (
+      SELECT src AS node, COUNT(DISTINCT dst) AS od FROM e GROUP BY src),
+    ind AS (
+      SELECT dst AS node, COUNT(DISTINCT src) AS idg FROM e GROUP BY dst)
+    SELECT node,
+           CAST(COALESCE(od, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(idg, 0) AS BIGINT) AS in_degree
+    FROM outd FULL OUTER JOIN ind USING (node) ORDER BY node
+    """,
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node distinct in/out degree — the first-look graph profile
+    (hub/spam detection). Two COUNT(DISTINCT) aggregates + one full
+    outer join: SQL-exact, so the degree family gets a tier-1
+    hash-compared face. Cites operators/graph.py:degree_stats."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        degree_stats,
+    )
+
+    li = load(spark, sf, "lineitem").where(F.col("l_quantity") <= 10)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).cast("long").alias("dst"),
+    )
+    return degree_stats(edges).orderBy("node")
+
+
 @q("t2_hashed_features", oracle=None, tier=2)
 def t2_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashing text vectorizer at corpus scale (Weinberger
@@ -9552,71 +9645,93 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # t2_logreg_train; repeated-match fold: t2_match_sequences).
 
 # Round-8 window (r7 VERDICT item 2, executed exactly as pinned): q145
-# (red two rounds running; this round's associative-integer-checksum
-# rewrite must prove itself on the driver) with its green probe q165,
-# ALL 20 never-driver-checked round-7 entries (q166–q185 — q167 and
-# q169 re-audited to exact-integer/fixed-shape form per VERDICT item 6
-# before entering), the 16 r4-stale rows (the last staleness debt),
-# then the 12 oldest r5 rows. After this rotation: zero never-checked
-# tier-1 entries and zero driver rows older than r5 — staleness debt
-# retired for the first time. Round-8 additions are tier-2 only
-# (sketch/property gates, no window competition) per the r7 warning to
-# stop out-adding the 50-slot window.
+# + probe q165, all 20 round-7 entries (q166–q185), the 16 r4-stale
+# rows, the 12 oldest r5 rows. Outcome (CORRECTNESS_r08): 50/50 green,
+# zero never-checked tier-1 entries, staleness debt retired.
+#
+# Round-9 window (r8 VERDICT ask #1, executed exactly as prescribed):
+# retire the tier-2 driver-smoke debt. ALL 32 registry rows that have
+# never produced a driver CORRECTNESS row (the 30 the verdict lists +
+# the two round-9 faces t2_adamic_adar/t2_sssp_weighted, fronted at
+# add time), plus the four round-8-rewrite tier-1 canaries
+# (q145/q165/q167/q169 — the pandas_udf import-scope incident proves
+# driver-env-only failures exist), plus the dedup/profile canaries for
+# THIS round's code changes (connected-components unpersist path →
+# q37/q74/q115/q118/t2_minhash_lsh_pairs; histogram NaN filter →
+# q136), then the oldest remaining t2 rows (r2: ivf/json_write/
+# multimodal_features/percentile_approx/spark_hashes; r3:
+# profile_approx/stats_moments; r4: approx_distinct). After this
+# rotation: ZERO registry entries with no driver row ever. Remaining
+# staleness for r10: t2_stats_moments/t2_approx_distinct (bumped for
+# the two new t1 graph faces, below), t2_multimodal_frames/
+# t2_orc_roundtrip (r3), the rest of the r4 t2 rows, and the r5
+# tier-1 block (q36/q38/q44-q48, q54-q60, q64-q65, q68, q70-q72, q89,
+# q93, q112, q116-q117, q119-q123) — fill the r10 window from there,
+# oldest first. Round-9 additions are two t2 rows + two t1 rows
+# (q186_triangle_count/q187_degree_stats — the SQL-expressible graph
+# faces this comment block planned last round), ALL four fronted in
+# this window at add time (net-new ≤ rotation capacity, r8 ask #8;
+# no tier-1 row ever exists without a planned driver slot).
 _DRIVER_WINDOW = [
-    # the one red row + its probe: the round's #1 gate
+    # round-8 rewrite canaries (tier-1, freshest risk)
     "q145_classifier_filter",
     "q165_classifier_probe",
-    # never driver-checked: all 20 round-7 additions
-    "q166_ohlc_bars",
     "q167_corr_regression",
-    "q168_mad_outliers",
     "q169_rolling_zscore",
-    "q170_clone_constraints",
-    "q171_scd2_incremental",
-    "q172_counter_agg",
-    "q173_classifier_eval",
-    "q174_ab_welch",
-    "q175_event_transitions",
-    "q176_pmi_collocations",
-    "q177_cusum_changepoint",
-    "q178_autocorr",
-    "q179_tv_divergence",
-    "q180_variant_shred",
-    "q181_rrf_fusion",
-    "q182_interval_coverage",
-    "q183_assoc_rules",
-    "q184_period_over_period",
-    "q185_incremental_ab",
-    # the 16 r4-stale rows (last checked 4 rounds ago)
-    "q52_stream_to_lakehouse",
-    "q66_stream_stateful",
-    "q69_stream_stream_join",
-    "q84_asof_tolerance",
-    "q86_stream_static_join",
-    "q94_hash_split",
-    "q95_bigram_counts",
-    "q98_version_diff",
-    "q99_pii_redaction",
-    "q100_boilerplate_removal",
-    "q102_lakehouse_sql",
-    "q103_mor_delete_update",
-    "q104_mor_merge",
-    "q109_mor_pos_delete",
-    "q110_weighted_resample",
-    "q111_dedup_keep_best",
-    # the 12 oldest r5 rows
-    "q12_tpch_q1",
-    "q13_count_distinct",
-    "q14_multi_distinct",
-    "q15_rollup",
-    "q16_having",
-    "q17_collect_sorted",
-    "q18_window_topk",
-    "q20_window_frame",
-    "q21_sort_nulls",
-    "q22_topk_revenue",
-    "q23_union_distinct",
-    "q33_cast_matrix",
+    # the 32 never-driver-run tier-2 rows: graph suite
+    "t2_pagerank",
+    "t2_hits",
+    "t2_components",
+    "t2_coreness",
+    "t2_label_propagation",
+    "t2_seed_distance",
+    "t2_adamic_adar",
+    "t2_sssp_weighted",
+    # ...training / clustering / reduction
+    "t2_kmeans",
+    "t2_logreg_train",
+    "t2_pca_project",
+    "t2_hashed_features",
+    "t2_isotonic_calibration",
+    "t2_poisson_bootstrap",
+    # ...CEP, lakehouse, sources
+    "t2_match_sequences",
+    "t2_multi_table_txn",
+    "t2_xml_scan",
+    "t2_bpe_learn",
+    "t2_compression_signal",
+    # ...sketch rollups
+    "t2_hll_rollup",
+    "t2_quantile_sketch_rollup",
+    "t2_topk_sketch_rollup",
+    "t2_lttb_downsample",
+    # ...ANN / dedup / media
+    "t2_ann_index_lifecycle",
+    "t2_pq_cosine_topk",
+    "t2_ivfpq_cosine_topk",
+    "t2_sq8_cosine_topk",
+    "t2_mmr_rerank",
+    "t2_cluster_sample_fit",
+    "t2_incremental_near_dedup",
+    "t2_media_near_dup",
+    "t2_ts_skip_planning",
+    # round-9 code-change canaries: dedup CC unpersist path + histogram
+    "q37_ngram_jaccard",
+    "q74_dedup_clusters",
+    "q115_semantic_dedup",
+    "q118_paragraph_dedup",
+    "q136_histogram",
+    "t2_minhash_lsh_pairs",
+    # oldest remaining t2 staleness (r2/r3/r4)
+    "t2_ivf_cosine_topk",
+    "t2_json_write",
+    "t2_multimodal_features",
+    "t2_percentile_approx",
+    "t2_spark_hashes",
+    "t2_profile_approx",
+    # the two new round-9 tier-1 graph faces, fronted at add time
+    "q186_triangle_count",
+    "q187_degree_stats",
 ]
 
 
