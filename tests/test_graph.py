@@ -735,3 +735,29 @@ def test_graph_loops_leave_no_orphaned_blocks(spark):
     hs.collect()
     # edges + nodes + final hub + final auth, never one-per-iteration
     assert len(_persistent_ids(spark) - base) == 4
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_draws", [
+    (3, 12, 40), (13, 25, 90), (29, 40, 200), (47, 18, 30),
+])
+def test_coreness_hindex_matches_peeler_fuzzed(spark, seed, n_nodes, n_draws):
+    """The round-9 iterated-h-index fixpoint must agree EXACTLY with
+    the classic peeling algorithm on arbitrary graphs — sparse chains,
+    dense cores, multiple components, parallel/self edges in the raw
+    input (Lu et al. 2016 prove convergence; this pins the
+    implementation)."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        coreness,
+    )
+
+    rng = np.random.RandomState(seed)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, n_nodes, size=(n_draws, 2))
+        }
+    )
+    want = _ref_coreness(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
+    assert got == want

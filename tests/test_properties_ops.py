@@ -687,11 +687,16 @@ def test_kmeans_refinement_matches_numpy_fuzzed(spark, pts, k):
     ),
     st.sampled_from([["a", "b"], ["a", "b", "c"], ["a", "a"]]),
     st.sampled_from([None, 5, 15]),
+    st.sampled_from([None, 4, 12, 100_000]),
 )
-def test_match_sequences_matches_replayer_fuzzed(spark, rows, steps, within):
+def test_match_sequences_matches_replayer_fuzzed(
+    spark, rows, steps, within, cap
+):
     """Fuzzed MATCH_RECOGNIZE-lite: the one-fold extraction must equal
     a pure-python greedy skip-past-last-row replayer on random event
-    streams, for 2/3-step and repeated-type patterns."""
+    streams, for 2/3-step and repeated-type patterns — and under the
+    round-9 hot-user cap, which drops a user's ENTIRE stream when its
+    event count exceeds max_events_per_user (never a partial prefix)."""
     import datetime as dt
 
     from spark_iceberg_schema_evolution_spark.operators.relational import (
@@ -715,6 +720,8 @@ def test_match_sequences_matches_replayer_fuzzed(spark, rows, steps, within):
     want = []
     for u in sorted({r[0] for r in rows}):
         evs = sorted((us(d), y) for uu, d, y in data if uu == u)
+        if cap is not None and len(evs) > cap:
+            continue
         cur = [None] * k
         idx = 0
         for t, y in evs:
@@ -735,7 +742,9 @@ def test_match_sequences_matches_replayer_fuzzed(spark, rows, steps, within):
                 cur = [None] * k
     got = [
         tuple(r)
-        for r in match_sequences(df, steps, within_seconds=within)
+        for r in match_sequences(
+            df, steps, within_seconds=within, max_events_per_user=cap
+        )
         .orderBy("user_id", "match_idx")
         .collect()
     ]
