@@ -606,6 +606,162 @@ def deterministic_sample(
     )
 
 
+def pps_systematic_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    seed: str = "",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — systematic
+    PPS (probability-proportional-to-size, the classic survey-sampling
+    design): order the rows by an md5 permutation of their ids, walk
+    the integer cumulative weight, and select every row whose weight
+    span crosses one of the ``n`` equally-spaced boundaries of the
+    group's total. Inclusion probability is exactly ``n * w_i / W``
+    for every row with ``w_i <= W/n`` (heavier rows are selected with
+    certainty; a row spanning several boundaries is emitted once, so a
+    group with such rows can yield fewer than ``n`` — the standard
+    systematic-PPS behavior, documented not hidden). The curation use:
+    "sample 100k documents with probability proportional to quality
+    weight" reproducibly, on any engine.
+
+    Why not Efraimidis-Spirakis exponential keys: ``-ln(u)/w`` ranks
+    via a TRANSCENDENTAL whose last-ulp behavior is libm-dependent —
+    exactly the cross-engine float fence the tier-1 oracle discipline
+    bans. Systematic PPS needs integer adds and integer division only,
+    so the selected row SET is bit-exact on every engine. Weights must
+    be positive integers (quantize upstream: cents, chars, tokens);
+    rows with NULL or non-positive weight are excluded. ``W * n`` must
+    fit int64 (~9e18) — at 1e12 total weight that allows n up to 9e6.
+
+    Scale shape — the cumulative walk DECOMPOSES, so there is no
+    single-reducer global sort: rows shard by a contiguous RANGE of
+    the md5 key space (``n_shards`` ranges; a range prefix is
+    order-compatible with the global (key, id) order), per-shard
+    totals collect to the driver (n_shards rows — bounded planning
+    metadata), and each shard walks its own window starting at the
+    exclusive prefix sum of the shards before it. The per-shard
+    cumulative + offset IS the global cumulative, integer-exactly, so
+    the result is provably identical to the one-window form for every
+    ``n_shards`` (equality-tested) — while the sort is bounded at
+    rows/shard. ``group_cols`` partitions the whole design per group
+    (shards then subdivide each group). Different ``seed`` values draw
+    independent samples."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    gcols = list(group_cols or [])
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    out = (
+        df.withColumn("__w", F.col(weight_col).cast("long"))
+        .where(F.col("__w") > 0)
+        .withColumn("__k", key)
+    )
+    # contiguous key-range shard: the first 4 hex chars scale into
+    # [0, n_shards) — ordering by (shard, key, id) == (key, id)
+    out = out.withColumn(
+        "__shard",
+        F.expr(
+            f"(CAST(conv(substring(__k, 1, 4), 16, 10) AS BIGINT) "
+            f"* CAST({int(n_shards)} AS BIGINT)) div 65536"
+        ),
+    )
+    # per-(group, shard) totals -> exclusive prefix offsets + group
+    # totals, computed over the tiny totals frame and broadcast back
+    totals = out.groupBy(*gcols, "__shard").agg(
+        F.sum("__w").alias("__st")
+    )
+    woff = (
+        W.partitionBy(*gcols)
+        .orderBy("__shard")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy(*gcols).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = totals.select(
+        *gcols,
+        "__shard",
+        (F.sum("__st").over(woff) - F.col("__st")).alias("__off"),
+        F.sum("__st").over(wtot).alias("__tot"),
+    )
+    out = out.join(F.broadcast(offsets), gcols + ["__shard"])
+    wcum = (
+        W.partitionBy(*gcols, "__shard")
+        .orderBy("__k", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = out.withColumn(
+        "__cum", F.sum("__w").over(wcum) + F.col("__off")
+    )
+    n_lit = int(n)
+    sel = F.expr(
+        f"(__cum * CAST({n_lit} AS BIGINT)) div __tot "
+        f"> ((__cum - __w) * CAST({n_lit} AS BIGINT)) div __tot"
+    )
+    return out.where(sel).drop(
+        "__w", "__k", "__shard", "__off", "__cum", "__tot"
+    )
+
+
+def domain_budget_select(
+    df: DataFrame,
+    p_bp: int,
+    weight_col: str,
+    quality_col: str,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain budget (top-p / nucleus) selection: within each
+    domain keep the HIGHEST-quality rows until they account for
+    ``p_bp`` basis points (1/100 of a percent) of the domain's total
+    weight; the row that crosses the boundary is included (nucleus
+    semantics — the kept mass is >= the budget, never silently under).
+    The mixture-building primitive between stratified counts and
+    DoReMi rate resampling: "keep the best 30% of each domain's token
+    mass" is ``p_bp=3000, weight=token_count, quality=lm_score``.
+
+    Integer-exact by construction (the tier-1 oracle discipline): the
+    keep test is the cross-multiplication ``cum_before * 10000 <
+    p_bp * W`` over integer cumulative weights — no percentage double
+    is ever formed, so every engine selects the identical row set.
+    Ordering is (quality DESC, id ASC): ties across the boundary
+    resolve deterministically. Weights must be positive integers; NULL
+    / non-positive weights are excluded. ``W * 10000`` must fit int64.
+
+    Scale shape: one window per domain (a single sort-shuffle on the
+    domain key) + the same-window total — no collect, no second scan."""
+    if not 0 <= p_bp <= 10_000:
+        raise ValueError(f"p_bp must be in [0, 10000]: {p_bp}")
+    out = df.withColumn("__w", F.col(weight_col).cast("long")).where(
+        F.col("__w") > 0
+    )
+    wcum = (
+        W.partitionBy(domain_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy(domain_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    out = (
+        out.withColumn("__cum", F.sum("__w").over(wcum))
+        .withColumn("__tot", F.sum("__w").over(wall))
+    )
+    keep = (F.col("__cum") - F.col("__w")) * F.lit(10_000) < F.lit(
+        int(p_bp)
+    ) * F.col("__tot")
+    return out.where(keep).drop("__w", "__cum", "__tot")
+
+
 def token_budget_batches(
     df: DataFrame,
     budget: int,

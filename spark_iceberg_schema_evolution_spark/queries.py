@@ -7453,6 +7453,93 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     return degree_stats(edges).orderBy("node")
 
 
+@q(
+    "q188_pps_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             md5(concat(':', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents WHERE n_chars > 0),
+    c AS (
+      SELECT doc_id, w, k,
+             SUM(w) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER () AS tot
+      FROM base)
+    SELECT doc_id, w AS n_chars
+    FROM c
+    WHERE (cum * 500) // tot > ((cum - w) * 500) // tot
+    ORDER BY doc_id
+    """,
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (systematic
+    PPS over the md5-permuted order): 500 documents drawn with
+    probability proportional to n_chars. Integer cumulative weights +
+    integer division only — no transcendental keys (the
+    Efraimidis-Spirakis exponential trick is a cross-engine float
+    fence), so the selected row SET is bit-identical in DuckDB. Cites
+    operators/text.py:pps_systematic_sample."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        pps_systematic_sample,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return pps_systematic_sample(d, 500, "n_chars").orderBy("doc_id")
+
+
+@q(
+    "q189_domain_budget",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+               AS q
+      FROM documents WHERE n_chars > 0),
+    c AS (
+      SELECT doc_id, source, w, q,
+             SUM(w) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS tot
+      FROM base)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(w) AS BIGINT) AS kept_chars
+    FROM c
+    WHERE (cum - w) * 10000 < 3000 * tot
+    GROUP BY source ORDER BY source
+    """,
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain budget (nucleus / top-p) selection: keep each
+    source's highest-quality documents until 30% of its character mass
+    is covered (boundary row included) — the mixture primitive between
+    stratified counts and DoReMi rate resampling. Keep test is the
+    integer cross-multiplication cum_before*10000 < p_bp*total: no
+    percentage double ever forms, so DuckDB selects the identical
+    rows. Cites operators/text.py:domain_budget_select."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        domain_budget_select,
+        token_count,
+    )
+
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "source", "n_chars", "text")
+        .withColumn("q", token_count().cast("long"))
+    )
+    kept = domain_budget_select(
+        d, 3000, "n_chars", "q", domain_col="source", id_col="doc_id"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 @q("t2_hashed_features", oracle=None, tier=2)
 def t2_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashing text vectorizer at corpus scale (Weinberger
@@ -9662,14 +9749,17 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # multimodal_features/percentile_approx/spark_hashes; r3:
 # profile_approx/stats_moments; r4: approx_distinct). After this
 # rotation: ZERO registry entries with no driver row ever. Remaining
-# staleness for r10: t2_stats_moments/t2_approx_distinct (bumped for
-# the two new t1 graph faces, below), t2_multimodal_frames/
-# t2_orc_roundtrip (r3), the rest of the r4 t2 rows, and the r5
-# tier-1 block (q36/q38/q44-q48, q54-q60, q64-q65, q68, q70-q72, q89,
-# q93, q112, q116-q117, q119-q123) — fill the r10 window from there,
-# oldest first. Round-9 additions are two t2 rows + two t1 rows
-# (q186_triangle_count/q187_degree_stats — the SQL-expressible graph
-# faces this comment block planned last round), ALL four fronted in
+# staleness for r10: t2_stats_moments/t2_approx_distinct/
+# t2_percentile_approx/t2_spark_hashes (bumped for the four new t1
+# faces, below; the latter two are pure-function rows — the q27-class
+# lowest-risk deferral), t2_multimodal_frames/t2_orc_roundtrip (r3),
+# the rest of the r4 t2 rows, and the r5 tier-1 block (q36/q38/
+# q44-q48, q54-q60, q64-q65, q68, q70-q72, q89, q93, q112, q116-q117,
+# q119-q123) — fill the r10 window from there, oldest first. Round-9
+# additions are two t2 rows + FOUR t1 rows (q186_triangle_count/
+# q187_degree_stats — the SQL-expressible graph faces planned last
+# round — and q188_pps_sample/q189_domain_budget — integer-exact
+# weighted sampling + per-domain nucleus budget), ALL six fronted in
 # this window at add time (net-new ≤ rotation capacity, r8 ask #8;
 # no tier-1 row ever exists without a planned driver slot).
 _DRIVER_WINDOW = [
@@ -9722,16 +9812,16 @@ _DRIVER_WINDOW = [
     "q118_paragraph_dedup",
     "q136_histogram",
     "t2_minhash_lsh_pairs",
-    # oldest remaining t2 staleness (r2/r3/r4)
+    # oldest remaining t2 staleness (r2/r3)
     "t2_ivf_cosine_topk",
     "t2_json_write",
     "t2_multimodal_features",
-    "t2_percentile_approx",
-    "t2_spark_hashes",
     "t2_profile_approx",
-    # the two new round-9 tier-1 graph faces, fronted at add time
+    # the four new round-9 tier-1 faces, fronted at add time
     "q186_triangle_count",
     "q187_degree_stats",
+    "q188_pps_sample",
+    "q189_domain_budget",
 ]
 
 

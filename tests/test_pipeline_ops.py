@@ -508,3 +508,121 @@ def test_skew_report_identifies_hot_keys(spark):
     import pytest as _p
     with _p.raises(ValueError):
         skew_report(df, [])
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_pps_systematic_sample_matches_replica_and_pps(spark):
+    """Systematic PPS: exact row-set equality vs a pure-python replica
+    (md5 order, integer cumsum, boundary crossings), exactly-n when no
+    row outweighs W/n, inclusion frequency across seeds tracks
+    probability-proportional-to-size."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, (i * 37) % 19 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    n = 10
+
+    def replica(seed: str) -> set[int]:
+        ordered = sorted(rows, key=lambda r: (_md5(f"{seed}:{r[0]}"), r[0]))
+        total = sum(w for _, w in ordered)
+        picked, cum = set(), 0
+        for i, w in ordered:
+            before = cum
+            cum += w
+            if (cum * n) // total > (before * n) // total:
+                picked.add(i)
+        return picked
+
+    for seed in ("", "s1", "s2"):
+        got = {
+            r["doc_id"]
+            for r in pps_systematic_sample(
+                df, n, "w", seed=seed
+            ).collect()
+        }
+        assert got == replica(seed), seed
+        assert len(got) == n  # max w=19 << W/n
+
+    # PPS property: over many seeds, selection frequency ~ n*w/W
+    freq = {i: 0 for i, _ in rows}
+    n_seeds = 60
+    for k in range(n_seeds):
+        for i in replica(f"seed{k}"):
+            freq[i] += 1
+    total = sum(w for _, w in rows)
+    heavy = [i for i, w in rows if w >= 15]
+    light = [i for i, w in rows if w <= 3]
+    f_heavy = sum(freq[i] for i in heavy) / len(heavy) / n_seeds
+    f_light = sum(freq[i] for i in light) / len(light) / n_seeds
+    assert f_heavy > 2.5 * f_light  # 15+/3- weight ratio >= 5x
+
+    # grouped variant partitions the walk per group
+    gdf = spark.createDataFrame(
+        [(i, 1 + i % 5, "g%d" % (i % 2)) for i in range(40)],
+        "doc_id long, w long, g string",
+    )
+    out = pps_systematic_sample(gdf, 4, "w", group_cols=["g"])
+    per_g = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_g == {"g0": 4, "g1": 4}
+
+    # the sharded walk is provably identical to the one-window form
+    for shards in (1, 3, 16):
+        got_s = {
+            r["doc_id"]
+            for r in pps_systematic_sample(
+                df, n, "w", seed="s1", n_shards=shards
+            ).collect()
+        }
+        assert got_s == replica("s1"), shards
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must"):
+        pps_systematic_sample(df, 0, "w")
+    with _pt.raises(ValueError, match="n_shards"):
+        pps_systematic_sample(df, 2, "w", n_shards=0)
+
+
+def test_domain_budget_select_nucleus_semantics(spark):
+    """Per-domain top-p: keeps highest-quality rows until the budget is
+    crossed (crossing row included), integer cross-multiplied — matches
+    a pure-python replica; zero/NULL weights excluded; p_bp=0 keeps
+    nothing, 10000 keeps everything."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        domain_budget_select,
+    )
+
+    rows = [
+        # (id, weight, quality, domain)
+        (1, 40, 9.0, "a"), (2, 30, 8.0, "a"), (3, 20, 7.0, "a"),
+        (4, 10, 6.0, "a"),
+        (5, 50, 1.0, "b"), (6, 50, 2.0, "b"),
+        (7, 0, 9.9, "b"), (8, None, 9.9, "b"),  # excluded weights
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, w long, q double, source string"
+    )
+    got = {
+        r["doc_id"]
+        for r in domain_budget_select(df, 5000, "w", "q").collect()
+    }
+    # domain a (W=100, budget 50%): q-desc order 1(40),2(30) — row 2
+    # crosses at cum_before=40 < 50 -> kept; row 3 cum_before=70 -> out
+    # domain b (W=100): 6(50) kept (cum_before 0), 5 crosses? cum_before
+    # =50, 50*10000 < 5000*100=500000? 500000 < 500000 false -> out
+    assert got == {1, 2, 6}
+    assert domain_budget_select(df, 0, "w", "q").count() == 0
+    kept_all = domain_budget_select(df, 10_000, "w", "q")
+    assert kept_all.count() == 6  # the two bad-weight rows stay out
+    import pytest as _pt
+    with _pt.raises(ValueError, match="p_bp"):
+        domain_budget_select(df, 10_001, "w", "q")

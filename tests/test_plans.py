@@ -679,3 +679,22 @@ def test_compression_stats_is_map_only_arrow(spark):
     plan = explain.physical_plan(out)
     assert explain.count_exchanges(out) == 0
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_pps_sample_shards_bound_the_sort(spark):
+    """The systematic-PPS walk decomposes: the corpus-sized window
+    partitions on the md5 key-range shard (never one global reducer),
+    the per-shard offsets come back via a broadcast join of the tiny
+    totals frame, and nothing drops to Python."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        pps_systematic_sample,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = pps_systematic_sample(d, 50, "n_chars", n_shards=8)
+    plan = explain.physical_plan(out)
+    assert "__shard" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
