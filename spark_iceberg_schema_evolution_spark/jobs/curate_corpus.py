@@ -114,6 +114,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--cluster-refine", type=int, default=2,
         help="full-corpus Lloyd refinement sweeps for --cluster-quota",
     )
+    p.add_argument(
+        "--domain-budget-bp", type=int, default=0,
+        help="per-source nucleus trim: keep each source's highest-"
+        "quality docs until this many basis points of its token mass "
+        "is covered (0 = stage off)",
+    )
+    p.add_argument(
+        "--pps-sample-n", type=int, default=0,
+        help="systematic-PPS downsample: keep ~n docs with probability "
+        "proportional to token count (0 = stage off)",
+    )
     return p
 
 
@@ -281,6 +292,50 @@ def curate(spark, args) -> dict:
         kept.write.mode("overwrite").parquet(f"{args.output}/03c_diverse")
         kept = spark.read.parquet(f"{args.output}/03c_diverse")
         counts["after_cluster_quota"] = kept.count()
+
+    # 3a3. optional per-domain nucleus budget: keep each source's
+    # highest-quality docs until --domain-budget-bp of its token mass
+    # is covered (integer cross-multiplied — engine-exact). Quality is
+    # the stage-3 score already on the frame; weight is the token
+    # estimate. Runs before the mixture (which re-keys doc_id).
+    if args.domain_budget_bp:
+        from spark_iceberg_schema_evolution_spark.operators.text import (
+            domain_budget_select,
+        )
+
+        kept = domain_budget_select(
+            kept.withColumn("__tok", token_count().cast("long")),
+            args.domain_budget_bp,
+            "__tok",
+            "quality",
+            domain_col="source",
+            id_col="doc_id",
+        ).drop("__tok")
+        kept.write.mode("overwrite").parquet(
+            f"{args.output}/03d_domain_budget"
+        )
+        kept = spark.read.parquet(f"{args.output}/03d_domain_budget")
+        counts["after_domain_budget"] = kept.count()
+
+    # 3a4. optional corpus-wide weighted downsample: systematic PPS
+    # with probability proportional to token count (deterministic,
+    # integer-exact, key-range sharded — no global sort).
+    if args.pps_sample_n:
+        from spark_iceberg_schema_evolution_spark.operators.text import (
+            pps_systematic_sample,
+        )
+
+        kept = pps_systematic_sample(
+            kept.withColumn("__tok", token_count().cast("long")),
+            args.pps_sample_n,
+            "__tok",
+            id_col="doc_id",
+        ).drop("__tok")
+        kept.write.mode("overwrite").parquet(
+            f"{args.output}/03e_pps_sample"
+        )
+        kept = spark.read.parquet(f"{args.output}/03e_pps_sample")
+        counts["after_pps_sample"] = kept.count()
 
     # 3b. optional training-mixture resample by source token shares
     if args.mix:

@@ -684,3 +684,50 @@ def test_train_quality_head_job_end_to_end(spark, tmp_path, capsys):
     # only the planted-spam doc survives the 0.5 calibrated cut
     assert [r["doc_id"] for r in kept] == [101]
     assert kept[0]["calibrated"] >= 0.5
+
+
+def test_curate_domain_budget_and_pps_stages(spark, tmp_path):
+    """--domain-budget-bp trims each source to its highest-quality token
+    budget, --pps-sample-n then weighted-downsamples; both stage outputs
+    equal the direct operator composition on the preceding stage."""
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import (
+        build_parser, curate,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        domain_budget_select, pps_systematic_sample, token_count,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "curbudget")
+    args = build_parser().parse_args(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out,
+         "--min-quality", "0.0",
+         "--domain-budget-bp", "6000",
+         "--pps-sample-n", "40",
+         "--chunk-tokens", "64", "--overlap", "8",
+         "--pack-capacity", "512"]
+    )
+    counts = curate(spark, args)
+    quality = spark.read.parquet(f"{out}/03_quality")
+    want_budget = domain_budget_select(
+        quality.withColumn("__tok", token_count().cast("long")),
+        6000, "__tok", "quality", domain_col="source", id_col="doc_id",
+    ).drop("__tok")
+    got_budget = spark.read.parquet(f"{out}/03d_domain_budget")
+    assert {r["doc_id"] for r in got_budget.select("doc_id").collect()} \
+        == {r["doc_id"] for r in want_budget.select("doc_id").collect()}
+    assert counts["after_domain_budget"] == want_budget.count()
+    assert 0 < counts["after_domain_budget"] < counts["after_quality"]
+
+    want_pps = pps_systematic_sample(
+        got_budget.withColumn("__tok", token_count().cast("long")),
+        40, "__tok", id_col="doc_id",
+    ).drop("__tok")
+    got_pps = spark.read.parquet(f"{out}/03e_pps_sample")
+    assert {r["doc_id"] for r in got_pps.select("doc_id").collect()} \
+        == {r["doc_id"] for r in want_pps.select("doc_id").collect()}
+    assert counts["after_pps_sample"] <= 40
+    # downstream stages consumed the sampled corpus
+    assert counts["after_pps_sample"] < counts["after_domain_budget"]
+    _ = F
