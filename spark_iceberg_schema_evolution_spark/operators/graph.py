@@ -368,7 +368,9 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     min_score: float = 0.0,
-) -> DataFrame:
+    max_degree: int | None = None,
+    return_drop_stats: bool = False,
+):
     """Adamic-Adar link prediction (Adamic & Adar 2003): for every
     non-adjacent node pair sharing >= 1 neighbor on the undirected
     simple graph, ``score = sum over common neighbors z of
@@ -385,7 +387,25 @@ def adamic_adar(
     a sum aggregate, and an anti-join dropping already-adjacent pairs.
     Degree-1 common neighbors contribute nothing and are excluded
     up-front (1/ln(1) is undefined; a degree-1 node forms no wedge
-    anyway). ``min_score`` prunes the long tail before the anti-join."""
+    anyway). ``min_score`` prunes the long tail before the anti-join.
+
+    Hot-hub guard (the :func:`..relational.fuzzy_join`
+    ``max_block_pairs`` discipline applied to wedges): a middle vertex
+    of degree d emits d(d-1)/2 wedge rows, so ONE mega-hub (a portal
+    page linked by 10M hosts) costs 5e13 rows while contributing only
+    1/ln(1e7) ~ 0.06 per pair — the least-informative neighbors are
+    precisely the most expensive. ``max_degree`` drops nodes above the
+    cap from acting as the SHARED middle (they still appear as
+    endpoints and in the adjacency anti-join, so no phantom pairs
+    appear); the drop is never silent — ``return_drop_stats=True``
+    returns ``(pairs, drops)`` with a one-row frame ``(dropped_hubs,
+    dropped_wedges)`` estimating the skipped work. Scores for pairs
+    whose ONLY common neighbors were dropped hubs vanish entirely;
+    remaining scores are lower bounds within
+    ``n_dropped_common * 1/ln(max_degree)`` of exact. Default ``None``
+    preserves exact semantics."""
+    if max_degree is not None and max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2: {max_degree}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
         e.where(F.col("a") != F.col("b"))
@@ -399,7 +419,19 @@ def adamic_adar(
         und.select(F.col("v").alias("z"), F.col("u").alias("n"))
     )
     deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
-    w = deg.where(F.col("d") >= 2).select(
+    eligible = deg.where(F.col("d") >= 2)
+    drops = None
+    if max_degree is not None:
+        hot = eligible.where(F.col("d") > max_degree)
+        drops = hot.agg(
+            F.count(F.lit(1)).alias("dropped_hubs"),
+            F.coalesce(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long"),
+                F.lit(0),
+            ).alias("dropped_wedges"),
+        )
+        eligible = eligible.where(F.col("d") <= max_degree)
+    w = eligible.select(
         "z", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w")
     )
     nbrs = sym.join(w, "z")
@@ -413,11 +445,18 @@ def adamic_adar(
         .agg(F.sum(F.col("l.w")).alias("score"))
         .where(F.col("score") >= min_score)
     )
-    return pairs.join(
+    out = pairs.join(
         und,
         (pairs["node_a"] == und["u"]) & (pairs["node_b"] == und["v"]),
         "left_anti",
     )
+    if not return_drop_stats:
+        return out
+    if drops is None:
+        drops = edges.sparkSession.createDataFrame(
+            [(0, 0)], "dropped_hubs long, dropped_wedges long"
+        )
+    return out, drops
 
 
 def k_core(

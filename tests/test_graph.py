@@ -761,3 +761,55 @@ def test_coreness_hindex_matches_peeler_fuzzed(spark, seed, n_nodes, n_draws):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
     assert got == want
+
+
+def test_adamic_adar_hub_guard(spark):
+    """max_degree drops mega-hubs from acting as the shared middle
+    vertex (their wedge cost is quadratic, their score contribution
+    minimal) with surfaced drop stats; capped scores equal the replica
+    computed over the surviving middles only; pairs whose only common
+    neighbor was the hub vanish rather than appearing with score 0."""
+    import math
+
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    # hub 99 connects to 0..7; besides that, 0-1-2 path through node 50
+    edges = [(99, i) for i in range(8)]
+    edges += [(0, 50), (1, 50), (2, 50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    full, d0 = adamic_adar(df, return_drop_stats=True)
+    z = d0.first()
+    assert (z["dropped_hubs"], z["dropped_wedges"]) == (0, 0)
+    got_full = {
+        (r["node_a"], r["node_b"]): r["score"] for r in full.collect()
+    }
+
+    capped, d1 = adamic_adar(df, max_degree=4, return_drop_stats=True)
+    s = d1.first()
+    assert s["dropped_hubs"] == 1  # only the hub (deg 8) exceeds 4
+    assert s["dropped_wedges"] == 8 * 7 // 2
+    got = {
+        (r["node_a"], r["node_b"]): r["score"] for r in capped.collect()
+    }
+    # surviving middles: node 50 (deg 3) closes pairs within {0,1,2};
+    # nodes 0,1,2 (deg 2 each) close (50, 99). The hub-only pairs —
+    # (i, j) within 0..7 with j >= 3, whose SOLE middle was 99 —
+    # vanish rather than appearing with score 0.
+    w50 = 1.0 / math.log(3)
+    w2 = 1.0 / math.log(2)
+    assert set(got) == {(0, 1), (0, 2), (1, 2), (50, 99)}
+    for k in ((0, 1), (0, 2), (1, 2)):
+        assert got[k] == pytest.approx(w50, rel=1e-12)
+        # the full run ALSO counted the hub for these pairs
+        assert got_full[k] == pytest.approx(
+            w50 + 1.0 / math.log(8), rel=1e-12
+        )
+    assert got[(50, 99)] == pytest.approx(3 * w2, rel=1e-12)
+    assert (3, 4) in got_full and (3, 4) not in got
+
+    import pytest as _p
+    with _p.raises(ValueError, match="max_degree"):
+        adamic_adar(df, max_degree=1)
