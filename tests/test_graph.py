@@ -813,3 +813,32 @@ def test_adamic_adar_hub_guard(spark):
     import pytest as _p
     with _p.raises(ValueError, match="max_degree"):
         adamic_adar(df, max_degree=1)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_draws", [(5, 15, 40), (23, 30, 160)])
+def test_triangle_count_degree_order_identical(spark, seed, n_nodes, n_draws):
+    """The degree-ordered orientation (Suri & Vassilvitskii: hubs stop
+    pivoting wedges) must count the identical per-node triangles as
+    the id-ordered default, including on skewed graphs with a planted
+    hub."""
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = np.random.RandomState(seed)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, n_nodes, size=(n_draws, 2))
+        }
+    )
+    edges += [(999, i) for i in range(n_nodes)]  # planted hub
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {
+        r["node"]: r["n_triangles"] for r in triangle_count(df).collect()
+    }
+    ordered = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(df, order_by_degree=True).collect()
+    }
+    assert ordered == base

@@ -31,6 +31,7 @@ from spark_iceberg_schema_evolution_spark.operators.graph import (  # noqa: E402
     coreness,
     pagerank,
     shortest_paths,
+    triangle_count,
 )
 from spark_iceberg_schema_evolution_spark.session import get_spark  # noqa: E402
 
@@ -95,6 +96,28 @@ def main() -> None:
         "sec": round(time.time() - t0, 1),
         "reached": sp.count(),
         "new_persistent_rdds": len(persistent_ids(spark) - base),
+    }
+
+    # triangle counting on the skewed graph: id-ordered wedges pay the
+    # hub's d^2; the degree-ordered orientation pivots at the LOW end
+    import pyspark.sql.functions as FF
+
+    t0 = time.time()
+    n_id = triangle_count(e).agg(FF.sum("n_triangles")).first()[0]
+    t_id = time.time() - t0
+    t0 = time.time()
+    n_deg = (
+        triangle_count(e, order_by_degree=True)
+        .agg(FF.sum("n_triangles"))
+        .first()[0]
+    )
+    t_deg = time.time() - t0
+    assert n_id == n_deg, (n_id, n_deg)
+    out["triangles"] = {
+        "total_x3": int(n_id),
+        "sec_id_order": round(t_id, 1),
+        "sec_degree_order": round(t_deg, 1),
+        "speedup": round(t_id / max(t_deg, 1e-9), 2),
     }
     print(json.dumps(out))
 
