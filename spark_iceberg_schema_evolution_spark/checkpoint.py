@@ -23,8 +23,10 @@ frames (so call sites don't need to care which kind they hold).
 Only call it on frames that are truly dead: a localCheckpoint's
 lineage is truncated, so once its blocks are gone the frame can NEVER
 be recomputed (Spark logs a warning to that effect; we lower that
-logger to ERROR once, because here the warning's scenario — reuse
-after release — is exactly what the call sites promise not to do).
+logger to ERROR only AROUND the unpersist call and restore it after —
+the warning's scenario, reuse-after-release, is exactly what the call
+sites promise not to do, while unrelated WARNs from the same logger
+must keep flowing the rest of the time).
 
 Verified by tests/test_graph.py::test_graph_loops_leave_no_orphaned_blocks
 (persistent-RDD census before/after multi-round fixpoints).
@@ -32,29 +34,42 @@ Verified by tests/test_graph.py::test_graph_loops_leave_no_orphaned_blocks
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 
-_warn_suppressed = False
+_RDD_LOGGER = "org.apache.spark.rdd.MapPartitionsRDD"
 
 
-def _suppress_truncation_warning(df: DataFrame) -> None:
+@contextlib.contextmanager
+def _truncation_warning_suppressed(df: DataFrame):
     # RDD.unpersist on a locally-checkpointed RDD logs
     # "lineage has been truncated and cannot be recomputed" once per
     # call; in a 50-round fixpoint that is 50 lines of noise about a
     # scenario (recompute-after-release) the call sites exclude by
-    # contract. Lower that one logger to ERROR, once per driver.
-    global _warn_suppressed
-    if _warn_suppressed:
-        return
-    _warn_suppressed = True
+    # contract. Lower that one logger to ERROR for the duration of the
+    # unpersist ONLY, then restore its previous level — a session-wide
+    # lowering would hide unrelated MapPartitionsRDD warnings too
+    # (ADVICE r9).
+    restore = None
     try:
         jvm = df.sparkSession.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd.MapPartitionsRDD",
-            jvm.org.apache.logging.log4j.Level.ERROR,
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        prev = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            _RDD_LOGGER
+        ).getLevel()
+        configurator.setLevel(
+            _RDD_LOGGER, jvm.org.apache.logging.log4j.Level.ERROR
         )
+        restore = (configurator, prev)
     except Exception:
         pass  # logging backend not log4j2: keep the warnings, stay correct
+    try:
+        yield
+    finally:
+        if restore is not None:
+            with contextlib.suppress(Exception):
+                restore[0].setLevel(_RDD_LOGGER, restore[1])
 
 
 def unpersist_checkpoint(df: DataFrame, blocking: bool = False) -> None:
@@ -68,8 +83,8 @@ def unpersist_checkpoint(df: DataFrame, blocking: bool = False) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith(".LogicalRDD"):
-            _suppress_truncation_warning(df)
-            plan.rdd().unpersist(blocking)
+            with _truncation_warning_suppressed(df):
+                plan.rdd().unpersist(blocking)
             return
     except Exception:
         pass  # Connect / mock frames: fall through to the public API

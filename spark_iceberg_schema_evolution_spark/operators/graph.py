@@ -368,7 +368,7 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     min_score: float = 0.0,
-    max_degree: int | None = None,
+    max_degree: int | None = 10_000,
     return_drop_stats: bool = False,
 ):
     """Adamic-Adar link prediction (Adamic & Adar 2003): for every
@@ -402,8 +402,12 @@ def adamic_adar(
     dropped_wedges)`` estimating the skipped work. Scores for pairs
     whose ONLY common neighbors were dropped hubs vanish entirely;
     remaining scores are lower bounds within
-    ``n_dropped_common * 1/ln(max_degree)`` of exact. Default ``None``
-    preserves exact semantics."""
+    ``n_dropped_common * 1/ln(max_degree)`` of exact. The default is
+    a FINITE 10_000 — a 10k-degree middle already contributes only
+    1/ln(1e4) ~ 0.11 per pair while costing 5e7 wedge rows, and the
+    unguarded form is the one a naive caller OOMs on at web scale;
+    pass ``max_degree=None`` explicitly for exact semantics on graphs
+    known to be hub-free."""
     if max_degree is not None and max_degree < 2:
         raise ValueError(f"max_degree must be >= 2: {max_degree}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -842,7 +846,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    order_by_degree: bool = False,
+    order_by_degree: bool = True,
 ) -> DataFrame:
     """Exact per-node triangle count on the UNDIRECTED simple graph
     (direction and parallel edges collapse; self-loops drop) — the
@@ -856,17 +860,19 @@ def triangle_count(
     materialization, so a high-degree hub costs O(deg^2) wedge rows
     but no single-task blowup (wedges shuffle by their closing key).
 
-    ``order_by_degree=True`` switches the orientation from id order to
-    the standard degree order (Suri & Vassilvitskii 2011 "Counting
+    ``order_by_degree=True`` (the default) orients edges in the
+    standard degree order (Suri & Vassilvitskii 2011 "Counting
     triangles and the curse of the last reducer"): every edge points
     from its lower-(degree, id) endpoint to the higher, and wedges
     pivot at the LOWEST-degree vertex — a degree-d hub then emits
     wedges only for its higher-ranked neighbors, collapsing the hub's
     d^2 term to (its out-degree)^2 where out-degree is bounded by the
-    graph's degeneracy (measured on the skewed 1M-edge probe graph:
-    tools/probe_r9_graph.py). Output is IDENTICAL either way
-    (equality-tested); id order stays the default because the tier-1
-    DuckDB oracle replays it verbatim."""
+    graph's degeneracy (15.3x on the skewed 1M-edge probe graph:
+    tools/probe_r9_graph.py, PROBES_r09). Output is IDENTICAL either
+    way (equality-tested; the per-node counts don't depend on wedge
+    orientation), so the scale-safe orientation is the default;
+    ``order_by_degree=False`` keeps the simpler id-order plan (one
+    fewer degree join) for small known-unskewed graphs."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
         e.where(F.col("a") != F.col("b"))

@@ -449,13 +449,18 @@ def match_sequences(
     bot with 10M events) would OOM its executor task. Users whose
     event count exceeds ``max_events_per_user`` are therefore DROPPED
     before the fold (the :func:`fuzzy_join` ``max_block_pairs``
-    discipline; pass ``None`` to disable). The drop is never silent:
-    with ``return_drop_stats=True`` the result is ``(matches, drops)``
-    where ``drops`` is a one-row DataFrame ``(dropped_users,
-    dropped_events)`` — wire it into the run's metrics; at 100 TB a
-    hot user silently deleting matches is an audit failure. The guard
-    costs one extra count aggregate on the same user key (map-side
-    partial) + a broadcast anti-join of the (tiny) over-cap user set."""
+    discipline; pass ``None`` to disable). The drop is never silent —
+    on EITHER path: with ``return_drop_stats=True`` the result is
+    ``(matches, drops)`` where ``drops`` is a one-row DataFrame
+    ``(dropped_users, dropped_events)`` — wire it into the run's
+    metrics; on the default path the guard's drop stats are evaluated
+    EAGERLY at call time and a ``UserWarning`` with both counts fires
+    whenever any user was capped (at 100 TB a hot user silently
+    deleting matches is an audit failure, so the default must not
+    depend on the caller opting into the stats frame). The guard
+    costs one count aggregate on the same user key (map-side partial;
+    evaluated once more eagerly on the warn path) + a broadcast
+    anti-join of the (tiny) over-cap user set."""
     if len(steps) < 2:
         raise ValueError("match_sequences needs at least two steps")
     if max_events_per_user is not None and max_events_per_user < 1:
@@ -474,6 +479,23 @@ def match_sequences(
         df = df.join(
             F.broadcast(hot.select(user_col)), user_col, "left_anti"
         )
+        if not return_drop_stats:
+            # default path: the drop must not be silent (ADVICE r9) —
+            # evaluate the guard stats now and warn if it fired
+            z = drops.first()
+            if z["dropped_users"]:
+                import warnings
+
+                warnings.warn(
+                    "match_sequences dropped "
+                    f"{z['dropped_users']} user(s) / "
+                    f"{z['dropped_events']} event(s) over "
+                    f"max_events_per_user={max_events_per_user}; pass "
+                    "return_drop_stats=True to consume the counts, or "
+                    "max_events_per_user=None to disable the cap",
+                    UserWarning,
+                    stacklevel=2,
+                )
     ev = F.struct(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
         F.col(type_col).alias("y"),

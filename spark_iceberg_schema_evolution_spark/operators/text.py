@@ -620,11 +620,18 @@ def pps_systematic_sample(
     design): order the rows by an md5 permutation of their ids, walk
     the integer cumulative weight, and select every row whose weight
     span crosses one of the ``n`` equally-spaced boundaries of the
-    group's total. Inclusion probability is exactly ``n * w_i / W``
-    for every row with ``w_i <= W/n`` (heavier rows are selected with
-    certainty; a row spanning several boundaries is emitted once, so a
-    group with such rows can yield fewer than ``n`` — the standard
-    systematic-PPS behavior, documented not hidden). The curation use:
+    group's total. Inclusion probability is APPROXIMATELY
+    ``n * w_i / W`` for rows with ``w_i <= W/n``, where the randomness
+    is the md5 permutation of ids (not an independent uniform start:
+    the boundary grid is anchored at the group total, so the
+    md5-order-last row always spans the final boundary and is selected
+    with certainty — a deterministic-grid bias of one row that
+    vanishes as n grows; a seed-derived fractional start would remove
+    it at the cost of the bit-exact cross-engine replay below).
+    Heavier rows are selected with certainty; a row spanning several
+    boundaries is emitted once, so a group with such rows can yield
+    fewer than ``n`` — the standard systematic-PPS behavior,
+    documented not hidden. The curation use:
     "sample 100k documents with probability proportional to quality
     weight" reproducibly, on any engine.
 
@@ -641,9 +648,11 @@ def pps_systematic_sample(
     single-reducer global sort: rows shard by a contiguous RANGE of
     the md5 key space (``n_shards`` ranges; a range prefix is
     order-compatible with the global (key, id) order), per-shard
-    totals collect to the driver (n_shards rows — bounded planning
-    metadata), and each shard walks its own window starting at the
-    exclusive prefix sum of the shards before it. The per-shard
+    exclusive prefix offsets are computed by a window over the BOUNDED
+    totals frame (n_shards rows per group — never collected, broadcast
+    back as a BroadcastHashJoin build side), and each shard walks its
+    own window starting at the exclusive prefix sum of the shards
+    before it. The per-shard
     cumulative + offset IS the global cumulative, integer-exactly, so
     the result is provably identical to the one-window form for every
     ``n_shards`` (equality-tested) — while the sort is bounded at

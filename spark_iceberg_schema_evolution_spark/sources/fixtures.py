@@ -23,7 +23,7 @@ MANDATORY = [
 ]
 
 # the FULL optional-column envelope of the reference generator
-# (fake_data.py:15-32, 70 names), each mapped onto this generator's
+# (fake_data.py:15-32, 71 names), each mapped onto this generator's
 # deterministic type space — the reference's demo breadth without the
 # Faker dependency. Kinds: str / int / float / bool / enum / date.
 OPTIONAL: dict[str, str] = {

@@ -815,15 +815,71 @@ def test_adamic_adar_hub_guard(spark):
         adamic_adar(df, max_degree=1)
 
 
+def test_adamic_adar_default_guard_is_finite(spark):
+    """The default max_degree is a FINITE 10_000 (round-10 flip): the
+    unguarded wedge build is the one a naive caller OOMs on at web
+    scale, and a 10k-degree middle contributes only ~0.11 per pair.
+    A planted hub above the cap is dropped BY DEFAULT with the
+    documented lower-bound semantics; max_degree=None restores exact
+    scoring."""
+    import inspect
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_schema_evolution_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    sig = inspect.signature(adamic_adar)
+    assert sig.parameters["max_degree"].default == 10_000
+
+    # hub 9_999_999 with degree 10_001 (> default cap), plus a small
+    # path 0-50-1 whose middle survives
+    edges = [(9_999_999, i) for i in range(10_001)]
+    edges += [(0, 50), (1, 50)]
+    df = spark.createDataFrame(edges, "src long, dst long").coalesce(4)
+
+    capped, drops = adamic_adar(df, return_drop_stats=True)
+    z = drops.first()
+    assert z["dropped_hubs"] == 1
+    assert z["dropped_wedges"] == 10_001 * 10_000 // 2
+    got = {
+        (r["node_a"], r["node_b"]): r["score"] for r in capped.collect()
+    }
+    # hub-middle pairs vanish; the surviving middle (node 50 — deg 3:
+    # hub, 0, 1) closes (0, 1)
+    assert (2, 3) not in got
+    assert got[(0, 1)] == pytest.approx(1 / math.log(3), rel=1e-12)
+
+    exact = adamic_adar(
+        df.where(F.col("dst") < 60), max_degree=None, min_score=0.0
+    )
+    got_exact = {
+        (r["node_a"], r["node_b"]): r["score"] for r in exact.collect()
+    }
+    # on the trimmed graph the hub (deg 60) IS an eligible middle
+    assert got_exact[(0, 1)] == pytest.approx(
+        1 / math.log(3) + 1 / math.log(60), rel=1e-12
+    )
+
+
 @pytest.mark.parametrize("seed,n_nodes,n_draws", [(5, 15, 40), (23, 30, 160)])
 def test_triangle_count_degree_order_identical(spark, seed, n_nodes, n_draws):
     """The degree-ordered orientation (Suri & Vassilvitskii: hubs stop
-    pivoting wedges) must count the identical per-node triangles as
-    the id-ordered default, including on skewed graphs with a planted
-    hub."""
+    pivoting wedges — the default since round 10) must count the
+    identical per-node triangles as the id-ordered plan, including on
+    skewed graphs with a planted hub."""
+    import inspect
+
     from spark_iceberg_schema_evolution_spark.operators.graph import (
         triangle_count,
     )
+
+    # the scale-safe orientation is the default (r9 probe: 15.3x on
+    # the skewed 1M-edge graph; outputs proven identical below)
+    sig = inspect.signature(triangle_count)
+    assert sig.parameters["order_by_degree"].default is True
 
     rng = np.random.RandomState(seed)
     edges = sorted(
@@ -835,10 +891,10 @@ def test_triangle_count_degree_order_identical(spark, seed, n_nodes, n_draws):
     edges += [(999, i) for i in range(n_nodes)]  # planted hub
     df = spark.createDataFrame(edges, "src long, dst long")
     base = {
-        r["node"]: r["n_triangles"] for r in triangle_count(df).collect()
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(df, order_by_degree=False).collect()
     }
     ordered = {
-        r["node"]: r["n_triangles"]
-        for r in triangle_count(df, order_by_degree=True).collect()
+        r["node"]: r["n_triangles"] for r in triangle_count(df).collect()
     }
     assert ordered == base

@@ -696,5 +696,9 @@ def test_pps_sample_shards_bound_the_sort(spark):
     out = pps_systematic_sample(d, 50, "n_chars", n_shards=8)
     plan = explain.physical_plan(out)
     assert "__shard" in plan
+    # the offsets join strategy is pinned: broadcast build of the
+    # n_shards-row totals frame, never a shuffled SMJ/SHJ of the corpus
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "Python" not in plan

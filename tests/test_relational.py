@@ -704,3 +704,41 @@ def test_match_sequences_hot_user_guard(spark):
     import pytest as _p
     with _p.raises(ValueError):
         match_sequences(df, ["a", "b"], max_events_per_user=0)
+
+
+def test_match_sequences_default_drop_warns(spark):
+    """Drops are never silent on the DEFAULT path (ADVICE r9): when
+    the cap fires and the caller did NOT opt into return_drop_stats,
+    a UserWarning carries the exact dropped user/event counts; when
+    nothing is capped, no warning fires."""
+    import datetime as dt
+    import warnings
+
+    from spark_iceberg_schema_evolution_spark.operators.relational import (
+        match_sequences,
+    )
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [(1, t(1), "a"), (1, t(2), "b")]
+    rows += [(9, t(i), "a" if i % 2 else "b") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+    with pytest.warns(UserWarning, match=r"1 user\(s\) / 50 event"):
+        got = match_sequences(df, ["a", "b"], max_events_per_user=10)
+    assert [(r["user_id"], r["match_idx"]) for r in got.collect()] == [
+        (1, 1)
+    ]
+
+    # below-cap data: silent (no spurious warning), and the opt-in
+    # stats path never warns (the caller owns the counts)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        match_sequences(df, ["a", "b"]).collect()  # default cap 100k
+        m, d = match_sequences(
+            df, ["a", "b"], max_events_per_user=10, return_drop_stats=True
+        )
+        m.collect(), d.collect()
