@@ -9671,6 +9671,680 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 lifecycle faces (VERDICT r9 ask #2): the 22 SURVEY rows whose
+# only evidence was pytest are multi-commit lifecycles the driver's
+# one-DataFrame contract can't run directly — fold each family into one
+# scenario that returns a summary frame (the t2_multi_table_txn pattern),
+# so every SURVEY row has driver evidence of SOME tier.
+
+
+@q("t2_sql_ddl_lifecycle", oracle=None, tier=2)
+def t2_sql_ddl_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL DDL/DML statement lifecycle through the front door (SURVEY
+    rows: CTAS / INSERT VALUES / DROP TABLE; INSERT OVERWRITE /
+    TRUNCATE; no-op DML stats gate): CTAS from a lake table, positional
+    + column-list INSERT VALUES (null-padding), INSERT INTO SELECT,
+    INSERT OVERWRITE (full replace, unpartitioned), a footer-stats
+    no-op DELETE (out-of-range predicate commits NOTHING — the
+    metadata-only gate, tables.py no-op DML), TRUNCATE, DROP. Exact
+    statement semantics are pinned in tests/test_tables.py
+    (test_sql_ctas_drop_and_insert_values, test_sql_insert_overwrite_*,
+    test_unpartitioned_dml_noop_keeps_version); rows-only here: the
+    summary row carries the count after every stage plus the version
+    delta of the gated DELETE."""
+    cat = _tmp_catalog(spark)
+    n = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("rk"),
+    )
+    cat.write_evolving(n, "db", "ddl_src")
+    cat.sql(
+        "CREATE TABLE lake.db.ddl AS "
+        "SELECT id, name, rk FROM lake.db.ddl_src WHERE id < 20"
+    )
+    t = cat.table("db", "ddl")
+    n_ctas = t.read().count()
+    cat.sql("INSERT INTO lake.db.ddl VALUES (900, 'ZZ', 0), (901, 'YY', 1)")
+    n_values = t.read().count()
+    cat.sql("INSERT INTO lake.db.ddl (id) VALUES (902)")
+    n_collist = t.read().count()
+    null_padded = t.read().where("id = 902 AND name IS NULL").count()
+    cat.sql(
+        "INSERT INTO lake.db.ddl "
+        "SELECT id + 1000 AS id, name, rk FROM lake.db.ddl WHERE id < 5"
+    )
+    n_insert_select = t.read().count()
+    cat.sql(
+        "INSERT OVERWRITE lake.db.ddl SELECT 1 AS id, 'only' AS name, "
+        "9 AS rk"
+    )
+    n_overwrite = t.read().count()
+    # no-op DML stats gate: id stats are [1,1]; an out-of-range DELETE
+    # must be metadata-only (no new version)
+    v_before = t._load().version
+    cat.sql("DELETE FROM lake.db.ddl WHERE id > 100")
+    noop_held = int(t._load().version == v_before)
+    cat.sql("TRUNCATE TABLE lake.db.ddl")
+    n_truncate = t.read().count()
+    cat.sql("DROP TABLE lake.db.ddl")
+    dropped = int(not cat.table("db", "ddl").exists())
+    return spark.createDataFrame(
+        [
+            (
+                n_ctas,
+                n_values,
+                n_collist,
+                null_padded,
+                n_insert_select,
+                n_overwrite,
+                noop_held,
+                n_truncate,
+                dropped,
+            )
+        ],
+        "n_ctas long, n_values long, n_collist long, null_padded long, "
+        "n_insert_select long, n_overwrite long, noop_delete_held long, "
+        "n_truncate long, dropped long",
+    )
+
+
+@q("t2_maintenance_lifecycle", oracle=None, tier=2)
+def t2_maintenance_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-maintenance lifecycle (SURVEY rows: TBLPROPERTIES +
+    property-driven maintenance; OPTIMIZE / VACUUM; age-based snapshot
+    retention + EXPLAIN / SHOW CREATE TABLE; remove_orphan_files;
+    delete-file compaction threshold; temporal footer stats): six
+    small appends -> property-tuned OPTIMIZE BIN_PACK folds the file
+    set -> sorted rewrite makes timestamp footer stats skip files ->
+    a planted orphan is swept by CALL remove_orphan_files -> VACUUM
+    expires snapshots per the table's own properties -> MOR deletes
+    accumulate delete files that should_compact_deletes flags and
+    compact_deletes folds -> EXPLAIN / SHOW CREATE TABLE render.
+    Statement semantics pinned in tests/test_tables.py; rows-only
+    here."""
+    import datetime as _dt
+    import os as _os
+
+    cat = _tmp_catalog(spark)
+    rows = [
+        (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=i), float(i))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    cat.write_evolving(df.where("id < 40"), "db", "mnt")
+    t = cat.table("db", "mnt")
+    for lo in range(40, 240, 40):
+        t.append(df.where(f"id >= {lo} AND id < {lo + 40}"))
+    t.set_properties(
+        {
+            "optimize_rewrite_data_file_threshold": "2",
+            "vacuum_min_snapshots_to_keep": "2",
+        }
+    )
+    files_before = len(t._load().batches)
+    cat.sql("OPTIMIZE lake.db.mnt REWRITE DATA USING BIN_PACK")
+    files_after = len(t._load().batches)
+    # sorted rewrite -> tight per-file ts ranges -> footer-stats skip
+    t.compact(sort_by=["ts"], target_files=6)
+    p = t.plan_scan([("ts", "<", "2024-01-03 00:00:00")])
+    ts_files_skipped = p["files_total"] - p["files_scanned"]
+    # planted orphan (a failed-task leftover inside a live batch dir)
+    # swept through the CALL procedure
+    batch_dir = t._load().batches[0]["path"]
+    orphan = _os.path.join(batch_dir, "part-99999-orphan.c000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    swept = (
+        cat.sql(
+            "CALL lake.system.remove_orphan_files('db.mnt', "
+            "older_than_seconds => 0)"
+        )
+        .first()["orphans_removed"]
+    )
+    snaps_before = len(t._versions())
+    expired = cat.sql("VACUUM lake.db.mnt").first()["expired"]
+    # age-gated retention: everything is seconds old, so a 1-hour gate
+    # expires nothing more
+    aged = (
+        cat.sql(
+            "CALL lake.system.expire_snapshots('db.mnt', "
+            "retain_last => 1, older_than_seconds => 3600)"
+        )
+        .first()["expired"]
+    )
+    # MOR deletes stack delete files; the threshold flags the backlog
+    # and compact_deletes folds it
+    t.delete_where("id >= 230", mode="mor")
+    t.delete_where("id >= 220", mode="mor")
+    backlog_flagged = int(t.should_compact_deletes(1))
+    t.compact_deletes()
+    backlog_after = int(t.should_compact_deletes(1))
+    explain_rows = cat.sql(
+        "EXPLAIN SELECT COUNT(*) AS n FROM lake.db.mnt"
+    ).count()
+    stmt = cat.sql("SHOW CREATE TABLE lake.db.mnt").first().createtab_stmt
+    n_rows = t.read().count()
+    return spark.createDataFrame(
+        [
+            (
+                files_before,
+                files_after,
+                int(ts_files_skipped > 0),
+                swept,
+                snaps_before,
+                expired,
+                aged,
+                backlog_flagged,
+                backlog_after,
+                int(explain_rows > 0),
+                int("mnt" in stmt),
+                n_rows,
+            )
+        ],
+        "files_before long, files_after long, ts_skip long, "
+        "orphans_removed long, snaps_before long, expired long, "
+        "aged_expired long, backlog_flagged long, backlog_after long, "
+        "explain_ok long, show_create_ok long, n_rows long",
+    )
+
+
+@q("t2_partition_evolution_lifecycle", oracle=None, tier=2)
+def t2_partition_evolution_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition evolution + partition-scoped compaction (SURVEY rows:
+    partition evolution; partition-scoped compaction): an unpartitioned
+    table evolves to month(ts) WITHOUT rewriting history (old batches
+    keep their layout; new appends land partitioned), month-pruned
+    reads plan only the matching batches, and compact(months=[...])
+    rewrites ONLY the batches that can contain the hot month — the two
+    February batches plus the pre-evolution unpartitioned batch (not
+    month-prunable, so correctness carries it into the scoped rewrite)
+    while the prunable March batch is untouched by manifest trim. On a
+    100 TB table the nightly compactor touches one month of data plus
+    any unprunable legacy tail, never the partitioned bulk. Spec
+    semantics pinned in tests/test_tables.py + test_bucketing.py;
+    rows-only here."""
+    import datetime as _dt
+
+    cat = _tmp_catalog(spark)
+    mk = lambda m, n0, cnt: [  # noqa: E731
+        (
+            n0 + i,
+            _dt.datetime(2024, m, 1) + _dt.timedelta(hours=i),
+            float(m),
+        )
+        for i in range(cnt)
+    ]
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, ts timestamp, v double"
+    )
+    cat.write_evolving(df(mk(1, 0, 50)), "db", "pev")
+    t = cat.table("db", "pev")
+    spec_v = t.set_partition_spec("ts")  # evolve: month(ts) from now on
+    t.append(df(mk(2, 1000, 60)))
+    t.append(df(mk(2, 2000, 60)))
+    t.append(df(mk(3, 3000, 40)))
+    n_total = t.read().count()
+    n_feb = t.read(months=["2024-02"]).count()
+    batches_before = len(t._load().batches)
+    # partition-scoped compaction: February's two batches fold; the
+    # pre-evolution January batch is carried in (unpartitioned = not
+    # month-prunable, so the scoped rewrite must read it); the
+    # prunable March batch survives by manifest trim (4 -> 2 batches)
+    t.compact(months=["2024-02"])
+    batches_after = len(t._load().batches)
+    n_feb_after = t.read(months=["2024-02"]).count()
+    n_total_after = t.read().count()
+    return spark.createDataFrame(
+        [
+            (
+                int(spec_v > 0),
+                n_total,
+                n_feb,
+                batches_before,
+                batches_after,
+                n_feb_after,
+                n_total_after,
+            )
+        ],
+        "spec_evolved long, n_total long, n_feb long, "
+        "batches_before long, batches_after long, n_feb_after long, "
+        "n_total_after long",
+    )
+
+
+@q("t2_views_lifecycle", oracle=None, tier=2)
+def t2_views_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalog views + CALL refresh_rollup lifecycle (SURVEY rows:
+    catalog views; CALL refresh_rollup): CREATE VIEW is a saved query
+    (new source rows appear on next reference), views compose over
+    views, CREATE OR REPLACE swaps the definition, SHOW VIEWS lists,
+    DROP VIEW removes — and the incremental-rollup procedure folds
+    source deltas into a materialized aggregate whose second refresh
+    with no new source commits is a version NO-OP. Error paths
+    (duplicate CREATE, cycle detection, table-name shadowing) are
+    pinned in tests/test_tables.py::test_sql_views; rows-only here."""
+    cat = _tmp_catalog(spark)
+    src = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    cat.write_evolving(src.where("id < 300"), "db", "vsrc")
+    cat.sql(
+        "CREATE VIEW lake.db.v_pos AS "
+        "SELECT id, seg, bal_c FROM lake.db.vsrc WHERE bal_c > 0"
+    )
+    n_v1 = cat.sql("SELECT COUNT(*) AS n FROM lake.db.v_pos").first()["n"]
+    # a view is a saved query: appended rows appear on next reference
+    cat.sql("INSERT INTO lake.db.vsrc VALUES (9001, 'ZETA', 12345)")
+    n_v2 = cat.sql("SELECT COUNT(*) AS n FROM lake.db.v_pos").first()["n"]
+    cat.sql(
+        "CREATE VIEW lake.db.v_zeta AS "
+        "SELECT id FROM lake.db.v_pos WHERE seg = 'ZETA'"
+    )
+    n_nested = cat.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.v_zeta"
+    ).first()["n"]
+    cat.sql(
+        "CREATE OR REPLACE VIEW lake.db.v_zeta AS "
+        "SELECT id FROM lake.db.vsrc WHERE seg = 'ZETA' AND id > 9000"
+    )
+    n_replaced = cat.sql(
+        "SELECT COUNT(*) AS n FROM lake.db.v_zeta"
+    ).first()["n"]
+    n_views = cat.sql("SHOW VIEWS IN lake.db").count()
+    cat.sql("DROP VIEW lake.db.v_zeta")
+    n_views_after = cat.sql("SHOW VIEWS IN lake.db").count()
+    # CALL refresh_rollup: incremental materialized aggregate
+    cat.sql(
+        "CALL lake.system.refresh_rollup('db.vsrc', "
+        "target => 'db.vroll', group_by => 'seg', sum => 'bal_c')"
+    )
+    roll = cat.table("db", "vroll")
+    v1 = roll._load().version
+    rollup_rows = roll.read().count()
+    # source unmoved -> refresh is a version no-op
+    cat.sql(
+        "CALL lake.system.refresh_rollup('db.vsrc', "
+        "target => 'db.vroll', group_by => 'seg', sum => 'bal_c')"
+    )
+    noop_refresh = int(roll._load().version == v1)
+    # delta fold: one more source insert folds into the same groups
+    cat.sql("INSERT INTO lake.db.vsrc VALUES (9002, 'ZETA', 100)")
+    cat.sql(
+        "CALL lake.system.refresh_rollup('db.vsrc', "
+        "target => 'db.vroll', group_by => 'seg', sum => 'bal_c')"
+    )
+    zeta_sum = (
+        roll.read().where("seg = 'ZETA'").first()["sum_bal_c"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_v1,
+                n_v2,
+                n_nested,
+                n_replaced,
+                n_views,
+                n_views_after,
+                rollup_rows,
+                noop_refresh,
+                int(zeta_sum),
+            )
+        ],
+        "n_view long, n_view_after_insert long, n_nested long, "
+        "n_replaced long, n_views_listed long, n_views_after_drop long, "
+        "rollup_rows long, noop_refresh long, zeta_sum long",
+    )
+
+
+@q("t2_stream_cdc_sink", oracle=None, tier=2)
+def t2_stream_cdc_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC sink lifecycle (SURVEY rows: CDC upsert sink;
+    continuous aggregate on the CDC sink; bounded CDC delete backlog;
+    quality-gated lakehouse ingest): a two-epoch change feed upserts
+    into the lakehouse in merge-on-read mode with last-wins intra-batch
+    dedup (change_ts), the continuous rollup folds each epoch's commit
+    delta, max_delete_files folds the MOR delete backlog inline — then
+    a second stream with a planted bad epoch (duplicate event_id) runs
+    through the expectations-gated sink, which quarantines the bad
+    micro-batch and commits only the clean one. Epoch/crash semantics
+    pinned in tests/test_streaming.py; rows-only here."""
+    import datetime as _dt
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from spark_iceberg_schema_evolution_spark.streaming import (
+        windows as SW,
+    )
+
+    cat = _tmp_catalog(spark)
+    work = _tf.mkdtemp(prefix="cdc-face-")
+    src = _os.path.join(work, "feed")
+    _os.makedirs(src)
+
+    def drop_file(name: str, rows, schema: str) -> None:
+        stage = _os.path.join(work, "stage", name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _shutil.copy(part, _os.path.join(src, f"{name}.parquet"))
+
+    t0 = _dt.datetime(2024, 1, 1)
+    cdc_schema = "user_id long, ts timestamp, value long, cohort long"
+    # epoch 1: users 0..19; user 5 arrives twice (later row must win)
+    e1 = [
+        (u, t0 + _dt.timedelta(minutes=u), 100 + u, u % 4)
+        for u in range(20)
+    ]
+    e1.append((5, t0 + _dt.timedelta(hours=1), 555, 1))
+    drop_file("e1", e1, cdc_schema)
+    _time.sleep(1.1)  # file-source epoch order is mtime order
+    # epoch 2: users 10..29 (10..19 are UPDATES, 20..29 inserts)
+    e2 = [
+        (u, t0 + _dt.timedelta(hours=2, minutes=u), 200 + u, u % 4)
+        for u in range(10, 30)
+    ]
+    drop_file("e2", e2, cdc_schema)
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    SW.stream_upsert_to_lakehouse(
+        stream.withColumn("n", F.lit(1)),
+        cat,
+        "db",
+        "user_state",
+        on=["user_id"],
+        checkpoint_dir=_os.path.join(work, "ck1"),
+        output_mode="append",
+        change_ts="ts",
+        merge_mode="mor",
+        max_delete_files=1,
+        rollup_table="cohort_counts",
+        rollup_group_cols=["cohort"],
+        rollup_sum_cols=["n"],
+    )
+    state = cat.table("db", "user_state").read()
+    n_state = state.count()
+    dup_keys = (
+        state.groupBy("user_id").count().where("count > 1").count()
+    )
+    user5 = state.where("user_id = 5").first()["value"]
+    epoch2_wins = state.where(
+        "user_id >= 10 AND user_id < 20 AND value >= 200"
+    ).count()
+    rollup = {
+        r["cohort"]: r["sum_n"]
+        for r in cat.table("db", "cohort_counts").read().collect()
+    }
+    expect = {
+        r["cohort"]: r["n"]
+        for r in state.groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rollup_ok = int(rollup == expect and len(rollup) > 0)
+    backlog_ok = int(
+        not cat.table("db", "user_state").should_compact_deletes(1)
+    )
+    # quality-gated ingest: clean epoch commits, dup epoch quarantined
+    gsrc = _os.path.join(work, "gated")
+    _os.makedirs(gsrc)
+    ev_schema = "event_id long, user_id long, ts timestamp, value long"
+    drop_file2 = lambda name, rows: drop_file(name, rows, ev_schema)  # noqa: E731
+    drop_file2(
+        "g1",
+        [(1, 10, t0, 7), (2, 11, t0 + _dt.timedelta(minutes=1), 8)],
+    )
+    _time.sleep(1.1)
+    drop_file2(
+        "g2",
+        [(3, 12, t0 + _dt.timedelta(minutes=2), 7),
+         (3, 13, t0 + _dt.timedelta(minutes=3), 9)],
+    )
+    # drop_file writes into src; move the gated files to their own dir
+    for name in ("g1", "g2"):
+        _os.rename(
+            _os.path.join(src, f"{name}.parquet"),
+            _os.path.join(gsrc, f"{name}.parquet"),
+        )
+    gstream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(gsrc)
+    )
+    report = SW.stream_to_lakehouse_gated(
+        gstream,
+        cat,
+        "db",
+        "gated",
+        _os.path.join(work, "ck2"),
+        rules=[
+            {"rule": "unique", "cols": ["event_id"]},
+            {"rule": "not_null", "col": "user_id"},
+        ],
+    )
+    gated_rows = cat.table("db", "gated").read().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_state,
+                dup_keys,
+                int(user5 == 555),
+                epoch2_wins,
+                rollup_ok,
+                backlog_ok,
+                report["committed"],
+                len(report["skipped"]),
+                gated_rows,
+            )
+        ],
+        "n_state long, dup_keys long, last_wins long, epoch2_wins long, "
+        "rollup_ok long, backlog_folded long, gated_committed long, "
+        "gated_skipped long, gated_rows long",
+    )
+
+
+@q("t2_jobs_smoke", oracle=None, tier=2)
+def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
+    """Job-CLI + media-source smoke (SURVEY rows: curation job stages;
+    nightly incremental ingest; quality-head training job CLI; binary
+    media ingestion source; signature-store reconciliation): the
+    curation pipeline runs end-to-end on the sf documents table, the
+    nightly ingest loop runs twice (seed day, then a drop with an
+    exact dup + near dup + fresh doc — only the fresh doc commits and
+    the signature store advances), the quality-head trainer fits /
+    calibrates / persists / scores, and the binaryFile media source
+    ingests a directory with typed metadata. Per-stage semantics are
+    pinned in tests/test_jobs.py + test_pipeline_ops.py; rows-only
+    here."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import (
+        build_parser as curate_parser,
+        curate,
+    )
+    from spark_iceberg_schema_evolution_spark.jobs.ingest_incremental import (
+        build_parser as ingest_parser,
+        ingest_increment,
+    )
+    from spark_iceberg_schema_evolution_spark.jobs.train_quality_head import (
+        main as train_main,
+    )
+    from spark_iceberg_schema_evolution_spark.operators.multimodal import (
+        read_binary_media,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import (
+        LakehouseCatalog,
+    )
+
+    work = _tf.mkdtemp(prefix="jobs-face-")
+
+    # 1. curation job over a bounded slice of the real documents table
+    # (a fixed 250-doc input keeps the smoke's wall-clock flat across
+    # scale factors — the per-stage semantics don't need volume)
+    cur_in = _os.path.join(work, "docs_in")
+    load(spark, sf, "documents").where("doc_id < 250").coalesce(
+        2
+    ).write.parquet(cur_in)
+    cur_out = _os.path.join(work, "curated")
+    cargs = curate_parser().parse_args(
+        [
+            "--input", cur_in,
+            "--output", cur_out,
+            "--chunk-tokens", "64", "--overlap", "8",
+            "--pack-capacity", "512", "--boilerplate-df", "50",
+        ]
+    )
+    counts = curate(spark, cargs)
+    curate_in = int(counts["input"])
+    curate_bins = int(counts["bins"])
+    curate_splits = sum(
+        int(v) for k, v in counts.items() if str(k).startswith("split_")
+    )
+
+    # 2. nightly incremental ingest: seed day + dup/near-dup/fresh drop
+    incoming = _os.path.join(work, "incoming")
+    _os.makedirs(incoming)
+
+    def drop_docs(name, rows):
+        stage = _os.path.join(work, "stage", name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _shutil.copy(part, _os.path.join(incoming, f"{name}.parquet"))
+
+    drop_docs(
+        "day1",
+        [
+            (
+                i,
+                f"seed document number {i} with plenty of body text "
+                f"for stable shingles {i}",
+                "web",
+            )
+            for i in range(20)
+        ],
+    )
+    wh = _os.path.join(work, "wh")
+    iargs = ingest_parser().parse_args(
+        [
+            "--warehouse", wh, "--namespace", "db",
+            "--corpus", "docs", "--input", incoming,
+            "--near-dedup", "0.6",
+            "--rollup-target", "docs_by_source",
+            "--rollup-group-by", "source",
+        ]
+    )
+    r1 = ingest_increment(spark, iargs)
+    drop_docs(
+        "day2",
+        [
+            (
+                100,
+                "seed document number 4 with plenty of body text "
+                "for stable shingles 4",
+                "web",
+            ),
+            (
+                101,
+                "seed document number 7 with plenty of body text "
+                "for stable shingles 7 edited",
+                "web",
+            ),
+            (102, "completely fresh material " + "y " * 30, "books"),
+        ],
+    )
+    r2 = ingest_increment(spark, iargs)
+    jcat = LakehouseCatalog(spark, wh)
+    sig_rows = jcat.table("db", "docs_sigs").row_count()
+
+    # 3. quality-head training job CLI (fit -> calibrate -> persist ->
+    # frozen-head scoring)
+    lab_rows = [
+        (i, f"buy cheap pills now offer {i} click", 1.0)
+        if i % 2
+        else (i, f"the engine compacts manifests {i} daily", 0.0)
+        for i in range(60)
+    ]
+    labels = _os.path.join(work, "labels")
+    spark.createDataFrame(
+        lab_rows, "doc_id long, text string, label double"
+    ).write.parquet(labels)
+    score_in = _os.path.join(work, "score_in")
+    spark.createDataFrame(
+        [
+            (200, "totally organic prose about tables"),
+            (201, "buy cheap pills click now"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(score_in)
+    model_out = _os.path.join(work, "model")
+    rc = train_main(
+        [
+            "--labels", labels, "--output", model_out,
+            "--hash-dim", "32", "--n-iter", "6", "--lr", "1.0",
+            "--calibration-bins", "10",
+            "--score", score_in, "--threshold", "0.5",
+        ]
+    )
+    model = _json.load(open(f"{model_out}/model.json"))
+    model_dim = len(model["logreg"]["weights"])
+    scored = spark.read.parquet(f"{model_out}/scored").count()
+
+    # 4. binary media ingestion source (binaryFile + typed metadata)
+    media_dir = _os.path.join(work, "media")
+    _os.makedirs(media_dir)
+    for fname, payload in (
+        ("a.png", b"\x89PNG fake"),
+        ("b.wav", b"RIFF fake wave"),
+        ("c.bin", b"\x00\x01\x02"),
+    ):
+        with open(_os.path.join(media_dir, fname), "wb") as fh:
+            fh.write(payload)
+    media = read_binary_media(spark, media_dir)
+    n_media = media.count()
+    n_mimes = media.select("meta.mime").distinct().count()
+
+    return spark.createDataFrame(
+        [
+            (
+                curate_in,
+                curate_bins,
+                curate_splits,
+                int(r1["ingested"]),
+                int(r2["ingested"]),
+                int(r2.get("near_dup_dropped", 0)),
+                int(sig_rows),
+                int(rc == 0),
+                model_dim,
+                scored,
+                n_media,
+                n_mimes,
+            )
+        ],
+        "curate_input long, curate_bins long, curate_split_rows long, "
+        "day1_ingested long, "
+        "day2_ingested long, near_dup_dropped long, sig_rows long, "
+        "train_ok long, model_dim long, scored_rows long, n_media long, "
+        "n_mimes long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.
 #
 # The correctness driver oracle-checks the FIRST 50 registry entries in
@@ -9762,7 +10436,83 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # weighted sampling + per-domain nucleus budget), ALL six fronted in
 # this window at add time (net-new ≤ rotation capacity, r8 ask #8;
 # no tier-1 row ever exists without a planned driver slot).
+# Round-10 window (r9 VERDICT asks #1/#2/#4, executed as prescribed):
+# FIRST the six never-run lifecycle faces added this round (net-new ≤
+# rotation capacity; no registry row may exist without a planned driver
+# slot), then the three canaries for THIS round's code changes
+# (triangle_count degree-order default flip -> q186; adamic_adar finite
+# max_degree default -> t2_adamic_adar; match_sequences eager drop
+# warning -> t2_match_sequences), then the stale tail oldest-first: the
+# r2/r3 rows (percentile_approx, spark_hashes, multimodal_frames,
+# orc_roundtrip, stats_moments), all six r4 t2 rows, and 30 of the 35
+# r5 tier-1 rows. Five r5 rows defer to r11 (window holds exactly 50):
+# q53_pivot q55_intersect q56_date_arith q58_array_hofs q65_str_to_map
+# — all pure-relational/function rows with no engine-code dependency,
+# the q27-class lowest-risk deferral. After the r10 run: zero rows with
+# evidence older than r5; remaining staleness for r11 = those five +
+# the r6 block (47 rows), oldest-first.
 _DRIVER_WINDOW = [
+    # the six round-10 lifecycle faces, fronted at add time
+    "t2_sql_ddl_lifecycle",
+    "t2_maintenance_lifecycle",
+    "t2_partition_evolution_lifecycle",
+    "t2_views_lifecycle",
+    "t2_stream_cdc_sink",
+    "t2_jobs_smoke",
+    # round-10 code-change canaries
+    "q186_triangle_count",
+    "t2_adamic_adar",
+    "t2_match_sequences",
+    # oldest staleness: r2
+    "t2_percentile_approx",
+    "t2_spark_hashes",
+    # r3
+    "t2_multimodal_frames",
+    "t2_orc_roundtrip",
+    "t2_stats_moments",
+    # r4
+    "t2_approx_distinct",
+    "t2_cosine_near_dups",
+    "t2_lsh_cosine_topk",
+    "t2_simhash",
+    "t2_skip_planning",
+    "t2_stream_dedup",
+    # r5 tier-1 block (30 of 35; five pure-function rows defer to r11)
+    "q36_dedup_exact",
+    "q38_cosine_topk",
+    "q44_pandas_udf_tokens",
+    "q45_evolving_ingest",
+    "q46_merge_upsert",
+    "q47_time_travel",
+    "q48_overwrite_partitions",
+    "q54_cube",
+    "q57_udtf_tokens",
+    "q59_evolution_type_conflict",
+    "q60_grouping_sets",
+    "q61_ranking_family",
+    "q62_range_frame",
+    "q63_subqueries",
+    "q64_grouped_agg_udf",
+    "q67_null_safe_join",
+    "q68_scd2_dimension",
+    "q70_profile_stats",
+    "q71_text_chunking",
+    "q72_sequence_packing",
+    "q89_merge_clauses",
+    "q93_merge_evolution",
+    "q112_sql_merge",
+    "q116_metadata_sql",
+    "q117_sql_time_travel",
+    "q119_quantile_filter",
+    "q120_sql_procedures",
+    "q121_corpus_mix",
+    "q122_expectations",
+    "q123_partition_evolution",
+]
+
+# Round-9 window (kept for the audit trail; superseded by the r10
+# window above):
+_DRIVER_WINDOW_R9 = [
     # round-8 rewrite canaries (tier-1, freshest risk)
     "q145_classifier_filter",
     "q165_classifier_probe",
