@@ -148,6 +148,17 @@ HEADLINE = [
     "q182_interval_coverage",
     "q183_assoc_rules",
     "q184_period_over_period",
+    # round-8/9 faces (tracked from round 10, r9 VERDICT ask #3).
+    # q170 (clone+constraints) is excluded as table-setup-dominated,
+    # same rationale as q103/q112; q171 and q185 ARE their incremental
+    # cost stories (SCD2 delta merge, CDC moment-rollup refresh), so the
+    # lakehouse work they do is the thing being measured.
+    "q171_scd2_incremental",
+    "q185_incremental_ab",
+    "q186_triangle_count",
+    "q187_degree_stats",
+    "q188_pps_sample",
+    "q189_domain_budget",
 ]
 
 
