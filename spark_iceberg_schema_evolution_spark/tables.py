@@ -4933,7 +4933,15 @@ class LakehouseCatalog:
         [, id=>'col'] [, n_iter=>n] [, seed=>n]), and
         match_sequences(events_tbl, steps=>'a,b,c' [, user=>'col']
         [, ts=>'col'] [, event_type=>'col'] [, within_seconds=>n]
-        [, max_events_per_user=>n])."""
+        [, max_events_per_user=>n]).
+
+        Round-10 analytic procedures (SQL front door for the round-9
+        curation primitives): pps_sample(tbl, n=>k, weight=>'col'
+        [, id=>'col'] [, group_by=>'c1,c2'] [, seed=>'s']
+        [, n_shards=>n]) and domain_budget(tbl, p_bp=>n,
+        weight=>'col', quality=>'col' [, domain=>'col']
+        [, id=>'col']) — both return the selected rows, like the
+        other analytic procedures."""
         import re
 
         pos: list = []
@@ -5186,6 +5194,45 @@ class LakehouseCatalog:
                 max_events_per_user=int(
                     named.get("max_events_per_user", 100_000)
                 ),
+            )
+        if proc == "pps_sample":
+            from spark_iceberg_schema_evolution_spark.operators.text import (
+                pps_systematic_sample,
+            )
+
+            if "n" not in named or "weight" not in named:
+                raise ValueError(
+                    "pps_sample needs n => k and weight => 'col'"
+                )
+            return pps_systematic_sample(
+                t.read(),
+                n=int(named["n"]),
+                weight_col=str(named["weight"]),
+                id_col=str(named.get("id", "doc_id")),
+                group_cols=cols(named.get("group_by")),
+                seed=str(named.get("seed", "")),
+                n_shards=int(named.get("n_shards", 64)),
+            )
+        if proc == "domain_budget":
+            from spark_iceberg_schema_evolution_spark.operators.text import (
+                domain_budget_select,
+            )
+
+            missing_args = [
+                a for a in ("p_bp", "weight", "quality") if a not in named
+            ]
+            if missing_args:
+                raise ValueError(
+                    "domain_budget needs p_bp => n, weight => 'col', "
+                    f"quality => 'col' (missing: {missing_args})"
+                )
+            return domain_budget_select(
+                t.read(),
+                p_bp=int(named["p_bp"]),
+                weight_col=str(named["weight"]),
+                quality_col=str(named["quality"]),
+                domain_col=str(named.get("domain", "source")),
+                id_col=str(named.get("id", "doc_id")),
             )
         raise ValueError(f"unknown procedure: lake.system.{proc}")
 

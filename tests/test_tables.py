@@ -2534,3 +2534,71 @@ def test_sql_call_analytic_procedures(spark, catalog):
         catalog.sql("CALL lake.system.match_sequences('db.g_events')")
     with pytest.raises(ValueError, match="features"):
         catalog.sql("CALL lake.system.kmeans('db.g_docs')")
+
+
+def test_sql_call_curation_procedures(spark, catalog):
+    """Round-10 SQL front-door parity for the round-9 curation
+    primitives: CALL lake.system.{pps_sample,domain_budget} route to
+    operators.text and return the SAME row set as the Python API
+    (both are deterministic by construction, so set-equality is
+    exact)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        domain_budget_select,
+        pps_systematic_sample,
+    )
+
+    rows = [
+        (i, "web" if i % 3 else "books", (i * 37) % 100 + 1, float(i % 7))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, token_count long, lm_score double"
+    )
+    catalog.write_evolving(df, "db", "cur_docs")
+
+    got = catalog.sql(
+        "CALL lake.system.pps_sample('db.cur_docs', n => 20, "
+        "weight => 'token_count', seed => 's1', n_shards => 8)"
+    )
+    want = pps_systematic_sample(
+        df, 20, "token_count", seed="s1", n_shards=8
+    )
+    assert {r.doc_id for r in got.collect()} == {
+        r.doc_id for r in want.collect()
+    }
+
+    # grouped face routes group_by
+    got_g = catalog.sql(
+        "CALL lake.system.pps_sample('db.cur_docs', n => 5, "
+        "weight => 'token_count', group_by => 'source')"
+    ).collect()
+    assert {r.source for r in got_g} == {"web", "books"}
+
+    got_b = catalog.sql(
+        "CALL lake.system.domain_budget('db.cur_docs', p_bp => 3000, "
+        "weight => 'token_count', quality => 'lm_score', "
+        "domain => 'source')"
+    )
+    want_b = domain_budget_select(
+        df, 3000, "token_count", "lm_score", domain_col="source"
+    )
+    assert {r.doc_id for r in got_b.collect()} == {
+        r.doc_id for r in want_b.collect()
+    }
+
+    with pytest.raises(ValueError, match="weight"):
+        catalog.sql(
+            "CALL lake.system.pps_sample('db.cur_docs', n => 5)"
+        )
+    with pytest.raises(ValueError, match="p_bp"):
+        catalog.sql(
+            "CALL lake.system.domain_budget('db.cur_docs', "
+            "weight => 'token_count', quality => 'lm_score')"
+        )
+    # out-of-range budget propagates the operator's own validation
+    with pytest.raises(ValueError, match="p_bp"):
+        catalog.sql(
+            "CALL lake.system.domain_budget('db.cur_docs', "
+            "p_bp => 20000, weight => 'token_count', "
+            "quality => 'lm_score')"
+        )
