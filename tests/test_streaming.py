@@ -599,3 +599,121 @@ def test_stream_quantile_sketch_sink(spark, tmp_path):
     # alpha pinned: a drifted-alpha epoch would refuse (property check
     # lives in test_rollup; here just confirm the pin landed)
     assert t.properties()["sketch.alpha"] == "0.02"
+
+
+def test_stream_upsert_replays_epoch_after_crash_mid_epoch(
+    spark, tmp_path
+):
+    """Crash-mid-epoch discipline (r9 VERDICT ask #8): a failure AFTER
+    the lakehouse MERGE commits but BEFORE the streaming checkpoint
+    records the epoch replays that epoch on restart (offsets log has
+    it, commits log doesn't — simulated here by deleting the epoch's
+    commit marker, the exact on-disk state such a crash leaves). The
+    replayed MERGE must be idempotent and the continuous rollup —
+    which bookmarks SOURCE table versions, not stream epochs — must
+    not double-count."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        uid, ts, val = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid, pa.int64()),
+                    "ts": pa.array(ts, pa.int64()),
+                    "value": pa.array(val, pa.float64()),
+                }
+            ),
+            os.path.join(src, name),
+        )
+        time.sleep(1.1)  # file-source ordering is mtime-based
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("cohort", F.col("user_id") % 2)
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        SW.stream_upsert_to_lakehouse(
+            stream,
+            cat,
+            "db",
+            "u_replay",
+            on=["user_id"],
+            checkpoint_dir=ckpt,
+            output_mode="append",
+            change_ts="ts",
+            rollup_table="u_rollup",
+            rollup_group_cols=["cohort"],
+            rollup_sum_cols=["value"],
+        )
+
+    drop("f1.parquet", [(1, 10, 1.0), (2, 10, 2.0)])
+    drop("f2.parquet", [(2, 20, 5.0), (3, 20, 3.0)])
+    run()  # epochs 0 and 1 commit
+
+    state = lambda: sorted(  # noqa: E731
+        tuple(r)
+        for r in cat.table("db", "u_replay").read().collect()
+    )
+    rollup = lambda: sorted(  # noqa: E731
+        tuple(r)
+        for r in cat.table("db", "u_rollup").read().collect()
+    )
+    s1, r1 = state(), rollup()
+    assert len(s1) == 3  # users 1, 2 (last-wins 5.0), 3
+
+    # crash mid-epoch: the LAST epoch's merge committed, its checkpoint
+    # commit marker didn't. Structured Streaming's contract: offsets/N
+    # present + commits/N absent -> batch N re-runs with the SAME data.
+    commits = sorted(
+        glob.glob(os.path.join(ckpt, "commits", "[0-9]*")),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    os.remove(commits[-1])
+    # the local-fs checkpoint manager writes a Hadoop .N.crc sidecar
+    # per commit marker; a crashed writer leaves neither, so drop it
+    # too (keeping it would fail the replay's rename with
+    # FileAlreadyExistsException instead of exercising recovery)
+    crc = os.path.join(
+        os.path.dirname(commits[-1]),
+        f".{os.path.basename(commits[-1])}.crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # restart: replays the final epoch
+
+    assert state() == s1  # MERGE idempotent under replay
+    assert rollup() == r1  # rollup did not double-count
+
+    # and the stream still makes progress after the recovery: the
+    # rollup equals a from-scratch aggregate of the upserted table
+    drop("f3.parquet", [(4, 30, 7.0)])
+    run()
+    assert len(state()) == 4
+    expect = sorted(
+        tuple(r)
+        for r in cat.table("db", "u_replay")
+        .read()
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    )
+    assert rollup() == expect
+    shutil.rmtree(src)
