@@ -728,6 +728,7 @@ def domain_budget_select(
     quality_col: str,
     domain_col: str = "source",
     id_col: str = "doc_id",
+    n_shards: int = 32,
 ) -> DataFrame:
     """Per-domain budget (top-p / nucleus) selection: within each
     domain keep the HIGHEST-quality rows until they account for
@@ -746,29 +747,100 @@ def domain_budget_select(
     resolve deterministically. Weights must be positive integers; NULL
     / non-positive weights are excluded. ``W * 10000`` must fit int64.
 
-    Scale shape: one window per domain (a single sort-shuffle on the
-    domain key) + the same-window total — no collect, no second scan."""
+    Scale shape — the cumulative walk DECOMPOSES like
+    :func:`pps_systematic_sample`'s, so a HOT domain (one source
+    holding half the corpus — the realistic web-crawl shape) is not a
+    single-reducer sort: rows shard by per-domain quality-quantile
+    ranges (``percentile_approx`` boundaries, a bounded broadcast
+    frame; all rows of equal quality share a shard, and every row in
+    shard s outranks every row in shard s+1, so (shard, quality DESC,
+    id) IS the per-domain order), per-(domain, shard) exclusive
+    prefix offsets come from a window over the bounded totals frame,
+    and each shard walks its own window starting at its offset. The
+    per-shard cumulative + offset equals the one-window cumulative
+    integer-exactly for every ``n_shards`` (equality-tested), while
+    the sort is bounded at ~rows/shard per task. The boundary values
+    only pick the decomposition, never the result, so
+    ``percentile_approx``'s approximation cannot change the selected
+    set. Degenerate case: a domain whose quality is one constant
+    collapses to a single shard — the pre-round-10 plan. NULL-quality
+    rows sort last (desc_nulls_last), i.e. the final shard.
+    ``n_shards=1`` reproduces the single-window plan exactly; a
+    non-numeric quality column (``percentile_approx`` can't bound it)
+    falls back to it too."""
     if not 0 <= p_bp <= 10_000:
         raise ValueError(f"p_bp must be in [0, 10000]: {p_bp}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
     out = df.withColumn("__w", F.col(weight_col).cast("long")).where(
         F.col("__w") > 0
     )
-    wcum = (
+    qcol, icol = F.col(quality_col), F.col(id_col)
+    qtype = dict(df.dtypes).get(quality_col, "")
+    q_numeric = qtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or qtype.startswith("decimal")
+    if n_shards == 1 or not q_numeric:
+        wcum = (
+            W.partitionBy(domain_col)
+            .orderBy(qcol.desc(), icol.asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        wall = W.partitionBy(domain_col).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        out = out.withColumn("__cum", F.sum("__w").over(wcum)).withColumn(
+            "__tot", F.sum("__w").over(wall)
+        )
+        keep = (F.col("__cum") - F.col("__w")) * F.lit(10_000) < F.lit(
+            int(p_bp)
+        ) * F.col("__tot")
+        return out.where(keep).drop("__w", "__cum", "__tot")
+    # per-domain quality boundaries: ascending n_shards-1 quantiles.
+    # shard = #boundaries >= quality, so the highest-quality rows land
+    # in shard 0 and equal qualities never split across shards; NULL
+    # quality (sorted last under desc_nulls_last) takes the last shard.
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    bounds = out.groupBy(domain_col).agg(
+        F.percentile_approx(
+            qcol, F.array(*[F.lit(f) for f in fracs])
+        ).alias("__bnds")
+    )
+    out = out.join(F.broadcast(bounds), domain_col)
+    shard = F.when(
+        qcol.isNull(), F.lit(n_shards - 1)
+    ).otherwise(
+        F.size(F.filter("__bnds", lambda b: b >= qcol))
+    )
+    out = out.withColumn("__shard", shard).drop("__bnds")
+    totals = out.groupBy(domain_col, "__shard").agg(
+        F.sum("__w").alias("__st")
+    )
+    woff = (
         W.partitionBy(domain_col)
-        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .orderBy("__shard")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wall = W.partitionBy(domain_col).rowsBetween(
+    wtot = W.partitionBy(domain_col).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
-    out = (
-        out.withColumn("__cum", F.sum("__w").over(wcum))
-        .withColumn("__tot", F.sum("__w").over(wall))
+    offsets = totals.select(
+        domain_col,
+        "__shard",
+        (F.sum("__st").over(woff) - F.col("__st")).alias("__off"),
+        F.sum("__st").over(wtot).alias("__tot"),
     )
+    out = out.join(F.broadcast(offsets), [domain_col, "__shard"])
+    wcum = (
+        W.partitionBy(domain_col, "__shard")
+        .orderBy(qcol.desc(), icol.asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = out.withColumn("__cum", F.sum("__w").over(wcum) + F.col("__off"))
     keep = (F.col("__cum") - F.col("__w")) * F.lit(10_000) < F.lit(
         int(p_bp)
     ) * F.col("__tot")
-    return out.where(keep).drop("__w", "__cum", "__tot")
+    return out.where(keep).drop("__w", "__shard", "__off", "__cum", "__tot")
 
 
 def token_budget_batches(

@@ -10448,9 +10448,13 @@ def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
 # r5 tier-1 rows. Five r5 rows defer to r11 (window holds exactly 50):
 # q53_pivot q55_intersect q56_date_arith q58_array_hofs q65_str_to_map
 # — all pure-relational/function rows with no engine-code dependency,
-# the q27-class lowest-risk deferral. After the r10 run: zero rows with
-# evidence older than r5; remaining staleness for r11 = those five +
-# the r6 block (47 rows), oldest-first.
+# the q27-class lowest-risk deferral. Mid-round swap: the round-10
+# domain_budget_select rewrite (hot-domain quantile sharding, new
+# default n_shards=32) makes q189 a code-change canary — it takes
+# q54_cube's slot (pure-relational, r5-green, joins the deferral set;
+# SIX r5 rows now defer to r11). After the r10 run: zero rows with
+# evidence older than r5 except q54_cube; remaining staleness for r11
+# = the six deferred r5 rows + the r6 block (47 rows), oldest-first.
 _DRIVER_WINDOW = [
     # the six round-10 lifecycle faces, fronted at add time
     "t2_sql_ddl_lifecycle",
@@ -10463,6 +10467,7 @@ _DRIVER_WINDOW = [
     "q186_triangle_count",
     "t2_adamic_adar",
     "t2_match_sequences",
+    "q189_domain_budget",
     # oldest staleness: r2
     "t2_percentile_approx",
     "t2_spark_hashes",
@@ -10477,7 +10482,8 @@ _DRIVER_WINDOW = [
     "t2_simhash",
     "t2_skip_planning",
     "t2_stream_dedup",
-    # r5 tier-1 block (30 of 35; five pure-function rows defer to r11)
+    # r5 tier-1 block (29 of 35; six pure-function rows defer to r11 —
+    # q54_cube ceded its slot to the q189 canary above)
     "q36_dedup_exact",
     "q38_cosine_topk",
     "q44_pandas_udf_tokens",
@@ -10485,7 +10491,6 @@ _DRIVER_WINDOW = [
     "q46_merge_upsert",
     "q47_time_travel",
     "q48_overwrite_partitions",
-    "q54_cube",
     "q57_udtf_tokens",
     "q59_evolution_type_conflict",
     "q60_grouping_sets",

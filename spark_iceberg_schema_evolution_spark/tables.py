@@ -4940,8 +4940,8 @@ class LakehouseCatalog:
         [, id=>'col'] [, group_by=>'c1,c2'] [, seed=>'s']
         [, n_shards=>n]) and domain_budget(tbl, p_bp=>n,
         weight=>'col', quality=>'col' [, domain=>'col']
-        [, id=>'col']) — both return the selected rows, like the
-        other analytic procedures."""
+        [, id=>'col'] [, n_shards=>n]) — both return the selected
+        rows, like the other analytic procedures."""
         import re
 
         pos: list = []
@@ -5233,6 +5233,7 @@ class LakehouseCatalog:
                 quality_col=str(named["quality"]),
                 domain_col=str(named.get("domain", "source")),
                 id_col=str(named.get("id", "doc_id")),
+                n_shards=int(named.get("n_shards", 32)),
             )
         raise ValueError(f"unknown procedure: lake.system.{proc}")
 

@@ -626,3 +626,58 @@ def test_domain_budget_select_nucleus_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="p_bp"):
         domain_budget_select(df, 10_001, "w", "q")
+
+
+def test_domain_budget_sharded_equals_one_window(spark):
+    """The round-10 hot-domain decomposition: quality-quantile shards +
+    broadcast prefix offsets must select the IDENTICAL row set as the
+    single-window form for every n_shards — including quality ties
+    (never split across shards), a constant-quality domain (collapses
+    to one shard), NULL qualities (last shard), and a hot domain
+    holding most rows. Non-numeric quality falls back to the
+    single-window plan instead of failing."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        domain_budget_select,
+    )
+
+    rows = []
+    for i in range(600):
+        dom = "hot" if i % 4 else f"d{i % 13}"
+        q = float((i * 31) % 23)  # heavy ties: 23 distinct values
+        if i % 97 == 0:
+            q = None  # NULL quality sorts last
+        if dom == "d3":
+            q = 5.0  # constant-quality domain: one shard
+        rows.append((i, dom, (i * 7) % 50 + 1, q))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, w long, q double"
+    )
+    for p_bp in (0, 1, 2500, 9999, 10_000):
+        want = {
+            r.doc_id
+            for r in domain_budget_select(
+                df, p_bp, "w", "q", n_shards=1
+            ).collect()
+        }
+        for n_shards in (4, 32, 64):
+            got = {
+                r.doc_id
+                for r in domain_budget_select(
+                    df, p_bp, "w", "q", n_shards=n_shards
+                ).collect()
+            }
+            assert got == want, (p_bp, n_shards)
+
+    # string quality: non-numeric -> single-window fallback, same set
+    sdf = df.withColumn("qs", F.format_string("%05.1f", "q"))
+    a = {
+        r.doc_id
+        for r in domain_budget_select(sdf, 2500, "w", "qs").collect()
+    }
+    b = {
+        r.doc_id
+        for r in domain_budget_select(
+            sdf, 2500, "w", "qs", n_shards=1
+        ).collect()
+    }
+    assert a == b

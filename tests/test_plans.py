@@ -702,3 +702,25 @@ def test_pps_sample_shards_bound_the_sort(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "Python" not in plan
+
+
+def test_domain_budget_shards_bound_the_sort(spark):
+    """The round-10 hot-domain decomposition: the corpus-sized window
+    partitions on (domain, quality-quantile __shard) — a hot domain
+    never lands on one reducer — with TWO broadcast builds (the
+    per-domain boundaries frame, the per-(domain, shard) offsets
+    frame); no SMJ/SHJ of the corpus, nothing drops to Python."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        domain_budget_select,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).withColumn("q", F.col("n_chars").cast("double"))
+    out = domain_budget_select(d, 3000, "n_chars", "q", n_shards=8)
+    plan = explain.physical_plan(out)
+    assert "__shard" in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Python" not in plan
