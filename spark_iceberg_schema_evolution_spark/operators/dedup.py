@@ -79,25 +79,50 @@ def minhash_signature(
     shingle_size: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-document MinHash signature: for each of ``num_hashes`` seeded
-    hash functions, the min ``xxhash64`` over the doc's shingle set.
+    """Per-document MinHash signature: hash every shingle STRING once
+    (``xxhash64``), then derive each of the ``num_hashes`` permutations
+    by re-hashing the 64-bit shingle keys with a per-function seed.
     Deterministic for a fixed seed. Entirely JVM-side expressions.
 
+    Two-phase on purpose (round-10 probe finding): the phase-1 shingle
+    keys are MATERIALIZED in their own projection, so the
+    normalize -> split -> shingle -> concat -> string-hash pipeline
+    runs once per document. The previous one-phase form inlined that
+    pipeline into every one of the num_hashes ``array_min(transform)``
+    expressions — 32 regex normalizations and 32x shingle-string
+    construction per document — and the signature scan was 92% of the
+    entire MinHash->LSH->verify->CC pipeline's wall clock at 1M docs
+    (tools/probe_r10_dedup.py: sig 1427s of 1548s total). Catalyst
+    does not re-inline the array across the projection boundary
+    (CollapseProject keeps non-cheap multi-referenced producers), and
+    the per-function re-hash now reads 8-byte longs instead of
+    rebuilding ~30-char shingle strings. Each ``xxhash64(key, seed_i)``
+    is an independent uniform map of the shingle universe, so the
+    MinHash property (P[sig_i equal] = jaccard — what banding's
+    S-curve is built on; tests/test_llm_ops.py pins it) is unchanged;
+    the signature VALUES differ from the pre-round-10 scheme, which is
+    why persistent signature stores carry ``minhash.scheme`` and
+    reconcile_signature_store refuses to mix schemes.
+
     The per-function seed binds through a FACTORY closure: a defaulted
-    second lambda parameter (``lambda s, i=i``) would make F.transform
+    second lambda parameter (``lambda h, i=i``) would make F.transform
     pass the element INDEX into it, collapsing all num_hashes functions
-    into one position-dependent hash — the signature then violates the
-    MinHash property entirely (P[sig_i equal] = jaccard is what banding's
-    S-curve is built on; tests/test_llm_ops.py pins it)."""
+    into one position-dependent hash."""
     sh = shingles(normalized_words(text_col), shingle_size)
+    keyed = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("__shkeys"),
+    )
 
     def min_hash(i: int) -> F.Column:
         return F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i)))
+            F.transform(
+                F.col("__shkeys"), lambda h: F.xxhash64(h, F.lit(seed + i))
+            )
         )
 
     sig = F.array(*[min_hash(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return keyed.select(F.col(id_col), sig.alias("signature"))
 
 
 def _band_hashes(
@@ -313,11 +338,20 @@ def incremental_near_dedup(
     return kept, dropped
 
 
+# scheme 2 = the round-10 hash-once form (string shingles keyed by
+# xxhash64 once, per-function permutations re-hash the 64-bit keys).
+# Scheme 1 (pre-round-10) re-hashed the strings per function; the two
+# produce DIFFERENT signature values for the same text, so a store
+# built under one scheme must never band against signatures from the
+# other — identical docs would simply stop colliding, silently.
+_MINHASH_SCHEME = "2"
+
 _SIG_PROPS = (
     "minhash.num_hashes",
     "minhash.num_bands",
     "minhash.shingle_size",
     "minhash.seed",
+    "minhash.scheme",
 )
 
 
@@ -362,7 +396,13 @@ def reconcile_signature_store(
     sigs_name = f"{table}_sigs"
     sigs_t = catalog.table(namespace, sigs_name)
     want = dict(
-        zip(_SIG_PROPS, map(str, (num_hashes, num_bands, shingle_size, seed)))
+        zip(
+            _SIG_PROPS,
+            map(
+                str,
+                (num_hashes, num_bands, shingle_size, seed, _MINHASH_SCHEME),
+            ),
+        )
     )
     if sigs_t.exists():
         props = sigs_t.properties()
@@ -374,6 +414,18 @@ def reconcile_signature_store(
                 f"with different MinHash parameters: {bad} "
                 "(stored != requested); rebuild the store or match "
                 "the parameters"
+            )
+        if recorded and "minhash.scheme" not in recorded:
+            # params recorded but no scheme: a store written before the
+            # round-10 hash-once scheme. Its signature values are from
+            # scheme 1; banding them against scheme-2 signatures would
+            # silently find nothing — refuse, don't stamp.
+            raise ValueError(
+                f"signature store {namespace}.{sigs_name} predates the "
+                f"hash-once MinHash scheme ({_MINHASH_SCHEME}); its "
+                "signatures use the old per-function string hashing "
+                "and cannot band against new ones — rebuild the store "
+                "(drop it and re-run reconcile_signature_store)"
             )
         if not recorded:  # pre-r7 store: stamp the params now
             sigs_t.set_properties(want)

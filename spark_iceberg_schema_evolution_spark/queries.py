@@ -10448,13 +10448,22 @@ def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
 # r5 tier-1 rows. Five r5 rows defer to r11 (window holds exactly 50):
 # q53_pivot q55_intersect q56_date_arith q58_array_hofs q65_str_to_map
 # — all pure-relational/function rows with no engine-code dependency,
-# the q27-class lowest-risk deferral. Mid-round swap: the round-10
+# the q27-class lowest-risk deferral. Mid-round swap #1: the round-10
 # domain_budget_select rewrite (hot-domain quantile sharding, new
 # default n_shards=32) makes q189 a code-change canary — it takes
-# q54_cube's slot (pure-relational, r5-green, joins the deferral set;
-# SIX r5 rows now defer to r11). After the r10 run: zero rows with
-# evidence older than r5 except q54_cube; remaining staleness for r11
-# = the six deferred r5 rows + the r6 block (47 rows), oldest-first.
+# q54_cube's slot (pure-relational, r5-green, joins the deferral set).
+# Mid-round swap #2: the round-10 MinHash hash-once scheme (probe
+# found the signature scan was 92% of the near-dedup pipeline; 21x on
+# the scan, signature VALUES change) re-windows the standing LSH
+# canaries q37/q74/q115/q118/t2_minhash_lsh_pairs/
+# t2_incremental_near_dedup (the r6/r9 precedent: anything
+# LSH-adjacent changes -> those rows re-run), displacing six more
+# pure-compute r5-green rows to r11: q38_cosine_topk,
+# q60_grouping_sets, q61_ranking_family, q62_range_frame,
+# q63_subqueries, q67_null_safe_join. TWELVE r5 rows now defer to
+# r11. After the r10 run: zero rows with evidence older than r5
+# except those twelve; remaining staleness for r11 = the twelve
+# deferred r5 rows + the r6 block (47 rows), oldest-first.
 _DRIVER_WINDOW = [
     # the six round-10 lifecycle faces, fronted at add time
     "t2_sql_ddl_lifecycle",
@@ -10463,11 +10472,18 @@ _DRIVER_WINDOW = [
     "t2_views_lifecycle",
     "t2_stream_cdc_sink",
     "t2_jobs_smoke",
-    # round-10 code-change canaries
+    # round-10 code-change canaries (graph defaults, CEP warn path,
+    # domain-budget sharding, MinHash hash-once scheme)
     "q186_triangle_count",
     "t2_adamic_adar",
     "t2_match_sequences",
     "q189_domain_budget",
+    "q37_ngram_jaccard",
+    "q74_dedup_clusters",
+    "q115_semantic_dedup",
+    "q118_paragraph_dedup",
+    "t2_minhash_lsh_pairs",
+    "t2_incremental_near_dedup",
     # oldest staleness: r2
     "t2_percentile_approx",
     "t2_spark_hashes",
@@ -10482,10 +10498,10 @@ _DRIVER_WINDOW = [
     "t2_simhash",
     "t2_skip_planning",
     "t2_stream_dedup",
-    # r5 tier-1 block (29 of 35; six pure-function rows defer to r11 —
-    # q54_cube ceded its slot to the q189 canary above)
+    # r5 tier-1 block (23 of 35; twelve pure-compute rows defer to r11
+    # — q54_cube ceded its slot to the q189 canary, and q38/q60-q63/
+    # q67 ceded theirs to the six MinHash-scheme canaries above)
     "q36_dedup_exact",
-    "q38_cosine_topk",
     "q44_pandas_udf_tokens",
     "q45_evolving_ingest",
     "q46_merge_upsert",
@@ -10493,12 +10509,7 @@ _DRIVER_WINDOW = [
     "q48_overwrite_partitions",
     "q57_udtf_tokens",
     "q59_evolution_type_conflict",
-    "q60_grouping_sets",
-    "q61_ranking_family",
-    "q62_range_frame",
-    "q63_subqueries",
     "q64_grouped_agg_udf",
-    "q67_null_safe_join",
     "q68_scd2_dimension",
     "q70_profile_stats",
     "q71_text_chunking",

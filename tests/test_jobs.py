@@ -731,3 +731,36 @@ def test_curate_domain_budget_and_pps_stages(spark, tmp_path):
     # downstream stages consumed the sampled corpus
     assert counts["after_pps_sample"] < counts["after_domain_budget"]
     _ = F
+
+
+def test_sig_store_refuses_pre_scheme_signatures(spark, tmp_path):
+    """A signature store written before the round-10 hash-once MinHash
+    scheme (params recorded, no minhash.scheme property) must be
+    REFUSED, not stamped: its stored values come from the old
+    per-function string hashing, and banding them against hash-once
+    signatures would silently find nothing."""
+    import pytest
+
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        _MINHASH_SCHEME,
+        reconcile_signature_store,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with words {i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    cat.write_evolving(docs, "db", "c")
+    n = reconcile_signature_store(cat, "db", "c")
+    assert n == 5
+    sigs = cat.table("db", "c_sigs")
+    assert sigs.properties()["minhash.scheme"] == _MINHASH_SCHEME
+    # a second reconcile is a no-op (store complete, scheme matches)
+    assert reconcile_signature_store(cat, "db", "c") == 0
+
+    # simulate a pre-round-10 store: params recorded, scheme absent
+    sigs.unset_property("minhash.scheme")
+    with pytest.raises(ValueError, match="predates the"):
+        reconcile_signature_store(cat, "db", "c")

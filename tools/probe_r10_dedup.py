@@ -163,6 +163,8 @@ def run_size(spark, n: int) -> dict:
         + out["cc"]["sec"],
         1,
     )
+    # incremental flush: a crash at the next size must not lose this one
+    print(json.dumps(out), flush=True)
     return out
 
 
