@@ -88,6 +88,7 @@ def ingest_increment(spark, args) -> dict:
         incremental_near_dedup,
         minhash_signature,
         reconcile_signature_store,
+        sig_store_props,
     )
     from spark_iceberg_schema_evolution_spark.sources.copy_into import (
         copy_into,
@@ -136,6 +137,7 @@ def ingest_increment(spark, args) -> dict:
             batch,
             corpus.read(),
             corpus_sigs=sigs_t.read(),
+            sigs_scheme=sigs_t.properties().get("minhash.scheme"),
             threshold=args.near_dedup,
             id_col=args.id_col,
             text_col=args.text_col,
@@ -164,8 +166,14 @@ def ingest_increment(spark, args) -> dict:
                 if sigs_t.exists():
                     sigs_t.append(new_sigs)
                 else:
+                    # stamp the MinHash params + scheme at store
+                    # creation — the reconcile guard refuses any store
+                    # found without minhash.scheme
                     cat.write_evolving(
                         new_sigs, ns, f"{args.corpus}_sigs"
+                    )
+                    cat.table(ns, f"{args.corpus}_sigs").set_properties(
+                        sig_store_props(args.num_hashes, args.num_bands)
                     )
             if args.bloom_columns:
                 for c in args.bloom_columns.split(","):

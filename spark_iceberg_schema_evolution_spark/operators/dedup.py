@@ -217,6 +217,76 @@ def lsh_candidate_pairs(
     return pairs, drops
 
 
+def signature_prefilter(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    num_hashes: int = 32,
+    margin_sigmas: float = 3.0,
+) -> DataFrame:
+    """OPT-IN candidate-pair prefilter for the exact-Jaccard verify
+    stage (VERDICT r10 #5a): estimate each pair's Jaccard from the
+    MinHash signatures the pipeline has ALREADY computed (fraction of
+    agreeing positions; E[est] = true Jaccard, the MinHash property)
+    and drop pairs whose estimate sits more than ``margin_sigmas``
+    estimator standard deviations BELOW ``threshold`` — those pairs
+    would be rejected by exact verify with overwhelming probability,
+    so skipping them saves their share of the verify stage (62% of
+    pipeline wall clock at 10M docs, PROBES_r10) while every pair that
+    passes still goes through the exact-Jaccard gate (no false
+    positives, ever).
+
+    PROBABILISTIC, hence opt-in and NOT used by the tier-1 oracle
+    faces: a true duplicate at exactly ``threshold`` survives the cut
+    unless its signature estimate undershoots by ``margin_sigmas``
+    sigmas — P(miss) <= Phi(-margin_sigmas) ~= 1.3e-3 at the default
+    3.0 (est ~ Binomial(num_hashes, j)/num_hashes; sigma =
+    sqrt(t(1-t)/num_hashes) ~= 0.081 at t=0.7, K=32, so the default
+    cut is est >= ~0.457). Raise ``margin_sigmas`` for a safer, weaker
+    filter; the exact gate downstream is always the final arbiter.
+
+    Integer-exact cut: the comparison is ``agreements >= keep_min``
+    with ``keep_min = ceil((threshold - margin_sigmas * sigma) * K)``
+    computed driver-side — no float division crosses the engine
+    boundary, so the kept pair set is deterministic. Cost: two narrow
+    equi-joins of the pair list against the signature store (32
+    longs/row) + a zip_with count — much cheaper per pair than
+    fetching and intersecting two ~60-key shingle sets."""
+    import math
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
+    keep_min = max(
+        0, math.ceil((threshold - margin_sigmas * sigma) * num_hashes)
+    )
+    if keep_min == 0:
+        return pairs  # cut below zero: nothing can be skipped
+    s = sigs.select(F.col(id_col), F.col(sig_col))
+    j = pairs.join(
+        s.select(
+            F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a")
+        ),
+        "id_a",
+    ).join(
+        s.select(
+            F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b")
+        ),
+        "id_b",
+    )
+    agreements = F.size(
+        F.filter(
+            F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return j.where(agreements >= F.lit(int(keep_min))).select(
+        *pairs.columns
+    )
+
+
 def incremental_near_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -229,6 +299,7 @@ def incremental_near_dedup(
     shingle_size: int = 5,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    sigs_scheme: str | None = None,
 ):
     """Near-dedup a NEW ingest batch against an EXISTING corpus without
     reprocessing the corpus — the fuzzy twin of the exact
@@ -249,6 +320,16 @@ def incremental_near_dedup(
     are provided (they are computed from ``corpus_docs`` on a first
     run).
 
+    SCHEME COMPATIBILITY: caller-supplied ``corpus_sigs`` MUST hold
+    scheme-2 (hash-once, round-10+) signatures — a persisted scheme-1
+    frame has the same signature LENGTH, passes the shape probe below,
+    and silently yields zero candidates against the scheme-2
+    signatures computed here for the new batch. Stores
+    managed by ``reconcile_signature_store`` record the scheme as the
+    ``minhash.scheme`` table property and refuse on mismatch; when
+    reading a store yourself, thread that property in as
+    ``sigs_scheme`` and this function asserts it.
+
     Returns ``(kept_new_docs, dropped)`` where ``dropped`` holds
     (new id, matched corpus id, jaccard) for every verified match —
     the audit trail, per the no-silent-drops rule."""
@@ -257,6 +338,14 @@ def incremental_near_dedup(
             corpus_docs, id_col, text_col, num_hashes, shingle_size, seed
         )
     else:
+        if sigs_scheme is not None and str(sigs_scheme) != _MINHASH_SCHEME:
+            raise ValueError(
+                f"corpus_sigs minhash scheme {sigs_scheme!r} != engine "
+                f"scheme {_MINHASH_SCHEME!r}: scheme-1 signatures have "
+                "the same length but different values, so banding them "
+                "against new-batch signatures finds NOTHING — rebuild "
+                "the signature store (reconcile_signature_store)"
+            )
         # a store built with different num_hashes bands differently and
         # yields ZERO candidates silently — a no-op near-dedup pass is
         # worse than an error. One-row limit probe, not a corpus scan.
@@ -355,6 +444,27 @@ _SIG_PROPS = (
 )
 
 
+def sig_store_props(
+    num_hashes: int, num_bands: int, shingle_size: int = 5, seed: int = 42
+) -> dict[str, str]:
+    """The table-property dict every MinHash signature store must carry
+    — stamped at store CREATION (immediately after the first signature
+    write) and never onto an existing store: a store found without
+    ``minhash.scheme`` is refused by :func:`reconcile_signature_store`
+    because its signatures may predate the hash-once scheme, and
+    stamping would make that mismatch permanently undetectable."""
+    return dict(
+        zip(
+            _SIG_PROPS,
+            map(
+                str,
+                (num_hashes, num_bands, shingle_size, seed,
+                 _MINHASH_SCHEME),
+            ),
+        )
+    )
+
+
 def reconcile_signature_store(
     catalog,
     namespace: str,
@@ -395,15 +505,7 @@ def reconcile_signature_store(
         return 0
     sigs_name = f"{table}_sigs"
     sigs_t = catalog.table(namespace, sigs_name)
-    want = dict(
-        zip(
-            _SIG_PROPS,
-            map(
-                str,
-                (num_hashes, num_bands, shingle_size, seed, _MINHASH_SCHEME),
-            ),
-        )
-    )
+    want = sig_store_props(num_hashes, num_bands, shingle_size, seed)
     if sigs_t.exists():
         props = sigs_t.properties()
         recorded = {k: props[k] for k in _SIG_PROPS if k in props}
@@ -415,20 +517,23 @@ def reconcile_signature_store(
                 "(stored != requested); rebuild the store or match "
                 "the parameters"
             )
-        if recorded and "minhash.scheme" not in recorded:
-            # params recorded but no scheme: a store written before the
-            # round-10 hash-once scheme. Its signature values are from
-            # scheme 1; banding them against scheme-2 signatures would
-            # silently find nothing — refuse, don't stamp.
+        if "minhash.scheme" not in recorded:
+            # ANY existing store without a recorded scheme — whether it
+            # has the other params (pre-round-10) or none at all
+            # (pre-r7, or a crash between write_evolving and
+            # set_properties below) — may hold scheme-1 signatures.
+            # Banding those against scheme-2 signatures silently finds
+            # nothing, and stamping scheme=2 onto them would make the
+            # mismatch permanently undetectable. Refuse; never stamp an
+            # existing store. The scheme is only ever stamped at store
+            # creation, right after the signatures it describes.
             raise ValueError(
-                f"signature store {namespace}.{sigs_name} predates the "
-                f"hash-once MinHash scheme ({_MINHASH_SCHEME}); its "
-                "signatures use the old per-function string hashing "
-                "and cannot band against new ones — rebuild the store "
+                f"signature store {namespace}.{sigs_name} has no "
+                f"recorded minhash.scheme; its signatures may predate "
+                f"the hash-once scheme ({_MINHASH_SCHEME}) and cannot "
+                "safely band against new ones — rebuild the store "
                 "(drop it and re-run reconcile_signature_store)"
             )
-        if not recorded:  # pre-r7 store: stamp the params now
-            sigs_t.set_properties(want)
         missing = corpus.read().join(
             sigs_t.read().select(id_col), id_col, "left_anti"
         )
@@ -474,11 +579,24 @@ def jaccard_pairs(
 
     Two physically distinct plans (100 TB discipline):
 
-    - ``pairs`` given (the LSH pipeline): the candidate list is joined to
-      per-document shingle-hash SETS — two narrow equi-joins on the id —
-      and the intersection is computed per pair with ``array_intersect``.
-      The quadratic all-co-shingled-pairs relation is NEVER built, so a
-      hot shingle shared by 10k docs costs nothing beyond its candidates.
+    - ``pairs`` given (the LSH pipeline): each candidate pair explodes
+      into its two member ids (a 2-row Generate per pair — NOT a
+      shingle explode), the corpus is semi-join-pruned to member ids,
+      the normalize→shingle→hash pipeline runs ONCE over exactly the
+      documents that appear in a pair, one equi-join attaches each
+      member's shingle-key set, and a groupBy on (id_a, id_b)
+      reassembles the pair for the ``array_intersect``. The r10 probe
+      found verify at 62% of the near-dedup pipeline's wall clock; the
+      pre-r11 two-join form computed the shingle pipeline TWICE over
+      the FULL corpus (once per join side, no pruning), which was most
+      of that cost. ``pairs`` is consumed twice (member-id prune + the
+      join) — persist it when it is expensive to recompute (it is two
+      longs per row; this is not the array-frame persist the r10 A/B
+      rejected). Duplicate (id_a, id_b) input rows collapse to one
+      output row (candidate pairs are a set; lsh_candidate_pairs
+      already emits distinct pairs). The quadratic
+      all-co-shingled-pairs relation is NEVER built, so a hot shingle
+      shared by 10k docs costs nothing beyond its candidates.
     - ``pairs`` None (exhaustive mode, small corpora): the classic
       explode + self-join on shingle hash. The hashed shingle relation
       feeds three consumers (both join sides + the size agg), so it is
@@ -488,8 +606,15 @@ def jaccard_pairs(
     from pyspark import StorageLevel
 
     if pairs is not None:
-        sh_sets = df.select(
-            F.col(id_col),
+        p = pairs.select("id_a", "id_b")
+        sides = p.select(
+            "id_a",
+            "id_b",
+            F.explode(F.array("id_a", "id_b")).alias("__m"),
+        )
+        need = sides.select(F.col("__m").alias(id_col)).distinct()
+        sh_sets = df.join(need, id_col, "left_semi").select(
+            F.col(id_col).alias("__m"),
             F.array_sort(
                 F.transform(
                     shingles(normalized_words(text_col), shingle_size),
@@ -497,20 +622,28 @@ def jaccard_pairs(
                 )
             ).alias("__sh"),
         )
-        p = pairs.select("id_a", "id_b")
-        joined = p.join(
-            sh_sets.select(
-                F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
-            ),
-            "id_a",
-        ).join(
-            sh_sets.select(
-                F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
-            ),
-            "id_b",
+        per_pair = (
+            sides.join(sh_sets, "__m")
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.first(
+                    F.when(F.col("__m") == F.col("id_a"), F.col("__sh")),
+                    ignorenulls=True,
+                ).alias("__sh_a"),
+                F.first(
+                    F.when(F.col("__m") == F.col("id_b"), F.col("__sh")),
+                    ignorenulls=True,
+                ).alias("__sh_b"),
+            )
+            # a member id absent from df leaves its side NULL (the old
+            # two-inner-join form dropped the pair); same-id pairs get
+            # the same array on both sides from their two member rows
+            .where(
+                F.col("__sh_a").isNotNull() & F.col("__sh_b").isNotNull()
+            )
         )
         return (
-            joined.select(
+            per_pair.select(
                 "id_a",
                 "id_b",
                 F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_common"),

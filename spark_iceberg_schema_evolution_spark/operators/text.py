@@ -619,15 +619,20 @@ def pps_systematic_sample(
     PPS (probability-proportional-to-size, the classic survey-sampling
     design): order the rows by an md5 permutation of their ids, walk
     the integer cumulative weight, and select every row whose weight
-    span crosses one of the ``n`` equally-spaced boundaries of the
-    group's total. Inclusion probability is APPROXIMATELY
-    ``n * w_i / W`` for rows with ``w_i <= W/n``, where the randomness
-    is the md5 permutation of ids (not an independent uniform start:
-    the boundary grid is anchored at the group total, so the
-    md5-order-last row always spans the final boundary and is selected
-    with certainty — a deterministic-grid bias of one row that
-    vanishes as n grows; a seed-derived fractional start would remove
-    it at the cost of the bit-exact cross-engine replay below).
+    span covers one of ``n`` equally-spaced sample points
+    ``(U + j*W) / n`` for ``j = 0..n-1``, where the fractional start
+    ``U = md5_60bit(seed) mod W`` is derived from the seed (r11, per
+    VERDICT r10 #6 — the pre-r11 grid was anchored at the group total
+    W, so the md5-order-last row was always selected; the seed-derived
+    start removes that one-row deterministic bias). Inclusion
+    probability is EXACTLY ``n * w_i / W`` for rows with
+    ``w_i <= W/n`` over the start draw (up to the ~2^-60 modulo bias
+    of the 60-bit seed hash and the md5 id permutation), and the
+    start is a driver-side Python constant embedded as a literal, so
+    cross-engine bit-exact replay is preserved: every engine computes
+    the identical integer test. Randomness comes from BOTH the md5
+    permutation of ids and the seed-derived start; different ``seed``
+    values draw independent permutations AND starts.
     Heavier rows are selected with certainty; a row spanning several
     boundaries is emitted once, so a group with such rows can yield
     fewer than ``n`` — the standard systematic-PPS behavior,
@@ -641,8 +646,9 @@ def pps_systematic_sample(
     bans. Systematic PPS needs integer adds and integer division only,
     so the selected row SET is bit-exact on every engine. Weights must
     be positive integers (quantize upstream: cents, chars, tokens);
-    rows with NULL or non-positive weight are excluded. ``W * n`` must
-    fit int64 (~9e18) — at 1e12 total weight that allows n up to 9e6.
+    rows with NULL or non-positive weight are excluded.
+    ``W * (n + 1)`` must fit int64 (~9e18) — at 1e12 total weight
+    that allows n up to ~9e6.
 
     Scale shape — the cumulative walk DECOMPOSES, so there is no
     single-reducer global sort: rows shard by a contiguous RANGE of
@@ -664,6 +670,16 @@ def pps_systematic_sample(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1: {n_shards}")
     gcols = list(group_cols or [])
+    # seed-derived fractional start: a 60-bit integer computed driver-
+    # side (python hashlib, not a Spark expression) and embedded as a
+    # literal — both the engine and any SQL oracle replay the identical
+    # integer, so no cross-engine hex-conversion primitive is needed.
+    # Per group it lands as U = u60 mod W in [0, W).
+    import hashlib as _hashlib
+
+    u60 = int(
+        _hashlib.md5(f"{seed}:start".encode()).hexdigest()[:15], 16
+    )
     key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast(
             "binary"
@@ -712,9 +728,18 @@ def pps_systematic_sample(
         "__cum", F.sum("__w").over(wcum) + F.col("__off")
     )
     n_lit = int(n)
+    # row selected iff its weight span (cum-w, cum] covers a sample
+    # point (U + j*W)/n, 0 <= j < n, with U = u60 mod W. Integer-exact:
+    # a point is covered iff some multiple of W lies in
+    # [n*(cum-w) - U, n*cum - U - 1]; counting multiples via floor
+    # division after shifting both ends by +W keeps every operand
+    # positive (Spark/ANSI `div` truncates toward zero, which equals
+    # floor only for non-negative operands).
     sel = F.expr(
-        f"(__cum * CAST({n_lit} AS BIGINT)) div __tot "
-        f"> ((__cum - __w) * CAST({n_lit} AS BIGINT)) div __tot"
+        f"(__cum * CAST({n_lit} AS BIGINT) - ({u60} % __tot) - 1 + __tot)"
+        f" div __tot "
+        f"> ((__cum - __w) * CAST({n_lit} AS BIGINT) - ({u60} % __tot)"
+        f" - 1 + __tot) div __tot"
     )
     return out.where(sel).drop(
         "__w", "__k", "__shard", "__off", "__cum", "__tot"
@@ -764,7 +789,10 @@ def domain_budget_select(
     ``percentile_approx``'s approximation cannot change the selected
     set. Degenerate case: a domain whose quality is one constant
     collapses to a single shard — the pre-round-10 plan. NULL-quality
-    rows sort last (desc_nulls_last), i.e. the final shard.
+    rows sort last (desc_nulls_last), i.e. the final shard. A NULL
+    domain is its own domain in BOTH plans: the sharded path keys its
+    joins on a one-field struct (null-safe field equality), so NULL
+    domains are never silently dropped by join equality.
     ``n_shards=1`` reproduces the single-window plan exactly; a
     non-numeric quality column (``percentile_approx`` can't bound it)
     falls back to it too."""
@@ -796,43 +824,50 @@ def domain_budget_select(
             int(p_bp)
         ) * F.col("__tot")
         return out.where(keep).drop("__w", "__cum", "__tot")
+    # NULL-safe domain key: the one-window path's partitionBy keeps a
+    # NULL domain as its own partition, but the sharded path's plain
+    # equi-joins below would drop those rows (NULL != NULL in join
+    # equality). Wrap the domain in a one-field struct — struct
+    # equality compares fields null-safely, so NULL-domain rows group,
+    # join, and window as one domain, matching the one-window plan.
+    out = out.withColumn("__dom", F.struct(F.col(domain_col).alias("d")))
     # per-domain quality boundaries: ascending n_shards-1 quantiles.
     # shard = #boundaries >= quality, so the highest-quality rows land
     # in shard 0 and equal qualities never split across shards; NULL
     # quality (sorted last under desc_nulls_last) takes the last shard.
     fracs = [i / n_shards for i in range(1, n_shards)]
-    bounds = out.groupBy(domain_col).agg(
+    bounds = out.groupBy("__dom").agg(
         F.percentile_approx(
             qcol, F.array(*[F.lit(f) for f in fracs])
         ).alias("__bnds")
     )
-    out = out.join(F.broadcast(bounds), domain_col)
+    out = out.join(F.broadcast(bounds), "__dom")
     shard = F.when(
         qcol.isNull(), F.lit(n_shards - 1)
     ).otherwise(
         F.size(F.filter("__bnds", lambda b: b >= qcol))
     )
     out = out.withColumn("__shard", shard).drop("__bnds")
-    totals = out.groupBy(domain_col, "__shard").agg(
+    totals = out.groupBy("__dom", "__shard").agg(
         F.sum("__w").alias("__st")
     )
     woff = (
-        W.partitionBy(domain_col)
+        W.partitionBy("__dom")
         .orderBy("__shard")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wtot = W.partitionBy(domain_col).rowsBetween(
+    wtot = W.partitionBy("__dom").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
     offsets = totals.select(
-        domain_col,
+        "__dom",
         "__shard",
         (F.sum("__st").over(woff) - F.col("__st")).alias("__off"),
         F.sum("__st").over(wtot).alias("__tot"),
     )
-    out = out.join(F.broadcast(offsets), [domain_col, "__shard"])
+    out = out.join(F.broadcast(offsets), ["__dom", "__shard"])
     wcum = (
-        W.partitionBy(domain_col, "__shard")
+        W.partitionBy("__dom", "__shard")
         .orderBy(qcol.desc(), icol.asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -840,7 +875,9 @@ def domain_budget_select(
     keep = (F.col("__cum") - F.col("__w")) * F.lit(10_000) < F.lit(
         int(p_bp)
     ) * F.col("__tot")
-    return out.where(keep).drop("__w", "__shard", "__off", "__cum", "__tot")
+    return out.where(keep).drop(
+        "__w", "__dom", "__shard", "__off", "__cum", "__tot"
+    )
 
 
 def token_budget_batches(

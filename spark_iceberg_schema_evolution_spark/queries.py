@@ -7468,17 +7468,22 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
       FROM base)
     SELECT doc_id, w AS n_chars
     FROM c
-    WHERE (cum * 500) // tot > ((cum - w) * 500) // tot
+    WHERE (cum * 500 - (390518329271506977 % tot) - 1 + tot) // tot
+        > ((cum - w) * 500 - (390518329271506977 % tot) - 1 + tot) // tot
     ORDER BY doc_id
     """,
 )
 def q188(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (systematic
     PPS over the md5-permuted order): 500 documents drawn with
-    probability proportional to n_chars. Integer cumulative weights +
-    integer division only — no transcendental keys (the
-    Efraimidis-Spirakis exponential trick is a cross-engine float
-    fence), so the selected row SET is bit-identical in DuckDB. Cites
+    probability proportional to n_chars, sample points at
+    (U + j*W)/500 with the seed-derived fractional start
+    U = md5_60bit(':start') mod W = 390518329271506977 mod W (the r11
+    grid — exact n*w/W inclusion, no always-selected last row).
+    Integer cumulative weights + integer division only — no
+    transcendental keys (the Efraimidis-Spirakis exponential trick is
+    a cross-engine float fence), so the selected row SET is
+    bit-identical in DuckDB. Cites
     operators/text.py:pps_systematic_sample."""
     from spark_iceberg_schema_evolution_spark.operators.text import (
         pps_systematic_sample,
@@ -10153,6 +10158,111 @@ def t2_stream_cdc_sink(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("t2_stream_dedup_ingest", oracle=None, tier=2)
+def t2_stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup-ingest sink lifecycle (SURVEY row: Streaming:
+    dedup-ingest sink — the last §2.B row whose only evidence was
+    pytest, VERDICT r10 #2): a two-epoch document stream runs through
+    ``stream_dedup_ingest_to_lakehouse`` (streaming/windows.py) —
+    epoch 1 seeds the corpus and its MinHash signature store; epoch 2
+    carries an exact duplicate of a seed doc (md5 anti-join drops it),
+    a near duplicate (one appended word; LSH-band candidate +
+    exact-Jaccard verify against the materialized store drops it,
+    audited in near_dropped), and one fresh doc — only the fresh doc
+    commits, and the signature store advances by exactly the committed
+    rows with the hash-once scheme property stamped. Per-epoch cost is
+    O(epoch), never O(corpus): the corpus is touched only through the
+    md5-key anti-join and the band-keyed store join. Epoch replay /
+    crash semantics are pinned in tests/test_streaming.py:412;
+    rows-only here."""
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        _MINHASH_SCHEME,
+    )
+    from spark_iceberg_schema_evolution_spark.streaming import (
+        windows as SW,
+    )
+
+    cat = _tmp_catalog(spark)
+    work = _tf.mkdtemp(prefix="dedup-ingest-face-")
+    src = _os.path.join(work, "feed")
+    _os.makedirs(src)
+
+    def drop_docs(name: str, rows) -> None:
+        stage = _os.path.join(work, "stage", name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _shutil.copy(part, _os.path.join(src, f"{name}.parquet"))
+
+    seed = [
+        (
+            i,
+            f"stream seed document {i} carrying enough body words "
+            f"for stable five-gram shingles number {i}",
+            "web",
+        )
+        for i in range(12)
+    ]
+    drop_docs("e1", seed)
+    _time.sleep(1.1)  # file-source epoch order is mtime order
+    drop_docs(
+        "e2",
+        [
+            (200,) + seed[4][1:],  # exact dup of seed 4 (new id)
+            (
+                201,
+                seed[7][1] + " edited",  # near dup: one appended word
+                "web",
+            ),
+            (202, "genuinely novel streaming material " + "q " * 30,
+             "books"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    report = SW.stream_dedup_ingest_to_lakehouse(
+        stream,
+        cat,
+        "db",
+        "corpus",
+        _os.path.join(work, "ck"),
+        near_threshold=0.6,
+    )
+    corpus = cat.table("db", "corpus").read()
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    sigs_t = cat.table("db", "corpus_sigs")
+    return spark.createDataFrame(
+        [
+            (
+                report["committed_epochs"],
+                report["rows_ingested"],
+                report["near_dropped"],
+                corpus.count(),
+                int(ids == set(range(12)) | {202}),
+                sigs_t.row_count(),
+                int(
+                    sigs_t.properties().get("minhash.scheme")
+                    == _MINHASH_SCHEME
+                ),
+            )
+        ],
+        "committed_epochs long, rows_ingested long, near_dropped long, "
+        "n_corpus long, survivors_exact long, n_sigs long, "
+        "sigs_scheme_ok long",
+    )
+
+
 @q("t2_jobs_smoke", oracle=None, tier=2)
 def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
     """Job-CLI + media-source smoke (SURVEY rows: curation job stages;
@@ -10437,43 +10547,107 @@ def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
 # this window at add time (net-new ≤ rotation capacity, r8 ask #8;
 # no tier-1 row ever exists without a planned driver slot).
 # Round-10 window (r9 VERDICT asks #1/#2/#4, executed as prescribed):
-# FIRST the six never-run lifecycle faces added this round (net-new ≤
-# rotation capacity; no registry row may exist without a planned driver
-# slot), then the three canaries for THIS round's code changes
-# (triangle_count degree-order default flip -> q186; adamic_adar finite
-# max_degree default -> t2_adamic_adar; match_sequences eager drop
-# warning -> t2_match_sequences), then the stale tail oldest-first: the
-# r2/r3 rows (percentile_approx, spark_hashes, multimodal_frames,
-# orc_roundtrip, stats_moments), all six r4 t2 rows, and 30 of the 35
-# r5 tier-1 rows. Five r5 rows defer to r11 (window holds exactly 50):
-# q53_pivot q55_intersect q56_date_arith q58_array_hofs q65_str_to_map
-# — all pure-relational/function rows with no engine-code dependency,
-# the q27-class lowest-risk deferral. Mid-round swap #1: the round-10
-# domain_budget_select rewrite (hot-domain quantile sharding, new
-# default n_shards=32) makes q189 a code-change canary — it takes
-# q54_cube's slot (pure-relational, r5-green, joins the deferral set).
-# Mid-round swap #2: the round-10 MinHash hash-once scheme (probe
-# found the signature scan was 92% of the near-dedup pipeline; 21x on
-# the scan, signature VALUES change) re-windows the standing LSH
-# canaries q37/q74/q115/q118/t2_minhash_lsh_pairs/
-# t2_incremental_near_dedup (the r6/r9 precedent: anything
-# LSH-adjacent changes -> those rows re-run), displacing six more
-# pure-compute r5-green rows to r11: q38_cosine_topk,
-# q60_grouping_sets, q61_ranking_family, q62_range_frame,
-# q63_subqueries, q67_null_safe_join. TWELVE r5 rows now defer to
-# r11. After the r10 run: zero rows with evidence older than r5
-# except those twelve; remaining staleness for r11 = the twelve
-# deferred r5 rows + the r6 block (47 rows), oldest-first.
+# ROUND-11 WINDOW. First this round's code-change canaries (8):
+# t2_stream_dedup_ingest is the NEW face closing the last
+# registry-evidence gap (stream_dedup_ingest_to_lakehouse, windows.py
+# — was the one §2.B row with pytest-only evidence, VERDICT r10 #2;
+# net-new rows this round = 1, within rotation capacity);
+# t2_match_sequences re-runs because the never-silent drop guard moved
+# from an eager call-time count job to DataFrame.observe() metrics on
+# the caller's own action (VERDICT r10 #1); q188_pps_sample re-runs
+# because the systematic-PPS grid gained the seed-derived fractional
+# start (VERDICT r10 #6 — selected VALUES change, oracle re-derived);
+# q189_domain_budget re-runs because the sharded path now keys its
+# joins on a null-safe struct (ADVICE r10: NULL domains were silently
+# dropped); t2_incremental_near_dedup + t2_jobs_smoke re-run for the
+# signature-store scheme hardening (ADVICE r10: property-less stores
+# now refuse instead of being stamped; sig stores stamped at creation
+# in the streaming sink and nightly job; sigs_scheme threaded);
+# t2_minhash_lsh_pairs re-runs because the exact-Jaccard candidate
+# path was rewritten to ONE shingle pass (explode-members + semi-join
+# prune + groupBy reassembly; bit-equal by checksum in
+# tools/probe_r11_verify.py — q37/q74/q111/q163 use the exhaustive
+# pairs=None path, which is untouched); q115_semantic_dedup re-runs
+# for the VERDICT r10 #4 host-factor adjudication. THEN the twelve
+# r5 rows deferred from r10 (the rotation promise: q38, q53-q56, q58,
+# q60-q63, q65, q67). THEN 30 of the 47 r6-stale rows, engine-heavy
+# first. Seventeen r6 pure-compute rows defer to r12 (documented
+# deferral, same q27-class reasoning as r10's): q106_decontamination,
+# q107_repetition_filters, q108_shuffle_shards,
+# q113_deterministic_sample, q114_token_budget_batches,
+# q126_term_search, q128_lm_quality_score, q134_gapfill_locf,
+# q135_clean_text, q137_funnel, q138_cohort_retention,
+# q139_interval_join, q142_recursive_cte, q143_lateral_topk,
+# q147_bm25_search, q153_burst_dedup, q154_percentile_bands.
 _DRIVER_WINDOW = [
-    # the six round-10 lifecycle faces, fronted at add time
+    # round-11 code-change canaries
+    "t2_stream_dedup_ingest",
+    "t2_match_sequences",
+    "q188_pps_sample",
+    "q189_domain_budget",
+    "t2_incremental_near_dedup",
+    "t2_jobs_smoke",
+    "t2_minhash_lsh_pairs",
+    "q115_semantic_dedup",
+    # the twelve r5 rows deferred from the r10 window (rotation promise)
+    "q38_cosine_topk",
+    "q53_pivot",
+    "q54_cube",
+    "q55_intersect",
+    "q56_date_arith",
+    "q58_array_hofs",
+    "q60_grouping_sets",
+    "q61_ranking_family",
+    "q62_range_frame",
+    "q63_subqueries",
+    "q65_str_to_map",
+    "q67_null_safe_join",
+    # r6 block, engine-heavy first (30 of 47)
+    "q73_delete_update",
+    "q75_incremental_changes",
+    "q87_rename_drop_evolution",
+    "q88_jsonl_scan",
+    "q90_type_widening",
+    "q91_data_skipping",
+    "q92_sorted_compact_skip",
+    "q97_zorder_box_query",
+    "q101_nested_evolution",
+    "q105_wap_branch_publish",
+    "q124_bucket_pruning",
+    "q130_incremental_rollup",
+    "q132_merge_by_source",
+    "q133_initial_default",
+    "q140_ingest_dedup",
+    "q141_copy_into",
+    "q144_in_list_lookup",
+    "q148_bucketed_cojoin",
+    "q149_change_consumer",
+    "q150_bloom_lookup",
+    "q152_schema_log",
+    "q151_leakage_free_split",
+    "q131_contamination_stats",
+    "q146_dup_spans",
+    "q96_stratified_sample",
+    "q125_url_curation",
+    "q127_cluster_sample",
+    "q129_audio_framing",
+    "q01_scan_counts",
+    "q05_join_inner_agg",
+]
+
+# Round-10 window (kept for the audit trail; superseded by the r11
+# window above). Original r10 comment: six never-run lifecycle faces
+# fronted, then the r10 code-change canaries (graph defaults, CEP warn
+# path, domain-budget sharding, MinHash hash-once scheme re-windowing
+# q37/q74/q115/q118 + the LSH t2 rows), then the r2-r5 stale tail;
+# twelve r5 pure-compute rows ceded their slots to the canaries.
+_DRIVER_WINDOW_R10 = [
     "t2_sql_ddl_lifecycle",
     "t2_maintenance_lifecycle",
     "t2_partition_evolution_lifecycle",
     "t2_views_lifecycle",
     "t2_stream_cdc_sink",
     "t2_jobs_smoke",
-    # round-10 code-change canaries (graph defaults, CEP warn path,
-    # domain-budget sharding, MinHash hash-once scheme)
     "q186_triangle_count",
     "t2_adamic_adar",
     "t2_match_sequences",
@@ -10484,23 +10658,17 @@ _DRIVER_WINDOW = [
     "q118_paragraph_dedup",
     "t2_minhash_lsh_pairs",
     "t2_incremental_near_dedup",
-    # oldest staleness: r2
     "t2_percentile_approx",
     "t2_spark_hashes",
-    # r3
     "t2_multimodal_frames",
     "t2_orc_roundtrip",
     "t2_stats_moments",
-    # r4
     "t2_approx_distinct",
     "t2_cosine_near_dups",
     "t2_lsh_cosine_topk",
     "t2_simhash",
     "t2_skip_planning",
     "t2_stream_dedup",
-    # r5 tier-1 block (23 of 35; twelve pure-compute rows defer to r11
-    # — q54_cube ceded its slot to the q189 canary, and q38/q60-q63/
-    # q67 ceded theirs to the six MinHash-scheme canaries above)
     "q36_dedup_exact",
     "q44_pandas_udf_tokens",
     "q45_evolving_ingest",

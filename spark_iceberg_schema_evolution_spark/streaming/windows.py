@@ -501,6 +501,7 @@ def stream_dedup_ingest_to_lakehouse(
         incremental_near_dedup,
         minhash_signature,
         reconcile_signature_store,
+        sig_store_props,
     )
 
     report = {"committed_epochs": 0, "rows_ingested": 0, "near_dropped": 0}
@@ -534,6 +535,7 @@ def stream_dedup_ingest_to_lakehouse(
                 batch,
                 corpus.read(),
                 corpus_sigs=sigs_t.read(),
+                sigs_scheme=sigs_t.properties().get("minhash.scheme"),
                 threshold=near_threshold,
                 id_col=id_col,
                 text_col=text_col,
@@ -561,8 +563,18 @@ def stream_dedup_ingest_to_lakehouse(
                     if sigs_t.exists():
                         sigs_t.append(sg)
                     else:
+                        # stamp the MinHash params + scheme at store
+                        # CREATION (the reconcile guard refuses any
+                        # store found without minhash.scheme — a
+                        # property-less store may hold pre-hash-once
+                        # signatures that would band to nothing)
                         catalog.write_evolving(
                             sg, namespace, f"{table}_sigs"
+                        )
+                        catalog.table(
+                            namespace, f"{table}_sigs"
+                        ).set_properties(
+                            sig_store_props(num_hashes, num_bands)
                         )
                 report["rows_ingested"] += n
                 report["committed_epochs"] += 1

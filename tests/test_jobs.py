@@ -762,5 +762,15 @@ def test_sig_store_refuses_pre_scheme_signatures(spark, tmp_path):
 
     # simulate a pre-round-10 store: params recorded, scheme absent
     sigs.unset_property("minhash.scheme")
-    with pytest.raises(ValueError, match="predates the"):
+    with pytest.raises(ValueError, match="no recorded minhash.scheme"):
+        reconcile_signature_store(cat, "db", "c")
+
+    # simulate a pre-r7 store (or a crash between write_evolving and
+    # set_properties): NO properties at all. This must also refuse —
+    # stamping scheme=2 onto signatures of unknown provenance would make
+    # a scheme mismatch permanently undetectable.
+    for k in list(sigs.properties()):
+        if k.startswith("minhash."):
+            sigs.unset_property(k)
+    with pytest.raises(ValueError, match="no recorded minhash.scheme"):
         reconcile_signature_store(cat, "db", "c")

@@ -49,6 +49,57 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert j[(0, 99999)] > 0.7
 
 
+def test_signature_prefilter_keeps_dups_drops_distant(spark):
+    """The opt-in verify prefilter: a planted near-dup pair (signature
+    agreement ~ its true Jaccard > threshold) survives the cut; a
+    candidate pair of two UNRELATED docs (agreement ~ 0) is dropped
+    before exact verify; a margin wide enough to push the cut to zero
+    disables the filter (pairs pass through untouched); exact verify
+    on the filtered set equals exact verify on the full set for this
+    corpus (nothing true was lost)."""
+    d = _docs(spark).where("doc_id < 40")
+    planted = d.where("doc_id = 0").select(
+        F.lit(99999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = d.unionByName(planted)
+    sigs = dedup.minhash_signature(corpus, num_hashes=32)
+    # candidate list: the true near-dup pair + a fabricated pair of two
+    # unrelated documents (an LSH false positive stand-in)
+    pairs = spark.createDataFrame(
+        [(0, 99999), (1, 2)], "id_a long, id_b long"
+    )
+    kept = dedup.signature_prefilter(pairs, sigs, threshold=0.7)
+    got = {(r.id_a, r.id_b) for r in kept.collect()}
+    assert (0, 99999) in got
+    assert (1, 2) not in got
+    # exact verify result set identical on filtered vs unfiltered input
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(corpus, pairs)
+        .where("jaccard >= 0.7")
+        .collect()
+    }
+    filt = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(corpus, kept)
+        .where("jaccard >= 0.7")
+        .collect()
+    }
+    assert filt == full
+    # a cut at/below zero disables the filter entirely
+    wide = dedup.signature_prefilter(
+        pairs, sigs, threshold=0.7, margin_sigmas=100.0
+    )
+    assert wide.count() == pairs.count()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold"):
+        dedup.signature_prefilter(pairs, sigs, threshold=0.0)
+
+
 def test_lsh_drop_stats_surface_planted_hot_bucket(spark):
     """Plant a hot bucket (many identical docs) past max_bucket_size and
     require the skew guard's drop to be SURFACED, not just applied —

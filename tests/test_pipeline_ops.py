@@ -518,9 +518,13 @@ def _md5(s: str) -> str:
 
 def test_pps_systematic_sample_matches_replica_and_pps(spark):
     """Systematic PPS: exact row-set equality vs a pure-python replica
-    (md5 order, integer cumsum, boundary crossings), exactly-n when no
-    row outweighs W/n, inclusion frequency across seeds tracks
+    (md5 order, integer cumsum, seed-derived fractional start, sample
+    points at (U + j*W)/n), exactly-n when no row outweighs W/n,
+    inclusion EXACTLY n*w/W over the start draw (enumerated, not
+    sampled), and frequency across seeds tracks
     probability-proportional-to-size."""
+    import hashlib
+
     from spark_iceberg_schema_evolution_spark.operators.text import (
         pps_systematic_sample,
     )
@@ -529,16 +533,46 @@ def test_pps_systematic_sample_matches_replica_and_pps(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     n = 10
 
-    def replica(seed: str) -> set[int]:
-        ordered = sorted(rows, key=lambda r: (_md5(f"{seed}:{r[0]}"), r[0]))
-        total = sum(w for _, w in ordered)
+    def start(seed: str, total: int) -> int:
+        return (
+            int(
+                hashlib.md5(f"{seed}:start".encode()).hexdigest()[:15],
+                16,
+            )
+            % total
+        )
+
+    def pick(ordered, total, u):
         picked, cum = set(), 0
         for i, w in ordered:
             before = cum
             cum += w
-            if (cum * n) // total > (before * n) // total:
+            if (cum * n - u - 1 + total) // total > (
+                before * n - u - 1 + total
+            ) // total:
                 picked.add(i)
         return picked
+
+    def replica(seed: str) -> set[int]:
+        ordered = sorted(rows, key=lambda r: (_md5(f"{seed}:{r[0]}"), r[0]))
+        total = sum(w for _, w in ordered)
+        return pick(ordered, total, start(seed, total))
+
+    # inclusion-frequency property, EXACT (VERDICT r10 #6): for a fixed
+    # permutation, enumerating EVERY start U in [0, W) must select each
+    # row in exactly n*w draws (w <= W/n here), and always exactly n
+    # rows — the fractional start makes the estimator honest; the old
+    # W-anchored grid always selected the order-last row.
+    ordered0 = sorted(rows, key=lambda r: (_md5(f":{r[0]}"), r[0]))
+    total0 = sum(w for _, w in ordered0)
+    hits = {i: 0 for i, _ in rows}
+    for u in range(total0):
+        got_u = pick(ordered0, total0, u)
+        assert len(got_u) == n
+        for i in got_u:
+            hits[i] += 1
+    for i, w in rows:
+        assert hits[i] == n * w, (i, w, hits[i])
 
     for seed in ("", "s1", "s2"):
         got = {
@@ -648,6 +682,8 @@ def test_domain_budget_sharded_equals_one_window(spark):
             q = None  # NULL quality sorts last
         if dom == "d3":
             q = 5.0  # constant-quality domain: one shard
+        if dom == "d7":
+            dom = None  # NULL domain: its own partition, never dropped
         rows.append((i, dom, (i * 7) % 50 + 1, q))
     df = spark.createDataFrame(
         rows, "doc_id long, source string, w long, q double"

@@ -121,9 +121,14 @@ def test_agg_join_shuffle_budget(spark):
 def test_jaccard_candidate_path_no_shingle_self_join(spark):
     """With LSH candidates supplied, exact-Jaccard verification must join
     the (small) pair list to per-doc shingle SETS — never build the
-    quadratic all-co-shingled-pairs relation. Gate: no join keyed on the
-    exploded shingle hash, and no Generate (explode) node at all in the
-    candidate path; the only joins are the two id-equi joins."""
+    quadratic all-co-shingled-pairs relation. Gates: no join keyed on an
+    exploded SHINGLE hash; the only Generate node allowed is the 2-row
+    pair-member explode (array(id_a, id_b) — the r11 one-shingle-pass
+    reassembly), never a shingle explode (which would fan out ~60x per
+    doc); the shingle pipeline (xxhash64 over the shingle transform)
+    appears exactly ONCE in the plan (the pre-r11 two-join form computed
+    it twice, once per join side — most of the verify stage's 62%
+    pipeline share in the r10 probe); joins key on ids only."""
     from spark_iceberg_schema_evolution_spark.operators import dedup
 
     d = load(spark, SF_SMOKE, "documents").where("doc_id < 50")
@@ -132,12 +137,20 @@ def test_jaccard_candidate_path_no_shingle_self_join(spark):
     ).where("id_a < id_b").limit(20)
     out = dedup.jaccard_pairs(d, pairs=pairs)
     plan = explain.physical_plan(out)
-    assert "Generate explode" not in plan  # no shingle explode at all
-    # joins key on the doc ids, not on a shingle hash column
     import re
+    gens = re.findall(r"Generate explode\(([^)]*)\)", plan)
+    assert all("id_a" in g and "id_b" in g for g in gens), gens
+    # the normalize->shingle->hash pipeline is computed exactly once
+    assert plan.count("array_sort(transform(array_distinct(") == 1, (
+        plan.count("array_sort(transform(array_distinct(")
+    )
+    # joins key on the doc ids / pair-member id, never a shingle hash
     join_keys = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w* \[([^\]]*)\]", plan)
     assert join_keys, "expected equi-joins in the candidate path"
-    assert all("id_a" in k or "id_b" in k or "doc_id" in k for k in join_keys), join_keys
+    assert all(
+        "id_a" in k or "id_b" in k or "doc_id" in k or "__m" in k
+        for k in join_keys
+    ), join_keys
 
 
 def test_ivf_assignment_zero_shuffle(spark):

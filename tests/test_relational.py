@@ -707,10 +707,13 @@ def test_match_sequences_hot_user_guard(spark):
 
 
 def test_match_sequences_default_drop_warns(spark):
-    """Drops are never silent on the DEFAULT path (ADVICE r9): when
-    the cap fires and the caller did NOT opt into return_drop_stats,
-    a UserWarning carries the exact dropped user/event counts; when
-    nothing is capped, no warning fires."""
+    """Drops are never silent on the DEFAULT path (ADVICE r9) AND the
+    never-silent guarantee costs zero extra jobs (VERDICT r10): the
+    operator call itself runs NO Spark jobs (the pre-r11 form ran an
+    eager drop-count job at call time); the drop counts ride the
+    caller's own first action as observed metrics, and the UserWarning
+    with exact user/event counts fires when that action completes.
+    When nothing is capped, no warning fires."""
     import datetime as dt
     import warnings
 
@@ -727,18 +730,45 @@ def test_match_sequences_default_drop_warns(spark):
         rows, "user_id long, ts timestamp, event_type string"
     )
 
-    with pytest.warns(UserWarning, match=r"1 user\(s\) / 50 event"):
-        got = match_sequences(df, ["a", "b"], max_events_per_user=10)
-    assert [(r["user_id"], r["match_idx"]) for r in got.collect()] == [
-        (1, 1)
-    ]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sc = spark.sparkContext
+        sc.setJobGroup("ms_guard_plan", "match_sequences call (lazy)")
+        try:
+            got = match_sequences(df, ["a", "b"], max_events_per_user=10)
+        finally:
+            sc.setJobGroup("ms_guard_rest", "post-call")
+        # ONE-job proof, call half: planning ran zero Spark jobs — the
+        # guard stats were NOT eagerly evaluated at call time
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        tracker = sc.statusTracker()
+        assert tracker.getJobIdsForGroup("ms_guard_plan") == []
+        assert not caught  # and no warning before anything computed
+        # ONE-job proof, plan half: the guard stats are CollectMetrics
+        # nodes INSIDE this plan (they ride the action), not a
+        # separate query
+        plan = got._jdf.queryExecution().analyzed().toString()
+        assert "CollectMetrics" in plan
+        assert [
+            (r["user_id"], r["match_idx"]) for r in got.collect()
+        ] == [(1, 1)]
+        # the observed metrics landed with the caller's action; the
+        # guard thread fires the warning as soon as they arrive
+        got._drop_guard_thread.join(timeout=30)
+        assert not got._drop_guard_thread.is_alive()
+    msgs = [str(w.message) for w in caught if w.category is UserWarning]
+    assert any("1 user(s) / 50 event(s)" in m for m in msgs), msgs
 
     # below-cap data: silent (no spurious warning), and the opt-in
     # stats path never warns (the caller owns the counts)
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
-        match_sequences(df, ["a", "b"]).collect()  # default cap 100k
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        ok = match_sequences(df, ["a", "b"])  # default cap 100k
+        ok.collect()
+        ok._drop_guard_thread.join(timeout=30)
+        assert not ok._drop_guard_thread.is_alive()
         m, d = match_sequences(
             df, ["a", "b"], max_events_per_user=10, return_drop_stats=True
         )
         m.collect(), d.collect()
+    assert not [w for w in caught2 if w.category is UserWarning]
