@@ -247,6 +247,20 @@ def signature_prefilter(
     cut is est >= ~0.457). Raise ``margin_sigmas`` for a safer, weaker
     filter; the exact gate downstream is always the final arbiter.
 
+    WHEN TO USE (measured, tools/probe_r11_verify.py / PROBES_r11):
+    for BLOCKING-sourced candidates (same URL stem / title / group
+    key), whose Jaccard distribution is unconstrained and mostly low,
+    the filter killed 99.99% of 1M candidate pairs and cut verify
+    5.9x with zero true pairs lost. For LSH-sourced candidates it is
+    structurally weak AND measured a net LOSS: band admission already
+    conditions on signature agreement (a band match = rows_per_band
+    agreeing positions), so admitted-but-false pairs carry
+    upward-biased estimates that sit above the cut — and the filter's
+    own cost (two joins of the pair list against the FULL signature
+    store) exceeds the pruned one-pass verify when the admitted pair
+    list is small. Do not stack it on lsh_candidate_pairs output;
+    use it where candidates outnumber what exact verify can afford.
+
     Integer-exact cut: the comparison is ``agreements >= keep_min``
     with ``keep_min = ceil((threshold - margin_sigmas * sigma) * K)``
     computed driver-side — no float division crosses the engine

@@ -12,12 +12,26 @@ restricted to additive aggregates. AVG derives as sum/count at query
 time; MIN/MAX are not incrementally maintainable under deletes without
 per-group history and are deliberately not offered.
 
-Scale shape: one diff (two scans of the changed snapshots' batches),
-one hash aggregate over ONLY the changed rows, and one MERGE into the
-rollup keyed on the group columns — cost tracks the delta size, not
-the source size. A 100 TB source with a 1 GB daily delta refreshes by
-scanning the delta, exactly like a TimescaleDB continuous aggregate or
-a Materialize arrangement.
+Scale shape: the hash aggregate and the MERGE into the rollup track
+the DELTA size, but deriving the delta has two very different costs:
+
+- ``source.diff(a, b)`` (the generic path) is two ``exceptAll``s —
+  FOUR snapshot scans with full-row shuffles. Correct for arbitrary
+  writers, but O(source) per refresh: the r11 streaming probe
+  (tools/probe_r11_streaming.py) measured it at 5-6x the MERGE's own
+  cost per epoch at 10M rows, growing with the corpus.
+- ``delta_hint`` (the fast path): a writer that KNOWS its own change
+  set — the streaming upsert sink knows the epoch's batch is the
+  post-state of exactly its keys and the pre-merge rows of those keys
+  are the displaced state — passes the I/D frame directly. One
+  semi-join scan of the source instead of four full scans; the
+  bookmark still gates it (the hint is accepted only when it starts
+  at the bookmarked version, so a crash-replay gap falls back to the
+  diff path, never double-counts, never skips).
+
+A 100 TB source with a 1 GB daily delta refreshes by scanning the
+delta (hint path) or the snapshots (generic path), exactly like a
+TimescaleDB continuous aggregate or a Materialize arrangement.
 
 Consistency: the refresh bookmark (source version + expected rollup
 version) lives in the rollup's table properties and is written AFTER
@@ -30,6 +44,8 @@ lakehouse commit protocol itself (tables.py module docstring).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..checkpoint import unpersist_checkpoint
 
 _SRC_PROP = "rollup.source_version"
 _DST_PROP = "rollup.target_version"
@@ -53,13 +69,28 @@ def refresh_rollup(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     full_refresh: bool = False,
+    delta_hint: DataFrame | None = None,
+    hint_from_version: int | None = None,
 ) -> int:
     """Create or incrementally refresh ``target`` as the materialized
     ``GROUP BY group_cols -> n_rows, sum_<c>...`` of ``source`` (both
     ``LakehouseTable``). Returns the rollup's version (unchanged when
     the source hasn't moved). Group columns must be non-null — NULL
     group keys would silently miss the MERGE join and duplicate
-    groups, so the delta path refuses them loudly."""
+    groups, so the delta path refuses them loudly.
+
+    ``delta_hint`` + ``hint_from_version``: a writer that knows its own
+    change set (I/D-tagged rows, ``diff()``'s column convention) passes
+    it here with the source version it was derived FROM. The hint is
+    used only when ``hint_from_version`` equals the rollup's bookmarked
+    source version — i.e. the rollup saw every commit up to where the
+    hint starts; otherwise (a crash between a merge and its refresh
+    left a gap) the generic ``source.diff(bookmark, head)`` path runs,
+    which is always correct. The hint frame MUST be pinned to
+    pre-change snapshots (lakehouse reads bind their file list at
+    ``read()`` time, so a frame built before the commit stays valid).
+    Cost: O(hint) instead of diff's four snapshot scans (see module
+    docstring; measured 5-6x per epoch at 10M rows)."""
     if not group_cols:
         raise ValueError("need at least one group column")
     sum_cols = sum_cols or []
@@ -95,40 +126,52 @@ def refresh_rollup(
         )
     if last_src == src_v:
         return cur_dst  # nothing new
-    delta = _delta_agg(
-        source.diff(last_src, src_v), group_cols, sum_cols
-    )
+    if delta_hint is not None and hint_from_version == last_src:
+        changes = delta_hint
+    else:
+        changes = source.diff(last_src, src_v)
+    delta = _delta_agg(changes, group_cols, sum_cols)
     zero = F.col("n_rows") == 0
     for c in sum_cols:
         zero = zero & (F.col(f"sum_{c}") == 0)
-    delta = delta.where(~zero)
-    if delta.limit(1).count() == 0:
-        # the source moved without changing rows (metadata-only commit:
-        # spec change, rename, property) or the changes cancelled out —
-        # advance the bookmark WITHOUT rewriting the rollup
-        target.set_properties({_SRC_PROP: src_v, _DST_PROP: cur_dst})
-        return cur_dst
-    null_keys = F.lit(False)
-    for g in group_cols:
-        null_keys = null_keys | F.col(g).isNull()
-    delta = delta.withColumn(
-        "n_rows",
-        F.when(
-            null_keys,
-            F.raise_error(
-                F.lit("NULL group key in rollup delta — not mergeable")
-            ).cast("long"),
-        ).otherwise(F.col("n_rows")),
-    )
-    updates = {"n_rows": "t.n_rows + s.n_rows"}
-    for c in sum_cols:
-        updates[f"sum_{c}"] = f"t.sum_{c} + s.sum_{c}"
-    v = target.merge_into(
-        delta,
-        on=group_cols,
-        matched_delete_where="t.n_rows + s.n_rows = 0",
-        matched_update=updates,
-        insert_unmatched=True,
-    )
-    target.set_properties({_SRC_PROP: src_v, _DST_PROP: v})
-    return v
+    # materialize ONCE: the aggregated delta is tiny (<= touched
+    # groups) but its LINEAGE is the expensive part — diff's snapshot
+    # scans or the hint's semi-join + the writer's dedup window — and
+    # both the empty-check below and the MERGE's matched/unmatched arms
+    # would re-run it otherwise (PROBES_r11 measured the re-evaluation
+    # at more than the merge's own epoch cost).
+    delta = delta.where(~zero).localCheckpoint(eager=True)
+    try:
+        if delta.limit(1).count() == 0:
+            # the source moved without changing rows (metadata-only
+            # commit: spec change, rename, property) or the changes
+            # cancelled out — advance the bookmark WITHOUT rewriting
+            # the rollup
+            target.set_properties({_SRC_PROP: src_v, _DST_PROP: cur_dst})
+            return cur_dst
+        null_keys = F.lit(False)
+        for g in group_cols:
+            null_keys = null_keys | F.col(g).isNull()
+        checked = delta.withColumn(
+            "n_rows",
+            F.when(
+                null_keys,
+                F.raise_error(
+                    F.lit("NULL group key in rollup delta — not mergeable")
+                ).cast("long"),
+            ).otherwise(F.col("n_rows")),
+        )
+        updates = {"n_rows": "t.n_rows + s.n_rows"}
+        for c in sum_cols:
+            updates[f"sum_{c}"] = f"t.sum_{c} + s.sum_{c}"
+        v = target.merge_into(
+            checked,
+            on=group_cols,
+            matched_delete_where="t.n_rows + s.n_rows = 0",
+            matched_update=updates,
+            insert_unmatched=True,
+        )
+        target.set_properties({_SRC_PROP: src_v, _DST_PROP: v})
+        return v
+    finally:
+        unpersist_checkpoint(delta)

@@ -89,6 +89,78 @@ def test_rollup_refresh_cost_is_delta_keyed(spark, catalog):
     assert d.count() == 1  # the delta sees one row, not 1001
 
 
+def test_rollup_delta_hint_equals_diff_and_gap_falls_back(spark, catalog):
+    """The writer-supplied delta fast path (PROBES_r11: the generic
+    diff was 5-6x the merge's own epoch cost): a hint whose
+    from-version matches the bookmark refreshes to the EXACT state the
+    diff path produces; a hint with a version gap (crash-replay shape)
+    is ignored and the always-correct diff path runs — never
+    double-counts, never skips."""
+    catalog.create_namespace("db")
+    # keyed source: 20 of the 30 batch rows rewrite existing keys (to a
+    # NEW group k=6), 10 insert fresh keys (k=7) — the upsert shape.
+    # The hint is built BEFORE the merge (pinned pre-merge snapshot).
+    src2 = catalog.table("db", "src2")
+    dst2 = catalog.table("db", "roll2")
+    base = spark.range(60).select(
+        F.col("id").alias("key_id"),
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("v"),
+    )
+    catalog.write_evolving(base, "db", "src2")
+    refresh_rollup(src2, dst2, ["k"], ["v"])
+    batch = spark.range(30).select(
+        F.when(F.col("id") < 20, F.col("id"))
+        .otherwise(F.col("id") + 1000).alias("key_id"),
+        F.when(F.col("id") < 20, F.lit(6)).otherwise(F.lit(7)).alias("k"),
+        (F.col("id") + 500).alias("v"),
+    )
+    hint_from = src2._load().version
+    old_match = src2.read().join(
+        batch.select("key_id").distinct(), ["key_id"], "left_semi"
+    )
+    hint = batch.withColumn("_change_type", F.lit("I")).unionByName(
+        old_match.withColumn("_change_type", F.lit("D")),
+        allowMissingColumns=True,
+    )
+    src2.merge_into(batch, on=["key_id"])
+    refresh_rollup(
+        src2, dst2, ["k"], ["v"],
+        delta_hint=hint, hint_from_version=hint_from,
+    )
+    assert _got(dst2) == _expected(src2)
+
+    # gap shape: a second merge commits but its refresh never ran; a
+    # NEW hint derived from the post-gap version must be ignored (its
+    # from-version != bookmark) and the diff path must recover BOTH
+    # commits' deltas
+    batch2 = spark.range(5).select(
+        (F.col("id") + 2000).alias("key_id"),
+        F.lit(8).alias("k"),
+        F.lit(1).alias("v"),
+    )
+    src2.merge_into(batch2, on=["key_id"])  # refresh skipped (crash)
+    batch3 = spark.range(5).select(
+        (F.col("id") + 3000).alias("key_id"),
+        F.lit(9).alias("k"),
+        F.lit(2).alias("v"),
+    )
+    hint_from3 = src2._load().version  # != bookmark: gap behind it
+    old3 = src2.read().join(
+        batch3.select("key_id").distinct(), ["key_id"], "left_semi"
+    )
+    hint3 = batch3.withColumn("_change_type", F.lit("I")).unionByName(
+        old3.withColumn("_change_type", F.lit("D")),
+        allowMissingColumns=True,
+    )
+    src2.merge_into(batch3, on=["key_id"])
+    refresh_rollup(
+        src2, dst2, ["k"], ["v"],
+        delta_hint=hint3, hint_from_version=hint_from3,
+    )
+    assert _got(dst2) == _expected(src2)  # k=8 present: diff path ran
+
+
 def test_rollup_out_of_sync_guard_and_rebuild(spark, catalog):
     catalog.create_namespace("db")
     src = catalog.table("db", "srcg")
