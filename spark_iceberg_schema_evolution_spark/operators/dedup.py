@@ -346,7 +346,12 @@ def incremental_near_dedup(
 
     Returns ``(kept_new_docs, dropped)`` where ``dropped`` holds
     (new id, matched corpus id, jaccard) for every verified match —
-    the audit trail, per the no-silent-drops rule."""
+    the audit trail, per the no-silent-drops rule. The candidate list
+    and the verified-match frame are materialized EAGERLY at call time
+    (both tiny: pair ids / one row per match, GC-reclaimed), so
+    consuming ``kept`` AND ``dropped`` costs one banding join and one
+    verify — the previous fully-lazy form re-signed the new batch and
+    re-ran the verify joins once per downstream action (r11)."""
     if corpus_sigs is None:
         corpus_sigs = minhash_signature(
             corpus_docs, id_col, text_col, num_hashes, shingle_size, seed
@@ -384,6 +389,12 @@ def incremental_near_dedup(
         .where(F.col("__n") <= max_bucket_size)
     )
     cb = cb.join(small, ["band_idx", "band_hash"], "left_semi")
+    # materialize the candidate list ONCE (it is tiny — pair ids only):
+    # it feeds the corpus-side prune AND the verify join, and without
+    # this the caller's separate kept/dropped actions would each re-run
+    # the whole banding join — re-signing the new batch per action (the
+    # verify-skill N-fold-re-evaluation check; same class as the r11
+    # rollup-delta finding). Bounded by candidates, GC-reclaimed.
     cand = (
         nb.alias("n")
         .join(cb.alias("c"), ["band_idx", "band_hash"])
@@ -392,6 +403,7 @@ def incremental_near_dedup(
             F.col(f"c.{id_col}").alias("__corpus_id"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def sh_set(df: DataFrame, out_id: str) -> DataFrame:
@@ -430,11 +442,15 @@ def incremental_near_dedup(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize the verified matches ONCE (tiny: one row per verified
+    # near-dup): ``kept``'s anti-join consumes it AND callers count it
+    # for the audit trail — without this every action re-runs the
+    # shingle-set joins. Eager, bounded by matches, GC-reclaimed.
     dropped = verified.select(
         F.col("__new_id").alias(id_col),
         F.col("__corpus_id").alias("matched_corpus_id"),
         "jaccard",
-    )
+    ).localCheckpoint(eager=True)
     kept = new_docs.join(
         dropped.select(id_col).distinct(), id_col, "left_anti"
     )
