@@ -53,6 +53,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="LSH bands over a 32-hash signature",
     )
     p.add_argument(
+        "--sigs-in", default=None,
+        help="MinHash signature store (parquet dir written by a prior "
+        "--sigs-out run, with its _minhash_props.json sidecar): the "
+        "near-dedup stage signs only store-missing docs instead of "
+        "re-signing the corpus (the sig scan was ~56% of 10M-doc "
+        "pipeline wall clock, PROBES_r11)",
+    )
+    p.add_argument(
+        "--sigs-out", default=None,
+        help="write the corpus MinHash signatures + parameter sidecar "
+        "here for the next run's --sigs-in",
+    )
+    p.add_argument(
         "--boilerplate-df", type=int, default=0,
         help="drop lines appearing in more than this many docs "
         "(0 = stage off)",
@@ -128,6 +141,66 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_SIG_SIDECAR = "_minhash_props.json"
+
+
+def _write_sig_store(
+    sigs, path: str, num_hashes: int, num_bands: int
+) -> None:
+    """Parquet signature store + parameter sidecar — the filesystem
+    twin of ``reconcile_signature_store``'s table properties. The
+    sidecar lands AFTER the parquet commit and ``_read_sig_store``
+    refuses a store without it, so a half-written store can never
+    band (the leading underscore keeps Spark's directory scan from
+    reading it as data, like ``_SUCCESS``)."""
+    import json
+    import os
+
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        sig_store_props,
+    )
+
+    sigs.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, _SIG_SIDECAR), "w") as f:
+        json.dump(sig_store_props(num_hashes, num_bands), f)
+
+
+def _read_sig_store(spark, path: str, num_hashes: int, num_bands: int):
+    """-> (sigs_df, scheme). Refuses a sidecar-less store (its
+    signatures may predate the hash-once scheme — banding them finds
+    nothing, silently) and a parameter-mismatched one (same class of
+    silent no-op the table-property guard closes)."""
+    import json
+    import os
+
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        sig_store_props,
+    )
+
+    side = os.path.join(path, _SIG_SIDECAR)
+    if not os.path.exists(side):
+        raise ValueError(
+            f"signature store {path} has no {_SIG_SIDECAR} sidecar; "
+            "its signatures may predate the hash-once scheme and "
+            "cannot safely band against fresh ones — rebuild it with "
+            "--sigs-out"
+        )
+    with open(side) as f:
+        props = json.load(f)
+    want = sig_store_props(num_hashes, num_bands)
+    bad = {
+        k: (props.get(k), v) for k, v in want.items()
+        if props.get(k) != v
+    }
+    if bad:
+        raise ValueError(
+            f"signature store {path} was built with different MinHash "
+            f"parameters: {bad} (stored != requested); rebuild it or "
+            "match the parameters"
+        )
+    return spark.read.parquet(path), props["minhash.scheme"]
+
+
 def curate(spark, args) -> dict:
     from pyspark.sql import functions as F
 
@@ -190,19 +263,37 @@ def curate(spark, args) -> dict:
     exact = spark.read.parquet(f"{args.output}/01_exact_dedup")
     counts["after_exact_dedup"] = exact.count()
 
-    # 2. near dedup: candidates -> verify -> cluster -> keep cluster min
-    sigs = dedup.minhash_signature(exact, num_hashes=32)
-    cands = dedup.lsh_candidate_pairs(
-        sigs, num_bands=args.minhash_bands, sig_len=32
+    # 2. near dedup: sign (store-backed when --sigs-in: only
+    # store-missing docs are signed) -> LSH candidates -> exact-Jaccard
+    # verify -> cluster -> keep cluster min
+    sigs_in = scheme_in = None
+    if args.sigs_in:
+        sigs_in, scheme_in = _read_sig_store(
+            spark, args.sigs_in, 32, args.minhash_bands
+        )
+    if args.sigs_out:
+        # materialize this corpus' signatures (reusing --sigs-in rows)
+        # and re-read: the near-dedup below consumes the WRITTEN store
+        # and signs nothing, and the next run starts from it
+        _write_sig_store(
+            dedup.corpus_signatures(
+                exact, num_hashes=32, sigs=sigs_in, sigs_scheme=scheme_in
+            ),
+            args.sigs_out,
+            32,
+            args.minhash_bands,
+        )
+        sigs_in, scheme_in = _read_sig_store(
+            spark, args.sigs_out, 32, args.minhash_bands
+        )
+    near = dedup.batch_near_dedup(
+        exact,
+        threshold=args.jaccard,
+        num_hashes=32,
+        num_bands=args.minhash_bands,
+        sigs=sigs_in,
+        sigs_scheme=scheme_in,
     )
-    verified = dedup.jaccard_pairs(exact, pairs=cands).where(
-        F.col("jaccard") >= args.jaccard
-    )
-    clusters = dedup.connected_components(verified)
-    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias("doc_id")
-    )
-    near = exact.join(drop, "doc_id", "left_anti")
     near.write.mode("overwrite").parquet(f"{args.output}/02_near_dedup")
     near = spark.read.parquet(f"{args.output}/02_near_dedup")
     counts["after_near_dedup"] = near.count()

@@ -137,7 +137,9 @@ def ingest_increment(spark, args) -> dict:
             batch,
             corpus.read(),
             corpus_sigs=sigs_t.read(),
-            sigs_scheme=sigs_t.properties().get("minhash.scheme"),
+            # index, don't .get(): a property-less store must raise
+            # here, not silently skip the scheme check (ADVICE r11)
+            sigs_scheme=sigs_t.properties()["minhash.scheme"],
             threshold=args.near_dedup,
             id_col=args.id_col,
             text_col=args.text_col,
@@ -163,18 +165,19 @@ def ingest_increment(spark, args) -> dict:
                     text_col=args.text_col,
                     num_hashes=args.num_hashes,
                 )
-                if sigs_t.exists():
-                    sigs_t.append(new_sigs)
-                else:
-                    # stamp the MinHash params + scheme at store
-                    # creation — the reconcile guard refuses any store
-                    # found without minhash.scheme
-                    cat.write_evolving(
-                        new_sigs, ns, f"{args.corpus}_sigs"
+                if not sigs_t.exists():
+                    # properties land WITH table creation, before any
+                    # data commit (ADVICE r11): a crash mid-creation
+                    # leaves an empty store reconcile can heal, never
+                    # a property-less one holding signatures
+                    cat.create_namespace(ns)
+                    sigs_t.create(
+                        new_sigs.schema,
+                        properties=sig_store_props(
+                            args.num_hashes, args.num_bands
+                        ),
                     )
-                    cat.table(ns, f"{args.corpus}_sigs").set_properties(
-                        sig_store_props(args.num_hashes, args.num_bands)
-                    )
+                sigs_t.append(new_sigs)
             if args.bloom_columns:
                 for c in args.bloom_columns.split(","):
                     corpus.build_bloom_index(c.strip())

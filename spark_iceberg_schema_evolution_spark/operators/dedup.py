@@ -223,7 +223,6 @@ def signature_prefilter(
     threshold: float,
     id_col: str = "doc_id",
     sig_col: str = "signature",
-    num_hashes: int = 32,
     margin_sigmas: float = 3.0,
 ) -> DataFrame:
     """OPT-IN candidate-pair prefilter for the exact-Jaccard verify
@@ -261,34 +260,39 @@ def signature_prefilter(
     list is small. Do not stack it on lsh_candidate_pairs output;
     use it where candidates outnumber what exact verify can afford.
 
-    Integer-exact cut: the comparison is ``agreements >= keep_min``
-    with ``keep_min = ceil((threshold - margin_sigmas * sigma) * K)``
-    computed driver-side — no float division crosses the engine
-    boundary, so the kept pair set is deterministic. Cost: two narrow
-    equi-joins of the pair list against the signature store (32
-    longs/row) + a zip_with count — much cheaper per pair than
-    fetching and intersecting two ~60-key shingle sets."""
-    import math
+    NEVER a silent recall hole (ADVICE r11): the signature lookups
+    are LEFT joins, and a pair with a missing signature on either
+    side PASSES THROUGH to exact verify — blocking-sourced candidates
+    (the stated use case) are exactly where unsigned docs appear, so
+    an inner join here would delete pairs the exact gate never saw.
+    The cut is derived per pair from the ACTUAL signature arrays
+    (``K = least(size(a), size(b))``), not from a trusted parameter:
+    a store shorter than a claimed num_hashes would otherwise push
+    ``keep_min`` above the maximum possible agreements and drop every
+    pair, true duplicates included.
 
+    The comparison is ``agreements >= ceil((threshold -
+    margin_sigmas * sqrt(t(1-t)/K)) * K)`` — deterministic for a
+    given input (one float expression per pair; this operator is
+    opt-in and never oracle-faced). Cost: two narrow equi-joins of
+    the pair list against the signature store (32 longs/row) + a
+    zip_with count — much cheaper per pair than fetching and
+    intersecting two ~60-key shingle sets."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
-    sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
-    keep_min = max(
-        0, math.ceil((threshold - margin_sigmas * sigma) * num_hashes)
-    )
-    if keep_min == 0:
-        return pairs  # cut below zero: nothing can be skipped
     s = sigs.select(F.col(id_col), F.col(sig_col))
     j = pairs.join(
         s.select(
             F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a")
         ),
         "id_a",
+        "left",
     ).join(
         s.select(
             F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b")
         ),
         "id_b",
+        "left",
     )
     agreements = F.size(
         F.filter(
@@ -296,9 +300,23 @@ def signature_prefilter(
             lambda v: v,
         )
     )
-    return j.where(agreements >= F.lit(int(keep_min))).select(
-        *pairs.columns
+    k = F.least(F.size("__sig_a"), F.size("__sig_b")).cast("double")
+    cut = F.ceil(
+        (
+            F.lit(float(threshold))
+            - F.lit(float(margin_sigmas))
+            * F.sqrt(
+                F.lit(float(threshold) * (1.0 - float(threshold))) / k
+            )
+        )
+        * k
     )
+    keep = (
+        F.col("__sig_a").isNull()
+        | F.col("__sig_b").isNull()
+        | (agreements >= cut)
+    )
+    return j.where(keep).select(*pairs.columns)
 
 
 def incremental_near_dedup(
@@ -343,6 +361,16 @@ def incremental_near_dedup(
     ``minhash.scheme`` table property and refuse on mismatch; when
     reading a store yourself, thread that property in as
     ``sigs_scheme`` and this function asserts it.
+
+    ``sigs_scheme=None`` means the caller VOUCHES the signatures were
+    built in-process by this module's :func:`minhash_signature` (the
+    test / same-session path) — it is NOT "unknown, don't care": a
+    None threaded from a persisted store's missing property silently
+    degrades to the shape probe, which scheme-1 signatures pass while
+    banding to zero candidates. When threading a PERSISTED store's
+    property, index it (``props["minhash.scheme"]``), never
+    ``.get()`` — a property-less store must raise at the read site
+    (``reconcile_signature_store`` refuses such stores outright).
 
     Returns ``(kept_new_docs, dropped)`` where ``dropped`` holds
     (new id, matched corpus id, jaccard) for every verified match —
@@ -548,22 +576,29 @@ def reconcile_signature_store(
                 "the parameters"
             )
         if "minhash.scheme" not in recorded:
-            # ANY existing store without a recorded scheme — whether it
-            # has the other params (pre-round-10) or none at all
-            # (pre-r7, or a crash between write_evolving and
-            # set_properties below) — may hold scheme-1 signatures.
+            # ANY existing store HOLDING SIGNATURES without a recorded
+            # scheme — whether it has the other params (pre-round-10)
+            # or none at all (pre-r7) — may hold scheme-1 signatures.
             # Banding those against scheme-2 signatures silently finds
             # nothing, and stamping scheme=2 onto them would make the
-            # mismatch permanently undetectable. Refuse; never stamp an
-            # existing store. The scheme is only ever stamped at store
-            # creation, right after the signatures it describes.
-            raise ValueError(
-                f"signature store {namespace}.{sigs_name} has no "
-                f"recorded minhash.scheme; its signatures may predate "
-                f"the hash-once scheme ({_MINHASH_SCHEME}) and cannot "
-                "safely band against new ones — rebuild the store "
-                "(drop it and re-run reconcile_signature_store)"
-            )
+            # mismatch permanently undetectable. Refuse; never stamp a
+            # non-empty store. An EMPTY property-less store carries no
+            # such ambiguity (there are no signatures to mislabel) — it
+            # is the footprint of a crash inside table creation — so it
+            # is stamped and backfilled instead of wedging the
+            # streaming sink / nightly job until a human drops it
+            # (ADVICE r11). row_count() is metadata-only.
+            if sigs_t.row_count() == 0:
+                sigs_t.set_properties(want)
+            else:
+                raise ValueError(
+                    f"signature store {namespace}.{sigs_name} has no "
+                    f"recorded minhash.scheme; its signatures may "
+                    f"predate the hash-once scheme ({_MINHASH_SCHEME}) "
+                    "and cannot safely band against new ones — rebuild "
+                    "the store (drop it and re-run "
+                    "reconcile_signature_store)"
+                )
         missing = corpus.read().join(
             sigs_t.read().select(id_col), id_col, "left_anti"
         )
@@ -576,14 +611,167 @@ def reconcile_signature_store(
     try:
         n = new_sigs.count()
         if n:
-            if sigs_t.exists():
-                sigs_t.append(new_sigs)
-            else:
-                catalog.write_evolving(new_sigs, namespace, sigs_name)
-                catalog.table(namespace, sigs_name).set_properties(want)
+            if not sigs_t.exists():
+                # properties land WITH table creation, before any data
+                # commit: a crash mid-creation leaves an EMPTY stamped
+                # (or empty property-less, healed above) store, never
+                # a signature-holding ambiguous one (ADVICE r11)
+                catalog.create_namespace(namespace)
+                sigs_t.create(new_sigs.schema, properties=want)
+            sigs_t.append(new_sigs)
     finally:
         new_sigs.unpersist()
     return n
+
+
+def corpus_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    seed: int = 42,
+    sigs: DataFrame | None = None,
+    sigs_scheme: str | None = None,
+) -> DataFrame:
+    """(id, signature) MinHash coverage of ``docs``, store-backed:
+    with ``sigs`` (a materialized ``minhash_signature`` store) given,
+    only STORE-MISSING docs are signed fresh — one fixed-width id
+    anti-join finds them — and store rows for ids outside ``docs``
+    are semi-join-pruned (they would band phantom candidates).
+    Without it, every doc is signed (the from-scratch path).
+
+    Guards (shared with :func:`incremental_near_dedup`): a
+    caller-threaded ``sigs_scheme`` must equal the engine scheme —
+    thread a PERSISTED store's property by INDEXING it
+    (``props["minhash.scheme"]``), never ``.get()``; ``None`` means
+    the caller vouches the sigs were built in-process this session —
+    and a one-row probe refuses a store whose signature length
+    differs from ``num_hashes``."""
+    if sigs is None:
+        return minhash_signature(
+            docs, id_col, text_col, num_hashes, shingle_size, seed
+        )
+    if sigs_scheme is not None and str(sigs_scheme) != _MINHASH_SCHEME:
+        raise ValueError(
+            f"sigs minhash scheme {sigs_scheme!r} != engine scheme "
+            f"{_MINHASH_SCHEME!r}: scheme-1 signatures have the same "
+            "length but different values, so banding them with freshly "
+            "signed docs finds NOTHING — rebuild the signature store "
+            "(reconcile_signature_store)"
+        )
+    probe = sigs.select(F.size("signature")).first()
+    if probe is not None and probe[0] != num_hashes:
+        raise ValueError(
+            f"sigs signature length {probe[0]} != num_hashes "
+            f"{num_hashes}: the store was built with different MinHash "
+            "parameters and would band incompatibly (see "
+            "reconcile_signature_store, which records parameters as "
+            "table properties)"
+        )
+    store = sigs.select(F.col(id_col), F.col("signature")).join(
+        docs.select(id_col), id_col, "left_semi"
+    )
+    unsigned = docs.join(sigs.select(id_col), id_col, "left_anti")
+    return minhash_signature(
+        unsigned, id_col, text_col, num_hashes, shingle_size, seed
+    ).unionByName(store)
+
+
+def batch_near_dedup(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_size: int = 5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    sigs: DataFrame | None = None,
+    sigs_scheme: str | None = None,
+    quality_col: str | None = None,
+    return_pairs: bool = False,
+):
+    """Whole-corpus near-dedup, one call: MinHash sign -> LSH band ->
+    exact-Jaccard verify -> connected components -> keep one document
+    per duplicate cluster (lowest id, or the best ``quality_col``
+    member via :func:`dedup_keep_best`). The batch composition the
+    curation job and the q74/q115-family faces build by hand, now with
+    a signature-store input.
+
+    ``sigs`` (VERDICT r11 #3): the MATERIALIZED signature store — a
+    frame of ``(id_col, signature)`` from :func:`minhash_signature`,
+    e.g. the ``<table>_sigs`` lakehouse table
+    :func:`reconcile_signature_store` maintains for the incremental
+    path. The signature scan was ~56% of the clean 10M-doc pipeline's
+    wall clock (PROBES_r11) and is pure recompute when a store exists:
+    with ``sigs`` given, only STORE-MISSING docs are signed (one
+    fixed-width id anti-join finds them); store rows for ids outside
+    ``docs`` are semi-join-pruned so they can never band phantom
+    candidates. Same guards as :func:`incremental_near_dedup`: a
+    caller-threaded ``sigs_scheme`` must equal the engine scheme
+    (index the table property — ``props["minhash.scheme"]`` — never
+    ``.get()``; None means the caller vouches the sigs were built
+    in-process), and a one-row probe refuses a store whose signature
+    length differs from ``num_hashes`` (it would band incompatibly
+    and silently find nothing).
+
+    The candidate pair list and the verified match list are
+    materialized EAGERLY (both tiny — two ids / one row per verified
+    pair): candidates feed the verify join twice (member prune +
+    shingle attach) and the verified pairs feed clustering AND the
+    caller's audit read, so the lazy form re-ran banding per action
+    (the r11 incremental finding, same fix). Scale shape is the
+    composed operators': per-row sign work, one band-keyed shuffle
+    with the hot-bucket guard, verify joins bounded by candidates,
+    O(log n) CC rounds on the pair set only, and the untouched bulk
+    exits via an anti-join on ids.
+
+    Returns the deduped corpus; ``return_pairs=True`` returns
+    ``(kept, verified_pairs)`` where the pair frame carries
+    (id_a, id_b, n_common, n_a, n_b, jaccard, containment)."""
+    all_sigs = corpus_signatures(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        seed=seed,
+        sigs=sigs,
+        sigs_scheme=sigs_scheme,
+    )
+    cand = lsh_candidate_pairs(
+        all_sigs,
+        id_col=id_col,
+        num_bands=num_bands,
+        max_bucket_size=max_bucket_size,
+        sig_len=num_hashes,
+    ).localCheckpoint(eager=True)
+    verified = (
+        jaccard_pairs(
+            docs,
+            pairs=cand,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_size=shingle_size,
+        )
+        .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
+    )
+    if quality_col is not None:
+        kept = dedup_keep_best(
+            docs, verified, quality_col=quality_col, id_col=id_col
+        )
+    else:
+        cc = connected_components(verified.select("id_a", "id_b"))
+        drop = cc.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        kept = docs.join(drop, id_col, "left_anti")
+    if return_pairs:
+        return kept, verified
+    return kept
 
 
 def jaccard_pairs(

@@ -733,6 +733,55 @@ def test_curate_domain_budget_and_pps_stages(spark, tmp_path):
     _ = F
 
 
+def test_curate_sig_store_roundtrip(spark, tmp_path):
+    """--sigs-out writes the corpus signatures + parameter sidecar;
+    a second run with --sigs-in produces identical stage counts (the
+    near-dedup stage consumes the store instead of re-signing); a
+    sidecar-less or parameter-mismatched store refuses loudly."""
+    import pytest as _pt
+
+    from spark_iceberg_schema_evolution_spark.jobs.curate_corpus import (
+        build_parser, curate,
+    )
+
+    sigs = str(tmp_path / "sigstore")
+    base = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--min-quality", "0.0", "--no-redact",
+        "--chunk-tokens", "64", "--overlap", "8",
+        "--pack-capacity", "512",
+    ]
+    out1 = str(tmp_path / "cur1")
+    c1 = curate(spark, build_parser().parse_args(
+        base + ["--output", out1, "--sigs-out", sigs]
+    ))
+    import os
+    assert os.path.exists(f"{sigs}/_minhash_props.json")
+    out2 = str(tmp_path / "cur2")
+    c2 = curate(spark, build_parser().parse_args(
+        base + ["--output", out2, "--sigs-in", sigs]
+    ))
+    assert c2["after_near_dedup"] == c1["after_near_dedup"]
+    assert (
+        {r.doc_id for r in
+         spark.read.parquet(f"{out2}/02_near_dedup").collect()}
+        == {r.doc_id for r in
+            spark.read.parquet(f"{out1}/02_near_dedup").collect()}
+    )
+    # refusals: different bands param; missing sidecar
+    with _pt.raises(ValueError, match="different MinHash parameters"):
+        curate(spark, build_parser().parse_args(
+            base + ["--output", str(tmp_path / "cur3"),
+                    "--sigs-in", sigs, "--minhash-bands", "4"]
+        ))
+    os.remove(f"{sigs}/_minhash_props.json")
+    with _pt.raises(ValueError, match="sidecar"):
+        curate(spark, build_parser().parse_args(
+            base + ["--output", str(tmp_path / "cur4"),
+                    "--sigs-in", sigs]
+        ))
+
+
 def test_sig_store_refuses_pre_scheme_signatures(spark, tmp_path):
     """A signature store written before the round-10 hash-once MinHash
     scheme (params recorded, no minhash.scheme property) must be
@@ -774,3 +823,33 @@ def test_sig_store_refuses_pre_scheme_signatures(spark, tmp_path):
             sigs.unset_property(k)
     with pytest.raises(ValueError, match="no recorded minhash.scheme"):
         reconcile_signature_store(cat, "db", "c")
+
+
+def test_sig_store_heals_empty_property_less_store(spark, tmp_path):
+    """ADVICE r11: an EMPTY property-less store — the footprint of a
+    crash inside store creation — carries no scheme ambiguity (there
+    are no signatures to mislabel), so reconcile stamps it and
+    backfills instead of wedging the streaming sink / nightly job
+    until a human drops the table. A NON-empty property-less store
+    still refuses (previous test)."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        _MINHASH_SCHEME,
+        reconcile_signature_store,
+    )
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with words {i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    cat.write_evolving(docs, "db", "c")
+    # crash footprint: empty table exists, no properties ever landed
+    sigs = cat.table("db", "c_sigs")
+    empty = spark.createDataFrame([], "doc_id long, signature array<bigint>")
+    sigs.create(empty.schema)
+    assert sigs.row_count() == 0 and "minhash.scheme" not in sigs.properties()
+    n = reconcile_signature_store(cat, "db", "c")
+    assert n == 5
+    assert sigs.properties()["minhash.scheme"] == _MINHASH_SCHEME
+    assert reconcile_signature_store(cat, "db", "c") == 0

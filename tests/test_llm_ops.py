@@ -100,6 +100,50 @@ def test_signature_prefilter_keeps_dups_drops_distant(spark):
         dedup.signature_prefilter(pairs, sigs, threshold=0.0)
 
 
+def test_signature_prefilter_missing_and_short_sigs(spark):
+    """ADVICE r11 regression: (1) a candidate pair whose doc id is
+    absent from the signature store PASSES THROUGH to exact verify
+    (left joins — an inner join silently deleted recall exactly where
+    blocking-sourced candidates carry unsigned docs); (2) the cut is
+    derived from the ACTUAL signature arrays, so a store shorter than
+    an assumed num_hashes can never push the cut above the maximum
+    possible agreements and drop true duplicates."""
+    d = _docs(spark).where("doc_id < 40")
+    planted = d.where("doc_id = 0").select(
+        F.lit(99999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = d.unionByName(planted)
+    # (1) unsigned doc: pair (0, 77777) has no signature for 77777
+    sigs = dedup.minhash_signature(corpus, num_hashes=32)
+    pairs = spark.createDataFrame(
+        [(0, 99999), (0, 77777), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.signature_prefilter(
+            pairs, sigs, threshold=0.7
+        ).collect()
+    }
+    assert (0, 77777) in got     # missing sig -> pass through
+    assert (0, 99999) in got     # true dup survives
+    assert (1, 2) not in got     # unrelated pair still cut
+    # (2) short store: K=8 actual; the pre-r12 form computed keep_min
+    # from num_hashes=32 (= 15 > 8 max agreements) and dropped EVERY
+    # pair, the planted duplicate included
+    sigs8 = dedup.minhash_signature(corpus, num_hashes=8)
+    got8 = {
+        (r.id_a, r.id_b)
+        for r in dedup.signature_prefilter(
+            spark.createDataFrame([(0, 99999)], "id_a long, id_b long"),
+            sigs8,
+            threshold=0.7,
+        ).collect()
+    }
+    assert (0, 99999) in got8
+
+
 def test_lsh_drop_stats_surface_planted_hot_bucket(spark):
     """Plant a hot bucket (many identical docs) past max_bucket_size and
     require the skew guard's drop to be SURFACED, not just applied —
@@ -808,6 +852,51 @@ def test_incremental_near_dedup_drops_planted_edit(spark):
     assert (50001, 3) in {
         (r.doc_id, r.matched_corpus_id) for r in dropped2.collect()
     }
+
+
+def test_batch_near_dedup_store_backed_equals_fresh(spark):
+    """VERDICT r11 #3: the batch composition consuming a materialized
+    signature store (signing only store-missing docs) returns the
+    IDENTICAL kept set and verified pairs as the from-scratch run —
+    including when the store carries ids outside the corpus (pruned,
+    never phantom candidates); a scheme- or length-mismatched store
+    refuses loudly instead of banding to zero candidates."""
+    import pytest as _pt
+
+    d = _docs(spark).where("doc_id < 120").select("doc_id", "text")
+    planted = d.where("doc_id < 20").select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" smalledit")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    kept_f, pairs_f = dedup.batch_near_dedup(
+        corpus, threshold=0.6, num_hashes=16, num_bands=4,
+        return_pairs=True,
+    )
+    want_kept = {r.doc_id for r in kept_f.collect()}
+    want_pairs = {(r.id_a, r.id_b) for r in pairs_f.collect()}
+    assert want_pairs  # the planted edits must actually verify
+    # store covers the even half PLUS ids outside the corpus
+    outside = _docs(spark).where(
+        "doc_id >= 200 and doc_id < 230"
+    ).select("doc_id", "text")
+    store = dedup.minhash_signature(
+        corpus.where("doc_id % 2 = 0").unionByName(outside),
+        num_hashes=16,
+    )
+    kept_s, pairs_s = dedup.batch_near_dedup(
+        corpus, threshold=0.6, num_hashes=16, num_bands=4,
+        sigs=store, return_pairs=True,
+    )
+    assert {r.doc_id for r in kept_s.collect()} == want_kept
+    assert {(r.id_a, r.id_b) for r in pairs_s.collect()} == want_pairs
+    # refusals: wrong scheme, wrong signature length
+    with _pt.raises(ValueError, match="scheme"):
+        dedup.batch_near_dedup(
+            corpus, num_hashes=16, sigs=store, sigs_scheme="1"
+        )
+    with _pt.raises(ValueError, match="signature length"):
+        dedup.batch_near_dedup(corpus, num_hashes=32, sigs=store)
 
 
 def test_minhash_property_per_hash_agreement_tracks_jaccard(spark):

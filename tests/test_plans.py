@@ -118,6 +118,33 @@ def test_agg_join_shuffle_budget(spark):
     assert explain.count_exchanges(df) <= 3
 
 
+def test_corpus_signatures_store_backed_signs_only_missing(spark):
+    """VERDICT r11 #3 plan gate: with a materialized signature store
+    given, the normalize->shingle->hash MinHash pipeline appears in
+    the plan exactly ONCE — over the store-MISSING anti-join side —
+    and the store side contributes a plain (id, signature) scan
+    pruned by a semi-join. A second shingle pipeline here means the
+    store is being ignored and the corpus re-signed (the ~56%-of-
+    wall-clock stage the store exists to skip, PROBES_r11)."""
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+
+    d = load(spark, SF_SMOKE, "documents").where("doc_id < 60").select(
+        "doc_id", "text"
+    )
+    # a real store is a parquet scan, not a live minhash plan
+    store = dedup.minhash_signature(
+        d.where("doc_id % 2 = 0"), num_hashes=8
+    ).localCheckpoint(eager=True)
+    out = dedup.corpus_signatures(d, num_hashes=8, sigs=store)
+    plan = explain.physical_plan(out)
+    assert plan.count("array_distinct(") == 1, plan.count(
+        "array_distinct("
+    )
+    lowered = plan.lower()
+    assert "leftanti" in lowered.replace(" ", "").replace("_", "")
+    assert "leftsemi" in lowered.replace(" ", "").replace("_", "")
+
+
 def test_jaccard_candidate_path_no_shingle_self_join(spark):
     """With LSH candidates supplied, exact-Jaccard verification must join
     the (small) pair list to per-doc shingle SETS — never build the

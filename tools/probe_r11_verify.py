@@ -215,8 +215,10 @@ def _prefilter_arm(spark, docs, sigs, pairs, label: str) -> dict:
           flush=True)
 
     t0 = time.time()
+    # (r12: the cut now derives from the actual signature arrays; the
+    # num_hashes parameter is gone and missing-sig pairs pass through)
     kept_pairs = signature_prefilter(
-        pairs, sigs, THRESHOLD, num_hashes=NUM_HASHES
+        pairs, sigs, THRESHOLD
     ).localCheckpoint(eager=True)
     n_kept = kept_pairs.count()
     filt = (
