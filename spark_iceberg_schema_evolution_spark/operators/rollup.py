@@ -71,6 +71,7 @@ def refresh_rollup(
     full_refresh: bool = False,
     delta_hint: DataFrame | None = None,
     hint_from_version: int | None = None,
+    hint_to_version: int | None = None,
 ) -> int:
     """Create or incrementally refresh ``target`` as the materialized
     ``GROUP BY group_cols -> n_rows, sum_<c>...`` of ``source`` (both
@@ -79,20 +80,35 @@ def refresh_rollup(
     group keys would silently miss the MERGE join and duplicate
     groups, so the delta path refuses them loudly.
 
-    ``delta_hint`` + ``hint_from_version``: a writer that knows its own
-    change set (I/D-tagged rows, ``diff()``'s column convention) passes
-    it here with the source version it was derived FROM. The hint is
-    used only when ``hint_from_version`` equals the rollup's bookmarked
-    source version — i.e. the rollup saw every commit up to where the
-    hint starts; otherwise (a crash between a merge and its refresh
-    left a gap) the generic ``source.diff(bookmark, head)`` path runs,
-    which is always correct. The hint frame MUST be pinned to
-    pre-change snapshots (lakehouse reads bind their file list at
-    ``read()`` time, so a frame built before the commit stays valid).
-    Cost: O(hint) instead of diff's four snapshot scans (see module
-    docstring; measured 5-6x per epoch at 10M rows)."""
+    ``delta_hint`` + ``hint_from_version`` + ``hint_to_version``: a
+    writer that knows its own change set (I/D-tagged rows, ``diff()``'s
+    column convention) passes it here with the source versions it
+    covers — derived FROM and the version its commit PRODUCED. The
+    hint is used only when ``hint_from_version`` equals the rollup's
+    bookmarked source version — i.e. the rollup saw every commit up to
+    where the hint starts; otherwise (a crash between a merge and its
+    refresh left a gap) the generic ``source.diff(bookmark, head)``
+    path runs, which is always correct. ``hint_to_version`` is
+    REQUIRED with a hint (ADVICE r11): the bookmark advances exactly
+    to it, never past it to the current head — a commit landing
+    between the hint's derivation and this refresh (a concurrent
+    writer; anything the hint doesn't cover) is left for the NEXT
+    refresh's diff instead of being silently and permanently excluded.
+    A writer-asserted content-no-op commit (inline compaction) is
+    advanced over with :func:`advance_bookmark_noop`. The hint frame
+    MUST be pinned to pre-change snapshots (lakehouse reads bind their
+    file list at ``read()`` time, so a frame built before the commit
+    stays valid). Cost: O(hint) instead of diff's four snapshot scans
+    (see module docstring; measured 5-6x per epoch at 10M rows)."""
     if not group_cols:
         raise ValueError("need at least one group column")
+    if delta_hint is not None and hint_to_version is None:
+        raise ValueError(
+            "delta_hint requires hint_to_version (the source version "
+            "the hinted commit produced): without an end version the "
+            "bookmark would advance to the current head and silently "
+            "skip any commit the hint does not cover"
+        )
     sum_cols = sum_cols or []
     src_v = source._load().version
     if full_refresh or not target.exists():
@@ -126,8 +142,16 @@ def refresh_rollup(
         )
     if last_src == src_v:
         return cur_dst  # nothing new
-    if delta_hint is not None and hint_from_version == last_src:
+    if (
+        delta_hint is not None
+        and hint_from_version == last_src
+        and last_src < int(hint_to_version) <= src_v
+    ):
         changes = delta_hint
+        # advance exactly to the hint's end, never past it: commits
+        # after hint_to_version stay pending for the next refresh's
+        # diff (ADVICE r11 — no silent exclusion window)
+        src_v = int(hint_to_version)
     else:
         changes = source.diff(last_src, src_v)
     delta = _delta_agg(changes, group_cols, sum_cols)
@@ -175,3 +199,38 @@ def refresh_rollup(
         return v
     finally:
         unpersist_checkpoint(delta)
+
+
+def advance_bookmark_noop(source, target, to_version: int | None = None) -> int:
+    """Writer-asserted no-op advance: move the rollup bookmark over
+    source commits the CALLER GUARANTEES changed no row content —
+    delete-file compaction, data-file rewrite, property/spec changes.
+    One property write, no scans: the alternative is the next
+    refresh's generic diff over a content-identical span (four
+    snapshot scans proving emptiness). The trust boundary is the
+    caller's, same as the single-writer commit protocol: asserting
+    this over a row-changing commit silently desyncs the rollup. The
+    streaming sink uses it to keep the ``delta_hint`` fast path hot
+    across its own inline ``compact_deletes``.
+
+    Advances to ``to_version`` (default: the source head) and returns
+    the rollup version. Never REWINDS the bookmark; raises on a
+    non-rollup target or an out-of-sync bookmark, exactly like
+    :func:`refresh_rollup`."""
+    props = target.properties()
+    if _SRC_PROP not in props:
+        raise ValueError(
+            f"target is not a rollup of anything ({_SRC_PROP} missing)"
+        )
+    expected_dst = int(props[_DST_PROP])
+    cur_dst = target._load().version
+    if cur_dst != expected_dst:
+        raise RuntimeError(
+            f"rollup state out of sync (rollup at v{cur_dst}, bookmark "
+            f"expects v{expected_dst}) — rebuild with full_refresh=True"
+        )
+    to_v = int(to_version) if to_version is not None else source._load().version
+    if to_v <= int(props[_SRC_PROP]):
+        return cur_dst  # nothing to advance over
+    target.set_properties({_SRC_PROP: to_v, _DST_PROP: cur_dst})
+    return cur_dst

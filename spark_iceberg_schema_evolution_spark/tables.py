@@ -2272,6 +2272,7 @@ class LakehouseTable:
         unmatched_source_update: dict | None = None,
         unmatched_source_condition=None,
         dedup_source: str | None = None,
+        source_unique: bool = False,
     ) -> int:
         """MERGE INTO with Iceberg's clause surface — copy-on-write,
         matching keys GLOBALLY like Iceberg's COW MERGE, but rewriting
@@ -2321,7 +2322,10 @@ class LakehouseTable:
         change-timestamp shape; ties broken arbitrarily, so use a unique
         ordinal). Duplicate source keys that match NO target row are
         legal and insert one row each, exactly as two NOT MATCHED clause
-        firings would.
+        firings would. ``source_unique=True`` skips the probe on the
+        caller's assertion that the source is already one-row-per-key
+        (the streaming sink enforces this in its own epoch
+        materialization) — one fewer aggregation job per merge.
 
         ``mode="mor"`` switches to merge-on-read writes (Iceberg v2's
         ``write.merge.mode=merge-on-read``): see ``_merge_mor``.
@@ -2353,7 +2357,16 @@ class LakehouseTable:
         )
         if dedup_source is not None:
             source = _latest_per_key(source, on, dedup_source)
-        elif matched_update is not None or matched_delete_where is not None:
+        elif (
+            matched_update is not None or matched_delete_where is not None
+        ) and not source_unique:
+            # source_unique=True is the caller's ASSERTION that the
+            # source already holds one row per on-key (e.g. the
+            # streaming sink's per-key dedup, enforced during its own
+            # epoch checkpoint) — it skips the probe aggregation, one
+            # job per call; a false assertion surfaces as Iceberg-style
+            # multiple-match nondeterminism, so assert only what the
+            # caller's own plan enforces.
             self._check_merge_cardinality(source, on)
         if mode == "mor":
             if by_source:

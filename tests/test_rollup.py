@@ -123,12 +123,22 @@ def test_rollup_delta_hint_equals_diff_and_gap_falls_back(spark, catalog):
         old_match.withColumn("_change_type", F.lit("D")),
         allowMissingColumns=True,
     )
-    src2.merge_into(batch, on=["key_id"])
+    hint_to = src2.merge_into(batch, on=["key_id"])
     refresh_rollup(
         src2, dst2, ["k"], ["v"],
         delta_hint=hint, hint_from_version=hint_from,
+        hint_to_version=hint_to,
     )
     assert _got(dst2) == _expected(src2)
+
+    # a hint without its end version refuses loudly (ADVICE r11): the
+    # bookmark must never advance past commits the hint doesn't cover
+    import pytest as _pt
+    with _pt.raises(ValueError, match="hint_to_version"):
+        refresh_rollup(
+            src2, dst2, ["k"], ["v"],
+            delta_hint=hint, hint_from_version=hint_from,
+        )
 
     # gap shape: a second merge commits but its refresh never ran; a
     # NEW hint derived from the post-gap version must be ignored (its
@@ -153,12 +163,83 @@ def test_rollup_delta_hint_equals_diff_and_gap_falls_back(spark, catalog):
         old3.withColumn("_change_type", F.lit("D")),
         allowMissingColumns=True,
     )
-    src2.merge_into(batch3, on=["key_id"])
+    hint_to3 = src2.merge_into(batch3, on=["key_id"])
     refresh_rollup(
         src2, dst2, ["k"], ["v"],
         delta_hint=hint3, hint_from_version=hint_from3,
+        hint_to_version=hint_to3,
     )
     assert _got(dst2) == _expected(src2)  # k=8 present: diff path ran
+
+
+def test_rollup_hint_never_advances_past_uncovered_commit(
+    spark, catalog
+):
+    """ADVICE r11 (medium): a commit landing AFTER the hint's end but
+    BEFORE the refresh must not be silently excluded — the bookmark
+    advances exactly to hint_to_version, and the NEXT refresh's diff
+    picks the trailing commit up. advance_bookmark_noop covers the
+    writer-asserted no-op case (inline compaction) with one property
+    write."""
+    from spark_iceberg_schema_evolution_spark.operators.rollup import (
+        advance_bookmark_noop,
+    )
+
+    catalog.create_namespace("db")
+    src = catalog.table("db", "srch")
+    dst = catalog.table("db", "rollh")
+    base = spark.range(40).select(
+        F.col("id").alias("key_id"),
+        (F.col("id") % 4).alias("k"),
+        F.col("id").alias("v"),
+    )
+    catalog.write_evolving(base, "db", "srch")
+    refresh_rollup(src, dst, ["k"], ["v"])
+    # merge 1 (hinted) ... then merge 2 lands before the refresh
+    b1 = spark.range(10).select(
+        (F.col("id") + 100).alias("key_id"),
+        F.lit(5).alias("k"), F.lit(1).alias("v"),
+    )
+    hint_from = src._load().version
+    old1 = src.read().join(
+        b1.select("key_id").distinct(), ["key_id"], "left_semi"
+    )
+    hint = b1.withColumn("_change_type", F.lit("I")).unionByName(
+        old1.withColumn("_change_type", F.lit("D")),
+        allowMissingColumns=True,
+    )
+    hint_to = src.merge_into(b1, on=["key_id"])
+    b2 = spark.range(10).select(
+        (F.col("id") + 200).alias("key_id"),
+        F.lit(6).alias("k"), F.lit(2).alias("v"),
+    )
+    src.merge_into(b2, on=["key_id"])  # uncovered trailing commit
+    refresh_rollup(
+        src, dst, ["k"], ["v"],
+        delta_hint=hint, hint_from_version=hint_from,
+        hint_to_version=hint_to,
+    )
+    # hint applied, bookmark parked AT hint_to: k=6 not yet folded in
+    got_mid = _got(dst)
+    assert 5 in {k for k, *_ in got_mid} and 6 not in {
+        k for k, *_ in got_mid
+    }
+    assert int(dst.properties()["rollup.source_version"]) == hint_to
+    # the next (hint-less) refresh recovers the trailing commit
+    refresh_rollup(src, dst, ["k"], ["v"])
+    assert _got(dst) == _expected(src)
+    # writer-asserted no-op advance: a real COMPACTION commit (row
+    # content identical, new version) moves the bookmark with one
+    # property write, and the next refresh short-circuits at
+    # bookmark == head — no diff scan over the content-identical span
+    head_before = src._load().version
+    src.compact()  # rewrites data files, never row content
+    head_after = src._load().version
+    assert head_after > head_before
+    v = advance_bookmark_noop(src, dst)
+    assert int(dst.properties()["rollup.source_version"]) == head_after
+    assert refresh_rollup(src, dst, ["k"], ["v"]) == v
+    assert _got(dst) == _expected(src)
 
 
 def test_rollup_out_of_sync_guard_and_rebuild(spark, catalog):
