@@ -8110,6 +8110,42 @@ def t2_inc_near(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "matched_corpus_id")
 
 
+@q("t2_batch_near_dedup", oracle=None, tier=2)
+def t2_batch_near(spark: SparkSession, sf: str) -> DataFrame:
+    """Store-backed whole-corpus near-dedup (VERDICT r11 #3): the
+    batch composition consumes a materialized signature store covering
+    half the corpus, signs ONLY the store-missing half, and verifies
+    planted edited copies exactly. LSH banding has no SQL replica ->
+    rows-only; store-vs-fresh output equality is pinned in
+    tests/test_llm_ops.py. Cites operators/dedup.py:batch_near_dedup."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        batch_near_dedup,
+        minhash_signature,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") < 400).unionByName(
+        d.where(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    store = minhash_signature(
+        corpus.where(F.col("doc_id") % 2 == 0), num_hashes=16
+    )
+    kept, pairs = batch_near_dedup(
+        corpus,
+        threshold=0.6,
+        num_hashes=16,
+        num_bands=4,
+        sigs=store,
+        return_pairs=True,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("j_r")
+    ).orderBy("id_a", "id_b")
+
+
 @q(
     "q155_fuzzy_join",
     oracle="""
@@ -10546,7 +10582,101 @@ def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
 # weighted sampling + per-domain nucleus budget), ALL six fronted in
 # this window at add time (net-new ≤ rotation capacity, r8 ask #8;
 # no tier-1 row ever exists without a planned driver slot).
-# Round-10 window (r9 VERDICT asks #1/#2/#4, executed as prescribed):
+# ROUND-12 WINDOW. First this round's code-change canaries (9):
+# q189_domain_budget re-runs because the sharded path dropped the r11
+# struct keys (the 2.28x weak flag, VERDICT r11 #1): NULL-domain rows
+# now route through the one-window plan and union back while the bulk
+# keeps plain string keys — same-process alternating A/B vs the r10
+# string plan: best 1.653s vs 1.648s (1.00x), outputs identical;
+# t2_batch_near_dedup is the NEW face (net-new rows this round = 1,
+# within rotation capacity) for the store-backed batch composition,
+# and t2_minhash_lsh_pairs + t2_incremental_near_dedup + t2_jobs_smoke
+# re-run because the batch near-dedup composition can
+# now consume the materialized signature store (VERDICT r11 #3:
+# batch_near_dedup signs only store-missing docs) and
+# signature_prefilter passes through pairs with missing signatures +
+# derives the cut from the actual signature arrays (ADVICE r11);
+# q130_incremental_rollup + t2_stream_cdc_sink re-run for the rollup
+# delta_hint end-version gate (ADVICE r11 medium: hint_to_version
+# required, bookmark never skips uncovered commits) and the
+# change_ts=None validation folding (VERDICT r11 #7: rides the epoch
+# checkpoint instead of a separate aggregate job);
+# t2_stream_dedup_ingest re-runs for atomic signature-store creation
+# (ADVICE r11: properties stamped with the data commit, no
+# property-less crash window); t2_match_sequences re-runs because the
+# observe-guard threads are now bounded by a module registry (VERDICT
+# r11 #6). THEN the seventeen r6-stale rows (the rotation promise —
+# oldest evidence becomes r7 after this run). THEN 24 of the 48
+# r7-stale rows, engine-heavy first (joins, streaming, set ops,
+# scalar families). Twenty-four r7 pure-compute rows defer to r13
+# (documented deferral, same q27-class reasoning as r10/r11's):
+# q39_text_stats, q40_embedding_norms, q41_lang_id,
+# q42_quality_fingerprint, q43_multimodal_meta,
+# q76_group_by_all_qualify, q77_except_all, q78_unpivot,
+# q79_percentile_cont, q80_string_funcs2, q81_try_cast,
+# q82_ignore_nulls_stringagg, q83_bit_bool_aggs,
+# q85_salted_join_equivalence, q155_fuzzy_join, q156_regex_family,
+# q157_string_format_family, q158_argmin_argmax, q159_gaps_islands,
+# q160_skew_report, q161_embedding_pooling, q162_time_weighted_avg,
+# q163_containment_dedup, q164_date_trunc_family.
+_DRIVER_WINDOW = [
+    # round-12 code-change canaries
+    "q189_domain_budget",
+    "t2_batch_near_dedup",
+    "t2_minhash_lsh_pairs",
+    "t2_incremental_near_dedup",
+    "t2_jobs_smoke",
+    "q130_incremental_rollup",
+    "t2_stream_cdc_sink",
+    "t2_stream_dedup_ingest",
+    "t2_match_sequences",
+    # the seventeen r6-stale rows (rotation promise: oldest -> r7)
+    "q106_decontamination",
+    "q107_repetition_filters",
+    "q108_shuffle_shards",
+    "q113_deterministic_sample",
+    "q114_token_budget_batches",
+    "q126_term_search",
+    "q128_lm_quality_score",
+    "q134_gapfill_locf",
+    "q135_clean_text",
+    "q137_funnel",
+    "q138_cohort_retention",
+    "q139_interval_join",
+    "q142_recursive_cte",
+    "q143_lateral_topk",
+    "q147_bm25_search",
+    "q153_burst_dedup",
+    "q154_percentile_bands",
+    # r7 block, engine-heavy first (24 of 48)
+    "q02_csv_scan_schema",
+    "q03_json_extract",
+    "q04_filter_case",
+    "q06_join_broadcast",
+    "q07_join_left_outer",
+    "q08_join_semi_anti",
+    "q09_cross_join",
+    "q10_range_join",
+    "q11_asof_join",
+    "q19_window_lag",
+    "q24_except",
+    "q25_union_byname",
+    "q26_string_funcs",
+    "q27_date_funcs",
+    "q28_math_funcs",
+    "q29_null_cond",
+    "q30_array_explode",
+    "q31_map_funcs",
+    "q32_hash_md5",
+    "q34_tumbling_hour",
+    "q35_sessionize",
+    "q49_stream_tumbling",
+    "q50_stream_sliding",
+    "q51_stream_session",
+]
+
+# Round-11 window (kept for the audit trail; superseded by the r12
+# window above). Original r11 comment:
 # ROUND-11 WINDOW. First this round's code-change canaries (8):
 # t2_stream_dedup_ingest is the NEW face closing the last
 # registry-evidence gap (stream_dedup_ingest_to_lakehouse, windows.py
@@ -10579,7 +10709,7 @@ def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
 # q135_clean_text, q137_funnel, q138_cohort_retention,
 # q139_interval_join, q142_recursive_cte, q143_lateral_topk,
 # q147_bm25_search, q153_burst_dedup, q154_percentile_bands.
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R11 = [
     # round-11 code-change canaries
     "t2_stream_dedup_ingest",
     "t2_match_sequences",
