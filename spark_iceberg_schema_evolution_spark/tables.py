@@ -530,15 +530,83 @@ class LakehouseTable:
             refs["branches"][self._branch] = version
             self._save_refs(refs)
 
+    @property
+    def _commit_log_path(self) -> str:
+        return os.path.join(self.meta_dir, "commit_log.jsonl")
+
+    def _commit_log(self) -> dict[int, dict]:
+        """The append-only commit log: one tiny line per commit
+        (version, parent, committed_at_us) — Iceberg's metadata-log
+        pattern. The r12 commit-count probe measured lineage walks
+        going quadratic without it: each ``history()`` hop parsed a
+        full manifest whose batches list is O(commits), so a
+        1000-commit streaming table paid 8.2s per history() and 174s
+        per timestamp time-travel resolution. The log is advisory and
+        self-healing: a missing or partial file (crash between
+        manifest publish and log append, pre-r12 tables) falls back
+        to the manifest walk per missing hop, and
+        ``rebuild_commit_log`` backfills it wholesale."""
+        if not os.path.isfile(self._commit_log_path):
+            return {}
+        out: dict[int, dict] = {}
+        with open(self._commit_log_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    out[int(rec["version"])] = rec
+                except (ValueError, KeyError, TypeError):
+                    continue  # torn concurrent append: walk covers it
+        return out
+
+    def _append_commit_log(
+        self, version: int, parent: int | None, committed_at_us: int
+    ) -> None:
+        rec = {
+            "version": version,
+            "parent": parent,
+            "committed_at_us": committed_at_us,
+        }
+        try:
+            with open(self._commit_log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass  # advisory: history() falls back to the manifest walk
+
+    def rebuild_commit_log(self) -> int:
+        """Backfill ``commit_log.jsonl`` from the live manifests (one
+        walk) — run via ``expire_snapshots`` for tables that predate
+        the log or lost lines to crashes. Returns entries written."""
+        recs = []
+        for v in self._versions():
+            s = self._load(v)
+            recs.append(
+                {
+                    "version": v,
+                    "parent": s.parent,
+                    "committed_at_us": s.committed_at_us,
+                }
+            )
+        tmp = self._commit_log_path + ".tmp"
+        with open(tmp, "w") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
+        os.rename(tmp, self._commit_log_path)
+        return len(recs)
+
     def _commit(self, snap: Snapshot) -> None:
         try:  # parent = this branch's head before the commit advances it
             parent = self._head(self._branch)
         except (FileNotFoundError, ValueError):
             parent = None
-        self._publish_manifest(
-            snap.version, self._manifest_payload(snap, parent)
-        )
+        payload = self._manifest_payload(snap, parent)
+        self._publish_manifest(snap.version, payload)
         self._advance_ref(snap.version)
+        self._append_commit_log(
+            snap.version, parent, payload["committed_at_us"]
+        )
 
     # -- write path ---------------------------------------------------------
 
@@ -703,6 +771,19 @@ class LakehouseTable:
         pre_arranged: bool = False,
     ) -> dict:
         batch_dir = os.path.join(self.data_dir, f"batch-{n}")
+        if os.path.exists(batch_dir):
+            # a crashed or speculative writer's orphan dir (reclaimable
+            # by remove_orphan_files) must not wedge every later commit
+            # on a PATH_ALREADY_EXISTS collision — the r12 catalog
+            # probe's killed-writer run hit exactly this. Iceberg
+            # avoids it with UUID file names; here the next free
+            # suffix serves: the manifest's recorded path is the only
+            # authority on which dirs are live, so the name itself
+            # carries no meaning.
+            k = 1
+            while os.path.exists(f"{batch_dir}.{k}"):
+                k += 1
+            batch_dir = f"{batch_dir}.{k}"
         out = align_schema(df, schema, keep_extras=False)
         # CHECK constraints ride the write action itself via observe()
         # metrics — ONE scan of the batch, not a validation pass plus a
@@ -1962,37 +2043,59 @@ class LakehouseTable:
         branches don't appear — exactly Iceberg's is-current-ancestor
         view. Manifests from before parent tracking fall back to
         version-order lineage (single-branch tables, where the two
-        notions coincide)."""
+        notions coincide).
+
+        Each hop reads the O(1) commit log when it has the entry and
+        falls back to the full manifest parse when it doesn't (pre-log
+        tables, crash gaps) — the r12 probe measured the all-manifest
+        walk at 8.2s for a 1000-commit table (each manifest's batches
+        list is itself O(commits), so the walk was quadratic)."""
+        log = self._commit_log()
+        live = set(self._versions())
         chain, v = [], self._head(self._branch)
         seen: set[int] = set()
         while v is not None and v not in seen:
             seen.add(v)
-            s = self._load(v)
-            chain.append(
-                {
+            rec = log.get(v)
+            if rec is None:
+                if v not in live:
+                    break  # expired and unlogged: lineage ends here
+                s = self._load(v)
+                rec = {
                     "version": v,
                     "parent": s.parent,
                     "committed_at_us": s.committed_at_us,
                 }
+            chain.append(
+                {
+                    "version": v,
+                    "parent": rec["parent"],
+                    "committed_at_us": rec["committed_at_us"],
+                }
             )
-            if s.parent is None and s.version != min(self._versions()):
+            if rec["parent"] is None and live and v != min(live):
                 # legacy manifest without a parent pointer: fall back to
                 # the previous version number on this chain
-                older = [x for x in self._versions() if x < v]
-                v = older[-1] if older else None
+                older = [x for x in live if x < v]
+                v = max(older) if older else None
             else:
-                v = s.parent
+                v = rec["parent"]
         chain.reverse()
         return chain
 
     def version_as_of_timestamp(self, ts_us: int) -> int:
         """Resolve a TIMESTAMP AS OF (epoch microseconds) to the newest
         snapshot on this branch's ancestry committed at or before it —
-        Iceberg's snapshot-log lookup."""
+        Iceberg's snapshot-log lookup. Only LIVE (unexpired) snapshots
+        are eligible: the commit log retains lineage entries past
+        expiry, and resolving a timestamp to an expired snapshot would
+        hand back a version the read path must refuse (the r12 probe
+        tripped exactly this after expire_snapshots)."""
+        live = set(self._versions())
         eligible = [
             h["version"]
             for h in self.history()
-            if h["committed_at_us"] <= ts_us
+            if h["committed_at_us"] <= ts_us and h["version"] in live
         ]
         if not eligible:
             raise ValueError(
@@ -3963,6 +4066,12 @@ class LakehouseTable:
                 p = os.path.join(self.data_dir, d)
                 if p not in live:
                     shutil.rmtree(p, ignore_errors=True)
+        if drop:
+            # snapshot-log compaction rides the expiry (the existing
+            # maintenance hook): rebuild the commit log from the
+            # retained manifests so lineage walks stay O(live) and
+            # pre-log tables get their log backfilled here
+            self.rebuild_commit_log()
         return drop
 
     def remove_orphan_files(
@@ -4195,6 +4304,11 @@ class LakehouseCatalog:
                         if not os.path.isfile(m):
                             t._publish_manifest(
                                 e["version"], e["payload"]
+                            )
+                            t._append_commit_log(
+                                e["version"],
+                                e["payload"].get("parent"),
+                                e["payload"]["committed_at_us"],
                             )
                 except CommitConflict:
                     roll_forward = False
@@ -5674,6 +5788,11 @@ class CatalogTransaction:
                 t._publish_manifest(e["version"], e["payload"])
                 published.append(e)
                 t._advance_ref(e["version"])
+                t._append_commit_log(
+                    e["version"],
+                    e["payload"].get("parent"),
+                    e["payload"]["committed_at_us"],
+                )
         except CommitConflict as err:
             for e in reversed(published):
                 t = LakehouseTable(

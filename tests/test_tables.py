@@ -1340,6 +1340,63 @@ def test_history_follows_branch_ancestry(spark, catalog):
     assert t.version_as_of_timestamp(head_ts) == 4
 
 
+def test_orphan_batch_dir_never_wedges_commits(spark, catalog):
+    """A crashed/speculative writer leaves data/batch-N with no
+    manifest referencing it. The next commit that would claim that
+    name must pick a free suffixed dir instead of failing
+    PATH_ALREADY_EXISTS forever (the r12 catalog probe's killed-writer
+    table wedged compact() exactly this way); remove_orphan_files
+    remains the reclaim path and live data survives it."""
+    catalog.write_evolving(
+        spark.createDataFrame([(1,)], ["id"]), "db", "orph"
+    )
+    t = catalog.table("db", "orph")
+    for k in range(8):  # orphans squatting on every upcoming name
+        os.makedirs(
+            os.path.join(t.data_dir, f"batch-{k}"), exist_ok=True
+        )
+    t.append(spark.createDataFrame([(2,)], ["id"]))  # must not wedge
+    t.compact()                                       # nor maintenance
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    t.remove_orphan_files(older_than_s=0)
+    assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_commit_log_matches_manifest_walk(spark, catalog):
+    """r12 commit-count probe follow-up: lineage walks read the O(1)
+    commit_log.jsonl (one tiny line per commit) instead of parsing
+    every manifest (each O(batches) — the walk was quadratic, 8.2s at
+    1000 commits). The log is ADVISORY: deleting it must change no
+    answer (per-hop manifest fallback), rebuild_commit_log backfills
+    it, expiry compacts it to the live set, and timestamp resolution
+    never lands on an expired snapshot (the probe tripped exactly
+    that after expire_snapshots)."""
+    catalog.write_evolving(
+        spark.createDataFrame([(0,)], ["id"]), "db", "clog"
+    )
+    t = catalog.table("db", "clog")
+    for i in range(1, 6):
+        t.append(spark.createDataFrame([(i,)], ["id"]))
+    assert os.path.isfile(t._commit_log_path)
+    with_log = t.history()
+    assert [h["version"] for h in with_log] == list(range(7))
+    os.remove(t._commit_log_path)
+    assert t.history() == with_log  # walk fallback, identical answer
+    assert t.rebuild_commit_log() == len(t._versions())
+    assert t.history() == with_log
+    # a timestamp inside the soon-expired region resolves to an
+    # expired version ONLY before expiry; after it, it raises instead
+    # of handing back a version the read path must refuse
+    mid_ts = t._load(t._versions()[2]).committed_at_us
+    assert t.version_as_of_timestamp(mid_ts) == t._versions()[2]
+    t.expire_snapshots(keep_last=2)
+    assert len(t._commit_log()) == len(t._versions())  # log compacted
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.version_as_of_timestamp(mid_ts)
+    head_ts = t._load().committed_at_us
+    assert t.version_as_of_timestamp(head_ts) == t._versions()[-1]
+
+
 def test_sql_tblproperties_roundtrip(spark, catalog):
     catalog.sql(
         "CREATE TABLE lake.db.props "
