@@ -648,6 +648,7 @@ def stream_upsert_to_lakehouse(
     change_ts: str | None = None,
     merge_mode: str = "cow",
     max_delete_files: int | None = None,
+    max_batches: int | None = None,
     rollup_table: str | None = None,
     rollup_group_cols: list[str] | None = None,
     rollup_sum_cols: list[str] | None = None,
@@ -670,6 +671,24 @@ def stream_upsert_to_lakehouse(
     maintenance CLI's ``--max-delete-files``), or schedule the CLI.
     The default ``"cow"`` rewrites matched partitions each epoch —
     fine for low-frequency/large-batch feeds.
+
+    ``max_batches`` is the BATCH-DIR twin of that guard: every epoch
+    appends one small batch, and the scan/merge plan carries one
+    subtree per live batch — the r12 commit-count probe
+    (tools/probe_r12_catalog.py) measured the sink's own MERGE at
+    39s -> 336s from 200 -> 449 accumulated batches (super-linear:
+    driver plan analysis + per-batch scan setup), so a week of
+    uptime degrades every epoch regardless of epoch size. When the
+    live batch count exceeds the threshold, the sink compacts INLINE,
+    scoped to the months this epoch touched on a partitioned table
+    (O(hot partitions), the nightly-maintenance shape — cold months'
+    batch counts are already frozen) and the whole table otherwise;
+    the compaction commit is content-identical, so the rollup
+    bookmark advances over it with ``advance_bookmark_noop`` and the
+    delta-hint fast path stays hot. Pair with the maintenance CLI's
+    ``--keep-snapshots`` expiry to also bound metadata bytes (each
+    manifest lists every live batch; total metadata is quadratic in
+    unexpired commits).
 
     A real change feed carries MULTIPLE rows per key within one
     micro-batch; MERGE semantics need exactly one source row per key
@@ -785,24 +804,47 @@ def stream_upsert_to_lakehouse(
                     hint_from_version=hint_from,
                     hint_to_version=hint_to,
                 )
+            compacted = False
             if (
                 max_delete_files is not None
                 and t.should_compact_deletes(max_delete_files)
             ):
                 t.compact_deletes()
-                if rollup_table is not None:
-                    from spark_iceberg_schema_evolution_spark.operators.rollup import (
-                        advance_bookmark_noop,
-                    )
+                compacted = True
+            if max_batches is not None:
+                snap = t._load()
+                if len(snap.batches) > max_batches:
+                    months = None
+                    if snap.partition_month_of is not None:
+                        # scope to the epoch's own months: the cold
+                        # months' batch counts are frozen, so bounding
+                        # the hot ones bounds the growth
+                        months = [
+                            r[0]
+                            for r in df.select(
+                                F.date_format(
+                                    F.col(snap.partition_month_of),
+                                    "yyyy-MM",
+                                )
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                    t.compact(months=months)
+                    compacted = True
+            if compacted and rollup_table is not None:
+                from spark_iceberg_schema_evolution_spark.operators.rollup import (
+                    advance_bookmark_noop,
+                )
 
-                    # compaction rewrites delete files, never row
-                    # content — writer-asserted no-op advance keeps the
-                    # next epoch's delta_hint fast path hot instead of
-                    # falling back to a four-scan diff over a
-                    # content-identical span
-                    advance_bookmark_noop(
-                        t, catalog.table(namespace, rollup_table)
-                    )
+                # compaction rewrites delete/data files, never row
+                # content — writer-asserted no-op advance keeps the
+                # next epoch's delta_hint fast path hot instead of
+                # falling back to a four-scan diff over a
+                # content-identical span
+                advance_bookmark_noop(
+                    t, catalog.table(namespace, rollup_table)
+                )
         finally:
             unpersist_checkpoint(df)
 

@@ -409,6 +409,62 @@ def test_stream_upsert_with_continuous_rollup(spark, tmp_path):
     assert rollup == expect and rollup
 
 
+def test_stream_upsert_max_batches_bounds_live_batches(spark, tmp_path):
+    """r12 commit-count probe follow-up: every epoch appends one batch
+    dir and the scan/merge plan carries one subtree per live batch
+    (measured 39s -> 336s per MERGE from 200 -> 449 batches), so the
+    sink self-maintains — max_batches triggers an inline scoped
+    compaction, the live batch count stays bounded across epochs, the
+    upserted state is unchanged, and the continuous rollup remains
+    exact (the compaction commit is advanced over as a writer-asserted
+    no-op, so the delta-hint fast path never desyncs)."""
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+    from tests.conftest import SF_SMOKE
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    ev = SW.read_events_stream(
+        spark, SF_SMOKE, max_files_per_trigger=1
+    ).select(
+        "user_id", "ts", "value", (F.col("user_id") % 4).alias("cohort")
+    )
+    agg = ev.groupBy("user_id", "cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+    )
+    SW.stream_upsert_to_lakehouse(
+        agg.select("user_id", "cohort", "n", "last_ts"),
+        cat,
+        "db",
+        "user_state_mb",
+        on=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        merge_mode="mor",  # the accumulating shape: one batch per epoch
+        max_delete_files=4,
+        max_batches=3,
+        rollup_table="cohort_counts_mb",
+        rollup_group_cols=["cohort"],
+        rollup_sum_cols=["n"],
+    )
+    t = cat.table("db", "user_state_mb")
+    snap = t._load()
+    # bounded: compaction fires whenever the count exceeds the cap, so
+    # the steady state is cap + the few epochs since the last trigger
+    assert len(snap.batches) <= 4, len(snap.batches)
+    state = t.read()
+    assert state.groupBy("user_id").count().where("count > 1").count() == 0
+    rollup = {
+        r.cohort: (r.n_rows, r.sum_n)
+        for r in cat.table("db", "cohort_counts_mb").read().collect()
+    }
+    expect = {
+        r.cohort: (r.users, r.total_n)
+        for r in state.groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("users"), F.sum("n").alias("total_n"))
+        .collect()
+    }
+    assert rollup == expect and rollup
+
+
 def test_stream_dedup_ingest_epochs(spark, tmp_path):
     """Streaming corpus ingestion: epoch 1 seeds the corpus; epoch 2
     (one file per trigger) carries an exact dup, a near dup, and fresh
