@@ -633,6 +633,7 @@ def corpus_signatures(
     seed: int = 42,
     sigs: DataFrame | None = None,
     sigs_scheme: str | None = None,
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """(id, signature) MinHash coverage of ``docs``, store-backed:
     with ``sigs`` (a materialized ``minhash_signature`` store) given,
@@ -640,6 +641,18 @@ def corpus_signatures(
     anti-join finds them — and store rows for ids outside ``docs``
     are semi-join-pruned (they would band phantom candidates).
     Without it, every doc is signed (the from-scratch path).
+
+    ``broadcast_ids`` (default on, the measured shape): both membership
+    joins key on a COLUMN-PRUNED id frame — 8 bytes/row — but Catalyst
+    sizes the build side by its SCAN bytes (the signature arrays /
+    document text it will prune later), so without the hint it picks
+    sort-merge joins that shuffle 1M signature arrays and document
+    text, and the r12 probe measured the store path LOSING its ~35%
+    saved signing time to those shuffles (0.96x at 1M docs). With the
+    id frames broadcast, the store scan and the doc scan both stay
+    map-side. 8 bytes/doc broadcasts comfortably to ~100M docs; past
+    that pass ``broadcast_ids=False`` and the fixed-width id shuffle
+    is the floor.
 
     Guards (shared with :func:`incremental_near_dedup`): a
     caller-threaded ``sigs_scheme`` must equal the engine scheme —
@@ -669,10 +682,14 @@ def corpus_signatures(
             "reconcile_signature_store, which records parameters as "
             "table properties)"
         )
+    doc_ids = docs.select(id_col)
+    sig_ids = sigs.select(id_col)
+    if broadcast_ids:
+        doc_ids, sig_ids = F.broadcast(doc_ids), F.broadcast(sig_ids)
     store = sigs.select(F.col(id_col), F.col("signature")).join(
-        docs.select(id_col), id_col, "left_semi"
+        doc_ids, id_col, "left_semi"
     )
-    unsigned = docs.join(sigs.select(id_col), id_col, "left_anti")
+    unsigned = docs.join(sig_ids, id_col, "left_anti")
     return minhash_signature(
         unsigned, id_col, text_col, num_hashes, shingle_size, seed
     ).unionByName(store)
@@ -692,6 +709,7 @@ def batch_near_dedup(
     sigs_scheme: str | None = None,
     quality_col: str | None = None,
     return_pairs: bool = False,
+    broadcast_ids: bool = True,
 ):
     """Whole-corpus near-dedup, one call: MinHash sign -> LSH band ->
     exact-Jaccard verify -> connected components -> keep one document
@@ -740,6 +758,7 @@ def batch_near_dedup(
         seed=seed,
         sigs=sigs,
         sigs_scheme=sigs_scheme,
+        broadcast_ids=broadcast_ids,
     )
     cand = lsh_candidate_pairs(
         all_sigs,

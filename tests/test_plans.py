@@ -143,6 +143,14 @@ def test_corpus_signatures_store_backed_signs_only_missing(spark):
     lowered = plan.lower()
     assert "leftanti" in lowered.replace(" ", "").replace("_", "")
     assert "leftsemi" in lowered.replace(" ", "").replace("_", "")
+    # both membership joins BROADCAST their column-pruned id frames
+    # (8 bytes/row): Catalyst sizes the build side by scan bytes and
+    # picks sort-merge otherwise — the r12 probe measured those SMJs
+    # shuffling 1M signature arrays + doc text, erasing the store's
+    # saved signing time (0.96x instead of a win)
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count(
+        "BroadcastHashJoin"
+    )
 
 
 def test_jaccard_candidate_path_no_shingle_self_join(spark):
