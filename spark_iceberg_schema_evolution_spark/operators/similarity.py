@@ -853,9 +853,27 @@ def ivfpq_topk(
     one-byte-per-sub-space codes instead of full vectors; full vectors
     surface only for the k*refine re-rank fetch.
 
+    RESIDUAL encoding (r12, the FAISS IVFPQ design): the PQ codebooks
+    are fitted on, and the codes store, ``x - centroid(cell(x))`` —
+    not the raw vector. Raw-vector PQ spends its entire codebook
+    budget on the corpus' GLOBAL spread, so once the coarse quantizer
+    has already explained that spread, ADC cannot rank vectors inside
+    a cell: the r12 1M-vector probe measured recall@10 collapsing to
+    0.04-0.2 on clustered data however deep the exact re-rank pool.
+    With residual codes the budget covers only the within-cell spread.
+    Scoring uses ``dot(q, x) = dot(q, centroid) + dot(q, residual)``:
+    the first term is exact per probed cell (n_probe values per
+    query), the second is the ADC lookup over residual codebooks, and
+    the stored exact ``|x|`` normalizes to cosine. The corpus-side
+    residual materializes behind its own projection (the r10
+    CollapseProject discipline — inlining it into the m*ksub argmin
+    expressions would re-evaluate it per reference).
+
     Same bounded-sample fit, plan-literal models, and zero-shuffle
     encode discipline as ``ivf_topk``/``pq_topk``; only fixed-width
     (qid, id, adc) rows enter the top-k shuffle."""
+    import numpy as np
+
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     c = corpus.select(
@@ -864,9 +882,21 @@ def ivfpq_topk(
     fit_df = c.sample(fit_fraction, seed=seed) if fit_fraction else c
     fit_df = fit_df.limit(max_fit_rows)
 
-    # ONE sample collect feeds BOTH fits (coarse quantizer + codebooks)
+    # ONE sample collect feeds BOTH fits (coarse quantizer + RESIDUAL
+    # codebooks — the sample is assigned to its nearest centroid and
+    # the codebooks see what the coarse quantizer left unexplained)
     X = _collect_fit_sample(fit_df)
-    centroids = list(enumerate(_kmeans_np(X, num_centroids, seed)))
+    cents = _kmeans_np(X, num_centroids, seed)
+    C = np.asarray(cents)
+    d2 = (
+        (X ** 2).sum(axis=1)[:, None]
+        + (C ** 2).sum(axis=1)[None, :]
+        - 2.0 * (X @ C.T)
+    )
+    codebooks = _fit_subspace_codebooks(
+        X - C[d2.argmin(axis=1)], dim, m, ksub, seed + 7
+    )
+    centroids = list(enumerate(cents))
     cent_lit = F.array(
         *[
             F.struct(
@@ -875,6 +905,9 @@ def ivfpq_topk(
             )
             for i, vec in centroids
         ]
+    )
+    cent_vecs = F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for _, vec in centroids]
     )
 
     def cell_dists(vcol: Column) -> Column:
@@ -888,29 +921,68 @@ def ivfpq_topk(
             ),
         )
 
-    codebooks = _fit_subspace_codebooks(X, dim, m, ksub, seed + 7)
-    encoded = c.select(
-        corpus_id,
-        F.array_min(cell_dists(F.col("__cv")))["c"].alias("__cell"),
-        _pq_code_expr(codebooks, dim, F.col("__cv")).alias("__codes"),
-        l2_norm(F.col("__cv")).alias("__xn"),
+    def residual(vcol: Column, cell: Column) -> Column:
+        return F.zip_with(
+            vcol,
+            F.element_at(cent_vecs, cell + 1),
+            lambda a, b: a - b,
+        )
+
+    encoded = (
+        c.select(
+            corpus_id,
+            "__cv",
+            F.array_min(cell_dists(F.col("__cv")))["c"].alias("__cell"),
+        )
+        .select(  # projection boundary: __res computed ONCE per row
+            corpus_id,
+            "__cell",
+            "__cv",
+            residual(F.col("__cv"), F.col("__cell")).alias("__res"),
+        )
+        .select(
+            corpus_id,
+            "__cell",
+            _pq_code_expr(codebooks, dim, F.col("__res")).alias("__codes"),
+            l2_norm(F.col("__cv")).alias("__xn"),
+        )
     )
 
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
     )
-    q_probe = q.select(
-        query_id,
-        _pq_lut_expr(codebooks, dim, F.col("__qv")).alias("__lut"),
-        l2_norm(F.col("__qv")).alias("__qn"),
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(cell_dists(F.col("__qv"))), 1, n_probe
-                ),
-                lambda s: s["c"],
-            )
-        ).alias("__cell"),
+    q_probe = (
+        q.select(
+            query_id,
+            "__qv",
+            l2_norm(F.col("__qv")).alias("__qn"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(cell_dists(F.col("__qv"))),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: s["c"],
+                )
+            ).alias("__cell"),
+        )
+        .select(  # queries x n_probe rows: per-cell exact term + LUT
+            query_id,
+            "__qn",
+            "__cell",
+            dot(
+                F.col("__qv"), F.element_at(cent_vecs, F.col("__cell") + 1)
+            ).alias("__dot_qc"),
+            residual(F.col("__qv"), F.col("__cell")).alias("__qres"),
+        )
+        .select(
+            query_id,
+            "__qn",
+            "__cell",
+            "__dot_qc",
+            _pq_lut_expr(codebooks, dim, F.col("__qres")).alias("__lut"),
+        )
     )
 
     adc_dot = fold_sum(
@@ -923,7 +995,10 @@ def ivfpq_topk(
     scored = encoded.join(F.broadcast(q_probe), "__cell").select(
         query_id,
         corpus_id,
-        (adc_dot / (F.col("__qn") * F.col("__xn"))).alias("__adc"),
+        (
+            (F.col("__dot_qc") + adc_dot)
+            / (F.col("__qn") * F.col("__xn"))
+        ).alias("__adc"),
     )
     w = Wnd.partitionBy(query_id).orderBy(
         F.col("__adc").desc(), F.col(corpus_id).asc()

@@ -88,6 +88,35 @@ def synth_vectors(spark, n: int, id_start: int = 0, id_col: str = "vec_id"):
     )
 
 
+def synth_vectors_hier(
+    spark, n: int, id_start: int = 0, id_col: str = "vec_id"
+):
+    """Manifold-structured variant: center + SUB-center (32 per
+    cluster, 0.2 scale) + tiny isotropic noise (0.02). True neighbors
+    share a sub-center and sit 10x closer than cluster mates — the
+    shape real embeddings have (semantic neighborhoods separated by
+    gaps larger than PQ's quantization error). The flat generator
+    above is the ADVERSARIAL regime: isotropic within-cluster noise
+    has no structure a product quantizer can exploit, so ADC ordering
+    inside a cluster degenerates toward random and recall@k decays
+    with cluster size unless the exact re-rank pool scales with it —
+    a property of the math (FAISS behaves identically), measured and
+    documented rather than hidden by a friendly generator."""
+    center = F.col("id") % N_CENTERS
+    sub = F.col("id") % (N_CENTERS * 32)
+    comp = lambda j: (  # noqa: E731
+        ((F.xxhash64(center, F.lit(j)) % 1000) / 500.0 - 1.0)
+        + ((F.xxhash64(sub, F.lit(j), F.lit(3)) % 2001 - 1000) / 1000.0)
+        * 0.2
+        + ((F.xxhash64(F.col("id"), F.lit(j), F.lit(7)) % 2001 - 1000)
+           / 1000.0) * 0.02
+    )
+    vec = F.array(*[comp(j) for j in range(DIM)])
+    return spark.range(id_start, id_start + n).select(
+        F.col("id").alias(id_col), vec.alias("embedding")
+    )
+
+
 def recall_at_k(got, truth, query_id="query_id", corpus_id="vec_id"):
     g = got.select(query_id, corpus_id)
     t = truth.select(query_id, corpus_id)
@@ -98,16 +127,21 @@ def recall_at_k(got, truth, query_id="query_id", corpus_id="vec_id"):
 
 def main() -> None:
     spark = get_spark()
-    sizes = [int(x) for x in (sys.argv[1:] or ["1000000"])]
+    args = sys.argv[1:]
+    hier = "hier" in args
+    noindex = "noindex" in args  # skip the (unchanged) lifecycle arms
+    gen = synth_vectors_hier if hier else synth_vectors
+    sizes = [int(x) for x in args if x.isdigit()] or [1000000]
     for n in sizes:
         path = f"{WORK}/vecs_{n}"
         shutil.rmtree(path, ignore_errors=True)
         t0 = time.time()
-        synth_vectors(spark, n).write.mode("overwrite").parquet(path)
+        gen(spark, n).write.mode("overwrite").parquet(path)
         corpus = spark.read.parquet(path)
         emit({"probe": "ann", "arm": "gen", "n": n,
+              "dist": "hier" if hier else "flat",
               "t_s": round(time.time() - t0, 2)})
-        queries = synth_vectors(
+        queries = gen(
             spark, N_QUERIES, id_start=n + 17, id_col="query_id"
         ).localCheckpoint(eager=True)
 
@@ -144,6 +178,9 @@ def main() -> None:
                       "n": n, "error": repr(e)})
 
         # materialized-index lifecycle: build on 90%, grow 10%, sync
+        if noindex:
+            shutil.rmtree(path, ignore_errors=True)
+            continue
         try:
             shutil.rmtree(f"{WORK}/wh_{n}", ignore_errors=True)
             cat = LakehouseCatalog(spark, f"{WORK}/wh_{n}")
