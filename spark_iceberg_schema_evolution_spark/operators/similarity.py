@@ -951,6 +951,13 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
     )
+    # the LUT uses the RAW query: dot(q, x) = dot(q, centroid) +
+    # dot(q, residual), so lut[j][c] = dot(q_sub_j, residual_cb_j[c]).
+    # Residualizing the QUERY here (the L2 habit — valid for
+    # ||q-c-r||^2) is WRONG for the dot/cosine decomposition: it
+    # injects a -dot(centroid, residual_x) error per corpus row,
+    # larger than the within-cell signal (measured: recall stuck at
+    # ~0.1 however many cells/probes until this line was fixed).
     q_probe = (
         q.select(
             query_id,
@@ -974,14 +981,7 @@ def ivfpq_topk(
             dot(
                 F.col("__qv"), F.element_at(cent_vecs, F.col("__cell") + 1)
             ).alias("__dot_qc"),
-            residual(F.col("__qv"), F.col("__cell")).alias("__qres"),
-        )
-        .select(
-            query_id,
-            "__qn",
-            "__cell",
-            "__dot_qc",
-            _pq_lut_expr(codebooks, dim, F.col("__qres")).alias("__lut"),
+            _pq_lut_expr(codebooks, dim, F.col("__qv")).alias("__lut"),
         )
     )
 

@@ -153,29 +153,33 @@ def main() -> None:
         emit({"probe": "ann", "arm": "exact_bruteforce", "n": n,
               "t_s": round(t_exact, 2), "rows": truth.count()})
 
-        # the refine curve: IVF cell pruning is lossless on this
-        # distribution (decomposed at 50k: ivf-only recall 1.0,
-        # pq-only@refine=8 0.58, pq-only@refine=32 0.999 — ADC
-        # ordering inside a log-spread neighborhood needs a deeper
-        # exact re-rank pool, the documented knob), so the arms below
-        # measure what the re-rank depth buys at scale
+        # operating point: FAISS guidance is ncentroids ~ 4*sqrt(n) —
+        # the first r12 runs used 64 cells over 256 planted clusters
+        # (4 clusters per cell), so even residual codes carried the
+        # unexplained inter-cluster spread and ADC could not rank
+        # within a cell. NCENT/NPROBE env vars override for the A/B.
+        import os as _os
+
+        ncent = int(_os.environ.get("NCENT", "64"))
+        nprobe = int(_os.environ.get("NPROBE", "8"))
         for refine in (8, 32):
             try:
                 t0 = time.time()
                 got = ivfpq_topk(
                     corpus, queries, dim=DIM, k=K,
-                    num_centroids=64, n_probe=8, m=16, ksub=32,
+                    num_centroids=ncent, n_probe=nprobe, m=16, ksub=32,
                     refine=refine,
                 ).localCheckpoint(eager=True)
                 t_ivfpq = time.time() - t0
                 emit({"probe": "ann",
                       "arm": f"ivfpq_end_to_end_refine{refine}",
-                      "n": n, "t_s": round(t_ivfpq, 2),
+                      "n": n, "ncent": ncent, "nprobe": nprobe,
+                      "t_s": round(t_ivfpq, 2),
                       "recall_at_10": recall_at_k(got, truth),
                       "speedup_vs_exact": round(t_exact / t_ivfpq, 2)})
             except Exception as e:  # noqa: BLE001
                 emit({"probe": "ann", "arm": f"ivfpq_refine{refine}",
-                      "n": n, "error": repr(e)})
+                      "n": n, "ncent": ncent, "error": repr(e)})
 
         # materialized-index lifecycle: build on 90%, grow 10%, sync
         if noindex:
