@@ -25,6 +25,57 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..checkpoint import unpersist_checkpoint
 
+# scheme 2 = the round-10 hash-once form (string shingles keyed by
+# xxhash64 once, per-function permutations re-hash the 64-bit keys).
+# Scheme 1 (pre-round-10) re-hashed the strings per function; the two
+# produce DIFFERENT signature values for the same text, so a store
+# built under one scheme must never band against signatures from the
+# other — identical docs would simply stop colliding, silently.
+_MINHASH_SCHEME = "2"
+
+#: Sentinel (and default) for the ``sigs_scheme`` argument of the
+#: store-consuming dedup entry points: the caller VOUCHES the signature
+#: frame was built in-process this session by this module's
+#: :func:`minhash_signature` (the test / same-session path), so only the
+#: signature-length shape probe runs. It is deliberately NOT ``None``:
+#: ``None`` is what ``props.get("minhash.scheme")`` yields on a
+#: PERSISTED store that never recorded its scheme, and scheme-1
+#: signatures have the same length but different values — banding them
+#: against fresh scheme-2 signatures silently finds nothing. Threading
+#: ``None`` therefore REFUSES (r12 verdict ask #8); thread a persisted
+#: store's recorded property (stores managed by
+#: :func:`reconcile_signature_store` always have one) or rebuild the
+#: store.
+SIGS_SCHEME_IN_PROCESS = "__sigs_built_in_process__"
+
+
+def _check_sigs_scheme(sigs_scheme: str | None, arg_name: str) -> None:
+    """Refuse scheme-mismatched or scheme-less persisted signature
+    stores (see :data:`SIGS_SCHEME_IN_PROCESS` for the contract)."""
+    if sigs_scheme == SIGS_SCHEME_IN_PROCESS:
+        return
+    if sigs_scheme is None:
+        raise ValueError(
+            f"{arg_name} is a persisted signature store with NO recorded "
+            "minhash scheme (sigs_scheme=None — e.g. threaded from "
+            'props.get("minhash.scheme") on a property-less store): '
+            "scheme-1 signatures have the same length but different "
+            "values, so banding them against freshly signed docs finds "
+            "NOTHING. Thread the store's recorded property "
+            '(props["minhash.scheme"]), pass '
+            "sigs_scheme=SIGS_SCHEME_IN_PROCESS only for frames built "
+            "in-process this session by minhash_signature, or rebuild "
+            "the store (reconcile_signature_store)"
+        )
+    if str(sigs_scheme) != _MINHASH_SCHEME:
+        raise ValueError(
+            f"{arg_name} minhash scheme {sigs_scheme!r} != engine scheme "
+            f"{_MINHASH_SCHEME!r}: scheme-1 signatures have the same "
+            "length but different values, so banding them against "
+            "freshly signed docs finds NOTHING — rebuild the signature "
+            "store (reconcile_signature_store)"
+        )
+
 
 def normalized_words(text_col: str = "text") -> F.Column:
     """Lowercased word array (single-space tokenization)."""
@@ -331,7 +382,7 @@ def incremental_near_dedup(
     shingle_size: int = 5,
     seed: int = 42,
     max_bucket_size: int = 1000,
-    sigs_scheme: str | None = None,
+    sigs_scheme: str | None = SIGS_SCHEME_IN_PROCESS,
 ):
     """Near-dedup a NEW ingest batch against an EXISTING corpus without
     reprocessing the corpus — the fuzzy twin of the exact
@@ -362,15 +413,15 @@ def incremental_near_dedup(
     reading a store yourself, thread that property in as
     ``sigs_scheme`` and this function asserts it.
 
-    ``sigs_scheme=None`` means the caller VOUCHES the signatures were
-    built in-process by this module's :func:`minhash_signature` (the
-    test / same-session path) — it is NOT "unknown, don't care": a
-    None threaded from a persisted store's missing property silently
-    degrades to the shape probe, which scheme-1 signatures pass while
-    banding to zero candidates. When threading a PERSISTED store's
-    property, index it (``props["minhash.scheme"]``), never
-    ``.get()`` — a property-less store must raise at the read site
-    (``reconcile_signature_store`` refuses such stores outright).
+    The default ``sigs_scheme=SIGS_SCHEME_IN_PROCESS`` means the
+    caller VOUCHES the signatures were built in-process by this
+    module's :func:`minhash_signature` (the test / same-session path).
+    ``None`` — what ``props.get("minhash.scheme")`` yields on a
+    property-less persisted store — REFUSES (r12 ask #8): before the
+    sentinel existed, such a None silently degraded to the shape
+    probe, which scheme-1 signatures pass while banding to zero
+    candidates. ``reconcile_signature_store`` refuses property-less
+    stores outright; thread its recorded property here.
 
     Returns ``(kept_new_docs, dropped)`` where ``dropped`` holds
     (new id, matched corpus id, jaccard) for every verified match —
@@ -385,14 +436,7 @@ def incremental_near_dedup(
             corpus_docs, id_col, text_col, num_hashes, shingle_size, seed
         )
     else:
-        if sigs_scheme is not None and str(sigs_scheme) != _MINHASH_SCHEME:
-            raise ValueError(
-                f"corpus_sigs minhash scheme {sigs_scheme!r} != engine "
-                f"scheme {_MINHASH_SCHEME!r}: scheme-1 signatures have "
-                "the same length but different values, so banding them "
-                "against new-batch signatures finds NOTHING — rebuild "
-                "the signature store (reconcile_signature_store)"
-            )
+        _check_sigs_scheme(sigs_scheme, "corpus_sigs")
         # a store built with different num_hashes bands differently and
         # yields ZERO candidates silently — a no-op near-dedup pass is
         # worse than an error. One-row limit probe, not a corpus scan.
@@ -484,14 +528,6 @@ def incremental_near_dedup(
     )
     return kept, dropped
 
-
-# scheme 2 = the round-10 hash-once form (string shingles keyed by
-# xxhash64 once, per-function permutations re-hash the 64-bit keys).
-# Scheme 1 (pre-round-10) re-hashed the strings per function; the two
-# produce DIFFERENT signature values for the same text, so a store
-# built under one scheme must never band against signatures from the
-# other — identical docs would simply stop colliding, silently.
-_MINHASH_SCHEME = "2"
 
 _SIG_PROPS = (
     "minhash.num_hashes",
@@ -632,7 +668,7 @@ def corpus_signatures(
     shingle_size: int = 5,
     seed: int = 42,
     sigs: DataFrame | None = None,
-    sigs_scheme: str | None = None,
+    sigs_scheme: str | None = SIGS_SCHEME_IN_PROCESS,
     broadcast_ids: bool = True,
 ) -> DataFrame:
     """(id, signature) MinHash coverage of ``docs``, store-backed:
@@ -655,24 +691,18 @@ def corpus_signatures(
     is the floor.
 
     Guards (shared with :func:`incremental_near_dedup`): a
-    caller-threaded ``sigs_scheme`` must equal the engine scheme —
-    thread a PERSISTED store's property by INDEXING it
-    (``props["minhash.scheme"]``), never ``.get()``; ``None`` means
-    the caller vouches the sigs were built in-process this session —
-    and a one-row probe refuses a store whose signature length
-    differs from ``num_hashes``."""
+    caller-threaded ``sigs_scheme`` must equal the engine scheme
+    (thread the PERSISTED store's recorded property); ``None`` — the
+    ``.get()`` result on a property-less store — REFUSES; the default
+    :data:`SIGS_SCHEME_IN_PROCESS` means the caller vouches the sigs
+    were built in-process this session. A one-row probe additionally
+    refuses a store whose signature length differs from
+    ``num_hashes``."""
     if sigs is None:
         return minhash_signature(
             docs, id_col, text_col, num_hashes, shingle_size, seed
         )
-    if sigs_scheme is not None and str(sigs_scheme) != _MINHASH_SCHEME:
-        raise ValueError(
-            f"sigs minhash scheme {sigs_scheme!r} != engine scheme "
-            f"{_MINHASH_SCHEME!r}: scheme-1 signatures have the same "
-            "length but different values, so banding them with freshly "
-            "signed docs finds NOTHING — rebuild the signature store "
-            "(reconcile_signature_store)"
-        )
+    _check_sigs_scheme(sigs_scheme, "sigs")
     probe = sigs.select(F.size("signature")).first()
     if probe is not None and probe[0] != num_hashes:
         raise ValueError(
@@ -706,7 +736,7 @@ def batch_near_dedup(
     seed: int = 42,
     max_bucket_size: int = 1000,
     sigs: DataFrame | None = None,
-    sigs_scheme: str | None = None,
+    sigs_scheme: str | None = SIGS_SCHEME_IN_PROCESS,
     quality_col: str | None = None,
     return_pairs: bool = False,
     broadcast_ids: bool = True,
@@ -729,11 +759,12 @@ def batch_near_dedup(
     ``docs`` are semi-join-pruned so they can never band phantom
     candidates. Same guards as :func:`incremental_near_dedup`: a
     caller-threaded ``sigs_scheme`` must equal the engine scheme
-    (index the table property — ``props["minhash.scheme"]`` — never
-    ``.get()``; None means the caller vouches the sigs were built
-    in-process), and a one-row probe refuses a store whose signature
-    length differs from ``num_hashes`` (it would band incompatibly
-    and silently find nothing).
+    (thread the store's recorded table property; ``None`` — the
+    ``.get()`` result on a property-less store — REFUSES; the default
+    :data:`SIGS_SCHEME_IN_PROCESS` means the caller vouches the sigs
+    were built in-process), and a one-row probe refuses a store whose
+    signature length differs from ``num_hashes`` (it would band
+    incompatibly and silently find nothing).
 
     The candidate pair list and the verified match list are
     materialized EAGERLY (both tiny — two ids / one row per verified

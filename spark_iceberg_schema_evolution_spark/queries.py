@@ -10619,7 +10619,93 @@ def t2_jobs_smoke(spark: SparkSession, sf: str) -> DataFrame:
 # q157_string_format_family, q158_argmin_argmax, q159_gaps_islands,
 # q160_skew_report, q161_embedding_pooling, q162_time_weighted_avg,
 # q163_containment_dedup, q164_date_trunc_family.
+# ROUND-13 WINDOW. First this round's code-change canaries (6):
+# t2_incremental_near_dedup / t2_jobs_smoke / t2_batch_near_dedup /
+# t2_stream_dedup_ingest re-run for the sigs_scheme IN_PROCESS
+# sentinel (VERDICT r12 ask #8: the "caller vouches" None arm is now
+# an explicit constant; a persisted store without a recorded scheme
+# REFUSES instead of silently banding mismatched signatures);
+# t2_stream_cdc_sink re-runs for the unpartitioned-table inline-
+# compaction guard (VERDICT r12 ask #5: max_batches on an
+# unpartitioned table now folds only the oldest batches, bounded
+# work per epoch, never a stop-the-world whole-table rewrite).
+# q44_pandas_udf_tokens fronted per VERDICT r12 ask #6 (the only
+# face exercising row-at-a-time F.udf — Arrow/pickle path insurance).
+# THEN the twenty-four r7-stale rows (the rotation promise: oldest
+# driver evidence becomes r8 after this run). THEN 20 of the 46
+# r8-stale rows, engine-heavy first (core agg/window/sort/set
+# families q12-q33, streaming q52/q66/q69/q86, MOR DML
+# q103/q104/q109, SQL front door q102). The 26 remaining r8 rows
+# defer to r14
+# (documented deferral, same q27-class reasoning as r10-r12's):
+# q84_asof_tolerance, q94_hash_split, q95_bigram_counts,
+# q98_version_diff, q99_pii_redaction, q100_boilerplate_removal,
+# q110_weighted_resample, q111_dedup_keep_best, q166_ohlc_bars,
+# q168_mad_outliers, q170_clone_constraints, q171_scd2_incremental,
+# q172_counter_agg, q173_classifier_eval, q174_ab_welch,
+# q175_event_transitions, q176_pmi_collocations,
+# q177_cusum_changepoint, q178_autocorr, q179_tv_divergence,
+# q180_variant_shred, q181_rrf_fusion, q182_interval_coverage,
+# q183_assoc_rules, q184_period_over_period, q185_incremental_ab.
 _DRIVER_WINDOW = [
+    # round-13 code-change canaries
+    "t2_incremental_near_dedup",
+    "t2_jobs_smoke",
+    "t2_batch_near_dedup",
+    "t2_stream_dedup_ingest",
+    "t2_stream_cdc_sink",
+    "q44_pandas_udf_tokens",
+    # the twenty-four r7-stale rows (rotation promise: oldest -> r8)
+    "q39_text_stats",
+    "q40_embedding_norms",
+    "q41_lang_id",
+    "q42_quality_fingerprint",
+    "q43_multimodal_meta",
+    "q76_group_by_all_qualify",
+    "q77_except_all",
+    "q78_unpivot",
+    "q79_percentile_cont",
+    "q80_string_funcs2",
+    "q81_try_cast",
+    "q82_ignore_nulls_stringagg",
+    "q83_bit_bool_aggs",
+    "q85_salted_join_equivalence",
+    "q155_fuzzy_join",
+    "q156_regex_family",
+    "q157_string_format_family",
+    "q158_argmin_argmax",
+    "q159_gaps_islands",
+    "q160_skew_report",
+    "q161_embedding_pooling",
+    "q162_time_weighted_avg",
+    "q163_containment_dedup",
+    "q164_date_trunc_family",
+    # r8 block, engine-heavy first (20 of 46)
+    "q12_tpch_q1",
+    "q13_count_distinct",
+    "q14_multi_distinct",
+    "q15_rollup",
+    "q16_having",
+    "q17_collect_sorted",
+    "q18_window_topk",
+    "q20_window_frame",
+    "q21_sort_nulls",
+    "q22_topk_revenue",
+    "q23_union_distinct",
+    "q33_cast_matrix",
+    "q52_stream_to_lakehouse",
+    "q66_stream_stateful",
+    "q69_stream_stream_join",
+    "q86_stream_static_join",
+    "q102_lakehouse_sql",
+    "q103_mor_delete_update",
+    "q104_mor_merge",
+    "q109_mor_pos_delete",
+]
+
+# Round-12 window (kept for the audit trail; superseded by the r13
+# window above). Original r12 list:
+_DRIVER_WINDOW_R12 = [
     # round-12 code-change canaries
     "q189_domain_budget",
     "t2_batch_near_dedup",

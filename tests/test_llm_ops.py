@@ -899,6 +899,43 @@ def test_batch_near_dedup_store_backed_equals_fresh(spark):
         dedup.batch_near_dedup(corpus, num_hashes=32, sigs=store)
 
 
+def test_sigs_scheme_none_refuses_every_store_entry_point(spark):
+    """r12 ask #8: ``sigs_scheme=None`` is what
+    ``props.get("minhash.scheme")`` yields on a property-less persisted
+    store — before the IN_PROCESS sentinel it silently degraded to the
+    shape probe (which scheme-1 signatures pass while banding to zero
+    candidates). Now every store-consuming entry point REFUSES None;
+    the sentinel (the default) and the engine scheme string both pass."""
+    import pytest as _pt
+
+    docs = _docs(spark).where("doc_id < 40").select("doc_id", "text")
+    store = dedup.minhash_signature(docs, num_hashes=16)
+    for call in (
+        lambda **kw: dedup.corpus_signatures(
+            docs, num_hashes=16, sigs=store, **kw
+        ),
+        lambda **kw: dedup.batch_near_dedup(
+            docs, num_hashes=16, num_bands=4, sigs=store, **kw
+        ),
+        lambda **kw: dedup.incremental_near_dedup(
+            docs.where("doc_id >= 20"),
+            docs.where("doc_id < 20"),
+            corpus_sigs=dedup.minhash_signature(
+                docs.where("doc_id < 20"), num_hashes=16
+            ),
+            num_hashes=16,
+            num_bands=4,
+            **kw,
+        ),
+    ):
+        with _pt.raises(ValueError, match="NO recorded"):
+            call(sigs_scheme=None)
+        # the engine scheme string (a store's recorded property) passes
+        call(sigs_scheme=dedup._MINHASH_SCHEME)
+        # the in-process sentinel (the default) passes
+        call(sigs_scheme=dedup.SIGS_SCHEME_IN_PROCESS)
+
+
 def test_minhash_property_per_hash_agreement_tracks_jaccard(spark):
     """The MinHash contract itself: P[sig_i(A) == sig_i(B)] = J(A, B).
     Regression for the F.transform two-arg-lambda trap, which silently

@@ -162,7 +162,10 @@ def main() -> None:
 
         ncent = int(_os.environ.get("NCENT", "64"))
         nprobe = int(_os.environ.get("NPROBE", "8"))
-        for refine in (8, 32):
+        refines = tuple(
+            int(x) for x in _os.environ.get("REFINE", "8,32").split(",")
+        )
+        for refine in refines:
             try:
                 t0 = time.time()
                 got = ivfpq_topk(
