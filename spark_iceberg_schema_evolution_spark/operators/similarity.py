@@ -15,7 +15,70 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
+
 from pyspark.sql import Column, DataFrame, Window as Wnd, functions as F
+
+# nearest-centroid assignment switches from the plan-literal HOF argmin
+# to the Arrow/BLAS path above this many literals (num_centroids * dim):
+# HOF lambdas are interpreted per element, so a sqrt(n)-scale coarse
+# quantizer (1024 cells x 64 dims = 65k literals) made the corpus
+# encode the dominant cost of the r13 1M-vector probe — while one
+# matmul per Arrow batch does the same assignment at memory bandwidth.
+# Small quantizers (every registry face / pytest fixture) keep the
+# zero-python literal path and its bit-stable plan.
+_ASSIGN_LITERAL_BUDGET = 16_384
+
+
+def _nearest_centroid_col(cents: list[list[float]], vcol: Column) -> Column:
+    """int index of the L2-nearest centroid to ``vcol``.
+
+    Literal-HOF argmin (codegen, zero python) for small models; above
+    ``_ASSIGN_LITERAL_BUDGET`` literals, an Arrow-batched pandas_udf
+    whose body is ONE BLAS matmul per batch — the FAISS assignment
+    shape. The centroid matrix ships to executors once inside the UDF
+    closure instead of being re-inlined into every expression tree.
+    Ties break to the lowest cell id on both paths (struct (d, c) min
+    vs numpy first-occurrence argmin)."""
+    k, dim = len(cents), len(cents[0])
+    if k * dim <= _ASSIGN_LITERAL_BUDGET:
+        lit = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(x) for x in v]).alias("v"),
+                    F.lit(i).alias("c"),
+                )
+                for i, v in enumerate(cents)
+            ]
+        )
+        dists = F.transform(
+            lit,
+            lambda s: F.struct(
+                fold_sum(
+                    F.zip_with(vcol, s["v"], lambda a, b: (a - b) * (a - b))
+                ).alias("d"),
+                s["c"].alias("c"),
+            ),
+        )
+        return F.array_min(dists)["c"]
+
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    c_sq = (C ** 2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        import numpy as np  # executor-side
+
+        X = np.stack(v.to_numpy())
+        # ||x-c||^2 ordering: the ||x||^2 term is constant per row
+        d = X @ C.T
+        d *= -2.0
+        d += c_sq[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign(vcol)
 
 
 def as_double(arr: Column) -> Column:
@@ -372,7 +435,10 @@ def ivf_topk(
         )
 
     c_cells = c.withColumn(
-        "__cell", F.array_min(cell_dists(F.col("__cv")))["c"]
+        "__cell",
+        _nearest_centroid_col(
+            [vec for _, vec in centroids], F.col("__cv")
+        ),
     )
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
@@ -932,7 +998,7 @@ def ivfpq_topk(
         c.select(
             corpus_id,
             "__cv",
-            F.array_min(cell_dists(F.col("__cv")))["c"].alias("__cell"),
+            _nearest_centroid_col(cents, F.col("__cv")).alias("__cell"),
         )
         .select(  # projection boundary: __res computed ONCE per row
             corpus_id,

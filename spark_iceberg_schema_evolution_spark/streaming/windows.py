@@ -682,7 +682,10 @@ def stream_upsert_to_lakehouse(
     live batch count exceeds the threshold, the sink compacts INLINE,
     scoped to the months this epoch touched on a partitioned table
     (O(hot partitions), the nightly-maintenance shape — cold months'
-    batch counts are already frozen) and the whole table otherwise;
+    batch counts are already frozen); on an UNPARTITIONED table it
+    folds only the smallest surplus batches (``compact_batches``, the
+    compact_deletes backlog-fold shape — amortized O(log) rewrites
+    per row, never a stop-the-world whole-table rewrite per epoch);
     the compaction commit is content-identical, so the rollup
     bookmark advances over it with ``advance_bookmark_noop`` and the
     delta-hint fast path stays hot. Pair with the maintenance CLI's
@@ -814,7 +817,6 @@ def stream_upsert_to_lakehouse(
             if max_batches is not None:
                 snap = t._load()
                 if len(snap.batches) > max_batches:
-                    months = None
                     if snap.partition_month_of is not None:
                         # scope to the epoch's own months: the cold
                         # months' batch counts are frozen, so bounding
@@ -830,7 +832,14 @@ def stream_upsert_to_lakehouse(
                             .distinct()
                             .collect()
                         ]
-                    t.compact(months=months)
+                        t.compact(months=months)
+                    else:
+                        # unpartitioned: bounded smallest-batches fold
+                        # (r12 ask #5) — inline work is the folded
+                        # micro-batches' own bytes, amortized O(log)
+                        # rewrites per row, never a stop-the-world
+                        # whole-table rewrite in the epoch loop
+                        t.compact_batches(max_batches)
                     compacted = True
             if compacted and rollup_table is not None:
                 from spark_iceberg_schema_evolution_spark.operators.rollup import (

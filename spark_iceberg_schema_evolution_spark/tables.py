@@ -761,6 +761,35 @@ class LakehouseTable:
                 )
             )
 
+    def _claim_data_dir(self, name: str) -> str:
+        """Atomically claim a fresh directory under ``data/`` with mkdir
+        (exist_ok=False), falling to the next free ``.k`` suffix on
+        collision. An exists() probe followed by a Spark write is NOT
+        atomic: two live writers racing the same version number both
+        passed the r12 probe-then-write form and the loser died inside
+        the write with PATH_ALREADY_EXISTS — an AnalysisException a
+        retry loop does not recognize (caught by the r13 crash
+        battery's racing-writers test). With the claim, data paths
+        never collide and writer conflicts surface only at manifest
+        publish, as CommitConflict — the retryable contract. Crashed /
+        speculative writers' orphan dirs (the r12 killed-writer wedge)
+        are skipped by the same loop and remain reclaimable by
+        remove_orphan_files: the manifest's recorded path is the only
+        authority on which dirs are live, so the name itself carries
+        no meaning (Iceberg uses UUID file names here). Callers write
+        with mode("overwrite") — ErrorIfExists would refuse the
+        claimed (empty) dir — which is safe precisely because the
+        claim guarantees sole ownership of a fresh path."""
+        base = os.path.join(self.data_dir, name)
+        cand, k = base, 0
+        while True:
+            try:
+                os.makedirs(cand)
+                return cand
+            except FileExistsError:
+                k += 1
+                cand = f"{base}.{k}"
+
     def _write_batch(
         self,
         df: DataFrame,
@@ -770,20 +799,7 @@ class LakehouseTable:
         renames_at: int = 0,
         pre_arranged: bool = False,
     ) -> dict:
-        batch_dir = os.path.join(self.data_dir, f"batch-{n}")
-        if os.path.exists(batch_dir):
-            # a crashed or speculative writer's orphan dir (reclaimable
-            # by remove_orphan_files) must not wedge every later commit
-            # on a PATH_ALREADY_EXISTS collision — the r12 catalog
-            # probe's killed-writer run hit exactly this. Iceberg
-            # avoids it with UUID file names; here the next free
-            # suffix serves: the manifest's recorded path is the only
-            # authority on which dirs are live, so the name itself
-            # carries no meaning.
-            k = 1
-            while os.path.exists(f"{batch_dir}.{k}"):
-                k += 1
-            batch_dir = f"{batch_dir}.{k}"
+        batch_dir = self._claim_data_dir(f"batch-{n}")
         out = align_schema(df, schema, keep_extras=False)
         # CHECK constraints ride the write action itself via observe()
         # metrics — ONE scan of the batch, not a validation pass plus a
@@ -834,7 +850,9 @@ class LakehouseTable:
             # arrives pre-range-partitioned — don't destroy its clustering.)
             if not pre_arranged:
                 out = out.repartition(*[F.col(c) for c in part_cols])
-            out.write.partitionBy(*part_cols).mode("error").parquet(
+            # "overwrite", not "error": the claim above created the
+            # (empty) dir, and ErrorIfExists refuses an existing path
+            out.write.partitionBy(*part_cols).mode("overwrite").parquet(
                 batch_dir
             )
             if obs is not None:
@@ -864,11 +882,11 @@ class LakehouseTable:
             # as the month path above)
             if not pre_arranged:
                 out = out.repartition(F.col(_BUCKET_COL))
-            out.write.partitionBy(*part_cols).mode("error").parquet(
+            out.write.partitionBy(*part_cols).mode("overwrite").parquet(
                 batch_dir
             )
         else:
-            out.write.mode("error").parquet(batch_dir)
+            out.write.mode("overwrite").parquet(batch_dir)
         if obs is not None:
             self._raise_constraint_violations(cons, obs.get, batch_dir)
         stats, file_stats, file_rows = self._footer_stats(batch_dir)
@@ -2962,8 +2980,8 @@ class LakehouseTable:
         file; returns the manifest entry or None when empty. One output
         file (same rationale as ``_write_pos_pairs``: every later scan
         re-reads it)."""
-        path = os.path.join(self.data_dir, f"delete-{version}")
-        matched.repartition(1).write.mode("error").parquet(path)
+        path = self._claim_data_dir(f"delete-{version}")
+        matched.repartition(1).write.mode("overwrite").parquet(path)
         _stats, _fstats, file_rows = self._footer_stats(path)
         n = sum(file_rows.values())
         if n == 0:
@@ -2997,14 +3015,14 @@ class LakehouseTable:
     ) -> dict | None:
         """Persist a matched-rows frame (carrying ``__file_path`` /
         ``__row_pos``) as a position-delete file; None when empty."""
-        path = os.path.join(self.data_dir, f"posdelete-{version}")
+        path = self._claim_data_dir(f"posdelete-{version}")
         # one output file: delete files are small by construction and are
         # re-read by EVERY subsequent scan's anti-join — dozens of
         # scan-parallelism-shaped shards would tax each of those reads.
         # repartition (not coalesce: coalesce would collapse the matching
         # scan's parallelism too) of the tiny pair set.
         matched.select("__file_path", "__row_pos").repartition(1).write.mode(
-            "error"
+            "overwrite"
         ).parquet(path)
         _stats, _fstats, file_rows = self._footer_stats(path)
         n = sum(file_rows.values())
@@ -3896,6 +3914,68 @@ class LakehouseTable:
             Snapshot(
                 version, snap.schema, keep_batches + [batch],
                 snap.partition_month_of, snap.renames, keep_deletes,
+            )
+        )
+        return version
+
+    def compact_batches(self, max_live: int) -> int | None:
+        """Bounded batch-backlog fold — the batch-dir twin of
+        :meth:`compact_deletes`, for UNPARTITIONED tables where
+        ``compact(months=...)`` cannot scope the rewrite: when the live
+        batch count exceeds ``max_live``, rewrite ONLY the smallest
+        surplus+1 batches (by footer row counts) into one batch, so the
+        count returns to ``max_live`` and the inline work is the folded
+        batches' own bytes — never a stop-the-world whole-table rewrite
+        (the r12 verdict's 100 TB cliff: an unpartitioned streaming
+        sink tripping ``max_batches`` paid an O(table) inline epoch).
+
+        Folding the SMALLEST batches gives the LSM/Huffman amortization:
+        per-epoch micro-batches pair up into geometrically larger
+        batches, so each row is rewritten O(log n) times over the
+        table's life while scans stay bounded at ``max_live`` plan
+        subtrees. Batches without footer row stats (pre-stats layouts)
+        sort as largest — never preferentially rewritten — with the
+        commit sequence as a deterministic tie-break (oldest first).
+
+        All live delete files are RETAINED (they may touch unfolded
+        batches): the fold scan applies them to the folded rows
+        (sequence rule — the new batch's higher seq means they never
+        re-apply), equality deletes re-applying to kept batches are
+        unchanged, and position deletes naming folded (now-dead) files
+        match nothing. Content-identical commit, same as ``compact``.
+
+        Returns the new version, or None when the count is within
+        bounds (or only one batch would fold — nothing to gain)."""
+        if max_live < 1:
+            raise ValueError(f"max_live must be >= 1: {max_live}")
+        snap = self._load()
+        n_fold = len(snap.batches) - max_live + 1
+        if n_fold < 2:
+            return None
+
+        def batch_rows(b: dict) -> float:
+            fr = b.get("file_rows")
+            if not fr:
+                return float("inf")
+            return float(sum(fr.values()))
+
+        order = sorted(
+            snap.batches,
+            key=lambda b: (batch_rows(b), int(b.get("seq", 0))),
+        )
+        fold = order[:n_fold]
+        fold_paths = {b["path"] for b in fold}
+        keep = [b for b in snap.batches if b["path"] not in fold_paths]
+        current = self._scan(snap, fold, None)
+        version = self._next_version(snap)
+        batch = self._write_batch(
+            current, snap.schema, snap.partition_month_of, version,
+            renames_at=len(snap.renames),
+        )
+        self._commit(
+            Snapshot(
+                version, snap.schema, keep + [batch],
+                snap.partition_month_of, snap.renames, snap.deletes,
             )
         )
         return version

@@ -551,6 +551,43 @@ def test_ivfpq_topk_recall_gate(spark):
             assert round(r.score, 9) == ex_scores[(r.query_id, r.vec_id)]
 
 
+def test_nearest_centroid_arrow_path_matches_literal(
+    spark, monkeypatch
+):
+    """The r13 large-quantizer assignment (Arrow-batched BLAS matmul,
+    used when num_centroids*dim exceeds the literal budget — the 1M
+    probe measured the interpreted-HOF argmin dominating the encode at
+    1024 cells) must assign every vector to the SAME cell as the
+    plan-literal path; ties break to the lowest cell id on both."""
+    import numpy as np
+
+    e = _emb(spark)
+    rows = e.select("embedding").limit(40).collect()
+    rng = np.random.RandomState(7)
+    cents = [
+        [float(x) for x in rng.randn(64)] for _ in range(24)
+    ] + [[float(v) for v in rows[0][0]]]  # one exact-hit centroid
+    lit = e.select(
+        "vec_id",
+        similarity._nearest_centroid_col(
+            cents, similarity.as_double(F.col("embedding"))
+        ).alias("cell"),
+    )
+    want = {(r.vec_id, r.cell) for r in lit.collect()}
+    monkeypatch.setattr(similarity, "_ASSIGN_LITERAL_BUDGET", 1)
+    arrow = e.select(
+        "vec_id",
+        similarity._nearest_centroid_col(
+            cents, similarity.as_double(F.col("embedding"))
+        ).alias("cell"),
+    )
+    got = {(r.vec_id, r.cell) for r in arrow.collect()}
+    assert got == want
+    # the Arrow path really is a pandas_udf plan, not literals
+    assert "pythonUDF" in arrow._jdf.queryExecution().executedPlan().toString() \
+        or "ArrowEvalPython" in arrow._jdf.queryExecution().executedPlan().toString()
+
+
 def test_cluster_balanced_sample_quota_and_determinism(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out1 = similarity.cluster_balanced_sample(

@@ -3,6 +3,7 @@ bounds, incremental equivalence (multi-batch == single-batch)."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import time
 
@@ -463,6 +464,94 @@ def test_stream_upsert_max_batches_bounds_live_batches(spark, tmp_path):
         .collect()
     }
     assert rollup == expect and rollup
+
+
+def test_stream_upsert_unpartitioned_bounded_fold_cycles(
+    spark, tmp_path
+):
+    """r12 ask #5: on an UNPARTITIONED table, max_batches must fold
+    only the smallest surplus batches (compact_batches) — bounded
+    inline work per epoch, never a whole-table rewrite. 14 one-file
+    epochs with a cap of 3 forces >= 3 fold cycles; the live batch
+    and delete-file counts stay pinned at their caps across all of
+    them and the upserted state is exactly last-wins."""
+    import glob
+    import shutil
+
+    from spark_iceberg_schema_evolution_spark.streaming import windows as SW
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n_epochs, keys_per = 14, 5
+    for e in range(n_epochs):
+        rows = [
+            (
+                float(e),
+                datetime.datetime(2024, 1, 1, 0, e),
+                (e * 2 + i) % 12,  # overlapping keys -> mor updates
+            )
+            for i in range(keys_per)
+        ]
+        df = spark.createDataFrame(
+            rows, "value DOUBLE, ts TIMESTAMP, user_id LONG"
+        ).coalesce(1)
+        stage = str(tmp_path / "stage" / f"e{e}")
+        df.write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            os.path.join(src, f"epoch-{e:03d}.parquet"),
+        )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    SW.stream_upsert_to_lakehouse(
+        stream,
+        cat,
+        "db",
+        "flat_state",
+        on=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        change_ts="ts",
+        merge_mode="mor",
+        max_delete_files=2,
+        max_batches=3,
+    )
+    t = cat.table("db", "flat_state")
+    snap = t._load()
+    # pinned bounds: cap + at most the epochs since the last trigger
+    assert len(snap.batches) <= 4, len(snap.batches)
+    assert len(snap.deletes) <= 3, len(snap.deletes)
+    # >= 3 fold cycles actually happened: count commits whose live
+    # batch count DROPPED vs their parent (the fold signature)
+    counts = {
+        v: len(t._load(v).batches) for v in t._versions()
+    }
+    hist = t.history()
+    folds = sum(
+        1
+        for h in hist
+        if h["parent"] in counts
+        and counts[h["version"]] < counts[h["parent"]]
+    )
+    assert folds >= 3, folds
+    # exactness: last-wins per key over every epoch file
+    batch = spark.read.parquet(src)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc())
+    want = {
+        (r.user_id, r.value, r.ts)
+        for r in batch.withColumn(
+            "__rn", F.row_number().over(w)
+        ).where("__rn = 1").drop("__rn").collect()
+    }
+    got = {(r.user_id, r.value, r.ts) for r in t.read().collect()}
+    assert got == want
 
 
 def test_stream_dedup_ingest_epochs(spark, tmp_path):

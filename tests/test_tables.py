@@ -156,6 +156,48 @@ def test_compact_and_expire(spark, catalog):
     assert on_disk == live
 
 
+def test_compact_batches_bounded_fold_unpartitioned(spark, catalog):
+    """r12 ask #5: the unpartitioned backlog fold rewrites ONLY the
+    smallest surplus+1 batches — the big batch's files survive
+    untouched (the bounded-inline-work witness), the count returns to
+    max_live, content is identical (with retained equality deletes
+    still applied), and a within-bounds table is a no-op."""
+
+    def mk(lo, n):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + n)], ["id", "v"]
+        )
+
+    catalog.write_evolving(mk(0, 500), "db", "cbf")  # the big batch
+    t = catalog.table("db", "cbf")
+    for k in range(4):  # four small epoch-sized appends
+        t.append(mk(1000 + 10 * k, 10))
+    # a MOR delete so the fold must apply retained delete files
+    t.delete_where("id = 1001", mode="mor", keys=["id"])
+    before = t._load()
+    big_path = min(
+        before.batches, key=lambda b: int(b.get("seq", 0))
+    )["path"]
+    assert len(before.batches) == 5 and before.deletes
+    v = t.compact_batches(3)
+    assert v is not None
+    after = t._load()
+    # bounded: exactly the 3 smallest folded (5 - 3 + 1), big survives
+    assert len(after.batches) == 3
+    assert big_path in {b["path"] for b in after.batches}
+    assert after.deletes == before.deletes  # retained, not re-applied
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == sorted(
+        set(range(500)) | set().union(
+            *(range(1000 + 10 * k, 1010 + 10 * k) for k in range(4))
+        ) - {1001}
+    )
+    # within bounds -> no-op (and a 1-batch fold is pointless -> no-op)
+    assert t.compact_batches(3) is None
+    assert t.compact_batches(len(after.batches)) is None
+    assert t._load().version == v
+
+
 def test_evolve_false_rejects_new_columns(spark, catalog):
     catalog.write_evolving(spark.createDataFrame([(1,)], ["id"]), "db", "s")
     t = catalog.table("db", "s")
