@@ -130,6 +130,7 @@ def main() -> None:
     args = sys.argv[1:]
     hier = "hier" in args
     noindex = "noindex" in args  # skip the (unchanged) lifecycle arms
+    onlyindex = "onlyindex" in args  # skip the ivfpq end-to-end legs
     gen = synth_vectors_hier if hier else synth_vectors
     sizes = [int(x) for x in args if x.isdigit()] or [1000000]
     for n in sizes:
@@ -165,6 +166,8 @@ def main() -> None:
         refines = tuple(
             int(x) for x in _os.environ.get("REFINE", "8,32").split(",")
         )
+        if onlyindex:
+            refines = ()
         for refine in refines:
             try:
                 t0 = time.time()
@@ -189,13 +192,16 @@ def main() -> None:
             shutil.rmtree(path, ignore_errors=True)
             continue
         try:
+            import os as _os
+
+            kind = _os.environ.get("KIND", "pq")
             shutil.rmtree(f"{WORK}/wh_{n}", ignore_errors=True)
             cat = LakehouseCatalog(spark, f"{WORK}/wh_{n}")
             cat.create_namespace("db")
             base = corpus.where(F.col("vec_id") % 10 != 0)
             t0 = time.time()
             n_built = build_ann_index(
-                cat, "db", "ix", base, dim=DIM, kind="pq", m=16, ksub=32
+                cat, "db", "ix", base, dim=DIM, kind=kind, m=16, ksub=32
             )
             t_build = time.time() - t0
             emit({"probe": "ann", "arm": "index_build_90pct", "n": n,
