@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from spark_iceberg_schema_evolution_spark.operators.similarity import (
     _collect_fit_sample,
     _fit_subspace_codebooks,
-    _pq_code_expr,
+    _pq_codes_col,
     _pq_score_topk,
     as_double,
     l2_norm,
@@ -209,7 +209,7 @@ def build_ann_index(
         )
         encoded = c.select(
             id_col,
-            _pq_code_expr(codebooks, dim, F.col("__cv")).alias("pq_codes"),
+            _pq_codes_col(codebooks, dim, F.col("__cv")).alias("pq_codes"),
             l2_norm(F.col("__cv")).alias("vec_norm"),
         )
     else:
@@ -268,7 +268,7 @@ def sync_ann_index(
         )
         encoded = new.select(
             F.col(id_col),
-            _pq_code_expr(
+            _pq_codes_col(
                 codebooks, dim, as_double(F.col(vec_col))
             ).alias("pq_codes"),
             l2_norm(as_double(F.col(vec_col))).alias("vec_norm"),

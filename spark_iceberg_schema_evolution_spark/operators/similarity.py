@@ -684,7 +684,7 @@ def pq_topk(
     )
     encoded = c.select(
         corpus_id,
-        _pq_code_expr(codebooks, dim, F.col("__cv")).alias("__codes"),
+        _pq_codes_col(codebooks, dim, F.col("__cv")).alias("__codes"),
         l2_norm(F.col("__cv")).alias("__xn"),
     )
     return _pq_score_topk(
@@ -893,6 +893,46 @@ def _pq_lut_expr(
     return F.array(*[lut_for(j) for j in range(m)])
 
 
+def _pq_codes_col(
+    codebooks: list[list[list[float]]], dim: int, vcol: Column
+) -> Column:
+    """array<int> PQ code for a vector column — the encode twin of
+    :func:`_nearest_centroid_col`: plan-literal per-sub-space argmin
+    (codegen-adjacent HOFs, zero python) for small codebooks, and an
+    Arrow-batched pandas_udf doing m BLAS matmuls per batch above
+    ``_ASSIGN_LITERAL_BUDGET`` total literals (m * ksub * dsub). At
+    FAISS-resolution codebooks (m=16, ksub=256) the literal form is a
+    16k-literal expression interpreted per row — corpus-encode becomes
+    the pipeline bottleneck exactly like the coarse assignment did.
+    Ties break to the lowest code on both paths."""
+    m = len(codebooks)
+    dsub = dim // m
+    n_lit = sum(len(cb) for cb in codebooks) * dsub
+    if n_lit <= _ASSIGN_LITERAL_BUDGET:
+        return _pq_code_expr(codebooks, dim, vcol)
+
+    import numpy as np
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sqs = [(cb ** 2).sum(axis=1) for cb in cbs]
+
+    @F.pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        import numpy as np  # executor-side
+
+        X = np.stack(v.to_numpy())
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            d = S @ cbs[j].T
+            d *= -2.0
+            d += sqs[j][None, :]
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return codes(vcol)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1009,7 +1049,7 @@ def ivfpq_topk(
         .select(
             corpus_id,
             "__cell",
-            _pq_code_expr(codebooks, dim, F.col("__res")).alias("__codes"),
+            _pq_codes_col(codebooks, dim, F.col("__res")).alias("__codes"),
             l2_norm(F.col("__cv")).alias("__xn"),
         )
     )

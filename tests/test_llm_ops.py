@@ -588,6 +588,38 @@ def test_nearest_centroid_arrow_path_matches_literal(
         or "ArrowEvalPython" in arrow._jdf.queryExecution().executedPlan().toString()
 
 
+def test_pq_codes_arrow_path_matches_literal(spark, monkeypatch):
+    """The encode twin of the assignment equivalence above: above the
+    literal budget, _pq_codes_col runs m BLAS matmuls per Arrow batch
+    (needed for FAISS-resolution ksub=256 codebooks, where the
+    16k-literal interpreted argmin dominates corpus encode) — and must
+    emit the SAME codes as the plan-literal path."""
+    import numpy as np
+
+    e = _emb(spark)
+    rng = np.random.RandomState(11)
+    codebooks = [
+        [[float(x) for x in rng.randn(8)] for _ in range(16)]
+        for _ in range(8)
+    ]
+    lit = e.select(
+        "vec_id",
+        similarity._pq_codes_col(
+            codebooks, 64, similarity.as_double(F.col("embedding"))
+        ).alias("codes"),
+    )
+    want = {(r.vec_id, tuple(r.codes)) for r in lit.collect()}
+    monkeypatch.setattr(similarity, "_ASSIGN_LITERAL_BUDGET", 1)
+    arrow = e.select(
+        "vec_id",
+        similarity._pq_codes_col(
+            codebooks, 64, similarity.as_double(F.col("embedding"))
+        ).alias("codes"),
+    )
+    got = {(r.vec_id, tuple(r.codes)) for r in arrow.collect()}
+    assert got == want
+
+
 def test_cluster_balanced_sample_quota_and_determinism(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out1 = similarity.cluster_balanced_sample(

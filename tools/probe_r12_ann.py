@@ -166,6 +166,8 @@ def main() -> None:
         refines = tuple(
             int(x) for x in _os.environ.get("REFINE", "8,32").split(",")
         )
+        m_pq = int(_os.environ.get("M", "16"))
+        ksub = int(_os.environ.get("KSUB", "32"))
         if onlyindex:
             refines = ()
         for refine in refines:
@@ -173,13 +175,14 @@ def main() -> None:
                 t0 = time.time()
                 got = ivfpq_topk(
                     corpus, queries, dim=DIM, k=K,
-                    num_centroids=ncent, n_probe=nprobe, m=16, ksub=32,
-                    refine=refine,
+                    num_centroids=ncent, n_probe=nprobe, m=m_pq,
+                    ksub=ksub, refine=refine,
                 ).localCheckpoint(eager=True)
                 t_ivfpq = time.time() - t0
                 emit({"probe": "ann",
                       "arm": f"ivfpq_end_to_end_refine{refine}",
                       "n": n, "ncent": ncent, "nprobe": nprobe,
+                      "m": m_pq, "ksub": ksub,
                       "t_s": round(t_ivfpq, 2),
                       "recall_at_10": recall_at_k(got, truth),
                       "speedup_vs_exact": round(t_exact / t_ivfpq, 2)})
