@@ -41,7 +41,7 @@ def _nearest_centroid_col(cents: list[list[float]], vcol: Column) -> Column:
     Ties break to the lowest cell id on both paths (struct (d, c) min
     vs numpy first-occurrence argmin)."""
     k, dim = len(cents), len(cents[0])
-    if k * dim <= _ASSIGN_LITERAL_BUDGET:
+    if k * dim < _ASSIGN_LITERAL_BUDGET:  # strict: boundary -> Arrow
         lit = F.array(
             *[
                 F.struct(
@@ -808,18 +808,44 @@ def _kmeans_np(X, k: int, seed: int, iters: int = 25):
     rng = np.random.RandomState(seed)
     n = X.shape[0]
     k = min(k, n)
+    # large fits (sqrt(n)-scale coarse quantizers: 1024 cells on a 100k
+    # sample) switch the seeding/assignment arithmetic to the BLAS
+    # expansion with in-place updates: the naive ((X - c)**2).sum(1)
+    # seeding step allocates three X-sized temporaries per center —
+    # ~150 GB of alloc/memset traffic at k=1024, measured as a
+    # kernel-time-bound multi-minute stall in the r13 1M ANN probe.
+    # Small fits keep the original expressions bit-for-bit (registry
+    # faces and pytest fixtures never see the big branch).
+    big = k * n >= 1_000_000
+    xsq_flat = (X ** 2).sum(axis=1) if big else None
+
+    def center_d2(c):
+        if not big:
+            return ((X - c) ** 2).sum(axis=1)
+        d = X @ c
+        d *= -2.0
+        d += xsq_flat
+        d += c @ c
+        return np.maximum(d, 0.0)  # ulp guard: choice() needs p >= 0
+
     # k-means++ seeding
     centers = [X[rng.randint(n)]]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    d2 = center_d2(centers[0])
     for _ in range(1, k):
         tot = d2.sum()
         idx = rng.choice(n, p=d2 / tot) if tot > 0 else rng.randint(n)
         centers.append(X[idx])
-        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+        d2 = np.minimum(d2, center_d2(centers[-1]))
     C = np.asarray(centers)
     xsq = (X ** 2).sum(axis=1)[:, None]
     for _ in range(iters):
-        dists = xsq + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        if big:
+            dists = X @ C.T
+            dists *= -2.0
+            dists += xsq
+            dists += (C ** 2).sum(axis=1)[None, :]
+        else:
+            dists = xsq + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         assign = dists.argmin(axis=1)
         newC = np.vstack(
             [
@@ -908,7 +934,10 @@ def _pq_codes_col(
     m = len(codebooks)
     dsub = dim // m
     n_lit = sum(len(cb) for cb in codebooks) * dsub
-    if n_lit <= _ASSIGN_LITERAL_BUDGET:
+    # strict <: FAISS-resolution m=16/ksub=256/dsub=4 lands EXACTLY on
+    # 16384, and the literal path at that size measured ~25+ min for a
+    # 1M-row encode (r13 probe) — the boundary belongs to the Arrow arm
+    if n_lit < _ASSIGN_LITERAL_BUDGET:
         return _pq_code_expr(codebooks, dim, vcol)
 
     import numpy as np
