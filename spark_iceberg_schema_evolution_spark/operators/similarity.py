@@ -1006,7 +1006,34 @@ def ivfpq_topk(
 
     Same bounded-sample fit, plan-literal models, and zero-shuffle
     encode discipline as ``ivf_topk``/``pq_topk``; only fixed-width
-    (qid, id, adc) rows enter the top-k shuffle."""
+    (qid, id, adc) rows enter the top-k shuffle. Above the literal
+    budget the cell/code assignments run as Arrow-batched BLAS matmuls
+    (:func:`_nearest_centroid_col` / :func:`_pq_codes_col`) — the
+    FAISS assignment shape.
+
+    MEASURED 1M-VECTOR OPERATING ENVELOPE (r13 probe,
+    tools/probe_r12_ann.py, 64-dim, 1024 cells = sqrt(n)-scale,
+    n_probe=32; recall@10 vs exact cosine):
+
+    - manifold-structured embeddings (sub-clustered, the shape real
+      text/image encoders produce): ksub=256 (8-bit codes, the FAISS
+      default) + refine=32 -> 0.977; the cheaper ksub=32 (5-bit)
+      codes need refine=128 for 0.951 (refine curve 0.35/0.72/0.87/
+      0.95 at 8/32/64/128 — ADC resolution, not cell coverage, is
+      the limiter: n_probe 16 vs 32 changed nothing).
+    - structureless embeddings (isotropic within-cluster noise — no
+      sub-manifold for the codebooks to exploit): recall@10 is
+      re-rank-pool-bound — 0.197 at refine=32, 0.561 at refine=128
+      even with 8-bit codes; >=0.9 needs the pool to approach the
+      probed cells' population, i.e. "re-rank the whole cell", at
+      which point PQ buys nothing over IVF + exact re-rank. This is
+      a property of the math (FAISS behaves identically), not of
+      this implementation. For such corpora use the SQ8 index
+      (per-dimension quantization preserves within-cell ordering) or
+      ``ivf_topk`` with exact scoring.
+
+    Defaults stay fixture-scale; at 1M+ pass num_centroids ~
+    sqrt(n), n_probe 16-32, ksub=256, refine>=32."""
     import numpy as np
 
     if dim % m != 0:
