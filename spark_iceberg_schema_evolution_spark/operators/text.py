@@ -1677,3 +1677,149 @@ def hashed_features(
             .otherwise(F.col("features")),
         )
     return out
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, arXiv:2302.03169): score every raw-corpus document by
+    how target-like its hashed n-gram feature distribution is, so a
+    downstream sampler can resample raw data toward the target domain
+    (the published recipe for picking pre-training data that matches a
+    trusted corpus, e.g. Wikipedia).
+
+    Features are the paper's hashed bag of unigrams+bigrams; the bucket
+    is the first two hex chars of md5(gram) -- 256 buckets, stable
+    across engines and cluster sizes (no JVM-hash seed dependence, and
+    the DuckDB oracle can replay it byte-for-byte). Per-bucket
+    add-alpha bag-of-words models are fit on the target and raw
+    corpora; each document's score is the mean per-gram log-likelihood
+    ratio  ln p_target(bucket) - ln p_raw(bucket)  over its gram
+    instances (sum and gram count also returned, so callers can use the
+    paper's unnormalized LLR).
+
+    Scale shape: two 256-row model aggregates (one shuffle each over
+    exploded grams, map-side combined), a broadcast join of the 256-row
+    log-ratio table onto the exploded raw grams, and one per-doc
+    aggregate keyed by ``id_col`` -- no driver-side model, no UDFs; the
+    model tables are O(256) regardless of corpus size, so at 100 TB
+    the only data-sized shuffles are the two gram aggregations and the
+    doc-keyed score reduce.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        base = df.select(
+            *([F.col(id_col)] if keep_id else []), words.alias("__w")
+        )
+        bigrams = F.when(
+            F.size("__w") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__w) - 1), i -> "
+                "concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.explode(F.concat(F.col("__w"), bigrams)).alias("__gram"),
+        ).select(
+            *([F.col(id_col)] if keep_id else []),
+            F.substring(F.md5("__gram"), 1, 2).alias("__bucket"),
+        )
+
+    n_buckets = 256
+    tgt = grams(target, keep_id=False).groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    rawc = grams(raw, keep_id=False).groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__nr")
+    )
+    tgt_tot = tgt.agg(F.coalesce(F.sum("__nt"), F.lit(0)).alias("__tt"))
+    raw_tot = rawc.agg(F.sum("__nr").alias("__rt"))
+    # every scoring gram comes from `raw`, so the raw-count table covers
+    # the full bucket domain; target-absent buckets degrade to the
+    # smoothed alpha floor
+    lr = (
+        rawc.join(tgt, "__bucket", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "__bucket",
+            (
+                F.log(
+                    (F.coalesce("__nt", F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tt") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("__nr") + F.lit(alpha))
+                    / (F.col("__rt") + F.lit(alpha * n_buckets))
+                )
+            ).alias("__logratio"),
+        )
+    )
+    scored = (
+        grams(raw, keep_id=True)
+        .join(F.broadcast(lr), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__logratio").alias("llr_sum"),
+            F.avg("__logratio").alias("llr_avg"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        "llr_sum",
+        "llr_avg",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+    )
+
+
+def encoding_anomalies(
+    df: DataFrame,
+    text_col: str = "text",
+    flag_ratio: float = 0.001,
+) -> DataFrame:
+    """Encoding-anomaly detector (the Dolma/RefinedWeb 'broken decode'
+    quality gate): per-document counts of the three classic corruption
+    signatures -- U+FFFD replacement characters (a decoder already gave
+    up), bare C0 control characters (binary junk in text; tab/CR/LF
+    excluded), and UTF-8-read-as-Latin-1 mojibake digraphs (the A-tilde
+    / A-circumflex / 'a-circumflex euro' lead sequences followed by a
+    Latin-1-supplement continuation char, the byte-level fingerprint of
+    double-encoding) -- plus the anomaly ratio over the character count
+    and a keep/flag verdict. Detection only: ``clean_text`` is the
+    mutating sibling; this one scores so the pipeline can DROP
+    documents whose corruption is load-bearing rather than cosmetic.
+
+    Map-only JVM regex (RE2-compatible patterns, literal character
+    classes -- the DuckDB oracle replays them unchanged); no shuffles,
+    no UDFs, scales linearly with no skew surface.
+    """
+    c = F.col(text_col)
+    n_repl = F.regexp_count(c, F.lit("�"))
+    n_ctl = F.regexp_count(
+        c, F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    )
+    n_moji = F.regexp_count(
+        c,
+        F.lit("Ã[¡-¿]|Â[¡-¿]|â€"),
+    )
+    n_anom = (n_repl + n_ctl + n_moji).cast("long")
+    ratio = n_anom / F.greatest(F.length(c), F.lit(1))
+    return df.select(
+        "*",
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctl.cast("long").alias("n_control"),
+        n_moji.cast("long").alias("n_mojibake"),
+        ratio.alias("anomaly_ratio"),
+        (n_anom > 0).alias("is_suspect"),
+        (ratio <= F.lit(flag_ratio)).alias("keep"),
+    )

@@ -7545,6 +7545,137 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q190_dsir_importance",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, lower(trim(text)) AS t
+               FROM documents),
+    toks AS (
+      SELECT doc_id, source, string_split_regex(t, '\\s+') AS tk FROM d),
+    uni AS (
+      SELECT doc_id, source, tk[i] AS gram
+      FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i)),
+    big AS (
+      SELECT doc_id, source, tk[i] || ' ' || tk[i+1] AS gram
+      FROM toks, UNNEST(range(1, len(tk))) AS r(i)),
+    grams AS (
+      SELECT doc_id, source, substr(md5(gram), 1, 2) AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+    tgt AS (
+      SELECT bucket, COUNT(*) AS nt FROM grams
+      WHERE source IN ('src0', 'src1') GROUP BY 1),
+    rawc AS (SELECT bucket, COUNT(*) AS nr FROM grams GROUP BY 1),
+    tt AS (SELECT COALESCE(SUM(nt), 0) AS v FROM tgt),
+    rt AS (SELECT SUM(nr) AS v FROM rawc),
+    lr AS (
+      SELECT r.bucket,
+             ln((COALESCE(g.nt, 0) + 0.5) / (tt.v + 0.5 * 256))
+           - ln((r.nr + 0.5) / (rt.v + 0.5 * 256)) AS logratio
+      FROM rawc r LEFT JOIN tgt g USING (bucket)
+      CROSS JOIN tt CROSS JOIN rt),
+    sc AS (
+      SELECT g.doc_id, AVG(l.logratio) AS s, COUNT(*) AS ng
+      FROM grams g JOIN lr l USING (bucket) GROUP BY 1)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(ROUND(sc.s, 6) AS DOUBLE) AS dsir_r,
+           CAST(COALESCE(sc.ng, 0) AS BIGINT) AS n_grams
+    FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance scoring (text.dsir_importance, arXiv:2302.03169):
+    hashed unigram+bigram bag-of-words models over an md5-prefix bucket
+    space (engine-portable by construction), target = the src0/src1
+    slice, raw = the whole corpus; per-doc mean log-likelihood ratio.
+    The oracle re-derives the bucketing, both smoothed models, and every
+    log term from raw parquet; scores round to 6dp on both sides (same
+    AVG summation-order argument as q128)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dsir_importance,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+    out = dsir_importance(d, d.where(F.col("source").isin("src0", "src1")))
+    return out.select(
+        "doc_id",
+        F.round("llr_avg", 6).alias("dsir_r"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q191_encoding_anomalies",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                    THEN text || ' caf' || chr(195) || chr(169)
+                         || ' ' || chr(226) || chr(8364) || chr(339)
+                         || 'ok' || chr(65533)
+                  WHEN doc_id % 11 = 3
+                    THEN text || chr(8) || chr(65533) || chr(65533)
+                  ELSE text END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             len(regexp_extract_all(t, chr(65533))) AS n_replacement,
+             len(regexp_extract_all(t,
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control,
+             len(regexp_extract_all(t,
+               chr(195) || '[' || chr(161) || '-' || chr(191) || ']|'
+               || chr(194) || '[' || chr(161) || '-' || chr(191) || ']|'
+               || chr(226) || chr(8364))) AS n_mojibake
+      FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_replacement AS BIGINT) AS n_replacement,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_mojibake AS BIGINT) AS n_mojibake,
+           CAST(ROUND((n_replacement + n_control + n_mojibake)
+                      / GREATEST(len(t), 1), 6) AS DOUBLE) AS ratio_r,
+           CAST(CASE WHEN n_replacement + n_control + n_mojibake > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS is_suspect,
+           CAST(CASE WHEN (n_replacement + n_control + n_mojibake)
+                          / GREATEST(len(t), 1) <= 0.001
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-anomaly detection (text.encoding_anomalies): planted
+    corruption — every 7th doc gets a mojibake suffix (UTF-8-as-Latin-1
+    digraphs + U+FFFD), every (11k+3)rd a control char + replacement
+    pair — then the detector's counts, ratio, and keep verdict must
+    match the oracle's regexp replay exactly. chr() codepoints in the
+    SQL keep the oracle ASCII-clean while planting identical Unicode on
+    both sides (195/169 = the 'caf-e-acute' mojibake pair, 226/8364 =
+    the a-circumflex-euro lead, 65533 = U+FFFD, 8 = backspace)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        encoding_anomalies,
+    )
+
+    moji7 = " caf\u00c3\u00a9 \u00e2\u20ac\u0153ok\ufffd"
+    ctl11 = "\x08\ufffd\ufffd"
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(moji7))
+        )
+        .when(F.col("doc_id") % 11 == 3, F.concat("text", F.lit(ctl11)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = encoding_anomalies(d)
+    return out.select(
+        "doc_id",
+        "n_replacement",
+        "n_control",
+        "n_mojibake",
+        F.round("anomaly_ratio", 6).alias("ratio_r"),
+        F.col("is_suspect").cast("long").alias("is_suspect"),
+        F.col("keep").cast("long").alias("keep"),
+    ).orderBy("doc_id")
+
+
 @q("t2_hashed_features", oracle=None, tier=2)
 def t2_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashing text vectorizer at corpus scale (Weinberger
@@ -10680,16 +10811,14 @@ _DRIVER_WINDOW = [
     "q162_time_weighted_avg",
     "q163_containment_dedup",
     "q164_date_trunc_family",
-    # r8 block, engine-heavy first (20 of 46)
+    # r8 block, engine-heavy first (18 of 46)
     "q12_tpch_q1",
     "q13_count_distinct",
     "q14_multi_distinct",
     "q15_rollup",
-    "q16_having",
     "q17_collect_sorted",
     "q18_window_topk",
     "q20_window_frame",
-    "q21_sort_nulls",
     "q22_topk_revenue",
     "q23_union_distinct",
     "q33_cast_matrix",
@@ -10701,6 +10830,11 @@ _DRIVER_WINDOW = [
     "q103_mor_delete_update",
     "q104_mor_merge",
     "q109_mor_pos_delete",
+    # the two new round-13 tier-1 faces, fronted at add time (displacing
+    # q16_having + q21_sort_nulls from the r8 block — the two
+    # lowest-drift-risk rows in it; they rotate back next round)
+    "q190_dsir_importance",
+    "q191_encoding_anomalies",
 ]
 
 # Round-12 window (kept for the audit trail; superseded by the r13

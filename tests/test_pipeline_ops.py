@@ -717,3 +717,124 @@ def test_domain_budget_sharded_equals_one_window(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round 13: DSIR importance scores + encoding-anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def _dsir_replica(raw_texts, target_texts, alpha=0.5):
+    """Pure-python replica of text.dsir_importance (same tokenization,
+    same md5-prefix bucketing, same smoothing)."""
+    import hashlib
+    import math
+
+    def grams(text):
+        words = text.strip().lower().split()
+        words = words if words else [""]
+        out = list(words)
+        out += [f"{a} {b}" for a, b in zip(words, words[1:])]
+        return [
+            hashlib.md5(g.encode("utf-8")).hexdigest()[:2] for g in out
+        ]
+
+    tgt, rawc = {}, {}
+    for t in target_texts:
+        for b in grams(t):
+            tgt[b] = tgt.get(b, 0) + 1
+    for t in raw_texts:
+        for b in grams(t):
+            rawc[b] = rawc.get(b, 0) + 1
+    tt, rt = sum(tgt.values()), sum(rawc.values())
+    scores = []
+    for t in raw_texts:
+        ls = [
+            math.log((tgt.get(b, 0) + alpha) / (tt + alpha * 256))
+            - math.log((rawc[b] + alpha) / (rt + alpha * 256))
+            for b in grams(t)
+        ]
+        scores.append((sum(ls), sum(ls) / len(ls), len(ls)))
+    return scores
+
+
+def test_dsir_importance_matches_replica_and_separates(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dsir_importance,
+    )
+
+    target_texts = [
+        "alpha beta gamma alpha delta",
+        "beta gamma alpha beta epsilon",
+    ]
+    raw_texts = [
+        "alpha beta gamma delta epsilon",   # target-like
+        "zebra xylophone quux wombat nix",  # off-target
+        "alpha beta zebra quux gamma",      # mixed
+    ]
+    raw = spark.createDataFrame(
+        list(enumerate(raw_texts)), ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target_texts)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.llr_sum, r.llr_avg, r.n_grams)
+        for r in dsir_importance(raw, tgt).collect()
+    }
+    want = _dsir_replica(raw_texts, target_texts)
+    for i, (ws, wa, wn) in enumerate(want):
+        gs, ga, gn = got[i]
+        assert gn == wn, i
+        assert abs(gs - ws) < 1e-9, (i, gs, ws)
+        assert abs(ga - wa) < 1e-9, (i, ga, wa)
+    # the published property the operator exists for: target-like text
+    # outranks off-target text, mixed sits between
+    assert got[0][1] > got[2][1] > got[1][1]
+
+
+def test_dsir_importance_validation(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dsir_importance,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_importance(df, df, alpha=0.0)
+
+
+def test_encoding_anomalies_counts_each_signature(spark):
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        encoding_anomalies,
+    )
+
+    rows = [
+        (1, "perfectly clean text with tabs\tand\nnewlines kept"),
+        (2, "cafÃ© mojibake"),  # A-tilde + Latin-1 pair
+        (3, "smart â€œquoteâ€ artifact"),
+        (4, "binary\x08junk\x01here"),
+        (5, "decoder gave up �� twice"),
+        (6, ""),
+    ]
+    out = {
+        r.doc_id: r
+        for r in encoding_anomalies(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert (
+        out[1].n_replacement,
+        out[1].n_control,
+        out[1].n_mojibake,
+        out[1].is_suspect,
+    ) == (0, 0, 0, False)
+    assert out[2].n_mojibake == 1 and out[2].is_suspect
+    assert out[3].n_mojibake == 2  # both smart-quote digraph leads
+    assert out[4].n_control == 2 and out[4].n_replacement == 0
+    assert out[5].n_replacement == 2
+    assert out[5].anomaly_ratio == pytest.approx(2 / len(rows[4][1]))
+    # empty text: ratio divides by max(len,1), no NaN
+    assert out[6].anomaly_ratio == 0.0 and out[6].keep
+    # keep flag: clean docs keep=True, heavily corrupted keep=False
+    assert out[1].keep and not out[2].keep
