@@ -159,6 +159,10 @@ HEADLINE = [
     "q187_degree_stats",
     "q188_pps_sample",
     "q189_domain_budget",
+    # round-13 faces q190_dsir_importance / q191_encoding_anomalies join
+    # here NEXT round (the round-8/9 precedent: the r13 sidecars were
+    # already recorded at this 106-query set, so the denominator stays
+    # aligned with the driver's r13 run).
 ]
 
 
