@@ -838,3 +838,49 @@ def test_encoding_anomalies_counts_each_signature(spark):
     assert out[6].anomaly_ratio == 0.0 and out[6].keep
     # keep flag: clean docs keep=True, heavily corrupted keep=False
     assert out[1].keep and not out[2].keep
+
+
+def test_dsir_importance_empty_target_floor(spark):
+    """With an EMPTY target corpus every bucket scores the same alpha
+    floor ln(alpha/(alpha*256)) - ln(p_raw(bucket)): finite, no crash,
+    and docs over rarer buckets score HIGHER (nothing is target-like,
+    only the raw-model term differentiates)."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dsir_importance,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare")],
+        ["doc_id", "text"],
+    )
+    empty = raw.where("doc_id < 0")
+    got = {
+        r.doc_id: r.llr_avg for r in dsir_importance(raw, empty).collect()
+    }
+    want = _dsir_replica(
+        ["common common common", "common rare"], []
+    )
+    assert abs(got[1] - want[0][1]) < 1e-9
+    assert abs(got[2] - want[1][1]) < 1e-9
+    assert all(v == v and abs(v) < 1e6 for v in got.values())  # finite
+
+
+def test_encoding_anomalies_ratio_boundary(spark):
+    """keep flips exactly at flag_ratio: 1 anomaly in a 1000-char doc
+    (ratio == 0.001 == default flag_ratio) keeps; 1 in 999 drops."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        encoding_anomalies,
+    )
+
+    at = "x" * 999 + "�"      # len 1000, ratio exactly 0.001
+    above = "x" * 998 + "�"   # len 999, ratio > 0.001
+    out = {
+        r.doc_id: r
+        for r in encoding_anomalies(
+            spark.createDataFrame(
+                [(1, at), (2, above)], ["doc_id", "text"]
+            )
+        ).collect()
+    }
+    assert out[1].anomaly_ratio == 0.001 and out[1].keep
+    assert not out[2].keep and out[2].is_suspect
