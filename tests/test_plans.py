@@ -772,3 +772,28 @@ def test_domain_budget_shards_bound_the_sort(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "Python" not in plan
+
+
+def test_dsir_scoring_join_broadcasts_the_model(spark):
+    """q190 plan gate: the 256-row log-ratio model table must BROADCAST
+    onto the exploded doc grams (model is O(256) rows at any corpus
+    size) — a sort-merge join there shuffles the corpus-sized gram
+    stream by bucket, the exact shape the operator's 100 TB claim
+    forbids. Also: the corpus-sized path may shuffle only for the two
+    model aggregates and the doc-keyed score reduce."""
+    from spark_iceberg_schema_evolution_spark.operators.text import (
+        dsir_importance,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = dsir_importance(d, d.where("doc_id % 5 = 0"))
+    plan = explain.physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the forbidden shape: a sort-merge join keyed on the BUCKET would
+    # shuffle the corpus-sized gram stream to meet a 256-row table. The
+    # id-keyed result join may stay sort-merge in the static plan (both
+    # sides are data-sized and co-keyed; AQE broadcasts it at runtime
+    # when `scored` turns out small).
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "__bucket" not in line, line
