@@ -82,21 +82,46 @@ def normalized_words(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def bind_once(expr: F.Column, build) -> F.Column:
+    """Evaluate ``expr`` once per row and hand the VALUE to ``build``
+    (Column -> Column) as a lambda variable.
+
+    Higher-order-function lambdas are evaluated interpreted, per element,
+    and any non-trivial expression referenced inside the lambda body is
+    RE-EVALUATED on every element — ``transform(sequence(0, size(words)),
+    i -> slice(words, ...))`` with ``words = split(text)`` re-tokenizes
+    the whole document once per output element, O(len^2) per row (r13
+    measurement: 20-40x on the shingle pass alone). Wrapping the
+    expression as the single element of ``transform(array(expr), v ->
+    build(v))`` makes every inner reference a lambda-variable lookup;
+    the expression runs exactly once per row no matter how many times —
+    or how deep inside nested lambdas — the built expression uses it.
+    """
+    return F.get(F.transform(F.array(expr), build), 0)
+
+
 def shingles(words: F.Column, n: int = 5) -> F.Column:
     """Distinct word n-gram shingles of a word-array column.
 
-    ``transform(sequence(...))`` keeps shingling inside codegen; documents
+    ``transform(sequence(...))`` keeps shingling JVM-side; documents
     shorter than n words yield a single whole-document shingle so they can
-    still collide with near-identical short docs.
+    still collide with near-identical short docs. The word array is bound
+    once per row via :func:`bind_once` — the slice lambda must see a
+    value, not the tokenizer expression (which it would otherwise
+    re-evaluate per shingle position).
     """
-    joined = F.array_join(words, " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-    return F.array_distinct(
-        F.when(F.size(words) >= n, ngrams).otherwise(F.array(joined))
-    )
+
+    def build(w: F.Column) -> F.Column:
+        joined = F.array_join(w, " ")
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        )
+        return F.array_distinct(
+            F.when(F.size(w) >= n, ngrams).otherwise(F.array(joined))
+        )
+
+    return bind_once(words, build)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -239,8 +264,18 @@ def lsh_candidate_pairs(
     bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("__bucket_size")
     )
-    small = bucket_sizes.where(F.col("__bucket_size") <= max_bucket_size)
-    bands_ok = bands.join(small, ["band_idx", "band_hash"], "left_semi")
+    # skew guard as a window count over the SAME (band_idx, band_hash)
+    # hash partitioning the pair self-join needs — one reusable exchange
+    # instead of an aggregate + semi-join pair (r13); `bucket_sizes`
+    # stays for the drop-stats audit arm only (evaluated only if asked)
+    guard_w = W.partitionBy("band_idx", "band_hash")
+    bands_ok = (
+        bands.withColumn(
+            "__bucket_size", F.count(F.lit(1)).over(guard_w)
+        )
+        .where(F.col("__bucket_size") <= max_bucket_size)
+        .drop("__bucket_size")
+    )
     a = bands_ok.alias("a")
     b = bands_ok.alias("b")
     pairs = (
@@ -1067,6 +1102,8 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from pyspark.sql import Observation
+
     changed = 0
     for _ in range(max_iter):
         neighbor_min = (
@@ -1081,6 +1118,9 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce("nbr_label", "label")
             ).alias("label"),
+            # pre-round label, carried so the convergence check rides the
+            # checkpoint action itself (below) instead of a second job
+            F.col("label").alias("__old"),
         )
         # pointer doubling: label(v) <- label(label(v)). Labels only ever
         # decrease and every label IS a vertex id present in `one_hop`, so
@@ -1091,7 +1131,12 @@ def connected_components(
         )
         # localCheckpoint (not just persist): each round's plan would
         # otherwise nest the previous round's, growing the lineage —
-        # and with it planning time — linearly in iterations.
+        # and with it planning time — linearly in iterations. The
+        # changed-label count is an Observation on the SAME action (the
+        # eager checkpoint materializes every row, so the metric is
+        # complete) — the previous separate join+count job per round was
+        # pure overhead.
+        obs = Observation()
         new_labels = (
             one_hop.join(lbl, one_hop.label == lbl.l_id, "left")
             .select(
@@ -1099,15 +1144,18 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("l_label", "label")
                 ).alias("label"),
+                "__old",
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
+            .drop("__old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         if hasattr(labels, "unpersist"):
             # round 1's labels is a .persist() frame, later rounds are
             # localCheckpoints — unpersist_checkpoint handles both (a

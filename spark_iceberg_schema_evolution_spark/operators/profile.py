@@ -29,15 +29,28 @@ def profile_stats(
         if approximate
         else (lambda c: F.countDistinct(c))
     )
+    # two aggregates, deliberately (r13): min/max carry variable-width
+    # buffers (strings), and mixing ONE of those into the
+    # multi-distinct aggregate forces the whole plan — including the
+    # Expand'd distinct computation, (n_cols+1) x rows — off the hash
+    # path onto SortAggregate (full sort of the expanded rows; measured
+    # 2.4x on the orders profile). Counts/distincts (fixed-width
+    # buffers) keep HashAggregate; min/max run as a separate KEYLESS
+    # single-pass fold (no grouping keys -> SortAggregate needs no
+    # sort); a 1-row broadcast cross-join reassembles. Same output,
+    # same single shuffle of 1-row partials.
     aggs = [F.count(F.lit(1)).alias("__total")]
+    mm_aggs = []
     for c in cols:
         aggs += [
             F.count(c).alias(f"__{c}__n"),
             distinct(c).alias(f"__{c}__d"),
+        ]
+        mm_aggs += [
             F.min(c).cast("string").alias(f"__{c}__min"),
             F.max(c).cast("string").alias(f"__{c}__max"),
         ]
-    row = df.agg(*aggs)
+    row = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*mm_aggs)))
     per_col = F.array(
         *[
             F.struct(

@@ -163,10 +163,19 @@ def refresh_rollup(
     # scans or the hint's semi-join + the writer's dedup window — and
     # both the empty-check below and the MERGE's matched/unmatched arms
     # would re-run it otherwise (PROBES_r11 measured the re-evaluation
-    # at more than the merge's own epoch cost).
-    delta = delta.where(~zero).localCheckpoint(eager=True)
+    # at more than the merge's own epoch cost). The emptiness probe
+    # rides the SAME checkpoint action as an Observation (r13) — the
+    # separate limit(1).count() job per refresh was pure overhead.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    delta = (
+        delta.where(~zero)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     try:
-        if delta.limit(1).count() == 0:
+        if (obs.get["n"] or 0) == 0:
             # the source moved without changing rows (metadata-only
             # commit: spec change, rename, property) or the changes
             # cancelled out — advance the bookmark WITHOUT rewriting
@@ -194,6 +203,10 @@ def refresh_rollup(
             matched_delete_where="t.n_rows + s.n_rows = 0",
             matched_update=updates,
             insert_unmatched=True,
+            # the delta is a groupBy(group_cols) output — unique per key
+            # by construction, so the MERGE cardinality probe (one
+            # aggregation job per refresh) proves nothing here (r13)
+            source_unique=True,
         )
         target.set_properties({_SRC_PROP: src_v, _DST_PROP: v})
         return v

@@ -141,7 +141,7 @@ def scd2_merge(
         late = tagged.where(
             F.col("__cur_from").isNotNull()
             & (F.col(valid_from) <= F.col("__cur_from"))
-        )
+        ).persist()  # two counts below — don't rebuild the join twice
         # split benign re-deliveries (the row is already committed at
         # this (keys, valid_from)) from genuinely late changes that
         # would need history surgery — only the latter should alert
@@ -151,6 +151,7 @@ def scd2_merge(
             "left_semi",
         ).count()
         n_late = late.count() - n_replayed
+        late.unpersist()
         ch = tagged.where(
             F.col("__cur_from").isNull()
             | (F.col(valid_from) > F.col("__cur_from"))
@@ -180,6 +181,9 @@ def scd2_merge(
                 f"t.{is_current} = true AND t.{valid_from} < s.__first_ts"
             ),
             insert_unmatched=False,
+            # first_ts is a groupBy(keys) aggregate — unique per key by
+            # construction, so skip the MERGE cardinality probe (r13)
+            source_unique=True,
         )
         chained = chained.join(
             table.read().select(*keys, valid_from),

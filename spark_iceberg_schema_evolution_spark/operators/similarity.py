@@ -51,16 +51,26 @@ def _nearest_centroid_col(cents: list[list[float]], vcol: Column) -> Column:
                 for i, v in enumerate(cents)
             ]
         )
-        dists = F.transform(
-            lit,
-            lambda s: F.struct(
-                fold_sum(
-                    F.zip_with(vcol, s["v"], lambda a, b: (a - b) * (a - b))
-                ).alias("d"),
-                s["c"].alias("c"),
-            ),
-        )
-        return F.array_min(dists)["c"]
+
+        # bind the (possibly computed) vector expression once per row:
+        # referenced inside the per-centroid lambda it would re-evaluate
+        # k times (HOF lambdas are interpreted — see dedup.bind_once)
+        def dists_of(v: Column) -> Column:
+            return F.transform(
+                lit,
+                lambda s: F.struct(
+                    fold_sum(
+                        F.zip_with(
+                            v, s["v"], lambda a, b: (a - b) * (a - b)
+                        )
+                    ).alias("d"),
+                    s["c"].alias("c"),
+                ),
+            )
+
+        return F.array_min(
+            F.get(F.transform(F.array(vcol), dists_of), 0)
+        )["c"]
 
     import numpy as np
 
@@ -345,16 +355,25 @@ def cosine_topk(
     streams through a map-only scoring stage, then one shuffle for the
     per-query top-k window. Ties broken by corpus id for determinism.
     """
+    # per-row norms materialized once per side: cosine is dot/(nc*nq),
+    # and evaluating each norm at its source row instead of inside the
+    # per-(corpus x query) expression is the same fold over the same
+    # array — bit-identical score, O(rows) folds instead of O(pairs)
     c = corpus.select(
-        F.col(corpus_id), as_double(F.col(vec_col)).alias("__cv")
-    )
+        F.col(corpus_id),
+        as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
-        F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
-    )
+        F.col(query_id),
+        as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id,
         corpus_id,
-        cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+        (
+            dot(F.col("__cv"), F.col("__qv"))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("score"),
     )
     w = Wnd.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -503,6 +522,11 @@ def cosine_near_dups(
     )
     with_sig = base.select(
         "*",
+        # per-row norm, materialized once: the verify step's cosine is
+        # dot/(na*nb); computing each norm here instead of inside the
+        # per-pair expression is the same fold over the same array
+        # (bit-identical result), evaluated O(rows) instead of O(pairs)
+        l2_norm(F.col("__v")).alias("__norm"),
         F.explode(
             F.array(
                 *[
@@ -516,12 +540,22 @@ def cosine_near_dups(
                 ]
             )
         ).alias("__ts"),
-    ).select(id_col, "__v", "__ts.__table", "__ts.__sig")
+    ).select(id_col, "__v", "__norm", "__ts.__table", "__ts.__sig")
     sizes = with_sig.groupBy("__table", "__sig").agg(
         F.count(F.lit(1)).alias("__n")
     )
-    small = sizes.where(F.col("__n") <= max_bucket_size)
-    with_sig = with_sig.join(small, ["__table", "__sig"], "left_semi")
+    # skew guard as a window count over the SAME (table, sig) hash
+    # partitioning the self-join below needs — one reusable exchange
+    # instead of an aggregate + semi-join pair (r13); `sizes` remains
+    # for the drop-stats audit arm only (evaluated only when asked)
+    guard_w = Wnd.partitionBy("__table", "__sig")
+    with_sig = (
+        with_sig.withColumn(
+            "__bn", F.count(F.lit(1)).over(guard_w)
+        )
+        .where(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
     a = with_sig.alias("a")
     b = with_sig.alias("b")
     pairs = (
@@ -534,7 +568,12 @@ def cosine_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+            # same expression tree as cosine(a, b) — dot / (|a| * |b|) —
+            # with the norms read from the per-row column above
+            (
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__norm") * F.col("b.__norm"))
+            ).alias("cos"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cos") >= threshold)

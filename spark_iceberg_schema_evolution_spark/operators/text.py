@@ -10,7 +10,10 @@ from __future__ import annotations
 import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from spark_iceberg_schema_evolution_spark.operators.dedup import normalized_words
+from spark_iceberg_schema_evolution_spark.operators.dedup import (
+    bind_once,
+    normalized_words,
+)
 
 # Tiny per-language marker sets for the n-gram/stopword heuristic. The
 # point is the *operator shape* (argmax over per-language hit counts), not
@@ -131,17 +134,24 @@ def chunk_text(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    words = normalized_words(text_col)
-    n = F.size(words)
-    # number of chunks: ceil(max(n - overlap, 1) / stride)
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
-        F.lit(1),
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * stride + 1, chunk_tokens), " "),
-    )
+
+    # bind the word array once per row: the slice lambda would otherwise
+    # re-tokenize the whole document per chunk (see dedup.bind_once)
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        # number of chunks: ceil(max(n - overlap, 1) / stride)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * stride + 1, chunk_tokens), " "
+            ),
+        )
+
+    chunks = bind_once(normalized_words(text_col), build)
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
@@ -1168,16 +1178,30 @@ def search_terms_bm25(
     qset = sorted({t.lower() for t in terms})
     toks = F.filter(normalized_words(text_col), lambda t: t != "")
 
-    def tf_of(term: str):
-        # single-arg lambda via a factory: a defaulted second parameter
-        # would make F.filter pass the element INDEX into it (the
-        # _pq_lut_expr trap)
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+    # bind the token array once per row (dedup.bind_once): __dl and each
+    # per-term tf previously re-ran the tokenizer — 1 + len(qset)
+    # evaluations per row
+    def build(tk):
+        def tf_of(term: str):
+            # single-arg lambda via a factory: a defaulted second
+            # parameter would make F.filter pass the element INDEX into
+            # it (the _pq_lut_expr trap)
+            return F.size(F.filter(tk, lambda t: t == F.lit(term)))
+
+        return F.struct(
+            F.size(tk).alias("dl"),
+            *[tf_of(q).alias(f"tf{i}") for i, q in enumerate(qset)],
+        )
 
     per = df.select(
-        "*",
-        F.size(toks).alias("__dl"),
-        *[tf_of(q).alias(f"__tf{i}") for i, q in enumerate(qset)],
+        "*", bind_once(toks, build).alias("__tfs")
+    ).select(
+        *df.columns,
+        F.col("__tfs.dl").alias("__dl"),
+        *[
+            F.col(f"__tfs.tf{i}").alias(f"__tf{i}")
+            for i in range(len(qset))
+        ],
     )
     stats = per.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -844,12 +844,25 @@ class LakehouseTable:
             # cluster rows by partition value before the partitioned write:
             # without this every upstream task writes a file into every
             # month dir (tasks x months tiny files — the classic lakehouse
-            # small-files sin); with it each month gets O(1) files and AQE
-            # coalesces the shuffle. Skew (one hot month) stays bounded by
-            # AQE skew-split on the same exchange. (A sorted compaction
-            # arrives pre-range-partitioned — don't destroy its clustering.)
+            # small-files sin); with it each month gets O(1) files. The
+            # shuffle width is PINNED to defaultParallelism rather than
+            # left to AQE: AQE coalesces this exchange by byte size, and
+            # for commit-sized batches that collapses the write to ONE
+            # task paying the per-file writer setup (parquet+zstd init,
+            # commit rename) for every partition dir SERIALLY — measured
+            # 1.5s -> 0.52s per 80-month commit (r13). Each month still
+            # hashes wholly into one task, so the one-file-per-month
+            # layout is unchanged at any width; defaultParallelism scales
+            # with the cluster, not the data, which is exactly right here
+            # (a write wants at most all-cores concurrency, and file
+            # sizing is fixed by the month layout, not the task count).
+            # (A sorted compaction arrives pre-range-partitioned — don't
+            # destroy its clustering.)
             if not pre_arranged:
-                out = out.repartition(*[F.col(c) for c in part_cols])
+                width = max(self.spark.sparkContext.defaultParallelism, 1)
+                out = out.repartition(
+                    width, *[F.col(c) for c in part_cols]
+                )
             # "overwrite", not "error": the claim above created the
             # (empty) dir, and ErrorIfExists refuses an existing path
             out.write.partitionBy(*part_cols).mode("overwrite").parquet(
@@ -878,10 +891,11 @@ class LakehouseTable:
             return meta
         if part_cols:
             # bucket-only layout: one shuffle on the bucket expression so
-            # each bucket dir gets O(1) files (same small-files reasoning
-            # as the month path above)
+            # each bucket dir gets O(1) files (same small-files + pinned-
+            # width reasoning as the month path above)
             if not pre_arranged:
-                out = out.repartition(F.col(_BUCKET_COL))
+                width = max(self.spark.sparkContext.defaultParallelism, 1)
+                out = out.repartition(width, F.col(_BUCKET_COL))
             out.write.partitionBy(*part_cols).mode("overwrite").parquet(
                 batch_dir
             )
@@ -3416,19 +3430,111 @@ class LakehouseTable:
         newer schema first, so evolution between the versions diffs as
         value changes, not schema errors."""
         to_snap = self._load(to_version)
+        if "_change_type" in [f.name for f in to_snap.schema.fields]:
+            raise ValueError("table already has a _change_type column")
+        from_snap = self._load(from_version)
+        scoped = self._diff_scope(from_snap, to_snap)
+        if scoped is not None:
+            # scoped fast path (r13): only the batches that CHANGED
+            # between the snapshots enter the exceptAll. Exact by
+            # multiset arithmetic — an unchanged batch contributes the
+            # identical row bag to both sides, and multiset subtraction
+            # cancels identical contributions exactly:
+            # (A ⊎ C) \ (B ⊎ C) = A \ B. An append-only span therefore
+            # reduces to "new batches tagged I" with NO shuffle at all,
+            # and a month-scoped COW DELETE/UPDATE diffs only the
+            # touched months' old rows against the rewrite batch —
+            # O(delta), not diff's four full snapshot scans + two
+            # table-sized exceptAll shuffles (PROBES_r11 measured the
+            # generic path at 5-6x a streaming epoch's merge cost; at
+            # 100 TB an append-cadence rollup refresh must never scan
+            # the table). The gate (_diff_scope) falls back to the
+            # generic path on ANY metadata change it cannot prove
+            # row-equivalent (schema/rename/delete-file changes,
+            # non-trim batch edits).
+            old, new = scoped
+            if new is None and old is None:
+                return self.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        list(to_snap.schema.fields)
+                        + [T.StructField("_change_type", T.StringType())]
+                    ),
+                )
+            if old is None:
+                return new.withColumn("_change_type", F.lit("I"))
+            if new is None:
+                return old.withColumn("_change_type", F.lit("D"))
+            return (
+                new.exceptAll(old).withColumn("_change_type", F.lit("I"))
+            ).unionByName(
+                old.exceptAll(new).withColumn("_change_type", F.lit("D"))
+            )
         old = align_schema(
-            self.read(version=from_version),
+            self.read(version=from_snap.version),
             to_snap.schema,
             keep_extras=False,
         )
         new = self.read(version=to_snap.version)
-        if "_change_type" in [f.name for f in to_snap.schema.fields]:
-            raise ValueError("table already has a _change_type column")
         return (
             new.exceptAll(old).withColumn("_change_type", F.lit("I"))
         ).unionByName(
             old.exceptAll(new).withColumn("_change_type", F.lit("D"))
         )
+
+    def _diff_scope(
+        self, from_snap: Snapshot, to_snap: Snapshot
+    ) -> tuple | None:
+        """Plan the scoped row-level diff between two snapshots from
+        manifest metadata alone. Returns ``(old_df | None, new_df |
+        None)`` — the changed-row scans of each side (None = provably
+        empty side) — or ``None`` when the span is not representable and
+        the caller must run the generic full-read diff.
+
+        Representable changes: batches added; batches removed; a live
+        batch's month list TRIMMED (what COW DML does to kept batches —
+        the trimmed months' rows moved or died, the rest are untouched).
+        Anything else — schema/rename/delete-file changes, a batch entry
+        whose non-month fields differ, a month list that GREW — returns
+        None: those spans cannot be scoped from metadata without
+        re-proving row identity, which is the generic path's job."""
+        if (
+            from_snap.schema != to_snap.schema
+            or from_snap.renames != to_snap.renames
+            or from_snap.deletes != to_snap.deletes
+        ):
+            return None
+        by_path = {b["path"]: b for b in to_snap.batches}
+        from_paths = {b["path"] for b in from_snap.batches}
+        removed: list[dict] = []
+        for b in from_snap.batches:
+            t = by_path.get(b["path"])
+            if t == b:
+                continue  # unchanged: cancels exactly on both sides
+            if t is None:
+                removed.append(b)  # dropped/replaced batch: all rows
+                continue
+            # same dir, different entry: only a month TRIM of a
+            # month-prunable batch is representable
+            if (
+                b.get("months") is None
+                or t.get("months") is None
+                or {**b, "months": None} != {**t, "months": None}
+            ):
+                return None
+            gone = [m for m in b["months"] if m not in set(t["months"])]
+            if len(t["months"]) + len(gone) != len(b["months"]):
+                return None  # months appeared: not a trim
+            if gone:
+                removed.append({**b, "months": gone})
+        added = [
+            b for b in to_snap.batches if b["path"] not in from_paths
+        ]
+        old = (
+            self._scan(from_snap, removed, None) if removed else None
+        )
+        new = self._scan(to_snap, added, None) if added else None
+        return (old, new)
 
     def files(self, version: int | None = None) -> list[dict]:
         """Manifest-level file listing (Iceberg's ``files`` metadata

@@ -175,9 +175,11 @@ def test_jaccard_candidate_path_no_shingle_self_join(spark):
     import re
     gens = re.findall(r"Generate explode\(([^)]*)\)", plan)
     assert all("id_a" in g and "id_b" in g for g in gens), gens
-    # the normalize->shingle->hash pipeline is computed exactly once
-    assert plan.count("array_sort(transform(array_distinct(") == 1, (
-        plan.count("array_sort(transform(array_distinct(")
+    # the normalize->shingle->hash pipeline is computed exactly once —
+    # identified by its tokenizer head, which since r13 is bound once
+    # per row via dedup.bind_once (transform(array(split(...)), ...))
+    assert plan.count("transform(array(split(lower(trim(") == 1, (
+        plan.count("transform(array(split(lower(trim(")
     )
     # joins key on the doc ids / pair-member id, never a shingle hash
     join_keys = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w* \[([^\]]*)\]", plan)

@@ -1,0 +1,194 @@
+"""Round-13 optimization pins.
+
+Each test pins one of the r13 performance changes at the level that
+matters — the plan property or the exact-output equivalence — so a
+refactor that silently regresses the optimization (or, worse, its
+semantics) fails here, not in a bench run nobody is watching.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from spark_iceberg_schema_evolution_spark.operators.dedup import (
+    bind_once,
+    normalized_words,
+    shingles,
+)
+from spark_iceberg_schema_evolution_spark.operators.evolve import align_schema
+from spark_iceberg_schema_evolution_spark.operators.profile import profile_stats
+from spark_iceberg_schema_evolution_spark.operators.text import chunk_text
+from spark_iceberg_schema_evolution_spark.plans import explain
+from spark_iceberg_schema_evolution_spark.queries import load
+from spark_iceberg_schema_evolution_spark.tables import LakehouseCatalog
+from tests.conftest import SF_SMOKE
+
+
+# --- bind_once: the tokenizer must evaluate once per row -------------------
+
+
+def test_shingles_tokenizer_outside_lambda(spark):
+    """The shingle slice lambda must reference the BOUND word array, not
+    the split() expression — inlined, the tokenizer re-runs per shingle
+    position (O(words^2) per document; measured 20-40x on the shingle
+    pass, r13)."""
+    d = load(spark, SF_SMOKE, "documents")
+    df = d.select(F.explode(shingles(normalized_words("text"), 5)).alias("s"))
+    plan = explain.physical_plan(df)
+    assert "slice(split" not in plan  # the O(n^2) shape
+    assert "transform(array(split" in plan  # the bound shape
+
+
+def test_chunk_text_tokenizer_outside_lambda(spark):
+    d = load(spark, SF_SMOKE, "documents")
+    df = chunk_text(d, chunk_tokens=16, overlap=4)
+    plan = explain.physical_plan(df)
+    assert "slice(split" not in plan
+    assert "transform(array(split" in plan
+
+
+def test_bind_once_value_semantics(spark):
+    """bind_once(expr, build) == build(expr) on values, including NULL
+    and empty inputs (the single-element transform must be transparent)."""
+    rows = [("a b c d e f",), ("x y",), ("",), (None,)]
+    df = spark.createDataFrame(rows, ["text"])
+    w = normalized_words("text")
+    direct = df.select(F.size(w).alias("n"), F.array_join(w, "|").alias("j"))
+    bound = df.select(
+        bind_once(w, lambda v: F.size(v)).alias("n"),
+        bind_once(w, lambda v: F.array_join(v, "|")).alias("j"),
+    )
+    assert direct.collect() == bound.collect()
+
+
+def test_shingle_values_edge_docs(spark):
+    rows = [(1, "one two three four five six"), (2, "a b"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", shingles(normalized_words("text"), 5).alias("sh")
+        ).collect()
+    }
+    assert out[1] == ["one two three four five", "two three four five six"]
+    assert out[2] == ["a b"]  # short doc: one whole-document shingle
+    assert out[3] == [""]
+
+
+# --- profile_stats: the distinct aggregate must stay on the hash path ------
+
+
+def test_profile_distinct_stays_hash_aggregate(spark):
+    """Mixing min/max(string) buffers into the multi-distinct aggregate
+    used to force the WHOLE plan (including the Expand'd distincts) onto
+    SortAggregate — a full sort of (n_cols+1) x rows. The split form
+    must keep a HashAggregate for the Expand side."""
+    o = load(spark, SF_SMOKE, "orders")
+    df = profile_stats(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+    plan = explain.physical_plan(df)
+    assert "Expand" in plan  # exact multi-distinct is still one pass
+    assert "HashAggregate" in plan  # ... and hash-aggregated again
+
+
+# --- scoped diff: exact equivalence with the generic path ------------------
+
+
+def _generic_diff(t, a, b):
+    to_snap = t._load(b)
+    old = align_schema(t.read(version=a), to_snap.schema, keep_extras=False)
+    new = t.read(version=b)
+    return (
+        new.exceptAll(old).withColumn("_change_type", F.lit("I"))
+    ).unionByName(old.exceptAll(new).withColumn("_change_type", F.lit("D")))
+
+
+def _symdiff(a, b) -> int:
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+def test_diff_scoped_equivalence_and_fallback(spark, tmp_path):
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = cat.table("db", "p")
+    cat.write_evolving(
+        o.where("o_orderkey < 2000"), "db", "p",
+        partition_month_of="o_orderdate",
+    )
+    v1 = t._load().version
+    t.append(o.where("o_orderkey >= 2000 AND o_orderkey < 4000"))
+    v2 = t._load().version
+
+    # append-only span: scoped, I-only, and provably no old side
+    old_side, new_side = t._diff_scope(t._load(v1), t._load(v2))
+    assert old_side is None and new_side is not None
+    assert _symdiff(t.diff(v1, v2), _generic_diff(t, v1, v2)) == 0
+    assert t.diff(v1, v2).where("_change_type = 'D'").count() == 0
+
+    # month-trimming COW DELETE: scoped and exact
+    t.delete_where("o_orderstatus = 'F'")
+    v3 = t._load().version
+    assert t._diff_scope(t._load(v2), t._load(v3)) is not None
+    assert _symdiff(t.diff(v2, v3), _generic_diff(t, v2, v3)) == 0
+    # ... and the composed append+delete span too
+    assert _symdiff(t.diff(v1, v3), _generic_diff(t, v1, v3)) == 0
+
+    # COW UPDATE span: scoped and exact (D of old values, I of new)
+    t.update_where("o_totalprice > 100000", {"o_orderstatus": F.lit("X")})
+    v4 = t._load().version
+    assert _symdiff(t.diff(v3, v4), _generic_diff(t, v3, v4)) == 0
+
+    # MOR delete changes the delete-file set: MUST fall back
+    t.delete_where("o_orderkey < 100", mode="mor")
+    v5 = t._load().version
+    assert t._diff_scope(t._load(v4), t._load(v5)) is None
+    assert _symdiff(t.diff(v4, v5), _generic_diff(t, v4, v5)) == 0
+
+    # rename changes the rename log: MUST fall back
+    t.rename_column("o_orderstatus", "status")
+    v6 = t._load().version
+    assert t._diff_scope(t._load(v5), t._load(v6)) is None
+
+    # schema change: MUST fall back
+    t.add_column("extra", "string")
+    v7 = t._load().version
+    assert t._diff_scope(t._load(v6), t._load(v7)) is None
+
+
+def test_diff_empty_span_scoped(spark, tmp_path):
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    c = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    cat.write_evolving(c, "db", "t")
+    t = cat.table("db", "t")
+    v = t._load().version
+    d = t.diff(v, v)
+    assert d.count() == 0
+    assert d.columns[-1] == "_change_type"
+
+
+# --- partitioned-write width pin: layout invariant -------------------------
+
+
+def test_partitioned_write_one_file_per_month(spark, tmp_path):
+    """The r13 pinned-width repartition must keep the one-file-per-month
+    layout (each month hashes wholly into one task at ANY width)."""
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    o = load(spark, SF_SMOKE, "orders").where("o_custkey < 500")
+    cat.write_evolving(o, "db", "m", partition_month_of="o_orderdate")
+    t = cat.table("db", "m")
+    snap = t._load()
+    [batch] = snap.batches
+    months = batch["months"]
+    files = glob.glob(os.path.join(batch["path"], "*", "*.parquet"))
+    assert len(files) == len(months)
+    # and the read agrees with the source
+    assert t.read().count() == o.count()
