@@ -1081,11 +1081,21 @@ def connected_components(
     round, giving true O(log(diameter)) convergence — a 1M-hop chain
     resolves in ~20 rounds, where plain one-hop propagation would need 1M
     (and previously returned silently-split clusters past ``max_iter``).
-    Each round is two shuffles (neighborhood agg + label self-join);
-    intermediate results are localCheckpointed to keep lineage flat, the
-    loop stops when a round changes nothing (a driver-side scalar count,
-    metadata-bounded), and exhausting ``max_iter`` without convergence
-    RAISES rather than returning wrong clusters."""
+
+    The one-hop step is MESSAGE-PASSING, not a labels-side join chain
+    (r13): each symmetric edge delivers ``label(src)`` to ``dst`` (one
+    join keyed on src), vertices' own labels ride the same aggregation
+    as a union branch, and one ``min`` per vertex folds both — one join
+    + one aggregation where the previous shape paid a join + aggregation
+    + a second labels-sized join. Round 1 needs NO join at all: labels
+    are identity, so each edge's message is just ``least(src, dst)``
+    and the initial (distinct-vertex) labels frame never materializes.
+    Per-round label trajectories are identical to the join-chain shape
+    — same rounds, same outputs. Intermediate results are
+    localCheckpointed to keep lineage flat, the loop stops when a round
+    changes nothing (an Observation riding the checkpoint action), and
+    exhausting ``max_iter`` without convergence RAISES rather than
+    returning wrong clusters."""
     from pyspark import StorageLevel
 
     edges = (
@@ -1096,32 +1106,48 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    labels = None  # round 1 labels are the identity map — never built
     from pyspark.sql import Observation
 
     changed = 0
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        one_hop = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", "label")
-            ).alias("label"),
-            # pre-round label, carried so the convergence check rides the
-            # checkpoint action itself (below) instead of a second job
-            F.col("label").alias("__old"),
-        )
+        if labels is None:
+            # round 1: label(u) == u, so vertex v's closed-neighborhood
+            # min is min over its edges of least(src, dst) — a single
+            # map-side-combinable aggregation, zero joins
+            one_hop = (
+                edges.groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.least("src", "dst")).alias("label"))
+                .withColumn("__old", F.col("id"))
+            )
+        else:
+            # rounds 2+: each edge delivers label(src) to dst; the
+            # vertex's own (pre-round) label joins the same aggregation
+            # as a union branch, tagged as __old (exactly one non-null
+            # per vertex, so min() recovers it for the convergence
+            # check) — one join + one aggregation, vs the previous
+            # join + agg + second labels-sized join
+            null_old = F.lit(None).cast(
+                labels.schema["label"].dataType
+            )
+            one_hop = (
+                edges.join(labels, edges.src == labels.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    F.col("label"),
+                    null_old.alias("__old"),
+                )
+                .unionByName(
+                    labels.select(
+                        "id", "label", F.col("label").alias("__old")
+                    )
+                )
+                .groupBy("id")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min("__old").alias("__old"),
+                )
+            )
         # pointer doubling: label(v) <- label(label(v)). Labels only ever
         # decrease and every label IS a vertex id present in `one_hop`, so
         # the self-join always hits; the coalesce is belt-and-braces for a
@@ -1156,11 +1182,11 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = obs.get["changed"] or 0
-        if hasattr(labels, "unpersist"):
-            # round 1's labels is a .persist() frame, later rounds are
-            # localCheckpoints — unpersist_checkpoint handles both (a
-            # plain DataFrame.unpersist() is a silent no-op on
-            # checkpointed frames: it would leak one block per round)
+        if labels is not None:
+            # later rounds' labels are localCheckpoints —
+            # unpersist_checkpoint releases their blocks (a plain
+            # DataFrame.unpersist() is a silent no-op on checkpointed
+            # frames: it would leak one block per round)
             unpersist_checkpoint(labels)
         labels = new_labels
         if changed == 0:

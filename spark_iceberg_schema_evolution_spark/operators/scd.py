@@ -141,17 +141,34 @@ def scd2_merge(
         late = tagged.where(
             F.col("__cur_from").isNotNull()
             & (F.col(valid_from) <= F.col("__cur_from"))
-        ).persist()  # two counts below — don't rebuild the join twice
+        )
         # split benign re-deliveries (the row is already committed at
         # this (keys, valid_from)) from genuinely late changes that
-        # would need history surgery — only the latter should alert
-        n_replayed = late.join(
-            table.read().select(*keys, valid_from),
-            [*keys, valid_from],
-            "left_semi",
-        ).count()
-        n_late = late.count() - n_replayed
-        late.unpersist()
+        # would need history surgery — only the latter should alert.
+        # Both counts ride ONE job (r13): a left join against the
+        # dimension's distinct (keys, valid_from) tuples marks each
+        # late row as replayed-or-not, and a single aggregation counts
+        # total and replayed together — the previous semi-join count +
+        # total count pair paid two jobs and a persist round-trip.
+        # (dropDuplicates guards the count against fan-out if a
+        # hand-written dimension ever held duplicate key/valid_from
+        # tuples; scd2_merge itself never appends them.)
+        existing = (
+            table.read()
+            .select(*keys, valid_from)
+            .dropDuplicates([*keys, valid_from])
+            .withColumn("__hit", F.lit(1))
+        )
+        row = (
+            late.join(existing, [*keys, valid_from], "left")
+            .agg(
+                F.count(F.lit(1)).alias("__n_total"),
+                F.count("__hit").alias("__n_replayed"),
+            )
+            .first()
+        )
+        n_replayed = row["__n_replayed"]
+        n_late = row["__n_total"] - n_replayed
         ch = tagged.where(
             F.col("__cur_from").isNull()
             | (F.col(valid_from) > F.col("__cur_from"))

@@ -15,6 +15,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
 
 from pyspark.sql import Column, DataFrame, Window as Wnd, functions as F
@@ -533,7 +535,7 @@ def cosine_near_dups(
                     F.struct(
                         F.lit(t).alias("__table"),
                         hyperplane_signature(
-                            F.col("__v"), dim, num_planes, seed + 1000 * t
+                            "__v", dim, num_planes, seed + 1000 * t
                         ).alias("__sig"),
                     )
                     for t in range(num_tables)
@@ -587,8 +589,30 @@ def cosine_near_dups(
     return pairs, drops
 
 
+def lit_double_array_sql(values) -> str:
+    """SQL text for a literal ``array<double>``.
+
+    ``F.array(*[F.lit(float(x)) for x in values])`` pays one py4j
+    round-trip per element (~1 ms each on this box); parsing the same
+    literal via one ``F.expr`` is a single round-trip for the whole
+    array. ``repr(float)`` round-trips doubles exactly and Spark's
+    parser resolves the decimal string to the nearest double, so the
+    parsed literal VALUES are bit-identical to the ``F.lit`` tree's
+    (pinned by test_r13_opts). Finite values only — callers hold model
+    weights/centroids, where a NaN/Inf is a bug worth raising on."""
+    parts = []
+    for x in values:
+        x = float(x)
+        if not math.isfinite(x):
+            raise ValueError(
+                f"lit_double_array_sql: non-finite value {x!r}"
+            )
+        parts.append(f"{x!r}D")
+    return "array(" + ",".join(parts) + ")"
+
+
 def hyperplane_signature(
-    vec: Column, dim: int, num_planes: int = 16, seed: int = 42
+    vec: Column | str, dim: int, num_planes: int = 16, seed: int = 42
 ) -> Column:
     """Deterministic random-hyperplane bit signature as a long.
 
@@ -596,11 +620,34 @@ def hyperplane_signature(
     ``xxhash64(plane, dim_index, seed)`` — computed as literal arrays at
     plan time (no RNG at execution), so signatures are reproducible
     everywhere.
+
+    Pass ``vec`` as a COLUMN NAME (string) where possible: that path
+    assembles the whole signature as one ``F.expr`` parse —
+    ~3 py4j round-trips instead of ~650 per (table, 8 planes, dim 64)
+    signature, which was 3.2 s of pure DRIVER time per q115 run
+    (measured r13; the two trees produce bit-identical signatures,
+    pinned by test_hyperplane_signature_expr_equivalence). The Column
+    arm keeps the original tree for callers holding a computed column.
     """
     import numpy as np
 
     rng = np.random.RandomState(seed)
     planes = rng.choice([-1.0, 1.0], size=(num_planes, dim))
+    if isinstance(vec, str):
+        # same expression tree as the Column arm below, parsed from SQL
+        # text in one shot: ((0 + t0) + t1) + ... with
+        # tp = CAST((aggregate(zip_with(vec, planes[p], *), 0.0, +) > 0)
+        #           AS BIGINT) * 2^p  — integer folds are exact and the
+        # double fold is the same left fold in the same element order
+        sig_sql = "CAST(0 AS BIGINT)"
+        for p in range(num_planes):
+            arr = lit_double_array_sql(planes[p])
+            d = (
+                f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            sig_sql = f"({sig_sql} + (CAST(({d} > 0) AS BIGINT) * {1 << p}))"
+        return F.expr(sig_sql)
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
         w = F.array(*[F.lit(float(x)) for x in planes[p]])
@@ -636,7 +683,7 @@ def lsh_topk(
                         F.struct(
                             F.lit(t).alias("__table"),
                             hyperplane_signature(
-                                F.col(vcol), dim, num_planes, seed + 1000 * t
+                                vcol, dim, num_planes, seed + 1000 * t
                             ).alias("__sig"),
                         )
                         for t in range(num_tables)
@@ -1413,15 +1460,20 @@ def sq8_topk(
 
 def _centroid_literal(centroids: list) -> Column:
     """(cluster_id, vector) list -> the plan-literal struct array the
-    zero-shuffle argmin assignment transforms over."""
-    return F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-                F.lit(int(i)).alias("c"),
-            )
+    zero-shuffle argmin assignment transforms over.
+
+    Parsed as ONE ``F.expr`` (r13): the per-element ``F.lit`` tree paid
+    k*dim py4j round-trips per build — ~0.5 s for k=8, dim=64, and
+    kmeans_fit rebuilds it every Lloyd sweep. Literal values are
+    bit-identical to the ``F.lit`` form (repr round-trip; pinned by
+    test_r13_opts)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('v', {lit_double_array_sql(vec)}, 'c', {int(i)})"
             for i, vec in centroids
-        ]
+        )
+        + ")"
     )
 
 

@@ -2523,21 +2523,21 @@ class LakehouseTable:
             keep_batches, merge_carry = [], None
         elif mo:
             month_expr = F.date_format(F.col(mo), "yyyy-MM")
-            src_months = [
-                r[0]
-                for r in source.select(month_expr).distinct().collect()
-            ]
+            month_probe = source.select(month_expr.alias("__m"))
             if not partition_keys_immutable:
-                matched_months = [
-                    r[0]
-                    for r in self.read()
+                # source months and matched-target months come back in
+                # ONE probe job (r13): both are tiny distinct month
+                # strings, and collecting them separately paid a second
+                # full job scheduling round-trip per merge
+                month_probe = month_probe.unionByName(
+                    self.read()
                     .select(*on, month_expr.alias("__m"))
                     .join(source.select(*on).distinct(), on, "left_semi")
                     .select("__m")
-                    .distinct()
-                    .collect()
-                ]
-                src_months = sorted(set(src_months) | set(matched_months))
+                )
+            src_months = sorted(
+                {r[0] for r in month_probe.distinct().collect()}
+            )
             target_scope = self.read(months=src_months)
             # keep_batches carries ALL batch metadata (renames_at epoch
             # included) — dropping it would replay the full rename history

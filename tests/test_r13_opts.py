@@ -174,6 +174,66 @@ def test_diff_empty_span_scoped(spark, tmp_path):
     assert d.columns[-1] == "_change_type"
 
 
+# --- hyperplane signature: one-expr parse == F.lit tree, bit-identical -----
+
+
+def test_hyperplane_signature_expr_equivalence(spark):
+    """The string-column (single F.expr) arm of hyperplane_signature
+    must produce BIT-IDENTICAL signatures to the original Column arm
+    (the F.lit-per-element tree cost 3.2 s of driver py4j time per q115
+    build, r13). Covers multiple seeds/tables and negative components."""
+    import numpy as np
+
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    rows.append((200, [0.0] * 16))
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    for t in range(3):
+        seed = 42 + 1000 * t
+        a = df.select(
+            "id", hyperplane_signature("v", 16, 8, seed).alias("s")
+        )
+        b = df.select(
+            "id", hyperplane_signature(F.col("v"), 16, 8, seed).alias("s")
+        )
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
+def test_lit_double_array_sql_values():
+    """repr-based double literals must round-trip exactly, including
+    scientific-notation magnitudes; non-finite values must raise."""
+    import pytest
+
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        lit_double_array_sql,
+    )
+
+    vals = [1.0, -1.0, 0.1, -2.5e-17, 3.141592653589793, 1e300]
+    sql = lit_double_array_sql(vals)
+    assert sql.startswith("array(") and sql.endswith(")")
+    with pytest.raises(ValueError):
+        lit_double_array_sql([float("nan")])
+    with pytest.raises(ValueError):
+        lit_double_array_sql([float("inf")])
+
+
+def test_lit_double_array_sql_sci_notation_parses(spark):
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        lit_double_array_sql,
+    )
+
+    vals = [-2.5e-17, 1e300, 0.1]
+    got = spark.range(1).select(
+        F.expr(lit_double_array_sql(vals)).alias("a")
+    ).head()["a"]
+    assert got == vals
+
+
 # --- partitioned-write width pin: layout invariant -------------------------
 
 
