@@ -44,15 +44,7 @@ def _nearest_centroid_col(cents: list[list[float]], vcol: Column) -> Column:
     vs numpy first-occurrence argmin)."""
     k, dim = len(cents), len(cents[0])
     if k * dim < _ASSIGN_LITERAL_BUDGET:  # strict: boundary -> Arrow
-        lit = F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(x) for x in v]).alias("v"),
-                    F.lit(i).alias("c"),
-                )
-                for i, v in enumerate(cents)
-            ]
-        )
+        lit = _centroid_literal(list(enumerate(cents)))
 
         # bind the (possibly computed) vector expression once per row:
         # referenced inside the per-centroid lambda it would re-evaluate
@@ -151,7 +143,7 @@ def linear_classifier_score(
     wrong-length vector score NULL (never a fake 0.5). Compose with
     ``quantile_band_filter`` or a plain threshold for the keep
     decision."""
-    w = F.array(*[F.lit(float(x)) for x in weights])
+    w = F.expr(lit_double_array_sql(weights))
     z = dot(as_double(F.col(vec_col)), w) + F.lit(float(bias))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     ok = F.col(vec_col).isNotNull() & (
@@ -237,7 +229,7 @@ def logreg_fit(
     w = [0.0] * dim
     b = 0.0
     for _ in range(n_iter):
-        wlit = F.array(*[F.lit(x) for x in w])
+        wlit = F.expr(lit_double_array_sql(w))
         z = dot(F.col("__x"), wlit) + F.lit(b)
         err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) - F.col("__y")
         row = t.agg(
@@ -251,7 +243,7 @@ def logreg_fit(
             w[i] - lr * (row[f"g{i}"] + l2 * w[i]) for i in range(dim)
         ]
         b = b - lr * row["gb"]
-    wlit = F.array(*[F.lit(x) for x in w])
+    wlit = F.expr(lit_double_array_sql(w))
     z = dot(F.col("__x"), wlit) + F.lit(b)
     # stable softplus log-loss: log(1+e^z) - y*z == max(z,0) +
     # log1p(e^-|z|) - y*z
@@ -432,15 +424,7 @@ def ivf_topk(
     )
 
     # plan-time literal: array<struct<v: array<double>, c: int>>
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(x) for x in vec]).alias("v"),
-                F.lit(i).alias("c"),
-            )
-            for i, vec in centroids
-        ]
-    )
+    cent_lit = _centroid_literal(centroids)
 
     def cell_dists(vcol: Column) -> Column:
         """array<struct<d: double, c: int>> — squared distance to every
@@ -956,15 +940,7 @@ def _pq_code_expr(
 
     def code_for(j: int) -> Column:
         dists = F.transform(
-            F.array(
-                *[
-                    F.struct(
-                        F.array(*[F.lit(x) for x in vec]).alias("v"),
-                        F.lit(i).alias("c"),
-                    )
-                    for i, vec in enumerate(codebooks[j])
-                ]
-            ),
+            _centroid_literal(list(enumerate(codebooks[j]))),
             lambda s: F.struct(
                 fold_sum(
                     F.zip_with(
@@ -993,11 +969,12 @@ def _pq_lut_expr(
 
     def lut_for(j: int) -> Column:
         return F.transform(
-            F.array(
-                *[
-                    F.array(*[F.lit(x) for x in vec])
-                    for vec in codebooks[j]
-                ]
+            F.expr(
+                "array("
+                + ",".join(
+                    lit_double_array_sql(vec) for vec in codebooks[j]
+                )
+                + ")"
             ),
             lambda ctr: dot(F.slice(qcol, j * dsub + 1, dsub), ctr),
         )
@@ -1145,17 +1122,11 @@ def ivfpq_topk(
         X - C[d2.argmin(axis=1)], dim, m, ksub, seed + 7
     )
     centroids = list(enumerate(cents))
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(x) for x in vec]).alias("v"),
-                F.lit(i).alias("c"),
-            )
-            for i, vec in centroids
-        ]
-    )
-    cent_vecs = F.array(
-        *[F.array(*[F.lit(x) for x in vec]) for _, vec in centroids]
+    cent_lit = _centroid_literal(centroids)
+    cent_vecs = F.expr(
+        "array("
+        + ",".join(lit_double_array_sql(vec) for _, vec in centroids)
+        + ")"
     )
 
     def cell_dists(vcol: Column) -> Column:
@@ -1313,15 +1284,7 @@ def cluster_balanced_sample(
         centroids = list(
             enumerate(_kmeans_np(_collect_fit_sample(fit_df), num_centroids, 42))
         )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-                F.lit(int(i)).alias("c"),
-            )
-            for i, vec in centroids
-        ]
-    )
+    cent_lit = _centroid_literal(centroids)
     v = as_double(F.col(vec_col))
     dists = F.transform(
         cent_lit,
@@ -1650,13 +1613,13 @@ def pca_expr(model: dict, vec: Column) -> Column:
     ``zip_with`` dot fold. Used by :func:`pca_project` (corpus map) and
     as the ``q_transform`` hook for PCA-backed ANN indexes (query-side
     reduction inside the approximate pass)."""
-    mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    mean_lit = F.expr(lit_double_array_sql(model["mean"]))
     centered = F.zip_with(as_double(vec), mean_lit, lambda a, b: a - b)
     coords = [
         fold_sum(
             F.zip_with(
                 centered,
-                F.array(*[F.lit(float(x)) for x in comp]),
+                F.expr(lit_double_array_sql(comp)),
                 lambda a, b: a * b,
             )
         )

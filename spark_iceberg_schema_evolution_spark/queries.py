@@ -1351,10 +1351,11 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     from spark_iceberg_schema_evolution_spark.operators.similarity import (
         as_double,
         cosine,
+        lit_double_array_sql,
     )
 
     e = load(spark, sf, "embeddings")
-    probe = F.array(*[F.lit(v) for v in _probe_vector()])
+    probe = F.expr(lit_double_array_sql(_probe_vector()))
     scored = e.select(
         "label",
         "vec_id",
@@ -6589,11 +6590,12 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     from spark_iceberg_schema_evolution_spark.operators.similarity import (
         as_double,
         linear_classifier_score,
+        lit_double_array_sql,
     )
 
     e = load(spark, sf, "embeddings")
     scored = linear_classifier_score(e, _CLF_W, bias=_CLF_B)
-    w = F.array(*[F.lit(wv) for wv in _CLF_W])
+    w = F.expr(lit_double_array_sql(_CLF_W))
     per = scored.select(
         "vec_id",
         "clf_score",
@@ -6649,10 +6651,11 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     element_at on the same weight literals; both sides are map-only."""
     from spark_iceberg_schema_evolution_spark.operators.similarity import (
         as_double,
+        lit_double_array_sql,
     )
 
     e = load(spark, sf, "embeddings").where("vec_id < 4")
-    w = F.array(*[F.lit(wv) for wv in _CLF_W])
+    w = F.expr(lit_double_array_sql(_CLF_W))
     exploded = e.select(
         "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
     )
