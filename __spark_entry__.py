@@ -48,6 +48,12 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
+        # manifest-planned scans hand Spark explicit file lists; below
+        # this threshold listing stays on the driver instead of paying a
+        # distributed listing job per scan construction (runtime-settable)
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096"
+        )
         return fn(spark, sf_dir)
 
     return run

@@ -54,6 +54,16 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         # vectorized reader rejects; read as nanos-since-epoch long and
         # convert with queries.load_events (ns -> us).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # manifest-planned scans pass explicit file lists (O(100) local
+        # paths); the default threshold of 32 would launch a distributed
+        # listing JOB for them — ~0.2 s of job scheduling to replace
+        # microseconds of driver stat calls (r13; parameterized for
+        # deployments where a remote-store listing really is the
+        # bottleneck)
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            str(cfg.parallel_listing_threshold),
+        )
         .config("spark.ui.showConsoleProgress", "false")
         # ANSI stays on (Spark 4 default): engine code uses try_* variants
         # where null-on-error cast semantics are required (evolve.py).

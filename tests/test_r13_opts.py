@@ -252,3 +252,165 @@ def test_partitioned_write_one_file_per_month(spark, tmp_path):
     assert len(files) == len(months)
     # and the read agrees with the source
     assert t.read().count() == o.count()
+
+
+# --- scan-construction: recorded reader schema + relation memo -------------
+
+
+def test_recorded_reader_schema_matches_inference(spark, tmp_path):
+    """The write-time ``read_schema`` recorded in the manifest must equal
+    what a fresh schema-inference read of the same batch dir returns —
+    including after a rename, an added column, and with a bucket spec —
+    so passing it explicitly can never change what a scan reads."""
+    from pyspark.sql import types as T
+
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    o = load(spark, SF_SMOKE, "orders").where("o_custkey < 300")
+    cat.write_evolving(o, "db", "t", partition_month_of="o_orderdate")
+    t = cat.table("db", "t")
+    t.set_bucket_spec("o_orderkey", 4)
+    t.rename_column("o_orderpriority", "prio")
+    t.append(
+        t.read().limit(50).withColumn("extra", F.lit(7).cast("int")),
+        evolve=True,
+    )
+    snap = t._load()
+    for b in snap.batches:
+        rs = b.get("read_schema")
+        assert rs is not None
+        inferred = spark.read.option("basePath", b["path"]).parquet(
+            b["path"]
+        ).schema
+        recorded = T.StructType.fromJson(rs)
+        assert [(f.name, f.dataType) for f in recorded.fields] == [
+            (f.name, f.dataType) for f in inferred.fields
+        ], f"batch {b['path']}: recorded {recorded} != inferred {inferred}"
+    # and the table reads consistently end-to-end
+    out = t.read()
+    assert out.count() == o.count() + 50
+    assert "prio" in out.columns and "extra" in out.columns
+
+
+def test_scan_relation_memo_reuses_and_stays_correct(spark, tmp_path):
+    """Two reads of the same immutable batch share one cached relation;
+    a DML that trims the batch produces a DIFFERENT file list (new key)
+    and reads the post-DML state correctly."""
+    from spark_iceberg_schema_evolution_spark import tables as MT
+
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    o = load(spark, SF_SMOKE, "orders").where("o_custkey < 300")
+    cat.write_evolving(o, "db", "t", partition_month_of="o_orderdate")
+    t = cat.table("db", "t")
+    snap = t._load()
+    [b] = snap.batches
+    r1 = t._read_batch(b)
+    r2 = t._read_batch(b)
+    assert r1 is r2  # memo hit: identical relation object
+    n_before = t.read().count()
+    assert n_before == o.count()
+    # self-join through the shared relation must still work (Spark
+    # deduplicates a relation appearing twice in one plan)
+    a, bb = t.read().alias("a"), t.read().alias("b")
+    j = a.join(
+        bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "inner"
+    )
+    assert j.count() == n_before
+    # DML: the rewritten batch is a new dir; reads see the new state
+    t.delete_where("o_orderstatus = 'F'")
+    kept = t.read()
+    assert kept.where("o_orderstatus = 'F'").count() == 0
+    assert kept.count() == o.where("o_orderstatus <> 'F'").count()
+    # cache stays bounded
+    assert len(MT._SCAN_RELATION_CACHE) <= MT._SCAN_RELATION_CACHE_MAX
+
+
+# --- diff(): recorded-DML predicate replay ---------------------------------
+
+
+def test_diff_dml_replay_exact_and_gated(spark, tmp_path):
+    """String-predicate COW DMLs record replayable provenance; diff()
+    over such spans re-evaluates the predicate against the pre-state
+    and must equal the generic four-scan diff EXACTLY — including an
+    update whose SET leaves some matched rows unchanged (the D'/I'
+    intersection must cancel), a composed multi-DML span, and an
+    unpartitioned table. Nondeterministic predicates must NOT record."""
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = cat.table("db", "r")
+    cat.write_evolving(
+        o.where("o_orderkey < 3000"), "db", "r",
+        partition_month_of="o_orderdate",
+    )
+    v1 = t._load().version
+
+    # string-cond delete records provenance
+    t.delete_where("o_orderstatus = 'F'")
+    v2 = t._load().version
+    assert t._load(v2).dml == {
+        "op": "delete",
+        "cond": "o_orderstatus = 'F'",
+        "months": t._load(v2).dml["months"],
+    }
+    assert t._load(v2).dml["months"]  # partitioned: scope recorded
+    assert _symdiff(t.diff(v1, v2), _generic_diff(t, v1, v2)) == 0
+
+    # string-SET update — including rows where SET is an identity
+    # (o_totalprice <= 0 never happens, so use a CASE that keeps some):
+    t.update_where(
+        "o_totalprice > 50000",
+        {"o_orderstatus": "CASE WHEN o_totalprice > 150000 "
+                          "THEN 'X' ELSE o_orderstatus END"},
+    )
+    v3 = t._load().version
+    rec = t._load(v3).dml
+    assert rec is not None and rec["op"] == "update" and rec["set"]
+    # matched rows below 150000 keep their value -> D' and I' overlap;
+    # the replayed diff must still equal the generic multiset exactly
+    assert _symdiff(t.diff(v2, v3), _generic_diff(t, v2, v3)) == 0
+    # composed span: delete then update then an append
+    t.append(o.where("o_orderkey >= 3000 AND o_orderkey < 3500"))
+    v4 = t._load().version
+    assert _symdiff(t.diff(v1, v4), _generic_diff(t, v1, v4)) == 0
+
+    # nondeterministic predicate: must not record, diff still correct
+    t.delete_where("o_totalprice * rand() < 0.0001")
+    v5 = t._load().version
+    assert t._load(v5).dml is None
+    assert _symdiff(t.diff(v4, v5), _generic_diff(t, v4, v5)) == 0
+
+    # Column (non-string) assignment: must not record
+    t.update_where("o_totalprice > 400000", {"o_orderstatus": F.lit("Z")})
+    v6 = t._load().version
+    assert t._load(v6).dml is None
+
+
+def test_diff_dml_replay_unpartitioned(spark, tmp_path):
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = cat.table("db", "u")
+    t.create(o.schema)
+    t.append(o.where("o_orderkey < 4000"))
+    v1 = t._load().version
+    t.delete_where("o_orderstatus = 'F'")
+    v2 = t._load().version
+    rec = t._load(v2).dml
+    assert rec == {"op": "delete", "cond": "o_orderstatus = 'F'",
+                   "months": None}
+    # replay plans a D-only frame: no exceptAll in the plan at all
+    old_side, new_side = t._diff_scope(t._load(v1), t._load(v2))
+    assert new_side is None and old_side is not None
+    assert _symdiff(t.diff(v1, v2), _generic_diff(t, v1, v2)) == 0
+    t.update_where("o_totalprice > 100000", {"o_totalprice":
+                                             "o_totalprice + 1"})
+    v3 = t._load().version
+    assert t._load(v3).dml["op"] == "update"
+    assert _symdiff(t.diff(v2, v3), _generic_diff(t, v2, v3)) == 0
+    assert _symdiff(t.diff(v1, v3), _generic_diff(t, v1, v3)) == 0
