@@ -133,24 +133,26 @@ def scd2_merge(
     ch = changes.select(
         *keys, *attr_cols, F.col(change_ts).alias(valid_from)
     )
+    obs = None
     if table.exists():
+        from pyspark.sql import Observation
+
         current = table.read().where(F.col(is_current)).select(
             *keys, F.col(valid_from).alias("__cur_from")
-        )
-        tagged = ch.join(current, keys, "left")
-        late = tagged.where(
-            F.col("__cur_from").isNotNull()
-            & (F.col(valid_from) <= F.col("__cur_from"))
         )
         # split benign re-deliveries (the row is already committed at
         # this (keys, valid_from)) from genuinely late changes that
         # would need history surgery — only the latter should alert.
-        # Both counts ride ONE job (r13): a left join against the
-        # dimension's distinct (keys, valid_from) tuples marks each
-        # late row as replayed-or-not, and a single aggregation counts
-        # total and replayed together — the previous semi-join count +
-        # total count pair paid two jobs and a persist round-trip.
-        # (dropDuplicates guards the count against fan-out if a
+        # Both counts ride the SAME action that materializes `chained`
+        # (r13, second pass): every change row is tagged late/replayed
+        # by two left joins, the counts ride an Observation, and only
+        # then are late rows filtered out — zero dedicated count jobs
+        # where the first-pass shape still paid one (join + agg +
+        # .first()). The (keys, valid_from) join doubles as the replay
+        # anti-filter that previously ran as its own join AFTER the
+        # window: a close-merge never changes (keys, valid_from)
+        # tuples, so pre-merge `existing` decides replay membership
+        # identically. (dropDuplicates guards against fan-out if a
         # hand-written dimension ever held duplicate key/valid_from
         # tuples; scd2_merge itself never appends them.)
         existing = (
@@ -159,28 +161,34 @@ def scd2_merge(
             .dropDuplicates([*keys, valid_from])
             .withColumn("__hit", F.lit(1))
         )
-        row = (
-            late.join(existing, [*keys, valid_from], "left")
-            .agg(
-                F.count(F.lit(1)).alias("__n_total"),
-                F.count("__hit").alias("__n_replayed"),
+        obs = Observation()
+        tagged = (
+            ch.join(current, keys, "left")
+            .withColumn(
+                "__late",
+                F.col("__cur_from").isNotNull()
+                & (F.col(valid_from) <= F.col("__cur_from")),
             )
-            .first()
+            .join(existing, [*keys, valid_from], "left")
+            .observe(
+                obs,
+                F.sum(F.col("__late").cast("long")).alias("__n_late"),
+                F.sum(
+                    (F.col("__late") & F.col("__hit").isNotNull()).cast(
+                        "long"
+                    )
+                ).alias("__n_replayed"),
+            )
         )
-        n_replayed = row["__n_replayed"]
-        n_late = row["__n_total"] - n_replayed
-        ch = tagged.where(
-            F.col("__cur_from").isNull()
-            | (F.col(valid_from) > F.col("__cur_from"))
-        ).drop("__cur_from")
-    else:
-        n_late = 0
-        n_replayed = 0
+        ch = tagged.where(~F.col("__late")).drop("__cur_from", "__late")
     w = W.partitionBy(*keys).orderBy(valid_from)
     chained = (
         ch.withColumn(valid_to, F.lead(valid_from).over(w))
         .withColumn(is_current, F.col(valid_to).isNull())
-        .select(*keys, *attr_cols, valid_from, valid_to, is_current)
+        .select(
+            *keys, *attr_cols, valid_from, valid_to, is_current,
+            *(["__hit"] if obs is not None else []),
+        )
     )
     closed_v = None
     if table.exists():
@@ -202,11 +210,13 @@ def scd2_merge(
             # construction, so skip the MERGE cardinality probe (r13)
             source_unique=True,
         )
-        chained = chained.join(
-            table.read().select(*keys, valid_from),
-            [*keys, valid_from],
-            "left_anti",
-        )
+        # replay idempotence: rows whose (keys, valid_from) already
+        # exist in the dimension were marked by the `existing` join
+        # above — filter AFTER the window so a replayed row still
+        # participates in its key's chain exactly as the committed row
+        # does (same lead() inputs as the previous post-window
+        # anti-join shape)
+        chained = chained.where(F.col("__hit").isNull()).drop("__hit")
     chained = chained.persist()
     try:
         applied = chained.count()
@@ -220,6 +230,13 @@ def scd2_merge(
             appended_v = None
     finally:
         chained.unpersist()
+    if obs is not None:
+        n_late = obs.get["__n_late"] or 0
+        n_replayed = obs.get["__n_replayed"] or 0
+        n_late = n_late - n_replayed
+    else:
+        n_late = 0
+        n_replayed = 0
     return {
         "closed_version": closed_v,
         "appended_version": appended_v,
