@@ -128,11 +128,17 @@ def test_bloom_string_column_and_new_batches_unindexed(spark, catalog):
 def test_bloom_disabled_by_rename_and_widening(spark, catalog):
     """Soundness guards: a rename or type widening after the build must
     disable the index (names may alias / hashes change), never misprune."""
-    # even ids in pseudo-random order: every file spans ~[0, 198], so an
-    # odd probe sits inside every [min, max] and only the bloom can prune
+    # even ids in ONE file spanning [0, 198] (coalesce pins the layout
+    # at any core count — at local[32] the default split fragments 100
+    # rows into ~3-row files whose narrow [min, max] spans let footer
+    # stats prune legitimately, which is not what this test gates): an
+    # odd probe sits inside the file's [min, max], so only the bloom
+    # can prune
     ids = sorted(range(0, 200, 2), key=lambda x: (x * 2654435761) % 256)
     catalog.write_evolving(
-        spark.createDataFrame([(i, i) for i in ids], "a INT, b INT"),
+        spark.createDataFrame(
+            [(i, i) for i in ids], "a INT, b INT"
+        ).coalesce(1),
         "db", "bg",
     )
     t = catalog.table("db", "bg")

@@ -73,8 +73,11 @@ def test_profile_stats_exact(spark):
 
 
 def test_profile_stats_single_pass_plan(spark):
-    """Scale gate: the exact profiler is ONE scan (a single Expand-based
-    multi-distinct aggregate), not one scan per column."""
+    """Scale gate: the exact profiler is a FIXED two map-only scans —
+    one Expand-based multi-distinct hash aggregate for counts/distincts
+    plus one keyless min/max fold (split in r13 so the variable-width
+    min/max buffers can't drag the Expand onto a sorted aggregate) —
+    never one scan per column."""
     from spark_iceberg_schema_evolution_spark.plans import explain
     from spark_iceberg_schema_evolution_spark.queries import load
     from tests.conftest import SF_SMOKE
@@ -82,8 +85,20 @@ def test_profile_stats_single_pass_plan(spark):
     df = load(spark, SF_SMOKE, "orders")
     out = profile_stats(df, ["o_orderkey", "o_custkey", "o_orderstatus"])
     plan = explain.physical_plan(out)
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
     assert "Expand" in plan  # the one-pass multi-distinct shape
+    # scan count is independent of how many columns are profiled
+    wide = profile_stats(
+        df,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ],
+    )
+    assert explain.physical_plan(wide).count("Scan parquet") == 2
 
 
 def test_chunk_text_reconstruction_property(spark):
