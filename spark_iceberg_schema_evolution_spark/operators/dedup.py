@@ -1109,9 +1109,17 @@ def connected_components(
     labels = None  # round 1 labels are the identity map — never built
     from pyspark.sql import Observation
 
-    changed = 0
-    for _ in range(max_iter):
-        if labels is None:
+    def plan_round(prev, observe=True):
+        """Plan ONE min-label + pointer-doubling round on top of
+        ``prev`` (None = identity labels, the round-1 special case) —
+        no action; returns (labels-with-__old plan, Observation whose
+        ``changed`` fires when any action evaluates the plan).
+        ``observe=False`` skips the Observation: a round whose plan is
+        CONSUMED by the next round's plan appears several times in the
+        fused tree (the doubling self-join + the vertex union branch),
+        and an Observation asserts exactly one evaluation per action —
+        the inner round of a fused pair must therefore go unobserved."""
+        if prev is None:
             # round 1: label(u) == u, so vertex v's closed-neighborhood
             # min is min over its edges of least(src, dst) — a single
             # map-side-combinable aggregation, zero joins
@@ -1127,18 +1135,16 @@ def connected_components(
             # per vertex, so min() recovers it for the convergence
             # check) — one join + one aggregation, vs the previous
             # join + agg + second labels-sized join
-            null_old = F.lit(None).cast(
-                labels.schema["label"].dataType
-            )
+            null_old = F.lit(None).cast(prev.schema["label"].dataType)
             one_hop = (
-                edges.join(labels, edges.src == labels.id)
+                edges.join(prev, edges.src == prev.id)
                 .select(
                     F.col("dst").alias("id"),
                     F.col("label"),
                     null_old.alias("__old"),
                 )
                 .unionByName(
-                    labels.select(
+                    prev.select(
                         "id", "label", F.col("label").alias("__old")
                     )
                 )
@@ -1148,40 +1154,71 @@ def connected_components(
                     F.min("__old").alias("__old"),
                 )
             )
-        # pointer doubling: label(v) <- label(label(v)). Labels only ever
-        # decrease and every label IS a vertex id present in `one_hop`, so
-        # the self-join always hits; the coalesce is belt-and-braces for a
-        # label that is already a root (label(root) == root).
+        # pointer doubling: label(v) <- label(label(v)). Labels only
+        # ever decrease and every label IS a vertex id present in
+        # `one_hop`, so the self-join always hits; the coalesce is
+        # belt-and-braces for a label that is already a root
+        # (label(root) == root).
         lbl = one_hop.select(
             F.col("id").alias("l_id"), F.col("label").alias("l_label")
         )
-        # localCheckpoint (not just persist): each round's plan would
-        # otherwise nest the previous round's, growing the lineage —
-        # and with it planning time — linearly in iterations. The
-        # changed-label count is an Observation on the SAME action (the
-        # eager checkpoint materializes every row, so the metric is
-        # complete) — the previous separate join+count job per round was
-        # pure overhead.
+        doubled = one_hop.join(
+            lbl, one_hop.label == lbl.l_id, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("l_label", "label")
+            ).alias("label"),
+            "__old",
+        )
+        if not observe:
+            return doubled, None
         obs = Observation()
-        new_labels = (
-            one_hop.join(lbl, one_hop.label == lbl.l_id, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("l_label", "label")
-                ).alias("label"),
-                "__old",
-            )
-            .observe(
+        return (
+            doubled.observe(
                 obs,
                 F.sum(
                     (F.col("label") != F.col("__old")).cast("long")
                 ).alias("changed"),
-            )
-            .drop("__old")
-            .localCheckpoint(eager=True)
+            ),
+            obs,
         )
-        changed = obs.get["changed"] or 0
+
+    # TWO rounds ride each checkpoint action (r13): the label math is a
+    # pure function of the previous labels, so round k+1 plans lazily on
+    # top of round k and both materialize in ONE job — halving the
+    # per-round action count that dominates small/shallow graphs, while
+    # the localCheckpoint every other round still keeps lineage flat for
+    # deep ones. Per-round label values are UNCHANGED (same closed-
+    # neighborhood min + doubling recurrence); when the first fused
+    # round already converged, the second is the identity on stable
+    # labels, so the pair's output equals the converged labels exactly.
+    # localCheckpoint (not just persist): each pair's plan would
+    # otherwise nest the previous pair's, growing the lineage — and
+    # with it planning time — linearly in rounds. The changed-label
+    # counts are Observations on the SAME action (the eager checkpoint
+    # materializes every row, so the metrics are complete) — the
+    # original shape paid one action per round and, before r13, a
+    # separate join+count job per round on top.
+    changed = 0
+    rounds = 0
+    while rounds < max_iter:
+        if max_iter - rounds >= 2:
+            # the inner round is unobserved (see plan_round): if it
+            # already converged, the outer round is the identity on
+            # stable labels and reports changed == 0 itself
+            plan_a, _ = plan_round(labels, observe=False)
+            plan_b, obs_b = plan_round(plan_a.drop("__old"))
+            new_labels = plan_b.drop("__old").localCheckpoint(eager=True)
+            changed = obs_b.get["changed"] or 0
+            rounds += 2
+        else:
+            plan_a, obs_a = plan_round(labels)
+            # odd max_iter leftover: a single unfused round, so the
+            # raise-on-exhaustion contract stays exact
+            new_labels = plan_a.drop("__old").localCheckpoint(eager=True)
+            changed = obs_a.get["changed"] or 0
+            rounds += 1
         if labels is not None:
             # later rounds' labels are localCheckpoints —
             # unpersist_checkpoint releases their blocks (a plain

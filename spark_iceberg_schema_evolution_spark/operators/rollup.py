@@ -175,7 +175,8 @@ def refresh_rollup(
         .localCheckpoint(eager=True)
     )
     try:
-        if (obs.get["n"] or 0) == 0:
+        n_groups = obs.get["n"] or 0
+        if n_groups == 0:
             # the source moved without changing rows (metadata-only
             # commit: spec change, rename, property) or the changes
             # cancelled out — advance the bookmark WITHOUT rewriting
@@ -197,6 +198,8 @@ def refresh_rollup(
         updates = {"n_rows": "t.n_rows + s.n_rows"}
         for c in sum_cols:
             updates[f"sum_{c}"] = f"t.sum_{c} + s.sum_{c}"
+        from ..tables import MERGE_BROADCAST_ROWS
+
         v = target.merge_into(
             checked,
             on=group_cols,
@@ -207,6 +210,12 @@ def refresh_rollup(
             # by construction, so the MERGE cardinality probe (one
             # aggregation job per refresh) proves nothing here (r13)
             source_unique=True,
+            # n_groups is the delta's MEASURED row count (the Observation
+            # riding the checkpoint): a touched-groups frame under the
+            # broadcast ceiling skips every source-side shuffle in the
+            # merge instead of waiting for AQE to convert one
+            # materialized stage at a time (guide §3.1)
+            source_broadcast=n_groups <= MERGE_BROADCAST_ROWS,
         )
         target.set_properties({_SRC_PROP: src_v, _DST_PROP: v})
         return v

@@ -181,6 +181,13 @@ def scd2_merge(
             )
         )
         ch = tagged.where(~F.col("__late")).drop("__cur_from", "__late")
+    # persist the tagged, late-filtered PRE-WINDOW frame: the close
+    # merge's first_ts, the applied count, AND the append's chained rows
+    # all derive from it — without the cache each action re-runs the two
+    # dimension-scan joins above (r13, third pass: the count job warms
+    # the cache; the merge and append then read it instead of rescanning
+    # the dimension).
+    ch = ch.persist()
     w = W.partitionBy(*keys).orderBy(valid_from)
     chained = (
         ch.withColumn(valid_to, F.lead(valid_from).over(w))
@@ -191,45 +198,53 @@ def scd2_merge(
         )
     )
     closed_v = None
-    if table.exists():
-        first_ts = ch.groupBy(*keys).agg(
-            F.min(valid_from).alias("__first_ts")
-        )
-        closed_v = table.merge_into(
-            first_ts,
-            on=keys,
-            matched_update={
-                valid_to: "s.__first_ts",
-                is_current: "false",
-            },
-            matched_condition=(
-                f"t.{is_current} = true AND t.{valid_from} < s.__first_ts"
-            ),
-            insert_unmatched=False,
-            # first_ts is a groupBy(keys) aggregate — unique per key by
-            # construction, so skip the MERGE cardinality probe (r13)
-            source_unique=True,
-        )
-        # replay idempotence: rows whose (keys, valid_from) already
-        # exist in the dimension were marked by the `existing` join
-        # above — filter AFTER the window so a replayed row still
-        # participates in its key's chain exactly as the committed row
-        # does (same lead() inputs as the previous post-window
-        # anti-join shape)
-        chained = chained.where(F.col("__hit").isNull()).drop("__hit")
-    chained = chained.persist()
     try:
+        if obs is not None:
+            # replay idempotence: rows whose (keys, valid_from) already
+            # exist in the dimension were marked by the `existing` join
+            # above — filter AFTER the window so a replayed row still
+            # participates in its key's chain exactly as the committed
+            # row does (same lead() inputs as the previous post-window
+            # anti-join shape)
+            chained = chained.where(F.col("__hit").isNull()).drop("__hit")
+        # count BEFORE the close merge: every read above bound its file
+        # list pre-merge, so the count is order-independent — and knowing
+        # `applied` up front lets a small batch assert the broadcast path
+        # for the close merge (guide §3.1, measured not guessed)
         applied = chained.count()
+        if table.exists():
+            from ..tables import MERGE_BROADCAST_ROWS
+
+            first_ts = ch.groupBy(*keys).agg(
+                F.min(valid_from).alias("__first_ts")
+            )
+            closed_v = table.merge_into(
+                first_ts,
+                on=keys,
+                matched_update={
+                    valid_to: "s.__first_ts",
+                    is_current: "false",
+                },
+                matched_condition=(
+                    f"t.{is_current} = true AND t.{valid_from} < s.__first_ts"
+                ),
+                insert_unmatched=False,
+                # first_ts is a groupBy(keys) aggregate — unique per key
+                # by construction, so skip the MERGE cardinality probe
+                # (r13)
+                source_unique=True,
+                # first_ts has at most one row per change key; `applied`
+                # bounds it from the count the report needs anyway
+                source_broadcast=applied <= MERGE_BROADCAST_ROWS,
+            )
         if applied:
-            if table.exists():
-                appended_v = table.append(chained)
-            else:
+            if not table.exists():
                 table.create(chained.schema)
-                appended_v = table.append(chained)
+            appended_v = table.append(chained)
         else:
             appended_v = None
     finally:
-        chained.unpersist()
+        ch.unpersist()
     if obs is not None:
         n_late = obs.get["__n_late"] or 0
         n_replayed = obs.get["__n_replayed"] or 0

@@ -561,8 +561,14 @@ def cosine_near_dups(
                 / (F.col("a.__norm") * F.col("b.__norm"))
             ).alias("cos"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # threshold BEFORE the dedup exchange: a pair seen in k tables
+        # carries k bit-identical rows (same vectors -> same dot/norms),
+        # so filtering first shuffles only the pairs that survive — the
+        # dedup's row bag per (id_a, id_b) is all-pass or all-fail,
+        # making filter-then-dedup exactly dedup-then-filter (guide §2.3:
+        # shuffle fewer bytes)
         .where(F.col("cos") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
     if not return_drop_stats:
         return pairs

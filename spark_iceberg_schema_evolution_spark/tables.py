@@ -63,6 +63,18 @@ from spark_iceberg_schema_evolution_spark.types_map import datatype_to_str, str_
 
 _PART_COL = "__p_month"
 _BUCKET_COL = "__p_bucket"
+
+# Row ceiling under which a MEASURED merge source (a delta whose row
+# count an Observation already produced) is asserted broadcastable
+# (merge_into(source_broadcast=True)). 500k rows of keys+aggregates is
+# ~20-40 MB serialized — inside Spark's comfortable broadcast envelope —
+# while a delta bigger than this should take the shuffle path on any
+# cluster. Parameterized for deployments with tighter executor memory;
+# scale-adaptive callers (rollup refresh, SCD2 merge) compare an actual
+# observed count against it, never a guess.
+MERGE_BROADCAST_ROWS = int(
+    os.environ.get("ENGINE_MERGE_BROADCAST_ROWS", "500000")
+)
 # column types the bucket transform accepts: the driver-side literal
 # hasher (hashing.spark_hash) replicates F.hash for exactly these
 _BUCKETABLE = {"int", "bigint", "string"}
@@ -1027,75 +1039,100 @@ class LakehouseTable:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in
             return {}, {}, {}
+        import datetime as _dt
+
+        paths: list[str] = []
+        for root, _dirs, files in os.walk(batch_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(root, fn))
+        paths.sort()  # fold order is deterministic, not walk-dependent
+
+        def harvest(full: str):
+            """Per-file footer read — independent per file, so a thread
+            pool can overlap the open+parse syscalls (pyarrow releases
+            the GIL in its C++ reader). A month-partitioned batch writes
+            O(months) files, and reading their footers serially was
+            ~2 ms x files of pure driver latency PER WRITE (r13)."""
+            try:
+                meta = pq.ParquetFile(full).metadata
+            except Exception:
+                return None
+            flo: dict = {}
+            fhi: dict = {}
+            fbad: set = set()  # columns with a stats-less chunk
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:  # nested field: skip
+                        continue
+                    st = col.statistics
+                    if (
+                        st is not None
+                        and st.has_null_count
+                        and st.null_count == row_group.num_rows
+                    ):
+                        continue  # all-NULL chunk: can't match
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(
+                            st.min,
+                            (int, float, str, _dt.date, _dt.datetime),
+                        )
+                        or isinstance(st.min, bool)
+                    ):
+                        if row_group.num_rows > 0:
+                            fbad.add(name)
+                        continue
+                    smin, smax = st.min, st.max
+                    if isinstance(smin, (_dt.date, _dt.datetime)):
+                        # temporal: canonical full-width UTC strings
+                        # (lexicographic == chronological; JSON-safe)
+                        smin = LakehouseTable._canon_temporal(smin)
+                        smax = LakehouseTable._canon_temporal(smax)
+                    if name not in flo or smin < flo[name]:
+                        flo[name] = smin
+                    if name not in fhi or smax > fhi[name]:
+                        fhi[name] = smax
+            return meta.num_rows, flo, fhi, fbad
+
+        if len(paths) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(paths))
+            ) as ex:
+                results = list(ex.map(harvest, paths))
+        else:
+            results = [harvest(p) for p in paths]
+
         lo: dict = {}
         hi: dict = {}
         per_file: dict = {}
         rows: dict = {}
         incomplete: set = set()  # columns unsound at BATCH granularity
-        for root, _dirs, files in os.walk(batch_dir):
-            for fn in files:
-                if not fn.endswith(".parquet"):
+        for full, res in zip(paths, results):
+            if res is None:
+                return {}, {}, {}
+            n_rows, flo, fhi, fbad = res
+            rel = os.path.relpath(full, batch_dir)
+            rows[rel] = n_rows
+            incomplete |= fbad
+            for c in flo:
+                if c in fbad:
                     continue
-                full = os.path.join(root, fn)
-                try:
-                    meta = pq.ParquetFile(full).metadata
-                except Exception:
-                    return {}, {}, {}
-                rows[os.path.relpath(full, batch_dir)] = meta.num_rows
-                flo: dict = {}
-                fhi: dict = {}
-                fbad: set = set()  # columns with a stats-less chunk
-                for rg in range(meta.num_row_groups):
-                    row_group = meta.row_group(rg)
-                    for ci in range(row_group.num_columns):
-                        col = row_group.column(ci)
-                        name = col.path_in_schema
-                        if "." in name:  # nested field: skip
-                            continue
-                        st = col.statistics
-                        if (
-                            st is not None
-                            and st.has_null_count
-                            and st.null_count == row_group.num_rows
-                        ):
-                            continue  # all-NULL chunk: can't match
-                        import datetime as _dt
-
-                        if (
-                            st is None
-                            or not st.has_min_max
-                            or not isinstance(
-                                st.min,
-                                (int, float, str, _dt.date, _dt.datetime),
-                            )
-                            or isinstance(st.min, bool)
-                        ):
-                            if row_group.num_rows > 0:
-                                fbad.add(name)
-                            continue
-                        smin, smax = st.min, st.max
-                        if isinstance(smin, (_dt.date, _dt.datetime)):
-                            # temporal: canonical full-width UTC strings
-                            # (lexicographic == chronological; JSON-safe)
-                            smin = LakehouseTable._canon_temporal(smin)
-                            smax = LakehouseTable._canon_temporal(smax)
-                        if name not in flo or smin < flo[name]:
-                            flo[name] = smin
-                        if name not in fhi or smax > fhi[name]:
-                            fhi[name] = smax
-                incomplete |= fbad
-                for c in flo:
-                    if c in fbad:
-                        continue
-                    if c not in lo or flo[c] < lo[c]:
-                        lo[c] = flo[c]
-                    if c not in hi or fhi[c] > hi[c]:
-                        hi[c] = fhi[c]
-                per_file[os.path.relpath(full, batch_dir)] = {
-                    c: [flo[c], fhi[c]]
-                    for c in flo
-                    if c in fhi and c not in fbad
-                }
+                if c not in lo or flo[c] < lo[c]:
+                    lo[c] = flo[c]
+                if c not in hi or fhi[c] > hi[c]:
+                    hi[c] = fhi[c]
+            per_file[rel] = {
+                c: [flo[c], fhi[c]]
+                for c in flo
+                if c in fhi and c not in fbad
+            }
         return (
             {
                 c: [lo[c], hi[c]]
@@ -2511,6 +2548,7 @@ class LakehouseTable:
         unmatched_source_condition=None,
         dedup_source: str | None = None,
         source_unique: bool = False,
+        source_broadcast: bool = False,
     ) -> int:
         """MERGE INTO with Iceberg's clause surface — copy-on-write,
         matching keys GLOBALLY like Iceberg's COW MERGE, but rewriting
@@ -2564,6 +2602,19 @@ class LakehouseTable:
         caller's assertion that the source is already one-row-per-key
         (the streaming sink enforces this in its own epoch
         materialization) — one fewer aggregation job per merge.
+
+        ``source_broadcast=True`` is the caller's ASSERTION that the
+        source frame (and its distinct-key projection) fits a broadcast:
+        every join the merge derives from the source gets an explicit
+        broadcast hint, so the plan carries no shuffle exchange for the
+        source side at any target size — the guide's "broadcast the side
+        that fits" without waiting for AQE to discover it one materialized
+        stage at a time. Assert it only from MEASURED cardinality (the
+        rollup refresh and SCD2 merge know their delta's row count from
+        an Observation riding an action they already pay for); a false
+        assertion risks a driver/executor OOM exactly like a hand-written
+        ``F.broadcast``. COW path only (MOR's delete-file writes are
+        already O(matched) and its joins source-sided).
 
         ``mode="mor"`` switches to merge-on-read writes (Iceberg v2's
         ``write.merge.mode=merge-on-read``): see ``_merge_mor``.
@@ -2632,10 +2683,13 @@ class LakehouseTable:
                 # ONE probe job (r13): both are tiny distinct month
                 # strings, and collecting them separately paid a second
                 # full job scheduling round-trip per merge
+                src_keys = source.select(*on).distinct()
+                if source_broadcast:
+                    src_keys = F.broadcast(src_keys)
                 month_probe = month_probe.unionByName(
                     self.read()
                     .select(*on, month_expr.alias("__m"))
-                    .join(source.select(*on).distinct(), on, "left_semi")
+                    .join(src_keys, on, "left_semi")
                     .select("__m")
                 )
             src_months = sorted(
@@ -2677,6 +2731,7 @@ class LakehouseTable:
             unmatched_source_delete_where,
             unmatched_source_update,
             unmatched_source_condition,
+            source_broadcast=source_broadcast,
         )
         if merge_carry is not None:
             merged = merged.unionByName(merge_carry)
@@ -2848,11 +2903,16 @@ class LakehouseTable:
         unmatched_source_delete_where=None,
         unmatched_source_update=None,
         unmatched_source_condition=None,
+        source_broadcast: bool = False,
     ) -> DataFrame:
         """Evaluate MERGE clauses over the scoped target (see merge_into).
         All clause arms come from ONE target-source join; the legacy
         default (update-all + insert, no conditions) keeps its join-free
-        anti-union fast path."""
+        anti-union fast path. ``source_broadcast`` hints every join side
+        DERIVED from the source (the full frame and its distinct-key
+        projections) — hinting post-``distinct()`` because a hint below
+        an Aggregate is not guaranteed to survive to join selection."""
+        bc = F.broadcast if source_broadcast else (lambda df: df)
         names = [f.name for f in schema.fields]
         for upd, label in (
             (matched_update, "UPDATE"),
@@ -2880,7 +2940,7 @@ class LakehouseTable:
             and insert_unmatched
             and not by_source
         ):
-            return target.join(source.select(*on), on, "left_anti").unionByName(
+            return target.join(bc(source.select(*on)), on, "left_anti").unionByName(
                 align_schema(source, schema, keep_extras=False),
                 allowMissingColumns=True,
             )
@@ -2902,7 +2962,9 @@ class LakehouseTable:
         for k in on:
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             key_cond = c if key_cond is None else key_cond & c
-        joined = target.alias("t").join(source.alias("s"), key_cond, "inner")
+        joined = target.alias("t").join(
+            bc(source.alias("s")), key_cond, "inner"
+        )
         t_cols = [F.col(f"t.{n}").alias(n) for n in names]
         src_names = set(source.columns)
 
@@ -2934,7 +2996,7 @@ class LakehouseTable:
             # MERGE_CARDINALITY_VIOLATION only for those).
             joined = (
                 target.alias("t")
-                .join(source.select(*on).distinct(), on, "left_semi")
+                .join(bc(source.select(*on).distinct()), on, "left_semi")
                 .alias("t")
             )
             # no source side exists post-semi-join: neutralize any
@@ -2946,7 +3008,7 @@ class LakehouseTable:
         # see the row as ``t.<col>`` (there is no ``s.`` side, by
         # definition).
         unmatched_t = target.alias("t").join(
-            source.select(*on).distinct(), on, "left_anti"
+            bc(source.select(*on).distinct()), on, "left_anti"
         )
         if by_source:
             bs_del = (
@@ -3210,16 +3272,27 @@ class LakehouseTable:
             if carry is not None:
                 remaining = remaining.unionByName(carry)
         else:
-            # UNPARTITIONED fallback: an existence probe (limit-1, early-
-            # exit scan) replaces a guaranteed full rewrite when nothing
-            # matches. It only runs when the stats gate above was
-            # inconclusive; partitioned tables take the cheaper
+            # UNPARTITIONED fallback: no dedicated existence probe. The
+            # rewrite is O(table) whenever anything matches, so the
+            # matched count rides the rewrite's own write action as an
+            # Observation (guide §1.4 — the probe job was a second full
+            # pass in the common did-match case); a zero count rolls the
+            # uncommitted batch back and keeps the version, exactly the
+            # stats-gate-inconclusive no-op the limit(1) probe used to
+            # detect. Partitioned tables keep the cheaper
             # _affected_months metadata path instead.
-            if self.read().where(cond_true).limit(1).count() == 0:
-                return snap.version  # nothing matches: no new snapshot
+            from pyspark.sql import Observation
+
+            dml_obs = Observation()
             hit = None
             keep_batches = []
-            remaining = self.read().where(~cond_true)
+            remaining = (
+                self.read()
+                .observe(
+                    dml_obs, F.sum(cond_true.cast("long")).alias("matched")
+                )
+                .where(~cond_true)
+            )
         # replayable provenance: a plain deterministic SQL predicate lets
         # diff() reconstruct this commit's change set from the PRE-state
         # snapshot (D = old WHERE cond) instead of exceptAll-scanning
@@ -3231,6 +3304,13 @@ class LakehouseTable:
         batch = self._write_batch(
             remaining, snap.schema, mo, version, renames_at=len(snap.renames)
         )
+        if mo is None and (dml_obs.get["matched"] or 0) == 0:
+            # nothing matched: the batch just written is content-identical
+            # to the pre-state — discard it, keep the version (the same
+            # no-op the removed existence probe committed to, detected on
+            # the write action instead of a dedicated scan)
+            shutil.rmtree(batch["path"], ignore_errors=True)
+            return snap.version
         self._commit(
             Snapshot(
                 version, snap.schema, keep_batches + [batch], mo,
@@ -3337,11 +3417,18 @@ class LakehouseTable:
             if carry is not None:
                 rewritten = rewritten.unionByName(carry)
         else:
-            if self.read().where(cond_true).limit(1).count() == 0:
-                return snap.version  # nothing matches: no new snapshot
+            # same Observation-on-the-write no-op detection as the
+            # unpartitioned DELETE above: no dedicated existence probe
+            from pyspark.sql import Observation
+
+            dml_obs = Observation()
             hit = None
             keep_batches = []
-            rewritten = apply(self.read())
+            rewritten = apply(
+                self.read().observe(
+                    dml_obs, F.sum(cond_true.cast("long")).alias("matched")
+                )
+            )
         # replayable provenance for diff(): condition AND every SET
         # expression must be deterministic SQL strings — the replay
         # re-runs exactly apply() on the pre-state's matched rows
@@ -3362,6 +3449,11 @@ class LakehouseTable:
         batch = self._write_batch(
             rewritten, snap.schema, mo, version, renames_at=len(snap.renames)
         )
+        if mo is None and (dml_obs.get["matched"] or 0) == 0:
+            # nothing matched: discard the identical rewrite, keep the
+            # version (see the unpartitioned DELETE branch)
+            shutil.rmtree(batch["path"], ignore_errors=True)
+            return snap.version
         self._commit(
             Snapshot(
                 version, snap.schema, keep_batches + [batch], mo,

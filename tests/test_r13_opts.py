@@ -414,3 +414,132 @@ def test_diff_dml_replay_unpartitioned(spark, tmp_path):
     assert t._load(v3).dml["op"] == "update"
     assert _symdiff(t.diff(v2, v3), _generic_diff(t, v2, v3)) == 0
     assert _symdiff(t.diff(v1, v3), _generic_diff(t, v1, v3)) == 0
+
+
+# --- batch 2 (r13 continuation): merge source broadcast, probe-free
+# unpartitioned DML no-op, fused CC rounds, pair filter-before-dedup ---
+
+
+def test_merge_source_broadcast_hint_and_equivalence(spark, tmp_path):
+    """merge_into(source_broadcast=True) must (a) put an explicit
+    broadcast on every source-derived join even when size estimation
+    would pick SMJ, and (b) change nothing about the merge's output."""
+    from spark_iceberg_schema_evolution_spark.tables import LakehouseTable
+
+    tgt = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    src = spark.range(100, 260).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    args = dict(
+        matched_update={"v": "s.v + t.v"},
+        matched_condition="s.v % 2 = 0",
+        matched_delete_where="s.v % 37 = 0",
+        insert_unmatched=True,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = LakehouseTable._apply_merge_clauses(
+            tgt, src, tgt.schema, ["k"], args["matched_update"],
+            args["matched_condition"], args["matched_delete_where"],
+            True, source_broadcast=True,
+        )
+        unhinted = LakehouseTable._apply_merge_clauses(
+            tgt, src, tgt.schema, ["k"], args["matched_update"],
+            args["matched_condition"], args["matched_delete_where"],
+            True, source_broadcast=False,
+        )
+        # with auto-broadcast off, only the HINT can produce BHJs
+        assert explain.has_broadcast_join(hinted)
+        assert not explain.has_broadcast_join(unhinted)
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, unhinted.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unpartitioned_dml_noop_probe_free(spark, tmp_path):
+    """The unpartitioned COW no-op detection now rides the rewrite's own
+    write action (Observation + rollback): a no-match DELETE/UPDATE that
+    passes the stats gate must keep the version AND leave no stray batch
+    directory behind."""
+    cat = LakehouseCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    rows = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        ["id", "cat", "amt"],
+    )
+    t = cat.table("db", "np")
+    t.create(rows.schema)
+    t.append(rows)
+    v1 = t._load().version
+    n_dirs = len(os.listdir(t.data_dir))
+    # stats-inconclusive no-match: 'c' is inside the [a,b]..? use a
+    # predicate footer stats cannot refuse: cat = 'ab' sorts between
+    # 'a' and 'b', so the batch min/max gate passes but nothing matches
+    assert t.delete_where("cat = 'ab'") == v1
+    assert t.update_where("cat = 'ab'", {"amt": "amt + 1"}) == v1
+    assert t._load().version == v1
+    assert len(os.listdir(t.data_dir)) == n_dirs  # rollback removed the dirs
+    # and a matching DML still commits exactly as before
+    v2 = t.delete_where("cat = 'b'")
+    assert v2 == v1 + 1
+    assert t.read().count() == 2
+    v3 = t.update_where("cat = 'a'", {"amt": "amt + 5"})
+    assert v3 == v2 + 1
+    got = {r["id"]: r["amt"] for r in t.read().collect()}
+    assert got == {1: 15.0, 3: 35.0}
+
+
+def test_connected_components_one_checkpoint_per_two_rounds(spark):
+    """Two propagation rounds ride each checkpoint action: a graph that
+    converges in <= 2 rounds must checkpoint exactly once (the fused
+    pair), not once per round."""
+    from unittest import mock
+
+    from spark_iceberg_schema_evolution_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 6), (6, 7)], ["id_a", "id_b"]
+    )
+    cls = type(pairs)  # the concrete DataFrame class this session uses
+    real = cls.localCheckpoint
+    calls = []
+
+    def counted(self, *a, **k):
+        calls.append(1)
+        return real(self, *a, **k)
+
+    with mock.patch.object(cls, "localCheckpoint", counted):
+        out = {
+            (r["id"], r["cluster_id"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+    assert out == {(1, 1), (2, 1), (5, 5), (6, 5), (7, 5)}
+    assert len(calls) == 1
+
+
+def test_cosine_pairs_filter_below_dedup_exchange(spark):
+    """The pair threshold filter must sit BELOW the dropDuplicates
+    aggregate (filter-then-dedup == dedup-then-filter on bit-identical
+    duplicate rows), so only surviving pairs shuffle."""
+    from spark_iceberg_schema_evolution_spark.operators.similarity import (
+        cosine_near_dups,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0, 2.0])
+         for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    pairs = cosine_near_dups(emb, dim=4, threshold=0.95)
+    plan = explain.physical_plan(pairs)
+    # tree prints top-down: the dedup aggregate must appear BEFORE the
+    # cos-threshold filter line, i.e. the filter is its descendant
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.find(">= 0.95")
+    assert agg_pos != -1 and filt_pos != -1
+    assert agg_pos < filt_pos, plan
