@@ -1109,16 +1109,12 @@ def connected_components(
     labels = None  # round 1 labels are the identity map — never built
     from pyspark.sql import Observation
 
-    def plan_round(prev, observe=True):
+    def plan_round(prev):
         """Plan ONE min-label + pointer-doubling round on top of
         ``prev`` (None = identity labels, the round-1 special case) —
         no action; returns (labels-with-__old plan, Observation whose
-        ``changed`` fires when any action evaluates the plan).
-        ``observe=False`` skips the Observation: a round whose plan is
-        CONSUMED by the next round's plan appears several times in the
-        fused tree (the doubling self-join + the vertex union branch),
-        and an Observation asserts exactly one evaluation per action —
-        the inner round of a fused pair must therefore go unobserved."""
+        ``changed`` fires when the checkpoint action evaluates the
+        plan)."""
         if prev is None:
             # round 1: label(u) == u, so vertex v's closed-neighborhood
             # min is min over its edges of least(src, dst) — a single
@@ -1171,8 +1167,6 @@ def connected_components(
             ).alias("label"),
             "__old",
         )
-        if not observe:
-            return doubled, None
         obs = Observation()
         return (
             doubled.observe(
@@ -1184,41 +1178,27 @@ def connected_components(
             obs,
         )
 
-    # TWO rounds ride each checkpoint action (r13): the label math is a
-    # pure function of the previous labels, so round k+1 plans lazily on
-    # top of round k and both materialize in ONE job — halving the
-    # per-round action count that dominates small/shallow graphs, while
-    # the localCheckpoint every other round still keeps lineage flat for
-    # deep ones. Per-round label values are UNCHANGED (same closed-
-    # neighborhood min + doubling recurrence); when the first fused
-    # round already converged, the second is the identity on stable
-    # labels, so the pair's output equals the converged labels exactly.
-    # localCheckpoint (not just persist): each pair's plan would
-    # otherwise nest the previous pair's, growing the lineage — and
-    # with it planning time — linearly in rounds. The changed-label
-    # counts are Observations on the SAME action (the eager checkpoint
-    # materializes every row, so the metrics are complete) — the
-    # original shape paid one action per round and, before r13, a
-    # separate join+count job per round on top.
+    # ONE round per checkpoint action, deliberately. Fusing two rounds
+    # into one action was tried and MEASURED WORSE (r13 batch 2): the
+    # inner round's plan is referenced twice by the message join/union
+    # and twice again by each doubling self-join, so the un-materialized
+    # round-A subplan executes up to 8x inside the fused action — AQE
+    # scheduled 45 jobs where the unfused loop scheduled 29 (q74).
+    # Exchange reuse does not collapse the copies reliably; the
+    # checkpoint per round is what makes each round's plan execute once.
+    # localCheckpoint (not just persist): each round's plan would
+    # otherwise nest the previous round's, growing the lineage — and
+    # with it planning time — linearly in iterations. The changed-label
+    # count is an Observation on the SAME action (the eager checkpoint
+    # materializes every row, so the metric is complete) — the previous
+    # separate join+count job per round was pure overhead.
     changed = 0
     rounds = 0
     while rounds < max_iter:
-        if max_iter - rounds >= 2:
-            # the inner round is unobserved (see plan_round): if it
-            # already converged, the outer round is the identity on
-            # stable labels and reports changed == 0 itself
-            plan_a, _ = plan_round(labels, observe=False)
-            plan_b, obs_b = plan_round(plan_a.drop("__old"))
-            new_labels = plan_b.drop("__old").localCheckpoint(eager=True)
-            changed = obs_b.get["changed"] or 0
-            rounds += 2
-        else:
-            plan_a, obs_a = plan_round(labels)
-            # odd max_iter leftover: a single unfused round, so the
-            # raise-on-exhaustion contract stays exact
-            new_labels = plan_a.drop("__old").localCheckpoint(eager=True)
-            changed = obs_a.get["changed"] or 0
-            rounds += 1
+        plan_a, obs_a = plan_round(labels)
+        new_labels = plan_a.drop("__old").localCheckpoint(eager=True)
+        changed = obs_a.get["changed"] or 0
+        rounds += 1
         if labels is not None:
             # later rounds' labels are localCheckpoints —
             # unpersist_checkpoint releases their blocks (a plain
