@@ -447,6 +447,12 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(query_id), as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn(
+        # query norm once per query row (it rides the broadcast) instead
+        # of one l2 fold per (corpus, query) pair — same expression over
+        # the same value, so the score is bit-identical (r13; the
+        # cosine() expansion below keeps the identical operand order)
+        "__rqn", l2_norm(F.col("__qv"))
     )
     q_cells = q.withColumn(
         "__cell",
@@ -463,7 +469,10 @@ def ivf_topk(
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (l2_norm(F.col("__cv")) * F.col("__rqn"))
+            ).alias("score"),
         )
         .dropDuplicates([query_id, corpus_id])
     )
@@ -689,13 +698,16 @@ def lsh_topk(
     q = with_sigs(
         queries.select(F.col(query_id), as_double(F.col(vec_col)).alias("__qv")),
         "__qv",
-    )
+    ).withColumn("__rqn", l2_norm(F.col("__qv")))  # see ivf_topk (r13)
     scored = (
         c.join(F.broadcast(q), ["__table", "__sig"])
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (l2_norm(F.col("__cv")) * F.col("__rqn"))
+            ).alias("score"),
         )
         .dropDuplicates([query_id, corpus_id])
     )
@@ -827,11 +839,19 @@ def _pq_score_topk(
     )
     rerank = (
         corpus_vecs.join(F.broadcast(cand), corpus_id)
-        .join(F.broadcast(q), query_id)
+        .join(
+            F.broadcast(q.withColumn("__rqn", l2_norm(F.col("__qv")))),
+            query_id,
+        )
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+            # untransformed-query norm once per query row, not one l2
+            # fold per re-rank pair; bit-identical (see ivf_topk, r13)
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (l2_norm(F.col("__cv")) * F.col("__rqn"))
+            ).alias("score"),
         )
     )
     w2 = Wnd.partitionBy(query_id).orderBy(
@@ -1235,11 +1255,18 @@ def ivfpq_topk(
     )
     rerank = (
         c.join(F.broadcast(cand), corpus_id)
-        .join(F.broadcast(q), query_id)
+        .join(
+            F.broadcast(q.withColumn("__rqn", l2_norm(F.col("__qv")))),
+            query_id,
+        )
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+            # see ivf_topk (r13): per-query norm rides the broadcast
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (l2_norm(F.col("__cv")) * F.col("__rqn"))
+            ).alias("score"),
         )
     )
     w2 = Wnd.partitionBy(query_id).orderBy(
@@ -1407,11 +1434,18 @@ def sq8_topk(
     )
     rerank = (
         c.join(F.broadcast(cand), corpus_id)
-        .join(F.broadcast(q), query_id)
+        .join(
+            F.broadcast(q.withColumn("__rqn", l2_norm(F.col("__qv")))),
+            query_id,
+        )
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+            # see ivf_topk (r13): per-query norm rides the broadcast
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (l2_norm(F.col("__cv")) * F.col("__rqn"))
+            ).alias("score"),
         )
     )
     w2 = Wnd.partitionBy(query_id).orderBy(
