@@ -3059,7 +3059,25 @@ class LakehouseTable:
             .unionByName(survive.where(upd_c).select(*upd_cols))
         )
         if insert_unmatched:
-            ins = source.join(target.select(*on).distinct(), on, "left_anti")
+            if source_broadcast:
+                # a source key absent from (target keys ∩ source keys)
+                # is absent from target, so the NOT MATCHED probe can be
+                # a map-side broadcast semi over the target scan + a
+                # broadcast anti over the source — instead of
+                # distinct-aggregating and SHUFFLING every target key
+                # per merge (O(table) at 100 TB for a delta-sized
+                # insert). matched_keys ≤ matched target rows, bounded
+                # by the caller's broadcast assertion on the source.
+                matched_keys = target.select(*on).join(
+                    bc(source.select(*on).distinct()), on, "left_semi"
+                )
+                ins = source.join(
+                    F.broadcast(matched_keys), on, "left_anti"
+                )
+            else:
+                ins = source.join(
+                    target.select(*on).distinct(), on, "left_anti"
+                )
             out = out.unionByName(
                 align_schema(ins, schema, keep_extras=False),
                 allowMissingColumns=True,
