@@ -159,10 +159,12 @@ HEADLINE = [
     "q187_degree_stats",
     "q188_pps_sample",
     "q189_domain_budget",
-    # round-13 faces q190_dsir_importance / q191_encoding_anomalies join
-    # here NEXT round (the round-8/9 precedent: the r13 sidecars were
-    # already recorded at this 106-query set, so the denominator stays
-    # aligned with the driver's r13 run).
+    # round-13 faces, joined in round 14 as the r13 in-file note
+    # promised (ADDITIVE: the 106 pre-existing entries above are
+    # unchanged, so per-query comparison against every committed r13
+    # sidecar still works; only the total's denominator grows to 108).
+    "q190_dsir_importance",
+    "q191_encoding_anomalies",
 ]
 
 
@@ -206,10 +208,25 @@ def main() -> None:
         "sf": sf_val,
     }
     full_line = json.dumps(full)
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_full.json")
     with open(full_path, "w") as fh:
+        fh.write(full_line + "\n")
+    # ALSO write a per-run unique sidecar (r13 PERF lost its whole
+    # per-query comparison because the driver's 8-core scaling run
+    # overwrote the 32-core run's BENCH_full.json). BENCH_full.json
+    # stays as "the latest" for compatibility; the unique path is
+    # additive. $BENCH_FULL_PATH overrides the unique path outright.
+    run_path = os.environ.get("BENCH_FULL_PATH") or os.path.join(
+        here,
+        "BENCH_full_c%s_%d_%d.json"
+        % (
+            os.environ.get("SPARK_GRAFT_CPUS", "8"),
+            int(time.time()),
+            os.getpid(),
+        ),
+    )
+    with open(run_path, "w") as fh:
         fh.write(full_line + "\n")
     print(full_line)
     # tail-capture-proof final line: short enough (~200 bytes) to survive
@@ -227,6 +244,7 @@ def main() -> None:
                     json.dumps(timings, sort_keys=True).encode()
                 ).hexdigest()[:12],
                 "full_json": full_path,
+                "full_json_run": run_path,
             }
         )
     )

@@ -172,6 +172,7 @@ def scd2_merge(
             .join(existing, [*keys, valid_from], "left")
             .observe(
                 obs,
+                F.count(F.lit(1)).alias("__n_rows"),
                 F.sum(F.col("__late").cast("long")).alias("__n_late"),
                 F.sum(
                     (F.col("__late") & F.col("__hit").isNotNull()).cast(
@@ -218,6 +219,17 @@ def scd2_merge(
             first_ts = ch.groupBy(*keys).agg(
                 F.min(valid_from).alias("__first_ts")
             )
+            # bound the broadcast from the frame first_ts DERIVES from:
+            # ch = tagged minus __late rows, so its row count is the
+            # observed total minus the raw late count (both already
+            # populated — the applied count above ran the observed
+            # action). `applied` alone undercounts when a dimension in
+            # an abnormal state (external writer: committed
+            # (keys, valid_from) with no current row) lets the __hit
+            # filter remove rows that first_ts still keys (ADVICE r13).
+            ch_rows = (obs.get["__n_rows"] or 0) - (
+                obs.get["__n_late"] or 0
+            )
             closed_v = table.merge_into(
                 first_ts,
                 on=keys,
@@ -233,9 +245,8 @@ def scd2_merge(
                 # by construction, so skip the MERGE cardinality probe
                 # (r13)
                 source_unique=True,
-                # first_ts has at most one row per change key; `applied`
-                # bounds it from the count the report needs anyway
-                source_broadcast=applied <= MERGE_BROADCAST_ROWS,
+                # first_ts has at most one row per surviving ch key
+                source_broadcast=ch_rows <= MERGE_BROADCAST_ROWS,
             )
         if applied:
             if not table.exists():
