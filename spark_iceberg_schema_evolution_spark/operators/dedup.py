@@ -846,10 +846,16 @@ def batch_near_dedup(
     )
     if quality_col is not None:
         kept = dedup_keep_best(
-            docs, verified, quality_col=quality_col, id_col=id_col
+            docs, verified, quality_col=quality_col, id_col=id_col,
+            # jaccard_pairs groups by (id_a, id_b) with id_a < id_b —
+            # distinct by construction (r14: skips the edge-dedup
+            # exchange inside connected_components)
+            pairs_distinct=True,
         )
     else:
-        cc = connected_components(verified.select("id_a", "id_b"))
+        cc = connected_components(
+            verified.select("id_a", "id_b"), pairs_distinct=True
+        )
         drop = cc.where(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(id_col)
         )
@@ -1069,6 +1075,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: returns (id, cluster_id)
     where cluster_id is the component's minimum member id — the canonical
@@ -1095,17 +1102,26 @@ def connected_components(
     localCheckpointed to keep lineage flat, the loop stops when a round
     changes nothing (an Observation riding the checkpoint action), and
     exhausting ``max_iter`` without convergence RAISES rather than
-    returning wrong clusters."""
+    returning wrong clusters.
+
+    ``pairs_distinct=True`` is the caller's assertion that ``pairs``
+    already holds each undirected pair once with ``id_a < id_b`` (what
+    ``cosine_near_dups`` and ``jaccard_pairs`` emit by construction):
+    the symmetric union then cannot contain duplicates, so the
+    edge-dedup exchange is skipped (r14 — one fewer shuffle in the
+    round-1 action). Min-label propagation is IDEMPOTENT over
+    duplicate messages, so a mis-assertion costs only wasted per-round
+    join width, never a wrong label."""
     from pyspark import StorageLevel
 
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    if not pairs_distinct:
+        edges = edges.distinct()
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = None  # round 1 labels are the identity map — never built
     from pyspark.sql import Observation
 
@@ -1222,6 +1238,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     quality_col: str,
     id_col: str = "doc_id",
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Near-dup resolution that keeps the BEST member of each duplicate
     cluster instead of an arbitrary canonical id: cluster the verified
@@ -1236,7 +1253,9 @@ def dedup_keep_best(
     text payloads — only ids and the quality scalar move."""
     # (id, cluster_id), id = member — renamed up front so drop-by-name
     # can't also remove the caller's column when id_col == "id"
-    cc = connected_components(pairs).withColumnRenamed("id", "__cc_id")
+    cc = connected_components(
+        pairs, pairs_distinct=pairs_distinct
+    ).withColumnRenamed("id", "__cc_id")
     members = docs.join(
         cc, docs[id_col] == cc["__cc_id"], "inner"
     ).drop("__cc_id")
@@ -1344,7 +1363,10 @@ def semantic_dedup(
     )
     pairs, drops = out if return_drop_stats else (out, None)
     kept = dedup_keep_best(
-        docs, pairs, quality_col=quality_col, id_col=id_col
+        docs, pairs, quality_col=quality_col, id_col=id_col,
+        # cosine_near_dups dropDuplicates (id_a < id_b) — distinct by
+        # construction (r14)
+        pairs_distinct=True,
     )
     if return_drop_stats:
         return kept, drops

@@ -153,7 +153,11 @@ def refresh_rollup(
         # diff (ADVICE r11 — no silent exclusion window)
         src_v = int(hint_to_version)
     else:
-        changes = source.diff(last_src, src_v)
+        # the additive (unreduced) change bag: per row value, #I − #D is
+        # EXACTLY diff()'s, which is all the signed _delta_agg fold
+        # reads — and the plan skips diff()'s two exceptAll shuffles
+        # (r14; see LakehouseTable.diff_additive's invariant)
+        changes = source.diff_additive(last_src, src_v)
     delta = _delta_agg(changes, group_cols, sum_cols)
     zero = F.col("n_rows") == 0
     for c in sum_cols:

@@ -2655,7 +2655,9 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     pairs = jaccard_pairs(d).where(F.col("jaccard") >= 0.2)
-    return connected_components(pairs).orderBy("id")
+    # jaccard_pairs groups by (id_a, id_b), id_a < id_b — distinct by
+    # construction, so the CC edge-dedup exchange is skippable (r14)
+    return connected_components(pairs, pairs_distinct=True).orderBy("id")
 
 
 @q(

@@ -2742,9 +2742,14 @@ class LakehouseTable:
                 # ONE probe job (r13): both are tiny distinct month
                 # strings, and collecting them separately paid a second
                 # full job scheduling round-trip per merge
-                src_keys = source.select(*on).distinct()
-                if source_broadcast:
-                    src_keys = F.broadcast(src_keys)
+                # semi probes read key membership only, so under the
+                # broadcast assertion the build is the full source (one
+                # reusable broadcast, no distinct exchange — r14)
+                src_keys = (
+                    F.broadcast(source)
+                    if source_broadcast
+                    else source.select(*on).distinct()
+                )
                 month_probe = month_probe.unionByName(
                     self.read()
                     .select(*on, month_expr.alias("__m"))
@@ -2972,6 +2977,24 @@ class LakehouseTable:
         projections) — hinting post-``distinct()`` because a hint below
         an Aggregate is not guaranteed to survive to join selection."""
         bc = F.broadcast if source_broadcast else (lambda df: df)
+
+        def key_probe():
+            """Build side for the semi/anti key-membership probes.
+
+            Semi/anti joins read only key-set MEMBERSHIP from their
+            build side, so duplicate keys and extra columns are inert.
+            Under ``source_broadcast`` the probes therefore build on the
+            ONE broadcast of the full source the matched join already
+            pays for (r14): the per-probe ``distinct()`` exchange and
+            its separate broadcast build disappear (ReuseExchange
+            collapses identical broadcasts), and the build size stays
+            inside the caller's assertion — full source rows are
+            exactly what ``source_broadcast`` asserts fit. Without the
+            hint the distinct-key projection stays: in a shuffled
+            semi/anti it genuinely shrinks the source-side exchange."""
+            if source_broadcast:
+                return F.broadcast(source)
+            return source.select(*on).distinct()
         names = [f.name for f in schema.fields]
         for upd, label in (
             (matched_update, "UPDATE"),
@@ -3055,7 +3078,7 @@ class LakehouseTable:
             # MERGE_CARDINALITY_VIOLATION only for those).
             joined = (
                 target.alias("t")
-                .join(bc(source.select(*on).distinct()), on, "left_semi")
+                .join(key_probe(), on, "left_semi")
                 .alias("t")
             )
             # no source side exists post-semi-join: neutralize any
@@ -3067,7 +3090,7 @@ class LakehouseTable:
         # see the row as ``t.<col>`` (there is no ``s.`` side, by
         # definition).
         unmatched_t = target.alias("t").join(
-            bc(source.select(*on).distinct()), on, "left_anti"
+            key_probe(), on, "left_anti"
         )
         if by_source:
             bs_del = (
@@ -3135,7 +3158,7 @@ class LakehouseTable:
                 # (ADVICE r13). Anti-join semantics are unchanged —
                 # key-set membership is all an anti-join reads.
                 matched_keys = target.select(*on).join(
-                    bc(source.select(*on).distinct()), on, "left_semi"
+                    key_probe(), on, "left_semi"
                 ).distinct()
                 ins = source.join(
                     F.broadcast(matched_keys), on, "left_anti"
@@ -3826,6 +3849,56 @@ class LakehouseTable:
         ).unionByName(
             old.exceptAll(new).withColumn("_change_type", F.lit("D"))
         )
+
+    def diff_additive(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change bag for ADDITIVE consumers (SUM/COUNT IVM —
+        the rollup refresh): same column convention as :meth:`diff`, but
+        the I and D sides are NOT multiset-reduced against each other.
+        The invariant that holds EXACTLY is the signed multiplicity:
+        for every row value v, ``(#I rows of v) − (#D rows of v)`` is
+        identical to diff()'s — diff's reduced sides are
+        ``max(n−o, 0)`` / ``max(o−n, 0)`` where this returns ``n`` /
+        ``o``, and both pairs have the same difference. A consumer that
+        folds rows as signed contributions (``SUM(±1)``, ``SUM(±x)``)
+        therefore computes the same totals (exactly, for the
+        integer-typed measures this engine's queries use; a float SUM
+        has no engine-defined fold order under EITHER formulation),
+        while the plan skips diff()'s two exceptAll shuffles outright
+        (guide §2.4) — a replayed UPDATE span contributes one
+        predicate-scoped scan per side with NO exchange at all, where
+        diff() pays two table-wide hash exchanges to cancel rows the
+        additive fold cancels arithmetically for free. Consumers that
+        need the reduced bag itself (display, auditing, non-additive
+        state) must keep using :meth:`diff`. Spans the manifest cannot
+        scope fall back to the generic reduced path (also additive —
+        a reduced bag is just n−o/o−n, same signed multiplicity)."""
+        to_snap = self._load(to_version)
+        if "_change_type" in [f.name for f in to_snap.schema.fields]:
+            raise ValueError("table already has a _change_type column")
+        from_snap = self._load(from_version)
+        scoped = self._diff_scope(from_snap, to_snap)
+        if scoped is None:
+            return self.diff(from_version, to_version)
+        old, new = scoped
+        parts = []
+        if new is not None:
+            parts.append(new.withColumn("_change_type", F.lit("I")))
+        if old is not None:
+            parts.append(old.withColumn("_change_type", F.lit("D")))
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(to_snap.schema.fields)
+                    + [T.StructField("_change_type", T.StringType())]
+                ),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _diff_scope(
         self, from_snap: Snapshot, to_snap: Snapshot

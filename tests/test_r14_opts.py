@@ -158,6 +158,35 @@ def test_unpartitioned_nomatch_dml_above_gate_writes_nothing(
     assert {r["amt"] for r in t.read().collect()} == {15.0, 35.0}
 
 
+# --- r14: CC edge-dedup exchange elision is assertion-safe -----------------
+
+
+def test_connected_components_pairs_distinct_equivalence(spark):
+    """pairs_distinct=True must produce identical clusters — including
+    under a MIS-assertion (duplicate pairs): min-label propagation is
+    idempotent over duplicate messages, so the flag can only waste
+    work, never change a label."""
+    from spark_iceberg_schema_evolution_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rows = [(1, 2), (2, 3), (5, 6), (8, 9), (1, 3)]
+    clean = spark.createDataFrame(rows, ["id_a", "id_b"])
+    dup = spark.createDataFrame(rows * 3, ["id_a", "id_b"])
+    want = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(clean).collect()
+    }
+    for pairs in (clean, dup):
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(
+                pairs, pairs_distinct=True
+            ).collect()
+        }
+        assert got == want
+
+
 # --- ADVICE r13: SCD2 broadcast bound derives from first_ts's own frame ----
 
 
