@@ -965,20 +965,34 @@ def _pq_code_expr(
     dsub = dim // m
 
     def code_for(j: int) -> Column:
-        dists = F.transform(
-            _centroid_literal(list(enumerate(codebooks[j]))),
-            lambda s: F.struct(
-                fold_sum(
-                    F.zip_with(
-                        F.slice(vcol, j * dsub + 1, dsub),
-                        s["v"],
-                        lambda a, b: (a - b) * (a - b),
-                    )
-                ).alias("d"),
-                s["c"].alias("c"),
-            ),
-        )
-        return F.array_min(dists)["c"]
+        lit = _centroid_literal(list(enumerate(codebooks[j])))
+
+        # bind the sub-vector slice ONCE per row: referenced inside the
+        # per-centroid lambda it re-evaluates ksub times (HOF lambdas
+        # are interpreted — dedup.bind_once; r14, same fix as the r13
+        # shingle/centroid passes). Same expression over the same
+        # value, so codes are bit-identical.
+        def dists_of(sl: Column) -> Column:
+            return F.transform(
+                lit,
+                lambda s: F.struct(
+                    fold_sum(
+                        F.zip_with(
+                            sl, s["v"], lambda a, b: (a - b) * (a - b)
+                        )
+                    ).alias("d"),
+                    s["c"].alias("c"),
+                ),
+            )
+
+        return F.array_min(
+            F.get(
+                F.transform(
+                    F.array(F.slice(vcol, j * dsub + 1, dsub)), dists_of
+                ),
+                0,
+            )
+        )["c"]
 
     return F.array(*[code_for(j) for j in range(m)])
 
@@ -994,15 +1008,24 @@ def _pq_lut_expr(
     dsub = dim // m
 
     def lut_for(j: int) -> Column:
-        return F.transform(
-            F.expr(
-                "array("
-                + ",".join(
-                    lit_double_array_sql(vec) for vec in codebooks[j]
-                )
-                + ")"
+        cents = F.expr(
+            "array("
+            + ",".join(
+                lit_double_array_sql(vec) for vec in codebooks[j]
+            )
+            + ")"
+        )
+
+        # bind the query sub-slice once per row (not once per centroid
+        # — see _pq_code_expr; r14): bit-identical dot products
+        def luts_of(sl: Column) -> Column:
+            return F.transform(cents, lambda ctr: dot(sl, ctr))
+
+        return F.get(
+            F.transform(
+                F.array(F.slice(qcol, j * dsub + 1, dsub)), luts_of
             ),
-            lambda ctr: dot(F.slice(qcol, j * dsub + 1, dsub), ctr),
+            0,
         )
 
     return F.array(*[lut_for(j) for j in range(m)])
